@@ -1,0 +1,28 @@
+"""Every declared query with an oracle must hash-match DuckDB at sf0.001.
+
+This replicates the driver's CORRECTNESS gate locally (the driver runs
+the same comparison at sf0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from chill_spark import queries as q
+from tests.oracle_harness import assert_matches_oracle
+
+CASES = sorted(q.ORACLE_SQL.keys())
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = q.queries()[name](spark, sf_dir)
+    assert_matches_oracle(df, q.ORACLE_SQL[name], sf_dir)
+
+
+def test_all_queries_run(spark, sf_dir):
+    """Queries without an oracle still must run and return a schema."""
+    for name, fn in q.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(5).collect()
