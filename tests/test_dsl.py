@@ -1,0 +1,155 @@
+"""Differential tests: tier-1 compiled Columns vs the reference's
+string-substitution + eval semantics (Partrans.py:167-171) on sample
+rows; plus tier-2 lookup join and the derive operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from chill_spark.config import FieldSpec
+from chill_spark.dsl import (
+    UnsupportedTemplate,
+    arg_bindings,
+    compile_template,
+    parse_lookup_template,
+    strptime_to_spark,
+)
+from chill_spark.operators.derive import apply_fields
+
+
+def reference_eval(template: str, args: list):
+    """The reference's semantics: argN -> quoted str(value), then eval
+    (Partrans.py:167-171)."""
+    from datetime import datetime  # noqa: F401 - available to templates
+
+    expr = template
+    for i, v in enumerate(args):
+        expr = expr.replace(f"arg{i + 1}", "'" + str(v) + "'")
+    return eval(expr)  # noqa: S307 - test-only, trusted templates
+
+
+SAMPLE_ROWS = [
+    ("A20240101.1500_site42_huawei.csv", "OM_55", "12", "7.5"),
+    ("B20231231.0000_s1_nokia.csv", "GRP_1", "0", "-3.25"),
+    ("C20200229.2345_xy_eric.csv", "OM_99", "144", "100.0"),
+]
+COLS = ["fname", "grp", "cnt", "val"]
+
+# (template, inputs) — shapes observed in the wild per SURVEY §2.6
+TEMPLATES = [
+    ("arg1[0:8]", ["fname"]),
+    ("arg1[1:9] + ' ' + arg1[10:12] + ':' + arg1[12:14]", ["fname"]),
+    ("arg1[-4:]", ["fname"]),
+    ("arg1.split('_')[1]", ["fname"]),
+    ("arg1.split('_')[-1]", ["fname"]),
+    ("arg1.upper()", ["grp"]),
+    ("arg1.lower()", ["fname"]),
+    ("arg1.replace('OM_', 'GROUP-')", ["grp"]),
+    ("int(arg1) + 5", ["cnt"]),
+    ("int(arg1) * 2 - 3", ["cnt"]),
+    ("float(arg1) / 4", ["val"]),
+    ("round(float(arg1) / 3, 3)", ["val"]),
+    ("str(int(arg1) + 1)", ["cnt"]),
+    ("arg1 + '_' + arg2", ["grp", "cnt"]),
+    ("'PREFIX_' + arg1", ["grp"]),
+    ("arg1[0:2] if arg1[0:3] == 'OM_' else 'OTHER'", ["grp"]),
+    ("len(arg1)", ["fname"]),
+    ("arg1.strip()", ["grp"]),
+    ("abs(float(arg1))", ["val"]),
+    ("max(int(arg1), 50)", ["cnt"]),
+    ("min(int(arg1), 50)", ["cnt"]),
+    ("datetime.strptime(arg1[1:14], '%Y%m%d.%H%M').strftime('%Y-%m-%d %H:%M')", ["fname"]),
+    ("arg1.zfill(6)", ["cnt"]),
+    ("int(arg1) % 7", ["cnt"]),
+    ("int(arg1) // 10", ["cnt"]),
+]
+
+
+@pytest.mark.parametrize("template,inputs", TEMPLATES)
+def test_tier1_matches_reference_eval(spark, template, inputs):
+    df = spark.createDataFrame(SAMPLE_ROWS, COLS)
+    col = compile_template(template, arg_bindings(inputs))
+    got = [r[0] for r in df.select(col.alias("out")).collect()]
+    idx = [COLS.index(c) for c in inputs]
+    want = [reference_eval(template, [row[i] for i in idx]) for row in SAMPLE_ROWS]
+    for g, w in zip(got, want):
+        if isinstance(w, float):
+            assert g == pytest.approx(w), (template, g, w)
+        else:
+            assert str(g) == str(w), (template, g, w)
+
+
+def test_unsupported_raises():
+    with pytest.raises(UnsupportedTemplate):
+        compile_template("__import__('os')", {})
+    with pytest.raises(UnsupportedTemplate):
+        compile_template("arg1.encode()", arg_bindings(["x"]))
+
+
+def test_strptime_conversion():
+    assert strptime_to_spark("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+    assert strptime_to_spark("%Y%m%d.%H%M") == "yyyyMMdd.HHmm"
+
+
+def test_lookup_parse_and_join(spark):
+    plan = parse_lookup_template("view[view['SITE'] == arg1]['REGION'].values[0]")
+    assert [k for k, _ in plan.keys] == ["SITE"]
+    assert plan.value_col == "REGION"
+
+    plan2 = parse_lookup_template(
+        "view[(view['A'] == arg1) & (view['B'] == arg2[0:2])]['C'].iloc[0]"
+    )
+    assert [k for k, _ in plan2.keys] == ["A", "B"]
+
+    df = spark.createDataFrame([("s1", 1), ("s2", 2), ("s3", 3)], ["site", "v"])
+    dim = spark.createDataFrame([("s1", "EU"), ("s2", "US")], ["SITE", "REGION"])
+    fields = [
+        FieldSpec(
+            name="REGION",
+            source="lookup",
+            function="view[view['SITE'] == arg1]['REGION'].values[0]",
+            inputs=["site"],
+            view="sites",
+            default="UNKNOWN",
+        )
+    ]
+    out = apply_fields(df, fields, views={"sites": dim}).df
+    got = {r["site"]: r["REGION"] for r in out.collect()}
+    assert got == {"s1": "EU", "s2": "US", "s3": "UNKNOWN"}
+
+
+def test_derive_sources(spark):
+    df = spark.createDataFrame([("x", "5")], ["a", "b"])
+    fields = [
+        FieldSpec(name="C1", source="constant", value="V"),
+        FieldSpec(name="C2", source="column", function="int(arg1) * 10", inputs=["b"]),
+    ]
+    res = apply_fields(df, fields)
+    row = res.df.collect()[0]
+    assert row["C1"] == "V" and row["C2"] == 50
+    assert res.tiers == {"C1": 1, "C2": 1}
+
+
+def test_derive_last_wins(spark):
+    """ALL-then-table merge: later field overwrites (Partrans.py:306-319)."""
+    df = spark.createDataFrame([("x",)], ["a"])
+    fields = [
+        FieldSpec(name="C", source="constant", value="first", counter_set="ALL"),
+        FieldSpec(name="C", source="constant", value="second", counter_set="T1"),
+    ]
+    res = apply_fields(df, fields)
+    assert res.df.collect()[0]["C"] == "second"
+
+
+def test_tier3_fallback(spark):
+    """A template tier 1 can't express falls back to the sandboxed UDF."""
+    df = spark.createDataFrame([("abcdef",), ("xy",)], ["s"])
+    fields = [
+        FieldSpec(name="R", source="column", function="arg1[::-1]", inputs=["s"]),
+    ]
+    res = apply_fields(df, fields)
+    assert res.tiers["R"] == 3
+    got = [r["R"] for r in res.df.collect()]
+    assert got == ["fedcba", "yx"]
