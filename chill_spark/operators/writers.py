@@ -1,0 +1,70 @@
+"""Partitioned table sinks (S10/S11) with idempotent reload.
+
+The reference makes reloads idempotent by DELETE-by-DATETIME before
+reload (HlxTools.py:372-394). Spark-native: **dynamic partition
+overwrite** — ``INSERT OVERWRITE`` touches only the partitions present
+in the incoming batch, transactionally per partition directory. The
+partition column is a formatted DATETIME (one directory per period),
+which also gives partition pruning on every by-time scan (S7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COL = "DT_PART"
+_PART_FMT = "yyyyMMddHHmm"
+
+
+def with_partition_col(df: DataFrame, datetime_col: str = "DATETIME") -> DataFrame:
+    return df.withColumn(
+        PARTITION_COL, F.date_format(F.col(datetime_col), _PART_FMT)
+    )
+
+
+def partition_value(ts_literal: str) -> Column:
+    return F.date_format(F.lit(ts_literal).cast("timestamp"), _PART_FMT)
+
+
+def write_fact(
+    df: DataFrame,
+    path: str,
+    datetime_col: str = "DATETIME",
+    fmt: str = "parquet",
+) -> None:
+    """Idempotent partitioned write: only the DATETIME partitions in
+    ``df`` are replaced (requires
+    spark.sql.sources.partitionOverwriteMode=dynamic — set by
+    chill_spark.session.get_spark)."""
+    (
+        with_partition_col(df, datetime_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COL)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def read_fact(
+    spark: SparkSession,
+    path: str,
+    datetimes: list[str] | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Fact scan with partition pruning by DATETIME (S7 — the
+    reference's per-datetime SELECT loop, HlxTools.py:396-450, becomes
+    one pruned scan). The filter targets the partition column so
+    pruning happens at planning time (PartitionFilters, zero data read
+    for excluded periods)."""
+    from datetime import datetime as _dt
+
+    df = spark.read.format(fmt).load(path)
+    if datetimes:
+        keys = []
+        for d in datetimes:
+            ts = d if isinstance(d, _dt) else _dt.fromisoformat(str(d))
+            keys.append(ts.strftime("%Y%m%d%H%M"))
+        df = df.filter(F.col(PARTITION_COL).isin(keys))
+    return df.drop(PARTITION_COL)

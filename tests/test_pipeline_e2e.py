@@ -1,0 +1,225 @@
+"""End-to-end: counter CSV files (with tag lines + junk lines) ->
+derive -> route -> partitioned write -> read back -> reconcile ->
+JUnit XML (SURVEY §7.2 minimum slice, widened with tags/routing)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from chill_spark.catalog import Catalog, ColumnSpec, TableSpec
+from chill_spark.config import FieldSpec, JobSpec
+from chill_spark.operators.rollup import build_ladder, rollup
+from chill_spark.operators.writers import read_fact
+from chill_spark.pipeline import run_batch, transform
+from chill_spark.reconcile import compare_tables
+from chill_spark.report import TestReport, build_report
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+FILES = {
+    # OM_CELL group -> CELL_STATS; tag line carries the vendor
+    "A20240101.0000_site1.csv": (
+        "#VENDOR=HUAWEI\n"
+        "JUNK\n"
+        "site,calls_raw,drops_raw\n"
+        "s1,100,3\n"
+        "s2,200,5\n"
+    ),
+    "A20240101.0015_site1.csv": (
+        "#VENDOR=NOKIA\n"
+        "JUNK\n"
+        "site,calls_raw,drops_raw\n"
+        "s1,110,4\n"
+        "s3,50,1\n"
+    ),
+    # B-prefix -> OM_NODE group -> NODE_STATS
+    "B20240101.0000_core.csv": (
+        "#VENDOR=ERICSSON\n"
+        "JUNK\n"
+        "node,cpu_raw\n"
+        "n1,55\n"
+        "n2,70\n"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def fixture_dir():
+    d = os.path.join(TMP, "e2e_rd")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for name, body in FILES.items():
+        with open(os.path.join(d, name), "w") as f:
+            f.write(body)
+    yield d
+
+
+def make_catalog() -> Catalog:
+    cat = Catalog()
+    cat.add(
+        TableSpec(
+            name="CELL_STATS",
+            counter_group="OM_CELL",
+            base_granularity="15M",
+            key_fields=["SITE"],
+            columns=[
+                ColumnSpec("SITE", raw_name="site", dtype="string", kind="KEY"),
+                ColumnSpec("VENDOR", dtype="string", kind="KEY"),
+                ColumnSpec("CALLS", raw_name="calls_raw", dtype="double"),
+                ColumnSpec("DROPS", raw_name="drops_raw", dtype="double"),
+                ColumnSpec("DROP_RATE", kind="KPI", formula="DROPS/CALLS"),
+            ],
+        )
+    )
+    cat.add(
+        TableSpec(
+            name="NODE_STATS",
+            counter_group="OM_NODE",
+            base_granularity="15M",
+            key_fields=["NODE"],
+            columns=[
+                ColumnSpec("NODE", raw_name="node", dtype="string", kind="KEY"),
+                ColumnSpec("CPU", raw_name="cpu_raw", dtype="double"),
+            ],
+        )
+    )
+    return cat
+
+
+def make_job(fixture_dir: str) -> JobSpec:
+    return JobSpec(
+        input_dir=fixture_dir,
+        input_mask="*.csv",
+        valid_lines=(2, None),  # skip tag + junk lines before the csv header
+        ignore_lines=["JUNK"],
+        fields=[
+            FieldSpec(
+                name="OM_GROUP",
+                source="filename",
+                function="'OM_CELL' if arg1[0:1] == 'A' else 'OM_NODE'",
+            ),
+            FieldSpec(
+                name="DATETIME",
+                source="column",
+                function=(
+                    "datetime.strptime(arg1[1:14], '%Y%m%d.%H%M')"
+                    ".strftime('%Y-%m-%d %H:%M:%S')"
+                ),
+                inputs=["_file"],
+            ),
+            FieldSpec(
+                name="VENDOR",
+                source="tag",
+                tag="#VENDOR=",
+                function="tag.split('=')[1]",
+                counter_set="CELL_STATS",
+            ),
+        ],
+    )
+
+
+def test_transform_routes_and_derives(spark, fixture_dir):
+    res = transform(spark, make_job(fixture_dir), make_catalog())
+    assert res.derive_errors == []
+    cell = res.tables["CELL_STATS"].orderBy("DATETIME", "SITE").collect()
+    assert len(cell) == 4
+    assert [r["SITE"] for r in cell] == ["s1", "s2", "s1", "s3"]
+    assert cell[0]["VENDOR"] == "HUAWEI" and cell[2]["VENDOR"] == "NOKIA"
+    assert cell[0]["CALLS"] == 100.0
+    assert str(cell[2]["DATETIME"]) == "2024-01-01 00:15:00"
+    node = res.tables["NODE_STATS"].collect()
+    assert {r["NODE"] for r in node} == {"n1", "n2"}
+    assert all(r["CPU"] in (55.0, 70.0) for r in node)
+
+
+def test_write_readback_reconcile_clean(spark, fixture_dir):
+    out = os.path.join(TMP, "e2e_out")
+    shutil.rmtree(out, ignore_errors=True)
+    cat = make_catalog()
+    job = make_job(fixture_dir)
+    res = run_batch(spark, job, cat, out)
+    assert sorted(res.written) == ["CELL_STATS", "NODE_STATS"]
+    assert len(res.datetimes["CELL_STATS"]) == 2  # A3 bookkeeping
+
+    actual = read_fact(spark, res.written["CELL_STATS"])
+    expected = res.tables["CELL_STATS"]
+    rep = compare_tables(
+        expected, actual, "CELL_STATS", keys=["SITE"], counters=["CALLS", "DROPS"]
+    )
+    assert rep.clean, rep
+
+    # idempotency: re-run overwrites the same partitions, no duplication
+    run_batch(spark, job, cat, out)
+    again = read_fact(spark, res.written["CELL_STATS"])
+    assert again.count() == 4
+
+
+def test_reconcile_detects_and_reports(spark, fixture_dir):
+    cat = make_catalog()
+    res = transform(spark, make_job(fixture_dir), cat)
+    expected = res.tables["CELL_STATS"].cache()
+
+    # perturb: drop a row, change a value beyond round-3 tolerance,
+    # drop a declared column
+    actual = (
+        expected.filter(F.col("SITE") != "s3")
+        .withColumn(
+            "CALLS",
+            F.when(F.col("SITE") == "s2", F.col("CALLS") + 0.01).otherwise(
+                F.col("CALLS")
+            ),
+        )
+        .drop("DROPS")
+    )
+    dim = expected.sparkSession.createDataFrame([("s1",), ("s2",)], ["SITE"])
+    rep = compare_tables(
+        expected, actual, "CELL_STATS",
+        keys=["SITE"], counters=["CALLS", "DROPS"], dim=dim,
+    )
+    assert not rep.clean
+    assert rep.rd_num_records == 4 and rep.db_num_records == 3
+    assert len(rep.missing_oracle_records) == 1  # s3 row
+    assert rep.missing_columns == ["DROPS"]
+    assert any(d[-3] == "CALLS" for d in rep.diffs)  # counter name col
+    assert rep.missing_in_conf == []  # s3 filtered out of actual
+
+    junit = build_report([rep])
+    xml = junit.to_xml()
+    assert "Number of records comparison" in xml
+    back = TestReport.from_xml(xml)
+    assert back.suite("Missing Columns").failures == 1
+    assert not back.passed
+
+
+def test_tolerance_respected(spark):
+    """round(x,3) equality: 1.0004 vs 1.0001 equal; 1.001 vs 1.0001 not."""
+    e = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:00", 1.0004), ("k2", "2024-01-01 00:00:00", 1.001)],
+        ["K", "DATETIME", "V"],
+    )
+    a = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:00", 1.0001), ("k2", "2024-01-01 00:00:00", 1.0001)],
+        ["K", "DATETIME", "V"],
+    )
+    rep = compare_tables(e, a, "T", keys=["K"], counters=["V"])
+    assert len(rep.diffs) == 1 and rep.diffs[0][0] == "k2"
+
+
+def test_rollup_ladder(spark, fixture_dir):
+    cat = make_catalog()
+    res = transform(spark, make_job(fixture_dir), cat)
+    base = res.tables["CELL_STATS"]
+    t = cat.tables["CELL_STATS"]
+    hr = rollup(base, ["SITE"], ["CALLS", "DROPS"], "HR")
+    got = {r["SITE"]: r["CALLS"] for r in hr.collect()}
+    assert got == {"s1": 210.0, "s2": 200.0, "s3": 50.0}
+
+    ladder = build_ladder(base, t, levels=["HR", "DY"])
+    dy = ladder["DY"].collect()
+    assert {r["SITE"]: r["CALLS"] for r in dy} == {"s1": 210.0, "s2": 200.0, "s3": 50.0}
+    assert str(dy[0]["DATETIME"]) == "2024-01-01 00:00:00"
