@@ -1,0 +1,28 @@
+from .dedup import (
+    dedup_exact,
+    dedup_minhash,
+    embedding_near_dups,
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_candidates,
+    minhash_signature,
+    simhash,
+    simhash_near_dups,
+)
+from .similarity import brute_force_topk, build_ivf, ivf_topk, topk_join
+from .text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    whitespace_token_count,
+)
+
+__all__ = [
+    "dedup_exact", "dedup_minhash", "embedding_near_dups",
+    "exact_dup_groups", "jaccard_pairs", "minhash_candidates",
+    "minhash_signature", "simhash", "simhash_near_dups",
+    "brute_force_topk", "build_ivf", "ivf_topk", "topk_join",
+    "bpe_ish_token_count", "doc_fingerprint", "lang_id",
+    "quality_score", "whitespace_token_count",
+]

@@ -1,0 +1,304 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design: every near-dup path is **candidate generation by
+LSH-style blocking + exact verification within candidates** — the
+O(n²) pairwise space is never materialized. Blocking keys are plain
+columns, so candidate generation is an equi-join Catalyst shuffles on
+the bucket key (AQE handles skewed buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import doc_fingerprint, normalize_text, shingle_fingerprints
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one row per identical normalized text — the survivor is the
+    min (or max) id. Single hash-shuffle on the fingerprint; survivor
+    selection is min_by (no window, no second shuffle)."""
+    fp = doc_fingerprint(text_col)
+    agg = F.min_by(F.struct(*df.columns), F.col(id_col)) if keep == "min" else (
+        F.max_by(F.struct(*df.columns), F.col(id_col))
+    )
+    return (
+        df.groupBy(fp.alias("__fp"))
+        .agg(agg.alias("__row"))
+        .select("__row.*")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates: fingerprint, group size, member ids.
+    (The reporting side of exact dedup.)"""
+    return (
+        df.groupBy(doc_fingerprint(text_col).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+# Hash family i: xxhash64(shingle_hash, i) — deterministic, no
+# arithmetic (ANSI-safe: no long overflow), JVM-side.
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 32, shingle_k: int = 5
+) -> Column:
+    """Array of ``num_hashes`` minhash values over k-token shingles.
+
+    Entirely array expressions: one pass, no UDF, no shuffle. Empty
+    docs get null signatures.
+    """
+    shingles = shingle_fingerprints(col, k=shingle_k)
+
+    def perm(i: int):
+        # closure factory: pyspark introspects lambda arity, so the
+        # lambda must take exactly one arg
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    sigs = [
+        F.array_min(F.transform(shingles, perm(i))) for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs.
+    Two docs sharing any band collide -> candidate pair."""
+    entries = []
+    for b in range(bands):
+        segment = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", F.transform(segment, lambda x: x.cast("string")))).alias(
+                    "bucket"
+                ),
+            )
+        )
+    return F.array(*entries)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) colliding in >=1 LSH band.
+
+    Plan shape: project signature -> explode bands -> self equi-join on
+    (band, bucket) -> distinct pairs. The join key is the bucket, so
+    Catalyst shuffles both sides once; no cross join anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(text_col, num_hashes, shingle_k)
+    banded = (
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .select("id", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b"))
+        .select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs; keeps pairs with
+    similarity >= threshold. Shingle sets join in by id (2 shuffles on
+    id), intersection/union are array ops — no UDF."""
+    sets_df = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_fingerprints(text_col, k=shingle_k)).alias("sh"),
+    )
+    a = sets_df.alias("sa")
+    b = sets_df.alias("sb")
+    joined = (
+        pairs.join(a, pairs["id_a"] == F.col("sa.id"))
+        .join(b, pairs["id_b"] == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+                / F.size(F.array_union("sa.sh", "sb.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dedup: drop rows Jaccard-similar (>= threshold) to a
+    surviving lower-id row. Survivors = rows that are not the higher id
+    of any verified pair (greedy min-id representative)."""
+    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    dups = jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
+    doomed = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(doomed, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """SimHash over whitespace tokens, pure array expressions.
+
+    For each bit b: sum over tokens of +1/-1 by token-hash bit b; the
+    sign of the sum sets the output bit. Built as transform(sequence)
+    + aggregate — JVM-side, no UDF; cost O(tokens x bits) per row.
+    """
+    toks = F.split(normalize_text(col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(b: int):
+        # closure factory (shift amounts must be static ints)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), vote(b))
+        bit = F.when(
+            votes > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(bit)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``block_bits`` bits
+    (a rotation-free approximation of the classic 4-table scheme),
+    verify Hamming distance within blocks."""
+    h = df.select(
+        F.col(id_col).alias("id"), simhash(text_col).alias("sh")
+    ).withColumn("blk", F.shiftrightunsigned(F.col("sh"), 64 - block_bits))
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — zip_with dot product +
+    aggregate norms, all JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine: random-hyperplane LSH bucket
+    (sign bits of dot products with ``planes`` fixed random vectors)
+    -> equi-join within bucket -> exact cosine verify."""
+    import random
+
+    rng = random.Random(seed)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    plane_lits = [
+        F.array(*[F.lit(rng.gauss(0, 1)) for _ in range(dim)]) for _ in range(planes)
+    ]
+    v = F.col(vec_col)
+    bucket = None
+    for i, p in enumerate(plane_lits):
+        dot = F.aggregate(
+            F.zip_with(v.cast("array<double>"), p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i)
+        bucket = bit if bucket is None else bucket + bit
+    h = df.select(F.col(id_col).alias("id"), v.alias("v"), bucket.alias("bkt"))
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_sim(
+                F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

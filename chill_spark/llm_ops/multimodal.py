@@ -1,0 +1,161 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata.
+
+The Spark-side plumbing is real — schemas, Arrow-batched mapInPandas
+transforms, partition-friendly shapes. The codec step is pluggable:
+the default ``FakeCodec`` is deterministic (parses our synthetic
+header format) because real image/audio libraries aren't in this
+container; swap in a real decoder via the ``codec`` argument. Decode
+runs inside mapInPandas so bytes never leave the executor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("mean_intensity", DoubleType(), True),
+    ]
+)
+
+
+class Codec:
+    """Decoder interface; real implementations wrap PIL/ffmpeg/etc."""
+
+    def decode_image(self, content: bytes) -> dict:  # pragma: no cover
+        raise NotImplementedError(
+            "real image decoding requires an image library not present "
+            "in this environment; use FakeCodec for plumbing tests"
+        )
+
+
+class FakeCodec(Codec):
+    """Deterministic stand-in: interprets our synthetic header
+    ``IMG:<w>:<h>:<c>:`` followed by raw 'pixel' bytes."""
+
+    def decode_image(self, content: bytes) -> dict:
+        try:
+            head, _, rest = content.partition(b":")
+            if head != b"IMG":
+                return {"width": None, "height": None, "channels": None,
+                        "mean_intensity": None}
+            w, h, c, pixels = rest.split(b":", 3)
+            px = pixels or b"\x00"
+            return {
+                "width": int(w),
+                "height": int(h),
+                "channels": int(c),
+                "mean_intensity": float(sum(px)) / len(px),
+            }
+        except Exception:
+            return {"width": None, "height": None, "channels": None,
+                    "mean_intensity": None}
+
+
+def extract_image_metadata(
+    media: DataFrame, codec: Codec | None = None
+) -> DataFrame:
+    """Decode + feature-extract image rows (Arrow-batched; one pass)."""
+    codec = codec or FakeCodec()
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                meta = codec.decode_image(bytes(row["content"] or b""))
+                out.append({"media_id": row["media_id"], **meta})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(run, schema=IMAGE_META_SCHEMA)
+    )
+
+
+def frame_sample_plan(
+    media: DataFrame, every_n: int = 10, codec: Codec | None = None
+) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    index. Frame decode itself is the pluggable codec step; with
+    FakeCodec the frame count derives from the synthetic header
+    ``VID:<n_frames>:``."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                if content.startswith(b"VID:"):
+                    try:
+                        n = int(content.split(b":", 2)[1])
+                    except Exception:
+                        n = 0
+                    rows.extend(
+                        {"media_id": row["media_id"], "frame_idx": i}
+                        for i in range(0, n, every_n)
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx"])
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(run, schema=schema)
+    )
+
+
+@dataclass
+class MediaStats:
+    kind_counts: dict
+    total_bytes: int
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """Typed-metadata aggregation over the binary column (bytes never
+    deserialize): counts + sizes per kind."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("n_bytes"), F.length(F.col("content")))).alias(
+                "total_bytes"
+            ),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,162 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` —
+JVM-side, codegen-friendly, no Python per row. Each operator is a
+Column factory so it composes into any plan (and pushes column
+pruning to the scan).
+
+Operators: token counting (whitespace + BPE-ish regex), quality
+scoring (length/punct/stopword/caps ratios), language ID (stopword
+n-gram heuristic), document fingerprinting (normalized md5 + rolling
+shingle hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish lexer: word pieces or single non-space punctuation — a cheap
+# deterministic proxy for subword token counts.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_EN = (
+    "the|and|of|to|a|in|is|it|that|was|for|on|are|with|as|at|be|this|have|from"
+)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?\"'\(\)\[\]]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n.cast("double"))
+
+
+def caps_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    letters = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    caps = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    return F.when(letters == 0, F.lit(0.0)).otherwise(caps / letters.cast("double"))
+
+
+def stopword_ratio(col: Column | str, stopwords: str = _STOPWORDS_EN) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    words = whitespace_token_count(c)
+    hits = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(rf"\b({stopwords})\b"), 0)
+    )
+    return F.when(words == 0, F.lit(0.0)).otherwise(hits / words.cast("double"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: reasonable length, sane
+    punctuation, native-ish stopword density, not shouting. Weights are
+    deliberately simple — the operator shape (pure Column expr over one
+    scan) is what matters at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_words = whitespace_token_count(c).cast("double")
+    length_term = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c) * 3, F.lit(1.0))
+    caps_term = F.lit(1.0) - F.least(caps_ratio(c) * 2, F.lit(1.0))
+    return F.round(
+        (length_term + punct_term + stop_term + caps_term) / 4.0, 6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|is|of|to|in|that|you|for|with)\b",
+    "es": r"\b(el|la|los|las|es|de|que|en|por|una|un|para)\b",
+    "fr": r"\b(le|la|les|est|des|une|dans|que|pour|avec|sur)\b",
+    "de": r"\b(der|die|das|und|ist|ein|eine|nicht|mit|für)\b",
+    "it": r"\b(il|la|che|di|è|un|una|per|non|sono|con)\b",
+}
+
+
+def lang_scores(col: Column | str) -> Column:
+    """Array of (lang, hits-per-word) structs, one per candidate lang."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    words = F.greatest(whitespace_token_count(c), F.lit(1)).cast("double")
+    entries = [
+        F.struct(
+            (F.size(F.regexp_extract_all(c, F.lit(rx), 0)) / words).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, rx in LANG_MARKERS.items()
+    ]
+    return F.array(*entries)
+
+
+def lang_id(col: Column | str, min_score: float = 0.02) -> Column:
+    """Best-scoring language, 'und' when nothing clears ``min_score``.
+
+    argmax via array_max over (score, lang) structs — ties break on
+    lang name, deterministic. Pure Column expr: one scan, no UDF.
+    """
+    best = F.array_max(lang_scores(col))
+    return F.when(best["score"] >= min_score, best["lang"]).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace,
+    trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 of normalized
+    text) — engine-portable (DuckDB md5 matches)."""
+    return F.md5(normalize_text(col))
+
+
+def shingle_fingerprints(
+    col: Column | str, k: int = 5, col_is_tokens: bool = False
+) -> Column:
+    """Rolling-hash document sketch: xxhash64 of each k-token shingle.
+
+    Built entirely from array functions: tokenize -> sliding windows
+    via transform(sequence) -> hash each window. Input to minhash and
+    winnowing-style fingerprint selection.
+    """
+    toks = (
+        (F.col(col) if isinstance(col, str) else col)
+        if col_is_tokens
+        else F.split(normalize_text(col), " ")
+    )
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )

@@ -1,0 +1,205 @@
+"""LLM-pipeline operator tests: planted duplicates/neighbors with
+known answers, plus plumbing checks on the driver's documents /
+embeddings tables."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from chill_spark.llm_ops import (
+    brute_force_topk,
+    build_ivf,
+    dedup_exact,
+    dedup_minhash,
+    embedding_near_dups,
+    exact_dup_groups,
+    ivf_topk,
+    jaccard_pairs,
+    lang_id,
+    minhash_candidates,
+    quality_score,
+    simhash_near_dups,
+    topk_join,
+    whitespace_token_count,
+    bpe_ish_token_count,
+    doc_fingerprint,
+)
+from chill_spark.llm_ops.multimodal import (
+    FakeCodec,
+    extract_image_metadata,
+    frame_sample_plan,
+    media_summary,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm windowsill", "cold doorstep")  # ~90% shingles shared
+FAR = (
+    "completely different text about spark query engines and distributed "
+    "column stores running large analytical workloads at petabyte scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, "  The  quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill and the birds sing in the garden outside  "),  # normalized dup of 1
+        (4, NEAR),  # near dup of 1
+        (5, FAR),
+        (6, FAR.upper()),  # normalized dup of 5
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(docs):
+    kept = dedup_exact(docs, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4, 5]
+    groups = exact_dup_groups(docs, "text", "doc_id").collect()
+    by_ids = {tuple(g["doc_ids"]) for g in groups}
+    assert by_ids == {(1, 2, 3), (5, 6)}
+
+
+def test_minhash_near_dedup(docs):
+    cands = minhash_candidates(docs, "text", "doc_id", num_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 4) in pairs or (1, 2) in pairs  # near/exact dups collide
+    verified = jaccard_pairs(docs, cands, "text", "doc_id", threshold=0.5)
+    vp = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in vp and (1, 4) in vp
+    assert not any((a, b) == (1, 5) for a, b in vp)
+
+    kept = dedup_minhash(docs, "text", "doc_id", threshold=0.5, bands=16)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 1 in ids and 5 in ids
+    assert 2 not in ids and 3 not in ids and 4 not in ids
+
+
+def test_simhash_near_dups(docs):
+    pairs = simhash_near_dups(docs, "text", "doc_id", max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got  # exact dups: hamming 0
+    assert (1, 5) not in got
+
+
+def test_embedding_near_dups(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = embedding_near_dups(df, "embedding", "vec_id", threshold=0.95)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.99
+    assert all(p == (1, 2) for p in got)
+
+
+def test_brute_force_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = brute_force_topk(emb, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-6
+    assert len(top) == 5
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_matches_bruteforce_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, list(q), k=10).collect()]
+    indexed, cents = build_ivf(emb, n_centroids=8, sample=500)
+    indexed = indexed.cache()
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(indexed, cents, list(q), k=10, nprobe=6).collect()
+    ]
+    # synthetic embeddings are near-uniform (neighbors barely cluster),
+    # so recall tracks the fraction of cells probed (6/8)
+    assert len(set(exact) & set(approx)) >= 6
+    # probing every cell must reproduce the exact result
+    full = [
+        r["vec_id"]
+        for r in ivf_topk(indexed, cents, list(q), k=10, nprobe=8).collect()
+    ]
+    assert full == exact
+
+
+def test_topk_join(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.1, 0.0, 0.0])], ["q_id", "q_vec"]
+    )
+    out = topk_join(corpus, queries, k=2).collect()
+    assert [r["vec_id"] for r in out] == [0, 1]
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog sat on the mat with the hat",),
+         ("!!! ??? ... ;;; :::",),
+         ("",)],
+        ["text"],
+    )
+    rows = df.select(
+        whitespace_token_count("text").alias("wc"),
+        bpe_ish_token_count("text").alias("bc"),
+        quality_score("text").alias("q"),
+        doc_fingerprint("text").alias("fp"),
+    ).collect()
+    assert rows[0]["wc"] == 12
+    assert rows[1]["wc"] == 5 and rows[1]["bc"] == 15
+    assert rows[2]["wc"] == 0
+    assert rows[0]["q"] > rows[1]["q"]
+    assert len(rows[0]["fp"]) == 32
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox is in the garden with the dog",),
+            ("el perro y el gato es en la casa de la abuela por una manzana",),
+            ("le chat est dans la maison avec le chien pour une pomme",),
+            ("zzz qqq xxx",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert got[0] == "en" and got[1] == "es" and got[2] == "fr" and got[3] == "und"
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", b"IMG:64:48:3:" + bytes([10, 20, 30]), "image/fake", 15),
+        (2, "image", b"garbage", "image/fake", 7),
+        (3, "video", b"VID:25:" + b"\x00" * 10, "video/fake", 17),
+        (4, "audio", b"\x01\x02", "audio/fake", 2),
+    ]
+    media = spark.createDataFrame(
+        rows, ["media_id", "kind", "content", "mime", "n_bytes"]
+    )
+    meta = {r["media_id"]: r for r in extract_image_metadata(media).collect()}
+    assert meta[1]["width"] == 64 and meta[1]["height"] == 48
+    assert meta[1]["mean_intensity"] == pytest.approx(20.0)
+    assert meta[2]["width"] is None  # bad decode -> nulls, no crash
+
+    frames = frame_sample_plan(media, every_n=10).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in frames] == [(3, 0), (3, 10), (3, 20)]
+
+    summary = {r["kind"]: r["n"] for r in media_summary(media).collect()}
+    assert summary == {"audio": 1, "image": 2, "video": 1}
+
+    with pytest.raises(NotImplementedError):
+        from chill_spark.llm_ops.multimodal import Codec
+        Codec().decode_image(b"x")
