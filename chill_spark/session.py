@@ -64,14 +64,29 @@ def get_spark(
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
-    """Register the driver's parquet tables as temp views; return dict of DFs."""
+    """Register the driver's parquet tables as temp views; return dict of DFs.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; we read nanos as long (legacy conf) and convert with
+    exact integer division to a micros timestamp — matching DuckDB's
+    ns->us truncation so oracle hashes line up.
+    """
     names = names or [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     out = {}
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        df.createOrReplaceTempView(n)
-        out[n] = df
+        out[n] = _read_table(spark, sf_dir, n)
+        out[n].createOrReplaceTempView(n)
     return out
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str):
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
