@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Execution is forced through the noop sink (full plan runs on
+executors, nothing collects to the driver), matching how these plans
+would behave writing to a real sink at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from chill_spark import queries as Q
+from chill_spark.session import get_spark
+
+# Headline set: one representative per operator family (scan+agg,
+# joins, semi/anti joins, window, rollup ladder, reconcile, DSL,
+# dedup, ANN, text, multimodal).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_customers_without_orders",
+    "q_window_topn_orders",
+    "q_rollup_hourly",
+    "q_rollup_ladder_daily",
+    "q_pivot_daily_events",
+    "q_reconcile_value_diff",
+    "q_dsl_derive",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_text_stats",
+    "q_lang_id",
+    "q_ann_topk",
+    "q_embedding_near_dups_lsh",
+    "q_media_image_meta",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = Q.queries()
+    timings: dict[str, float] = {}
+    # JVM/codegen warm-up on the smallest table so q1 doesn't pay it.
+    force(registry["q1_pricing_summary"](spark, sf_dir).limit(1))
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline query wall time (noop sink, local)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

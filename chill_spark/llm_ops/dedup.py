@@ -105,18 +105,35 @@ def minhash_candidates(
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) colliding in >=1 LSH band.
 
-    Plan shape: project signature -> explode bands -> self equi-join on
+    Plan shape: explode distinct shingles to rows -> one vectorized
+    hash-aggregate computing all ``num_hashes`` minhashes (map-side
+    combine; each min is a tiny codegen-friendly expr, unlike a
+    32-pass array_min over the shingle array, which falls out of
+    whole-stage codegen and runs ~100x slower) -> band buckets from
+    the signature columns -> explode bands -> self equi-join on
     (band, bucket) -> distinct pairs. The join key is the bucket, so
     Catalyst shuffles both sides once; no cross join anywhere.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_k)
-    banded = (
-        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        .filter(F.col("sig").isNotNull())
-        .select("id", F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("b"))
-        .select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    shingle_rows = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_fingerprints(text_col, k=shingle_k))).alias("sh"),
     )
+    sig = shingle_rows.groupBy("id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -224,10 +241,34 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top ``block_bits`` bits
     (a rotation-free approximation of the classic 4-table scheme),
-    verify Hamming distance within blocks."""
-    h = df.select(
-        F.col(id_col).alias("id"), simhash(text_col).alias("sh")
-    ).withColumn("blk", F.shiftrightunsigned(F.col("sh"), 64 - block_bits))
+    verify Hamming distance within blocks.
+
+    The sketch is computed explode-and-aggregate (token rows -> 64
+    vectorized vote sums -> bit assembly) rather than via the
+    64-aggregate ``simhash`` Column expr — same result, but each agg
+    is a small codegen-friendly expression."""
+    tok_rows = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = tok_rows.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for b in range(64):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    h = votes.select(F.col("id"), sh.alias("sh")).withColumn(
+        "blk", F.shiftrightunsigned(F.col("sh"), 64 - block_bits)
+    )
     a, b = h.alias("a"), h.alias("b")
     return (
         a.join(

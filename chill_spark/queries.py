@@ -135,8 +135,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_suppkey = s_suppkey
       AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
       AND n_regionkey = r_regionkey AND r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
     """,
@@ -157,8 +157,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             t["orders"],
             (F.col("o_custkey") == F.col("c_custkey"))
-            & (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp")),
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")),
         )
         .join(
             t["lineitem"],
@@ -176,8 +176,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sum(l_extendedprice * l_discount) AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -189,8 +189,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -206,23 +206,27 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_customers,
            sum(c_acctbal) AS sum_acctbal
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (J4/J5 shape, TPC-H Q22 flavor): customers with no
-    orders. left_anti against the distinct key projection keeps the
-    build side minimal."""
+    order since 2000. left_anti against the filtered distinct key
+    projection keeps the build side minimal."""
     t = load_tables(spark, sf_dir, ["customer", "orders"])
+    recent = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
     return (
         t["customer"]
-        .join(
-            t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct(),
-            "c_custkey",
-            "left_anti",
-        )
+        .join(recent, "c_custkey", "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -649,4 +653,437 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY §7 north star) over documents /
+# embeddings. Oracles replicate the exact semantics in DuckDB SQL;
+# xxhash64-based sketches (minhash/simhash) are rows-only by nature.
+# ---------------------------------------------------------------------------
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ an id-shifted exact copy — synthesizes exact dups
+    (the corpus itself has none) so dedup queries return real groups."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+
+
+_DOUBLED_SQL = """
+    WITH corpus AS (
+        SELECT * FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        FROM documents
+    )
+"""
+
+
+def _truncated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a near-dup copy (last 2 tokens dropped, id-shifted)
+    — synthesizes near-duplicate pairs with Jaccard ~0.67-0.95."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    trunc = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+    )
+    near = (
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+        .withColumn("text", trunc)
+    )
+    return d.unionByName(near)
+
+
+_TRUNCATED_SQL = """
+    WITH near AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                   list_slice(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                              1,
+                              greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 2, 1)),
+                   ' ') AS text,
+               lang, source, n_chars
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL SELECT * FROM near
+    ),
+    shingled AS (
+        SELECT doc_id, source,
+               list_distinct(
+                   list_transform(
+                       range(1, greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 5, 0) + 2),
+                       i -> array_to_string(
+                           list_slice(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), i, i + 4),
+                           ' ')
+                   )
+               ) AS sh
+        FROM corpus
+    )
+"""
+
+
+@query(
+    "q_dedup_exact",
+    oracle=_DOUBLED_SQL + """
+    SELECT min(doc_id) AS doc_id
+    FROM corpus
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on normalized-md5 fingerprint,
+    min-id survivor): one shuffle on the fingerprint, min_by survivor
+    — no window, no second shuffle. Run on a corpus doubled in-query."""
+    from .llm_ops.dedup import dedup_exact
+
+    corpus = _doubled_docs(spark, sf_dir)
+    return dedup_exact(corpus, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "q_dedup_exact_groups",
+    oracle=_DOUBLED_SQL + """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           count(*) AS n_dups,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM corpus
+    GROUP BY 1 HAVING count(*) > 1
+    ORDER BY fingerprint
+    """,
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group report: fingerprint, group size, id range."""
+    corpus = _doubled_docs(spark, sf_dir)
+    from .llm_ops.text import doc_fingerprint
+
+    return (
+        corpus.groupBy(doc_fingerprint("text").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=_TRUNCATED_SQL + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM shingled a JOIN shingled b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (5-token shingle) Jaccard near-dup pairs, blocked by
+    `source` (candidate pairs = same-source equi-join, never a cross
+    join), verified exactly with array intersect/union. Jaccard over
+    64-bit shingle hashes equals Jaccard over shingle strings."""
+    from .llm_ops.dedup import jaccard_pairs
+
+    corpus = _truncated_docs(spark, sf_dir)
+    ids = corpus.select(F.col("doc_id").alias("id"), "source")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"),
+              (F.col("a.source") == F.col("b.source"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return (
+        jaccard_pairs(corpus, pairs, "text", "doc_id", shingle_k=5, threshold=0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("q_dedup_minhash")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dedup pipeline (shingle → 32 minhashes →
+    8 bands → bucket equi-join → exact Jaccard verify → min-id
+    survivor). xxhash64-based, so rows-only for the oracle gate; the
+    Jaccard verify stage is oracle-checked via q_dedup_ngram_jaccard."""
+    from .llm_ops.dedup import dedup_minhash
+
+    corpus = _truncated_docs(spark, sf_dir)
+    return (
+        dedup_minhash(corpus, "text", "doc_id", threshold=0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit sign-of-votes sketch, blocked on
+    the top 16 bits, Hamming-verified. Rows-only (xxhash64-based)."""
+    from .llm_ops.dedup import simhash_near_dups
+
+    corpus = _truncated_docs(spark, sf_dir)
+    return simhash_near_dups(corpus, "text", "doc_id", max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(trim(text), '\\S+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+           round(length(regexp_replace(text, '[^\\.,;:!\\?"''\\(\\)\\[\\]]', '', 'g'))::DOUBLE
+                 / length(text), 6) AS punct_r,
+           round(len(regexp_extract_all(lower(text),
+                     '\\b(the|and|of|to|a|in|is|it|that|was|for|on|are|with|as|at|be|this|have|from)\\b'))::DOUBLE
+                 / len(regexp_extract_all(trim(text), '\\S+')), 6) AS stop_r
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts (whitespace + BPE-ish lexer) and
+    quality ratios — all built-in Column exprs, one scan, no UDF."""
+    from .llm_ops.text import (
+        bpe_ish_token_count, punct_ratio, stopword_ratio, whitespace_token_count,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_r"),
+        F.round(stopword_ratio("text"), 6).alias("stop_r"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in|that|you|for|with)\\b'))::DOUBLE
+                 / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS s_en,
+               len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|de|que|en|por|una|un|para)\\b'))::DOUBLE
+                 / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS s_es,
+               len(regexp_extract_all(lower(text), '\\b(le|la|les|est|des|une|dans|que|pour|avec|sur)\\b'))::DOUBLE
+                 / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS s_fr,
+               len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|ein|eine|nicht|mit|für)\\b'))::DOUBLE
+                 / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS s_de,
+               len(regexp_extract_all(lower(text), '\\b(il|la|che|di|è|un|una|per|non|sono|con)\\b'))::DOUBLE
+                 / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS s_it
+        FROM documents
+    ),
+    best AS (
+        SELECT doc_id, greatest(s_en, s_es, s_fr, s_de, s_it) AS s,
+               CASE WHEN s_it = greatest(s_en, s_es, s_fr, s_de, s_it) THEN 'it'
+                    WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_it) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_it) THEN 'es'
+                    WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_it) THEN 'en'
+                    ELSE 'de' END AS lng
+        FROM scored
+    )
+    SELECT CASE WHEN s >= 0.02 THEN lng ELSE 'und' END AS lang_pred,
+           count(*) AS n_docs
+    FROM best GROUP BY 1 ORDER BY lang_pred
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (stopword-marker heuristic, argmax via struct
+    array_max; tie-break = lexicographically larger lang code, which
+    the oracle CASE mirrors). Aggregated to counts per predicted lang."""
+    from .llm_ops.text import lang_id
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        d.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+@query(
+    "q_ann_topk",
+    oracle="""
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN correctness baseline): one
+    narrow scan + TakeOrderedAndProject — per-partition heap, driver
+    merge, no corpus shuffle. Query vector = embedding of vec_id 0."""
+    from .llm_ops.similarity import brute_force_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_topk(emb, qvec, k=10)
+
+
+@query("q_ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (scale path): k-means centroids on a driver
+    sample, corpus bucketed by nearest centroid, probes touch only
+    nprobe/C of the data. Rows-only (centroid training isn't SQL);
+    recall vs the brute-force baseline is unit-tested."""
+    from .llm_ops.similarity import build_ivf, ivf_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    indexed, cents = build_ivf(emb, n_centroids=16)
+    return ivf_topk(indexed, cents, qvec, k=10, nprobe=4)
+
+
+@query(
+    "q_embedding_near_dups",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs verify (the
+    correctness baseline; the LSH-bucketed scale path is
+    q_embedding_near_dups_lsh). cosine >= 0.4 on this synthetic corpus."""
+    from .llm_ops.dedup import cosine_sim
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    h = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    a, b = h.alias("a"), h.alias("b")
+    sim = cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("c"),
+        )
+        .filter(F.col("c") >= 0.4)
+        .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("q_embedding_near_dups_lsh")
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup path: sign-bit bucket -> equi-join
+    within bucket -> exact cosine verify. At 100 TB the bucket join
+    replaces the quadratic pair space. Rows-only (random planes)."""
+    from .llm_ops.dedup import embedding_near_dups
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4, planes=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --- multimodal: binary content column + typed metadata --------------------
+
+def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: text bytes
+    wrapped in the FakeCodec header format. kind cycles by doc_id."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    header = F.when(
+        kind == "image",
+        F.concat(F.lit("IMG:3:4:1:"), F.col("text")),
+    ).when(
+        kind == "video",
+        F.concat(F.lit("VID:"), (F.col("doc_id") % 50 + 1).cast("string"), F.lit(":")),
+    ).otherwise(F.concat(F.lit("AUD:"), F.col("text")))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(header, "UTF-8").alias("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.length(F.encode(header, "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+_MEDIA_SQL = """
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CASE doc_id % 3
+                    WHEN 0 THEN 'IMG:3:4:1:' || text
+                    WHEN 1 THEN 'AUD:' || text
+                    ELSE 'VID:' || (doc_id % 50 + 1)::VARCHAR || ':' END AS content,
+               text
+        FROM documents
+    )
+"""
+
+
+@query(
+    "q_media_summary",
+    oracle=_MEDIA_SQL + """
+    SELECT kind, count(*) AS n, sum(strlen(content)) AS total_bytes
+    FROM media GROUP BY kind ORDER BY kind
+    """,
+)
+def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over binary media columns — bytes
+    never deserialize; only (kind, n_bytes) reach the agg."""
+    from .llm_ops.multimodal import media_summary
+
+    return media_summary(_synthetic_media(spark, sf_dir))
+
+
+@query(
+    "q_media_image_meta",
+    oracle=_MEDIA_SQL + """
+    SELECT media_id, 3 AS width, 4 AS height, 1 AS channels,
+           round(list_aggregate(list_transform(range(1, strlen(text) + 1),
+                                               i -> ascii(text[i])), 'sum')::DOUBLE
+                 / strlen(text), 6) AS mean_intensity
+    FROM media WHERE kind = 'image' ORDER BY media_id
+    """,
+)
+def q_media_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + feature extraction through Arrow-batched
+    mapInPandas (the real 100 TB plumbing; FakeCodec stands in for the
+    absent image libs — its arithmetic is replicated by the oracle)."""
+    from .llm_ops.multimodal import extract_image_metadata
+
+    meta = extract_image_metadata(_synthetic_media(spark, sf_dir))
+    return meta.select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    ).orderBy("media_id")
+
+
+@query(
+    "q_media_frame_sample",
+    oracle=_MEDIA_SQL + """
+    SELECT media_id, unnest(range(0, (media_id % 50 + 1)::INT, 10))::INT AS frame_idx
+    FROM media WHERE kind = 'video' ORDER BY media_id, frame_idx
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame index
+    (every 10th), frame count from the synthetic header."""
+    from .llm_ops.multimodal import frame_sample_plan
+
+    return frame_sample_plan(_synthetic_media(spark, sf_dir), every_n=10).orderBy(
+        "media_id", "frame_idx"
     )
