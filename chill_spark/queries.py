@@ -1087,3 +1087,54 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(_synthetic_media(spark, sf_dir), every_n=10).orderBy(
         "media_id", "frame_idx"
     )
+
+
+@query(
+    "q_stream_rollup_events",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def q_stream_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling-window rollup (S12/A1 streaming
+    shape): events replayed through readStream -> 1h windows ->
+    complete-mode memory sink. Deterministic (all input available), so
+    the batch SQL oracle applies. The production path (watermark +
+    append + file sink) is exercised in tests/test_streaming.py."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    name = "q_stream_rollup_events_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start", "event_type")

@@ -1,0 +1,17 @@
+from .stream import (
+    CORRUPT_COL,
+    drain,
+    run_stream,
+    split_quarantine,
+    stream_csv_source,
+    streaming_rollup,
+)
+
+__all__ = [
+    "CORRUPT_COL",
+    "drain",
+    "run_stream",
+    "split_quarantine",
+    "stream_csv_source",
+    "streaming_rollup",
+]

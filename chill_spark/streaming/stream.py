@@ -1,0 +1,186 @@
+"""Structured-Streaming path (S12) — the same compiled plan over a
+file-watch source.
+
+The reference's system under test is a continuously-polling ingestion
+pipeline: a `connect` daemon watches a directory every
+``CYCLE_INTERVAL=5`` s, loads matched files, deletes them after
+processing, and the DB loader flushes every ``BatchEvery`` seconds
+(HlxTools.py:40,88,93,237-238). Spark-native equivalents:
+
+- directory poll          -> ``spark.readStream`` file source
+- 5 s cycle               -> ``trigger(processingTime='5 seconds')``
+- BatchEvery flush        -> the same trigger on the sink
+- Delete-after-processing -> ``cleanSource=delete`` (or ``archive``)
+- completion detection    -> ``StreamingQuery.processAllAvailable``
+- error/reject channel    -> PERMISSIVE parse + corrupt-record column
+  routed to a quarantine sink (S13; the reference greps loader logs,
+  HlxTools.py:315-350)
+
+The derivation plan is the *batch* ``pipeline.transform`` applied per
+micro-batch via ``foreachBatch`` — one compiled plan, two run modes.
+Restrictions vs batch: ``valid_lines``/``tag`` preprocessing needs a
+whole-file pre-pass, which the streaming file source can't do; stream
+jobs must declare header-only CSVs (``valid_lines=None``) and no tag
+fields. (The reference's streamed files are exactly that shape.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..catalog.model import Catalog
+from ..config.model import JobSpec
+from ..operators.writers import PARTITION_COL, with_partition_col
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def stream_csv_source(
+    spark: SparkSession,
+    job: JobSpec,
+    columns: list[str],
+    max_files_per_trigger: int | None = None,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
+    max_file_age: str | None = None,
+) -> DataFrame:
+    """File-watch CSV stream: all-string schema (the DSL is
+    stringly-typed) + corrupt-record capture + ``_file`` identity.
+
+    ``clean_source``: 'delete' reproduces the reference's
+    IN_SOURCE_FILE_FINISH_POLICY="Delete" (HlxTools.py:93); 'archive'
+    moves to ``archive_dir``. ``max_file_age`` mirrors the NEWEST:1m
+    aging filter (HlxTools.py:98).
+    """
+    if job.valid_lines is not None or any(f.source == "tag" for f in job.fields):
+        raise ValueError(
+            "streaming jobs can't use valid_lines/tag preprocessing "
+            "(whole-file pre-pass); use the batch path for those"
+        )
+    schema = StructType(
+        [StructField(c, StringType(), True) for c in columns]
+        + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    reader = (
+        spark.readStream.format("csv")
+        .schema(schema)
+        .option("header", "true")
+        .option("sep", job.delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_file_age:
+        reader = reader.option("maxFileAge", max_file_age)
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+        if clean_source == "archive" and archive_dir:
+            reader = reader.option("sourceArchiveDir", archive_dir)
+    df = reader.load(f"{job.input_dir}/{job.input_mask}")
+    return df.withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """S13 error channel: (clean rows, rejected rows). A row is
+    rejected when the permissive CSV parser captured its raw text in
+    the corrupt-record column."""
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        "_file", F.col(CORRUPT_COL).alias("rejected_line")
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return good, bad
+
+
+def run_stream(
+    spark: SparkSession,
+    job: JobSpec,
+    catalog: Catalog,
+    out_dir: str,
+    checkpoint_dir: str,
+    columns: list[str],
+    views: dict[str, DataFrame] | None = None,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+    quarantine_dir: str | None = None,
+    **source_opts,
+) -> StreamingQuery:
+    """The full streaming ETL: file-watch source -> per-micro-batch
+    derivation (the batch ``transform`` plan) -> append to partitioned
+    fact tables; rejects to a quarantine sink.
+
+    Source progress is checkpointed (each file processed exactly once
+    across restarts); sinks are append-mode, so a crash *between* a
+    sink write and the checkpoint commit can replay one micro-batch —
+    the downstream reconcile layer (anti-joins on keys+DATETIME)
+    detects duplicates, matching the reference's at-least-once loader
+    + reconciliation posture.
+    """
+    from ..pipeline import transform  # late import: avoid cycle
+
+    src = stream_csv_source(spark, job, columns, **source_opts)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = split_quarantine(batch_df)
+        if quarantine_dir is not None:
+            (
+                bad.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(quarantine_dir)
+            )
+        res = transform(spark, job, catalog, views=views, raw=good)
+        for table in catalog.tables.values():
+            df = res.tables[table.name]
+            path = f"{out_dir}/{table.name}_{table.base_granularity}"
+            (
+                with_partition_col(df)
+                .write.mode("append")
+                .partitionBy(PARTITION_COL)
+                .parquet(path)
+            )
+
+    writer = src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def streaming_rollup(
+    stream_df: DataFrame,
+    keys: list[str],
+    counters: list[str],
+    interval: str,
+    watermark: str = "10 minutes",
+    datetime_col: str = "DATETIME",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup (the streaming A1): late rows
+    inside the watermark still land in their window; beyond it they're
+    dropped and the batch ladder repair picks them up. Append output
+    mode emits each window once, when the watermark passes it."""
+    agg = (
+        stream_df.withWatermark(datetime_col, watermark)
+        .groupBy(F.window(F.col(datetime_col), interval).alias("w"), *keys)
+        .agg(*[F.sum(F.col(c)).alias(c) for c in counters])
+    )
+    return agg.select(
+        F.col("w.start").alias(datetime_col), *keys, *counters
+    )
+
+
+def drain(query: StreamingQuery, stop: bool = True) -> None:
+    """Completion detection: block until every available input file is
+    processed (the reference polls the watched dir + work dirs empty,
+    HlxTools.py:278-313)."""
+    query.processAllAvailable()
+    if stop:
+        query.stop()
+        query.awaitTermination()

@@ -1,0 +1,234 @@
+"""Streaming path (S12/S13): file-watch source -> per-batch derivation
+-> partitioned append; quarantine channel; watermarked rollup;
+streaming result == batch result over the same files."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from chill_spark.catalog import Catalog, ColumnSpec, TableSpec
+from chill_spark.config import FieldSpec, JobSpec
+from chill_spark.streaming import (
+    drain,
+    run_stream,
+    split_quarantine,
+    stream_csv_source,
+    streaming_rollup,
+)
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+FILES = {
+    "A20240101.0000_cells.csv": (
+        "site,calls_raw,drops_raw\n"
+        "s1,100,3\n"
+        "s2,200,5\n"
+    ),
+    "A20240101.0015_cells.csv": (
+        "site,calls_raw,drops_raw\n"
+        "s1,110,4\n"
+        "s3,50,1\n"
+    ),
+}
+
+
+def make_catalog() -> Catalog:
+    cat = Catalog()
+    cat.add(
+        TableSpec(
+            name="CELL_STATS",
+            counter_group="OM_CELL",
+            base_granularity="15M",
+            key_fields=["SITE"],
+            columns=[
+                ColumnSpec("SITE", raw_name="site", dtype="string", kind="KEY"),
+                ColumnSpec("CALLS", raw_name="calls_raw", dtype="double"),
+                ColumnSpec("DROPS", raw_name="drops_raw", dtype="double"),
+            ],
+        )
+    )
+    return cat
+
+
+def make_job(input_dir: str) -> JobSpec:
+    return JobSpec(
+        input_dir=input_dir,
+        input_mask="*.csv",
+        fields=[
+            FieldSpec(name="OM_GROUP", source="constant", value="OM_CELL"),
+            FieldSpec(
+                name="DATETIME",
+                source="column",
+                function=(
+                    "datetime.strptime(arg1[1:14], '%Y%m%d.%H%M')"
+                    ".strftime('%Y-%m-%d %H:%M:%S')"
+                ),
+                inputs=["_file"],
+            ),
+        ],
+    )
+
+
+@pytest.fixture()
+def stream_dirs():
+    base = os.path.join(TMP, "stream_test")
+    shutil.rmtree(base, ignore_errors=True)
+    dirs = {k: os.path.join(base, k) for k in ["in", "out", "ckpt", "quarantine"]}
+    for d in dirs.values():
+        os.makedirs(d)
+    for name, body in FILES.items():
+        with open(os.path.join(dirs["in"], name), "w") as f:
+            f.write(body)
+    yield dirs
+    shutil.rmtree(base, ignore_errors=True)
+
+
+COLUMNS = ["site", "calls_raw", "drops_raw"]
+
+
+def test_stream_matches_batch(spark, stream_dirs):
+    job = make_job(stream_dirs["in"])
+    cat = make_catalog()
+    q = run_stream(
+        spark, job, cat,
+        out_dir=stream_dirs["out"],
+        checkpoint_dir=stream_dirs["ckpt"],
+        columns=COLUMNS,
+        available_now=True,
+    )
+    drain(q)
+
+    out = spark.read.parquet(f"{stream_dirs['out']}/CELL_STATS_15M")
+    rows = {
+        (r["SITE"], str(r["DATETIME"]), r["CALLS"], r["DROPS"])
+        for r in out.collect()
+    }
+    assert rows == {
+        ("s1", "2024-01-01 00:00:00", 100.0, 3.0),
+        ("s2", "2024-01-01 00:00:00", 200.0, 5.0),
+        ("s1", "2024-01-01 00:15:00", 110.0, 4.0),
+        ("s3", "2024-01-01 00:15:00", 50.0, 1.0),
+    }
+    # partitioned by DATETIME period -> two partition dirs
+    parts = [
+        p for p in os.listdir(f"{stream_dirs['out']}/CELL_STATS_15M")
+        if p.startswith("DT_PART=")
+    ]
+    assert len(parts) == 2
+
+
+def test_stream_restart_skips_processed_files(spark, stream_dirs):
+    """Checkpoint = each file exactly once across restarts; new files
+    picked up after restart."""
+    job = make_job(stream_dirs["in"])
+    cat = make_catalog()
+    kw = dict(
+        out_dir=stream_dirs["out"], checkpoint_dir=stream_dirs["ckpt"],
+        columns=COLUMNS, available_now=True,
+    )
+    drain(run_stream(spark, job, cat, **kw))
+    n1 = spark.read.parquet(f"{stream_dirs['out']}/CELL_STATS_15M").count()
+
+    # restart with no new files -> no new rows
+    drain(run_stream(spark, job, cat, **kw))
+    assert spark.read.parquet(f"{stream_dirs['out']}/CELL_STATS_15M").count() == n1
+
+    # drop one new file -> only its rows appended
+    with open(os.path.join(stream_dirs["in"], "A20240101.0030_cells.csv"), "w") as f:
+        f.write("site,calls_raw,drops_raw\ns9,10,0\n")
+    drain(run_stream(spark, job, cat, **kw))
+    out = spark.read.parquet(f"{stream_dirs['out']}/CELL_STATS_15M")
+    assert out.count() == n1 + 1
+    assert out.filter(F.col("SITE") == "s9").count() == 1
+
+
+def test_quarantine_channel(spark, stream_dirs):
+    """Malformed rows land in the quarantine sink, not the fact table."""
+    with open(os.path.join(stream_dirs["in"], "A20240101.0030_bad.csv"), "w") as f:
+        f.write('site,calls_raw,drops_raw\n"unclosed,1\n')
+    job = make_job(stream_dirs["in"])
+    cat = make_catalog()
+    q = run_stream(
+        spark, job, cat,
+        out_dir=stream_dirs["out"],
+        checkpoint_dir=stream_dirs["ckpt"],
+        columns=COLUMNS,
+        available_now=True,
+        quarantine_dir=stream_dirs["quarantine"],
+    )
+    drain(q)
+    bad = spark.read.parquet(stream_dirs["quarantine"])
+    assert bad.count() == 1
+    assert bad.first()["_file"] == "A20240101.0030_bad.csv"
+    good = spark.read.parquet(f"{stream_dirs['out']}/CELL_STATS_15M")
+    assert good.filter(F.col("SITE").isNull()).count() == 0
+
+
+def test_split_quarantine_static(spark):
+    df = spark.createDataFrame(
+        [("f1", "a", None), ("f1", None, "raw,line")],
+        ["_file", "site", "_corrupt_record"],
+    )
+    good, bad = split_quarantine(df)
+    assert good.count() == 1 and "_corrupt_record" not in good.columns
+    assert bad.collect()[0]["rejected_line"] == "raw,line"
+
+
+def test_streaming_rollup_watermark(spark, stream_dirs):
+    """Windowed streaming agg: in-order rows all emit on drain; the
+    15M windows match the batch rollup of the same rows."""
+    in_dir = os.path.join(stream_dirs["in"], "rollup_src")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "r1.csv"), "w") as f:
+        f.write(
+            "DATETIME,SITE,CALLS\n"
+            "2024-01-01 00:01:00,s1,10\n"
+            "2024-01-01 00:07:00,s1,5\n"
+            "2024-01-01 00:16:00,s1,7\n"
+            "2024-01-01 01:00:00,s1,1\n"  # advances watermark past both
+        )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("DATETIME", StringType()),
+        StructField("SITE", StringType()),
+        StructField("CALLS", StringType()),
+    ])
+    src = (
+        spark.readStream.format("csv").schema(schema)
+        .option("header", "true").load(f"{in_dir}/*.csv")
+        .select(
+            F.col("DATETIME").cast("timestamp").alias("DATETIME"),
+            "SITE",
+            F.col("CALLS").cast("double").alias("CALLS"),
+        )
+    )
+    agg = streaming_rollup(src, ["SITE"], ["CALLS"], "15 minutes", watermark="10 minutes")
+    out_dir = os.path.join(stream_dirs["out"], "rollup")
+    ckpt = os.path.join(stream_dirs["ckpt"], "rollup")
+    q = (
+        agg.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    drain(q)
+    got = {
+        (str(r["DATETIME"]), r["SITE"], r["CALLS"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 01:00 row's window hasn't closed (watermark), the first two have
+    assert ("2024-01-01 00:00:00", "s1", 15.0) in got
+    assert ("2024-01-01 00:15:00", "s1", 7.0) in got
+
+
+def test_stream_rejects_tag_jobs(spark, stream_dirs):
+    job = make_job(stream_dirs["in"])
+    job.fields.append(
+        FieldSpec(name="VENDOR", source="tag", tag="#V=", function="tag")
+    )
+    with pytest.raises(ValueError, match="streaming jobs"):
+        stream_csv_source(spark, job, COLUMNS)
