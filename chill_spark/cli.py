@@ -1,0 +1,186 @@
+"""CLI entry — the Spark shape of ``chill.py main()`` (SURVEY §3.1).
+
+The reference's end-to-end run (parse config -> run ETL -> drive the
+external pipeline -> reconcile -> JUnit XML, chill.py:45-227) collapses
+into engine subcommands; the daemon/sqlplus/scheduler middle band
+(chill.py:103-194) is the engine itself.
+
+    python -m chill_spark run        --job job.json --catalog cat.json --out DIR
+    python -m chill_spark stream     --job job.json --catalog cat.json --out DIR \
+                                     --checkpoint DIR --columns a,b,c
+    python -m chill_spark rollup     --catalog cat.json --table T --in DIR --out DIR
+    python -m chill_spark reconcile  --catalog cat.json --table T \
+                                     --expected DIR --actual DIR --report out.xml
+    python -m chill_spark retention  --catalog cat.json --table T --in DIR \
+                                     [--as-of 'YYYY-MM-DD HH:MM:SS'] [--apply]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .catalog.model import Catalog
+from .config.model import JobSpec
+
+
+def _load(path: str, cls):
+    with open(path) as f:
+        return cls.from_json(f.read())
+
+
+def cmd_run(args) -> int:
+    from .pipeline import run_batch
+    from .session import get_spark
+
+    spark = get_spark("chill-run")
+    job = _load(args.job, JobSpec)
+    cat = _load(args.catalog, Catalog)
+    res = run_batch(spark, job, cat, args.out)
+    for t, path in res.written.items():
+        print(f"{t}: {path} ({len(res.datetimes[t])} period(s))")
+    if res.derive_errors:
+        print(f"{len(res.derive_errors)} derive error(s)", file=sys.stderr)
+        for e in res.derive_errors[:20]:
+            print(f"  {e}", file=sys.stderr)
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from .session import get_spark
+    from .streaming import drain, run_stream
+
+    spark = get_spark("chill-stream")
+    job = _load(args.job, JobSpec)
+    cat = _load(args.catalog, Catalog)
+    q = run_stream(
+        spark, job, cat,
+        out_dir=args.out,
+        checkpoint_dir=args.checkpoint,
+        columns=args.columns.split(","),
+        trigger_seconds=args.trigger,
+        available_now=args.drain,
+        quarantine_dir=args.quarantine,
+    )
+    if args.drain:
+        drain(q)
+    else:
+        q.awaitTermination()
+    return 0
+
+
+def cmd_rollup(args) -> int:
+    from .operators.rollup import build_ladder
+    from .operators.writers import read_fact, write_fact
+    from .session import get_spark
+
+    spark = get_spark("chill-rollup")
+    cat = _load(args.catalog, Catalog)
+    table = cat.tables[args.table]
+    base = read_fact(spark, args.input)
+    for level, df in build_ladder(base, table).items():
+        path = f"{args.out}/{table.name}_{level}"
+        write_fact(df, path)
+        print(f"{table.name}_{level}: {path}")
+    return 0
+
+
+def cmd_reconcile(args) -> int:
+    from .reconcile import compare_tables
+    from .report import build_report
+    from .session import get_spark
+
+    spark = get_spark("chill-reconcile")
+    cat = _load(args.catalog, Catalog)
+    table = cat.tables[args.table]
+    expected = spark.read.parquet(args.expected)
+    actual = spark.read.parquet(args.actual)
+    rep = compare_tables(
+        expected, actual, table.name,
+        keys=table.key_fields,
+        counters=[c.db_name for c in table.counters],
+    )
+    report = build_report([rep])
+    xml = report.to_xml()
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(xml)
+        print(f"wrote {args.report}")
+    else:
+        print(xml)
+    return 0 if report.passed else 1
+
+
+def cmd_retention(args) -> int:
+    from datetime import datetime
+
+    from .operators.retention import apply_retention, expired_partitions
+    from .session import get_spark
+
+    spark = get_spark("chill-retention")
+    cat = _load(args.catalog, Catalog)
+    table = cat.tables[args.table]
+    granularity = args.granularity or table.base_granularity
+    now = (
+        datetime.fromisoformat(args.as_of) if args.as_of else datetime.utcnow()
+    )
+    expired = expired_partitions(spark, args.input, granularity, now)
+    print(f"{len(expired)} expired partition(s)")
+    if args.apply:
+        apply_retention(spark, args.input, granularity, now)
+        print("removed")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="chill_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="batch ETL: files -> derived partitioned tables")
+    r.add_argument("--job", required=True)
+    r.add_argument("--catalog", required=True)
+    r.add_argument("--out", required=True)
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("stream", help="streaming ETL over a watched directory")
+    s.add_argument("--job", required=True)
+    s.add_argument("--catalog", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--columns", required=True, help="comma-separated raw columns")
+    s.add_argument("--trigger", type=int, default=5)
+    s.add_argument("--quarantine")
+    s.add_argument("--drain", action="store_true",
+                   help="process available files then exit (availableNow)")
+    s.set_defaults(fn=cmd_stream)
+
+    ro = sub.add_parser("rollup", help="materialize the granularity ladder")
+    ro.add_argument("--catalog", required=True)
+    ro.add_argument("--table", required=True)
+    ro.add_argument("--in", dest="input", required=True)
+    ro.add_argument("--out", required=True)
+    ro.set_defaults(fn=cmd_rollup)
+
+    rc = sub.add_parser("reconcile", help="expected vs actual -> JUnit XML")
+    rc.add_argument("--catalog", required=True)
+    rc.add_argument("--table", required=True)
+    rc.add_argument("--expected", required=True)
+    rc.add_argument("--actual", required=True)
+    rc.add_argument("--report")
+    rc.set_defaults(fn=cmd_reconcile)
+
+    rt = sub.add_parser("retention", help="thinout expired partitions")
+    rt.add_argument("--catalog", required=True)
+    rt.add_argument("--table", required=True)
+    rt.add_argument("--in", dest="input", required=True)
+    rt.add_argument("--granularity")
+    rt.add_argument("--as-of", dest="as_of")
+    rt.add_argument("--apply", action="store_true")
+    rt.set_defaults(fn=cmd_retention)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

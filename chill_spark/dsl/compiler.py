@@ -145,11 +145,19 @@ class _Tier1(ast.NodeVisitor):
         if op == "Sub" and lhs.is_num and rhs.is_num:
             return Typed(lhs.col - rhs.col, _num_t(lhs.t, rhs.t))
         if op == "Div" and lhs.is_num and rhs.is_num:
-            # Python 3 true division -> double
-            return Typed(lhs.col.cast("double") / rhs.col.cast("double"), "float")
+            # Python 3 true division -> double. try_divide: /0 raises
+            # in Python, which the reference catches into None
+            # (Partrans.py:203-208) — null matches, and it keeps the
+            # expression ANSI-safe (Spark 4 default).
+            return Typed(
+                F.try_divide(lhs.col.cast("double"), rhs.col.cast("double")),
+                "float",
+            )
         if op == "FloorDiv" and lhs.is_num and rhs.is_num:
             t = _num_t(lhs.t, rhs.t)
-            out = F.floor(lhs.col.cast("double") / rhs.col.cast("double"))
+            out = F.floor(
+                F.try_divide(lhs.col.cast("double"), rhs.col.cast("double"))
+            )
             return Typed(out.cast("double") if t == "float" else out, t)
         if op == "Mod" and lhs.is_num and rhs.is_num:
             # Python mod has sign of divisor; Spark pmod covers the

@@ -61,3 +61,43 @@ def conform_to_schema(df: DataFrame, table: TableSpec) -> DataFrame:
         else:
             out_cols.append(F.lit(None).cast(spec.spark_type).alias(spec.db_name))
     return df.select(*out_cols)
+
+
+def with_kpis(df: DataFrame, table: TableSpec) -> DataFrame:
+    """Recompute KPI (formula) columns at query time.
+
+    The reference excludes ``TYPE=='KPI'`` rows from storage
+    (Partrans.py:269-271) — formulas are evaluated by the PM tool when
+    queried. Here each KPI formula is a DSL template over the table's
+    stored column names, tier-1-compiled to a native Column expression
+    (no Python at runtime); division-by-zero and bad casts yield null
+    (ANSI-safe try semantics), matching "no value" rather than an
+    error at query time.
+    """
+    import re
+
+    from ..dsl.compiler import UnsupportedTemplate, compile_fallback, compile_template
+
+    out = df
+    for spec in table.kpis:
+        if not spec.formula:
+            continue
+        bindings = {
+            c.db_name: (F.col(c.db_name), "float" if c.dtype == "double" else "str")
+            for c in table.stored_columns
+        }
+        try:
+            col = compile_template(spec.formula, bindings)
+        except UnsupportedTemplate:
+            # tier-3: rewrite column names to argN tokens, eval per row
+            cols = sorted(bindings, key=len, reverse=True)
+            expr, inputs = spec.formula, []
+            for c in cols:
+                if re.search(rf"\b{re.escape(c)}\b", expr):
+                    inputs.append(c)
+                    expr = re.sub(rf"\b{re.escape(c)}\b", f"arg{len(inputs)}", expr)
+            # reference templates are stringly-typed: coerce args back
+            expr = re.sub(r"\barg(\d+)\b", r"float(arg\1)", expr)
+            col = compile_fallback(expr, inputs, out_type="double")
+        out = out.withColumn(spec.db_name, col.cast(spec.spark_type))
+    return out

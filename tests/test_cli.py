@@ -1,0 +1,97 @@
+"""CLI surface: run -> reconcile -> JUnit XML through `python -m
+chill_spark` argument parsing (in-process; one SparkSession reused)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from chill_spark.catalog import Catalog, ColumnSpec, TableSpec
+from chill_spark.cli import main
+from chill_spark.config import FieldSpec, JobSpec
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+@pytest.fixture()
+def cli_dirs(spark):
+    base = os.path.join(TMP, "cli_test")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(os.path.join(base, "in"))
+    with open(os.path.join(base, "in", "A20240101.0000_x.csv"), "w") as f:
+        f.write("site,calls_raw\ns1,100\ns2,200\n")
+
+    cat = Catalog()
+    cat.add(
+        TableSpec(
+            name="CELL_STATS", counter_group="OM_CELL",
+            key_fields=["SITE"],
+            columns=[
+                ColumnSpec("SITE", raw_name="site", dtype="string", kind="KEY"),
+                ColumnSpec("CALLS", raw_name="calls_raw", dtype="double"),
+            ],
+        )
+    )
+    job = JobSpec(
+        input_dir=os.path.join(base, "in"),
+        input_mask="*.csv",
+        fields=[
+            FieldSpec(name="OM_GROUP", source="constant", value="OM_CELL"),
+            FieldSpec(
+                name="DATETIME", source="column",
+                function=(
+                    "datetime.strptime(arg1[1:14], '%Y%m%d.%H%M')"
+                    ".strftime('%Y-%m-%d %H:%M:%S')"
+                ),
+                inputs=["_file"],
+            ),
+        ],
+    )
+    paths = {
+        "base": base,
+        "job": os.path.join(base, "job.json"),
+        "catalog": os.path.join(base, "catalog.json"),
+        "out": os.path.join(base, "out"),
+    }
+    with open(paths["job"], "w") as f:
+        f.write(job.to_json())
+    with open(paths["catalog"], "w") as f:
+        f.write(cat.to_json())
+    yield paths
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cli_run_and_reconcile(cli_dirs, capsys):
+    rc = main([
+        "run", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"],
+    ])
+    assert rc == 0
+    assert "CELL_STATS" in capsys.readouterr().out
+
+    fact = os.path.join(cli_dirs["out"], "CELL_STATS_15M")
+    report = os.path.join(cli_dirs["base"], "report.xml")
+    rc = main([
+        "reconcile", "--catalog", cli_dirs["catalog"], "--table", "CELL_STATS",
+        "--expected", fact, "--actual", fact, "--report", report,
+    ])
+    assert rc == 0
+    xml = open(report).read()
+    assert "<testsuite" in xml and 'failures="0"' in xml
+
+
+def test_cli_rollup(cli_dirs, capsys):
+    main([
+        "run", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"],
+    ])
+    rollup_out = os.path.join(cli_dirs["base"], "ladder")
+    rc = main([
+        "rollup", "--catalog", cli_dirs["catalog"], "--table", "CELL_STATS",
+        "--in", os.path.join(cli_dirs["out"], "CELL_STATS_15M"),
+        "--out", rollup_out,
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(rollup_out, "CELL_STATS_HH"))

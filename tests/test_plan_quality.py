@@ -1,0 +1,114 @@
+"""Physical-plan quality gates — the 100 TB design contract.
+
+Asserts (via explain output) that:
+- selective filters reach the parquet scan (PushedFilters)
+- projections prune the scan (ReadSchema)
+- dim joins broadcast; no cartesian products sneak in
+- fact reads by DATETIME prune partitions (PartitionFilters)
+- KPI recompute stays a native expression (no Python eval in plan)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from chill_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark):
+    plan = plan_of(Q.q6_forecast_revenue(spark, SF))
+    scan = plan[plan.index("Scan parquet"):]
+    assert "PushedFilters: [" in scan
+    # shipdate + discount + quantity predicates all push down
+    pushed = scan[scan.index("PushedFilters"):].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # only the 4 referenced columns are read
+    readschema = next(l for l in scan.splitlines() if "ReadSchema" in l)
+    for col in ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]:
+        assert col in readschema
+    for col in ["l_orderkey", "l_tax", "l_returnflag", "l_partkey"]:
+        assert col not in readschema
+
+
+def test_q5_dims_broadcast(spark):
+    plan = plan_of(Q.q5_local_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine: HashAggregate appears in partial+final pairs."""
+    plan = plan_of(Q.q1_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Functions: [partial_sum" in plan or "partial_sum" in plan
+
+
+def test_fact_read_prunes_partitions(spark):
+    from chill_spark.operators.writers import read_fact, write_fact
+
+    path = os.path.join(TMP, "plan_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "s1", 1.0), ("2024-01-01 00:15:00", "s1", 2.0)],
+        ["DATETIME", "SITE", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(df, path)
+    pruned = read_fact(spark, path, datetimes=["2024-01-01 00:00:00"])
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan
+    assert pruned.count() == 1  # second partition never read
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_dsl_compiles_to_native_exprs(spark):
+    """Tier-1 DSL output contains no Python UDF nodes."""
+    plan = plan_of(Q.q_dsl_derive(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lookup_is_broadcast_join(spark):
+    plan = plan_of(Q.q_dsl_lookup(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kpi_recompute_native(spark):
+    from chill_spark.catalog import ColumnSpec, TableSpec
+    from chill_spark.operators.project import with_kpis
+
+    table = TableSpec(
+        name="T", counter_group="G",
+        columns=[
+            ColumnSpec("CALLS", dtype="double"),
+            ColumnSpec("DROPS", dtype="double"),
+            ColumnSpec("DROP_RATE", kind="KPI", formula="DROPS/CALLS"),
+        ],
+    )
+    df = spark.createDataFrame([(100.0, 3.0), (0.0, 1.0)], ["CALLS", "DROPS"])
+    out = with_kpis(df, table)
+    plan = plan_of(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    rows = {r["CALLS"]: r["DROP_RATE"] for r in out.collect()}
+    assert rows[100.0] == pytest.approx(0.03)
+
+
+def test_ann_topk_no_shuffle_of_corpus(spark):
+    """Top-k is TakeOrderedAndProject (per-partition heap + driver
+    merge) — no Exchange of the full corpus before the limit."""
+    plan = plan_of(Q.q_ann_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
