@@ -1138,3 +1138,503 @@ def q_stream_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination()
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Coverage batch 2: correlated/scalar subqueries, conditional aggs,
+# distribution aggs, HAVING, disjunctive pushdown, window variants,
+# set ops, scalar functions, sessionization, as-of join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q2_top_supplier_per_nation",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY n.n_name, s.s_suppkey
+    """,
+)
+def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated max subquery) — decorrelated to a
+    window max over the nation partition + filter: one shuffle on
+    s_nationkey instead of a per-row rescan."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ["supplier", "nation"])
+    w = Window.partitionBy("s_nationkey")
+    return (
+        t["supplier"]
+        .withColumn("__mx", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__mx"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+@query(
+    "q7_nation_pair_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1','NATION_2') AND cn.n_name IN ('NATION_1','NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name
+    ORDER BY supp_nation, cust_nation
+    """,
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between nation pairs. nation joins
+    twice (aliased) — both broadcast; only the fact joins shuffle."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation"])
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = ["NATION_1", "NATION_2"]
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            F.col("supp_nation").isin(pair)
+            & F.col("cust_nation").isin(pair)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+@query(
+    "q12_priority_class",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+               AS high_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+               AS low_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE inside SUM)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join + two-level aggregation (order-count
+    histogram). count(col) counts non-null — customers with no orders
+    land in the c_count=0 bucket."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional / total in
+    one aggregate; part broadcasts."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           sum(l.l_quantity) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING sum(l.l_quantity) > 150
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate + HAVING over the join key the fact
+    already shuffles on (groupBy reuses the join exchange)."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+@query(
+    "q19_disjunctive_filters",
+    oracle="""
+    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    derives the common l_quantity bounds and pushes them to the scan."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & s.between(10, 25) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(20, 35) & q.between(20, 40))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-aggregate subquery (global avg,
+    broadcast as a 1-row cross join) + anti-join."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    avg_bal = (
+        t["customer"].filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg"))
+    )
+    recent = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (decimal: exact, order-independent
+    accumulation — double running sums differ across engines by
+    summation order)."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey", "o_orderkey", "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "q_window_lag_delta",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT d, n, n - lag(n) OVER (ORDER BY d) AS delta
+    FROM daily ORDER BY d
+    """,
+)
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day event-count delta: lag over an ordered (small,
+    post-aggregation) frame — the unpartitioned window runs on one
+    task but only over ~days rows, after the distributed aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("d")
+    return (
+        daily.select("d", "n", (F.col("n") - F.lag("n").over(w)).alias("delta"))
+        .orderBy("d")
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800 * 1000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id,
+               ts
+        FROM gaps
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle timeout): lag -> new-
+    session flag -> cumulative sum = session id -> per-session agg.
+    Gap math in integer microseconds (exact, engine-portable). The
+    streaming equivalent is session_window; this is the batch/backfill
+    path."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", "ts",
+        F.sum(new_session).over(wc).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q_setop_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    ORDER BY c_custkey
+    """,
+)
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference) — plans as a left-anti join
+    with both sides aggregated; same shuffle key as the join."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    recent = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.exceptAll(recent.distinct()).distinct().orderBy("c_custkey")
+
+
+@query(
+    "q_setop_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — users with both clicks and purchases;
+    plans as a left-semi join over aggregated sides."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys).orderBy("user_id")
+
+
+@query(
+    "q_scalar_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dy,
+           upper(o_orderpriority) AS pri_upper,
+           substr(o_orderpriority, 1, 1) AS pri_code,
+           length(o_orderstatus) AS status_len,
+           CASE WHEN o_totalprice >= 100000 THEN 'big'
+                WHEN o_totalprice >= 10000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           round(o_totalprice / 1000.0, 3) AS price_k
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface (SURVEY §2.6): date part extraction,
+    string ops, CASE, numeric rounding — all JVM built-ins."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            F.upper("o_orderpriority").alias("pri_upper"),
+            F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+            F.length("o_orderstatus").alias("status_len"),
+            F.when(F.col("o_totalprice") >= 100000, "big")
+            .when(F.col("o_totalprice") >= 10000, "mid")
+            .otherwise("small")
+            .alias("bucket"),
+            F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, ts - INTERVAL 28 YEAR AS ts
+        FROM events
+    )
+    SELECT ev.event_id, ev.user_id, o.o_orderdate AS last_order_date
+    FROM ev ASOF LEFT JOIN orders o
+      ON ev.user_id = o.o_custkey AND ev.ts >= o.o_orderdate
+    ORDER BY ev.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event enriched with the customer's most recent
+    order at event time. Union + last_value window — one shuffle on
+    the key, zero row amplification (operators/asof.py). Events are
+    shifted back 28 years into the order era so matches interleave.
+    Output carries only the matched o_orderdate (equal-date ties share
+    it, keeping the result engine-deterministic)."""
+    from .operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ["events", "orders"])
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 28 YEARS")).alias("ts"),
+    )
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join(
+        ev, orders, on="user_id", left_time="ts", right_time="o_orderdate",
+        value_cols=["o_orderdate"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderdate").alias("last_order_date")
+    ).orderBy("event_id")
