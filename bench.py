@@ -30,8 +30,13 @@ HEADLINE = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q13_order_count_distribution",
+    "q18_large_orders",
     "q_customers_without_orders",
     "q_window_topn_orders",
+    "q_window_running_sum",
+    "q_sessionize",
+    "q_asof_join",
     "q_rollup_hourly",
     "q_rollup_ladder_daily",
     "q_pivot_daily_events",

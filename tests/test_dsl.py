@@ -153,3 +153,27 @@ def test_tier3_fallback(spark):
     assert res.tiers["R"] == 3
     got = [r["R"] for r in res.df.collect()]
     assert got == ["fedcba", "yx"]
+
+
+def test_execute_views_and_lookup_pipeline(spark):
+    """S6 -> J1: configured SQL view executed once, cached, then used
+    as a lookup join dim (the reference's Oracle round trip collapsed
+    into spark.sql over a dim snapshot)."""
+    from chill_spark.dsl.lookup import apply_lookup, parse_lookup_template
+    from chill_spark.sources.views import execute_views
+
+    spark.createDataFrame(
+        [("c1", "EAST"), ("c2", "WEST")], ["cell_id", "region"]
+    ).createOrReplaceTempView("cells_dim")
+    views = execute_views(
+        spark, {"cells": "SELECT cell_id, region FROM cells_dim"}
+    )
+    facts = spark.createDataFrame([("c1",), ("c2",), ("c9",)], ["site"])
+    plan = parse_lookup_template(
+        "view[view['cell_id'] == arg1]['region'].values[0]"
+    )
+    out = apply_lookup(
+        facts, plan, views["cells"], "REGION", inputs=["site"], default="UNK"
+    )
+    got = {r["site"]: r["REGION"] for r in out.collect()}
+    assert got == {"c1": "EAST", "c2": "WEST", "c9": "UNK"}
