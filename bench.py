@@ -69,6 +69,8 @@ def main() -> int:
     force(registry["q1_pricing_summary"](spark, sf_dir).limit(1))
 
     for name in HEADLINE:
+        # timing covers plan construction too — some pipelines (e.g.
+        # dedup_minhash) materialize intermediate state eagerly
         t0 = time.perf_counter()
         force(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -95,6 +95,19 @@ def lsh_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*entries)
 
 
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5
+) -> DataFrame:
+    """(id, distinct shingle-hash array) — the shared input of both
+    LSH candidate generation and exact Jaccard verification. Persist
+    it when running the full pipeline so the shingling (the dominant
+    per-row cost) happens once."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_fingerprints(text_col, k=shingle_k)).alias("sh"),
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -102,6 +115,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) colliding in >=1 LSH band.
 
@@ -115,10 +129,9 @@ def minhash_candidates(
     Catalyst shuffles both sides once; no cross join anywhere.
     """
     rows_per_band = num_hashes // bands
-    shingle_rows = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingle_fingerprints(text_col, k=shingle_k))).alias("sh"),
-    )
+    if sets_df is None:
+        sets_df = shingle_sets(df, text_col, id_col, shingle_k)
+    shingle_rows = sets_df.select("id", F.explode("sh").alias("sh"))
     sig = shingle_rows.groupBy("id").agg(
         *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -155,14 +168,13 @@ def jaccard_pairs(
     id_col: str,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs; keeps pairs with
     similarity >= threshold. Shingle sets join in by id (2 shuffles on
     id), intersection/union are array ops — no UDF."""
-    sets_df = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingle_fingerprints(text_col, k=shingle_k)).alias("sh"),
-    )
+    if sets_df is None:
+        sets_df = shingle_sets(df, text_col, id_col, shingle_k)
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
     joined = (
@@ -191,9 +203,21 @@ def dedup_minhash(
 ) -> DataFrame:
     """Near-dedup: drop rows Jaccard-similar (>= threshold) to a
     surviving lower-id row. Survivors = rows that are not the higher id
-    of any verified pair (greedy min-id representative)."""
-    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    dups = jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
+    of any verified pair (greedy min-id representative).
+
+    The shingle sets are computed once and persisted (MEMORY_AND_DISK,
+    evicted LRU / reused across identical plans by Spark's cache
+    manager) — candidate generation and Jaccard verification all read
+    them; without this the shingling runs 3x (signature + both verify
+    sides). At 100 TB this cache is the materialized sketch layer and
+    belongs on disk next to the corpus."""
+    sets_df = shingle_sets(df, text_col, id_col, shingle_k).persist()
+    cands = minhash_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k, sets_df=sets_df
+    )
+    dups = jaccard_pairs(
+        df, cands, text_col, id_col, shingle_k, threshold, sets_df=sets_df
+    )
     doomed = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(doomed, id_col, "left_anti")
 
