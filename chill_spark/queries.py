@@ -1638,3 +1638,76 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.col("o_orderdate").alias("last_order_date")
     ).orderBy("event_id")
+
+
+@query(
+    "q_top_tokens_per_lang",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+    ranked AS (
+        SELECT lang, tok, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+        FROM counts
+    )
+    SELECT lang, tok, n FROM ranked WHERE rk <= 5
+    ORDER BY lang, n DESC, tok
+    """,
+)
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: explode tokens -> count -> top-5 per
+    language via window rank. The explode shuffles once on
+    (lang, tok) for the count; the rank runs on the (tiny)
+    post-aggregation frame."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops.text import normalize_text
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = d.select(
+        "lang", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "tok", "n")
+        .orderBy("lang", F.col("n").desc(), "tok")
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    The returnflag filter pushes to the lineitem scan; customer
+    broadcasts; the agg groups on the join key."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
