@@ -15,3 +15,7 @@ __all__ = [
     "stream_csv_source",
     "streaming_rollup",
 ]
+
+from .stateful import SESSION_SCHEMA, sessionize_stream  # noqa: E402
+
+__all__ += ["SESSION_SCHEMA", "sessionize_stream"]

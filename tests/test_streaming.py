@@ -232,3 +232,59 @@ def test_stream_rejects_tag_jobs(spark, stream_dirs):
     )
     with pytest.raises(ValueError, match="streaming jobs"):
         stream_csv_source(spark, job, COLUMNS)
+
+
+def test_stateful_sessionize_stream(spark, stream_dirs):
+    """applyInPandasWithState sessionizer: sessions close on >30min
+    gaps, extend across micro-batches (maxFilesPerTrigger=1)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from chill_spark.streaming import sessionize_stream
+
+    in_dir = os.path.join(stream_dirs["in"], "sess_src")
+    os.makedirs(in_dir)
+    # batch 1: u1 two close events; u2 one event
+    with open(os.path.join(in_dir, "b1.csv"), "w") as f:
+        f.write(
+            "user_id,ts\n"
+            "1,2024-01-01 00:00:00\n"
+            "1,2024-01-01 00:10:00\n"
+            "2,2024-01-01 00:00:00\n"
+        )
+    # batch 2: u1 continues the session (10 min later), then a >30min
+    # gap closes it; u2's gap closes session immediately
+    with open(os.path.join(in_dir, "b2.csv"), "w") as f:
+        f.write(
+            "user_id,ts\n"
+            "1,2024-01-01 00:20:00\n"
+            "1,2024-01-01 02:00:00\n"
+            "2,2024-01-01 03:00:00\n"
+        )
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts", StringType()),
+    ])
+    src = (
+        spark.readStream.format("csv").schema(schema)
+        .option("header", "true").option("maxFilesPerTrigger", "1")
+        .load(f"{in_dir}/*.csv")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    sessions = sessionize_stream(src, gap_seconds=1800, timeout="none")
+    out_dir = os.path.join(stream_dirs["out"], "sessions")
+    ckpt = os.path.join(stream_dirs["ckpt"], "sessions")
+    q = (
+        sessions.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "stream did not self-terminate"
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # u1's first session spans batches 1+2 (00:00..00:20, 3 events),
+    # closed by the 02:00 event; u2's session (00:00) closed by 03:00
+    assert (1, "2024-01-01 00:00:00", "2024-01-01 00:20:00", 3) in got
+    assert (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1) in got
