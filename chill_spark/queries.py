@@ -1711,3 +1711,146 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, ts - INTERVAL 28 YEAR AS ts, value
+        FROM events
+    )
+    SELECT o.o_orderkey, count(*) AS n_events, sum(ev.value) AS sum_value
+    FROM ev JOIN orders o
+      ON ev.user_id = o.o_custkey
+     AND ev.ts >= o.o_orderdate
+     AND ev.ts <  o.o_orderdate + INTERVAL 14 DAY
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via time binning: events falling in each
+    order's 14-day window, equi-joined on (custkey, day-bin) + exact
+    filter — a hash join, not the BroadcastNestedLoop a raw inequality
+    join would plan (operators/range_join.py)."""
+    from .operators.range_join import range_join
+
+    t = load_tables(spark, sf_dir, ["events", "orders"])
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 28 YEARS")).alias("ts"),
+        "value",
+    )
+    iv = t["orders"].select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("win_end"),
+    )
+    joined = range_join(
+        ev, iv, point_col="ts", start_col="win_start", end_col="win_end",
+        on="user_id", bin_seconds=7 * 86_400,
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.tok,
+           round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    WHERE tf.doc_id < 50
+    ORDER BY tf.doc_id, tf.tok
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed): term counts per doc x ln((N+1)/(df+1))+1.
+    Two hash aggregates over one exploded token frame + a broadcast of
+    the (small) document-frequency table; N is a 1-row cross join."""
+    from .llm_ops.text import normalize_text
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id", "tok",
+            F.round(
+                F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "tok")
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT c.c_mktsegment,
+           round(quantile_cont(o.o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o.o_totalprice, 0.9), 6) AS p90
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per segment — the
+    exact `percentile` aggregate, not approx_percentile, so the DuckDB
+    quantile_cont oracle applies bit-for-bit (modulo round 6)."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("q_winnowing_fingerprints")
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: min shingle-hash per sliding
+    window of w=4 shingles — the classic local fingerprint selection
+    (rows-only: xxhash64-based). Pure array exprs, one scan."""
+    from .llm_ops.text import shingle_fingerprints
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = shingle_fingerprints("text", k=5)
+    w = 4
+    idx = F.sequence(F.lit(0), F.greatest(F.size(sh) - w, F.lit(0)))
+    winnowed = F.array_distinct(
+        F.transform(idx, lambda i: F.array_min(F.slice(sh, i + 1, w)))
+    )
+    return d.select(
+        "doc_id",
+        F.size(winnowed).alias("n_fingerprints"),
+        winnowed.alias("fingerprints"),
+    ).orderBy("doc_id")
