@@ -78,23 +78,6 @@ def minhash_signature(
     return F.array(*sigs)
 
 
-def lsh_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
-    """Band the signature: array of (band_id, band_hash) structs.
-    Two docs sharing any band collide -> candidate pair."""
-    entries = []
-    for b in range(bands):
-        segment = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
-        entries.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", F.transform(segment, lambda x: x.cast("string")))).alias(
-                    "bucket"
-                ),
-            )
-        )
-    return F.array(*entries)
-
-
 def shingle_sets(
     df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5
 ) -> DataFrame:

@@ -177,3 +177,49 @@ def test_execute_views_and_lookup_pipeline(spark):
     )
     got = {r["site"]: r["REGION"] for r in out.collect()}
     assert got == {"c1": "EAST", "c2": "WEST", "c9": "UNK"}
+
+
+# --- property-based differential testing (tier 1 vs reference eval) ---
+
+from hypothesis import given, settings, strategies as st
+
+_PBT_TEMPLATES = [
+    ("arg1[0:4]", "s"),
+    ("arg1[2:]", "s"),
+    ("arg1[-3:]", "s"),
+    ("arg1.upper() + '_' + arg1.lower()", "s"),
+    ("arg1.strip()", "s"),
+    ("len(arg1)", "s"),
+    ("int(arg1) * 3 - 7", "i"),
+    ("float(arg1) / 8 + 0.25", "i"),
+    ("str(int(arg1) % 9)", "i"),
+    ("max(int(arg1), 10)", "i"),
+    ("arg1[0:2] if len(arg1) > 4 else arg1", "s"),
+]
+
+_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
+                           whitelist_characters=" _-."),
+    min_size=0, max_size=20,
+)
+_ints = st.integers(min_value=-10**9, max_value=10**9)
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+@pytest.mark.parametrize("template,kind", _PBT_TEMPLATES)
+def test_tier1_property_differential(spark, template, kind, data):
+    """Random inputs through tier-1 compiled Columns must equal the
+    reference's substitute+eval semantics (str()-coerced args)."""
+    vals = data.draw(
+        st.lists(_text if kind == "s" else _ints.map(str), min_size=1, max_size=5)
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["c"])
+    col = compile_template(template, arg_bindings(["c"]))
+    got = [r[0] for r in df.select(col.alias("out")).collect()]
+    want = [reference_eval(template, [v]) for v in vals]
+    for g, w in zip(got, want):
+        if isinstance(w, float):
+            assert g == pytest.approx(w), (template, vals, g, w)
+        else:
+            assert str(g) == str(w), (template, vals, g, w)
