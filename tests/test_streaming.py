@@ -288,3 +288,64 @@ def test_stateful_sessionize_stream(spark, stream_dirs):
     # closed by the 02:00 event; u2's session (00:00) closed by 03:00
     assert (1, "2024-01-01 00:00:00", "2024-01-01 00:20:00", 3) in got
     assert (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1) in got
+
+
+def test_stream_stream_join(spark, stream_dirs):
+    """Watermarked stream-stream inner join: impressions joined to
+    clicks within a 30-min event-time window — the streaming form of
+    the range join."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    imp_dir = os.path.join(stream_dirs["in"], "imp")
+    clk_dir = os.path.join(stream_dirs["in"], "clk")
+    os.makedirs(imp_dir); os.makedirs(clk_dir)
+    with open(os.path.join(imp_dir, "i1.csv"), "w") as f:
+        f.write(
+            "ad_id,ts\n"
+            "1,2024-01-01 00:00:00\n"
+            "2,2024-01-01 00:05:00\n"
+            "3,2024-01-01 05:00:00\n"  # advances watermark
+        )
+    with open(os.path.join(clk_dir, "c1.csv"), "w") as f:
+        f.write(
+            "ad_id,ts\n"
+            "1,2024-01-01 00:10:00\n"   # within 30 min of imp 1 -> joins
+            "2,2024-01-01 02:00:00\n"   # too late -> no join
+            "3,2024-01-01 05:01:00\n"
+        )
+
+    schema = StructType([
+        StructField("ad_id", LongType()), StructField("ts", StringType()),
+    ])
+
+    def src(d, prefix):
+        return (
+            spark.readStream.format("csv").schema(schema)
+            .option("header", "true").load(f"{d}/*.csv")
+            .select(
+                F.col("ad_id"),
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+            )
+        )
+
+    imps = src(imp_dir, "imp").withWatermark("imp_ts", "10 minutes")
+    clks = src(clk_dir, "clk").withWatermark("clk_ts", "10 minutes")
+    joined = imps.join(
+        clks,
+        (imps["ad_id"] == clks["ad_id"])
+        & (F.col("clk_ts") >= F.col("imp_ts"))
+        & (F.col("clk_ts") <= F.col("imp_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(imps["ad_id"], "imp_ts", "clk_ts")
+
+    out_dir = os.path.join(stream_dirs["out"], "ssj")
+    ckpt = os.path.join(stream_dirs["ckpt"], "ssj")
+    q = (
+        joined.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    drain(q)
+    got = {(r["ad_id"], str(r["clk_ts"])) for r in spark.read.parquet(out_dir).collect()}
+    assert (1, "2024-01-01 00:10:00") in got
+    assert all(ad != 2 for ad, _ in got)  # late click never joins
