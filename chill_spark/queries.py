@@ -2044,3 +2044,101 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+           sum(l.l_extendedprice * (1 - l.l_discount)
+               - 0.5 * p.p_retailprice * l.l_quantity) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%3%'
+    GROUP BY 1, 2
+    ORDER BY nation, yr DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation/year over a 5-way join with a
+    LIKE filter on the part dim (broadcast; supply cost proxied as
+    0.5 * retail price — no partsupp table in the synthetic schema)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation", "orders"])
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%3%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(profit).alias("profit"))
+        .orderBy("nation", F.col("yr").desc())
+    )
+
+
+@query(
+    "q_minmax_grouped",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CASE WHEN max(value) OVER (PARTITION BY user_id)
+                         = min(value) OVER (PARTITION BY user_id)
+                      THEN 0.0
+                      ELSE (value - min(value) OVER (PARTITION BY user_id))
+                           / (max(value) OVER (PARTITION BY user_id)
+                              - min(value) OVER (PARTITION BY user_id)) END,
+                 6) AS scaled
+    FROM events ORDER BY event_id
+    """,
+)
+def q_minmax_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user min-max feature scaling through the Arrow grouped-map
+    path (``groupBy().applyInPandas``) — the template for custom
+    per-entity transforms built-ins can't express. Each group becomes
+    one pandas frame executor-side; the SQL-window oracle proves the
+    Arrow round trip is value-exact."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("scaled", DoubleType()),
+    ])
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        scaled = (
+            (pdf["value"] - lo) / (hi - lo) if hi != lo
+            else pdf["value"] * 0.0
+        )
+        return pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "scaled": scaled,
+        })
+
+    return (
+        ev.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(scale, schema=schema)
+        # round JVM-side: Spark HALF_UP matches DuckDB round(); pandas
+        # .round is banker's and can differ on exact .5 boundaries
+        .select("event_id", "user_id", F.round("scaled", 6).alias("scaled"))
+        .orderBy("event_id")
+    )
