@@ -112,3 +112,19 @@ def test_ann_topk_no_shuffle_of_corpus(spark):
     merge) — no Exchange of the full corpus before the limit."""
     plan = plan_of(Q.q_ann_topk(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_hash_join(spark):
+    """The binned range join must plan as equi hash joins — never the
+    BroadcastNestedLoop a raw inequality join degenerates to."""
+    plan = plan_of(Q.queries()["q_range_join"](spark, SF))
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """As-of join: one window over the union — exactly one Exchange of
+    the unioned data per side-independent branch, no join amplification."""
+    plan = plan_of(Q.queries()["q_asof_join"](spark, SF))
+    assert "Window" in plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
