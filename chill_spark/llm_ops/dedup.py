@@ -91,6 +91,59 @@ def shingle_sets(
     )
 
 
+def pairs_within_buckets(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "id",
+    payload_cols: list[str] | None = None,
+    dedup_pairs: bool = True,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing a bucket.
+
+    One shuffle (groupBy the bucket key) instead of the two a
+    self-equi-join costs: collect the sorted member structs per
+    bucket, expand in-bucket pairs with nested ``transform``
+    (JVM-side, no UDF), explode, distinct. Pair expansion is
+    quadratic in bucket size — correct for LSH buckets, whose whole
+    design keeps buckets small; a pathological mega-bucket would
+    equally blow up the self-join's output. At 100 TB halving the
+    shuffled bytes on the widest intermediate (the banded rows) is
+    the difference between one network pass and two.
+
+    ``payload_cols`` ride along inside the member struct, so the
+    verify stage (Hamming / cosine) reads them straight off the pair
+    — no join back to the sketch table. Output columns: ``id_a``,
+    ``id_b``, and ``<payload>_a`` / ``<payload>_b``.
+    """
+    payload_cols = payload_cols or []
+    member = F.struct(
+        F.col(id_col).alias("i"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    buckets = (
+        df.groupBy(*[F.col(c) for c in bucket_cols])
+        .agg(F.sort_array(F.collect_set(member)).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_lists = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(pair_lists).alias("p")).select(
+        F.col("p.a.i").alias("id_a"),
+        F.col("p.b.i").alias("id_b"),
+        *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in payload_cols],
+    )
+    # With a single blocking key a pair collides in at most one
+    # bucket; only multi-band schemes need the extra dedup shuffle.
+    return pairs.dropDuplicates(["id_a", "id_b"]) if dedup_pairs else pairs
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -107,9 +160,9 @@ def minhash_candidates(
     combine; each min is a tiny codegen-friendly expr, unlike a
     32-pass array_min over the shingle array, which falls out of
     whole-stage codegen and runs ~100x slower) -> band buckets from
-    the signature columns -> explode bands -> self equi-join on
-    (band, bucket) -> distinct pairs. The join key is the bucket, so
-    Catalyst shuffles both sides once; no cross join anywhere.
+    the signature columns -> explode bands -> one groupBy-the-bucket
+    shuffle expanding in-bucket pairs (``pairs_within_buckets``) ->
+    distinct pairs. No cross join anywhere.
     """
     rows_per_band = num_hashes // bands
     if sets_df is None:
@@ -130,18 +183,7 @@ def minhash_candidates(
     banded = sig.select(
         "id", F.explode(F.array(*band_structs)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    return pairs_within_buckets(banded, ["band", "bucket"], "id")
 
 
 def jaccard_pairs(
@@ -276,16 +318,14 @@ def simhash_near_dups(
     h = votes.select(F.col("id"), sh.alias("sh")).withColumn(
         "blk", F.shiftrightunsigned(F.col("sh"), 64 - block_bits)
     )
-    a, b = h.alias("a"), h.alias("b")
+    pairs = pairs_within_buckets(
+        h, ["blk"], "id", payload_cols=["sh"], dedup_pairs=False
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        pairs.select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -318,7 +358,7 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine: random-hyperplane LSH bucket
     (sign bits of dot products with ``planes`` fixed random vectors)
-    -> equi-join within bucket -> exact cosine verify."""
+    -> in-bucket pair expansion (one shuffle) -> exact cosine verify."""
     import random
 
     rng = random.Random(seed)
@@ -337,16 +377,19 @@ def embedding_near_dups(
         )
         bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i)
         bucket = bit if bucket is None else bucket + bit
-    h = df.select(F.col(id_col).alias("id"), v.alias("v"), bucket.alias("bkt"))
-    a, b = h.alias("a"), h.alias("b")
+    h = df.select(
+        F.col(id_col).alias("id"),
+        v.cast("array<double>").alias("v"),
+        bucket.alias("bkt"),
+    )
+    pairs = pairs_within_buckets(
+        h, ["bkt"], "id", payload_cols=["v"], dedup_pairs=False
+    )
     return (
-        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_sim(
-                F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")
-            ).alias("cosine"),
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine_sim(F.col("v_a"), F.col("v_b")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
