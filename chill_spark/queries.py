@@ -2050,14 +2050,15 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
-           sum(l.l_extendedprice * (1 - l.l_discount)
-               - 0.5 * p.p_retailprice * l.l_quantity) AS profit
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+               - 0.5 * p.p_retailprice * l.l_quantity
+               AS DECIMAL(38,6))) AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
-    WHERE p.p_name LIKE '%3%'
+    WHERE p.p_name LIKE '%red%'
     GROUP BY 1, 2
     ORDER BY nation, yr DESC
     """,
@@ -2070,11 +2071,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    ).cast("decimal(38,6)")
     return (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").like("%3%"))),
+            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))

@@ -128,3 +128,20 @@ def test_asof_join_single_shuffle(spark):
     plan = plan_of(Q.queries()["q_asof_join"](spark, SF))
     assert "Window" in plan
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_lsh_candidates_single_shuffle_no_join(spark):
+    """pairs_within_buckets: candidate pairs come from one
+    groupBy-the-bucket Exchange + in-bucket expansion — no self-join
+    (the old shape shuffled the banded rows twice). SimHash blocks on
+    one key, so its plan must also skip the pair-dedup Exchange."""
+    from chill_spark.llm_ops.dedup import pairs_within_buckets
+
+    df = Q.load_tables(spark, SF, ["documents"])["documents"].select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 7).alias("blk")
+    )
+    plan = plan_of(pairs_within_buckets(df, ["blk"], "id", dedup_pairs=False))
+    assert "Join" not in plan
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1
