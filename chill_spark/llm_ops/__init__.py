@@ -9,6 +9,7 @@ from .dedup import (
     simhash,
     simhash_near_dups,
 )
+from .sampling import assign_split, hash_bucket, stratified_sample
 from .similarity import brute_force_topk, build_ivf, ivf_topk, topk_join
 from .text import (
     bpe_ish_token_count,
@@ -25,4 +26,5 @@ __all__ = [
     "brute_force_topk", "build_ivf", "ivf_topk", "topk_join",
     "bpe_ish_token_count", "doc_fingerprint", "lang_id",
     "quality_score", "whitespace_token_count",
+    "assign_split", "hash_bucket", "stratified_sample",
 ]

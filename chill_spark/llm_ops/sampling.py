@@ -1,0 +1,92 @@
+"""Deterministic sampling / dataset splitting for training-data
+pipelines: hash-based train/val/test assignment and per-stratum
+sampling.
+
+Everything keys off a content-independent hash bucket of the row id
+(md5 — engine-portable, so the DuckDB oracle reproduces assignments
+bit-for-bit). Hash-based selection is the only sampling that survives
+100 TB: it is a narrow per-row expression (no shuffle, no state, no
+driver RNG), assignments are stable under re-runs, retries, and
+repartitioning, and adding data never reassigns existing rows —
+`df.sample()` by contrast draws per-task RNG streams that change with
+partitioning.
+
+Reference parity: the reference has no sampling layer; this is part
+of the added LLM-pipeline surface (north-star ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column | str, seed: str = "split") -> Column:
+    """Uniform bucket in [0, BUCKETS) from md5(seed:id) — the first 8
+    hex chars as an integer. Stable across engines: DuckDB equivalent
+    is ``('0x' || substring(md5(seed || ':' || id), 1, 8))::BIGINT %
+    BUCKETS``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.concat_ws(":", F.lit(seed), c.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % BUCKETS
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one named split
+    with the given weights (must sum to ~1). Cumulative bucket
+    thresholds over the id hash — no shuffle, no RNG state."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    b = hash_bucket(id_col, seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hash bucket
+    falls under the cutoff. Grouping by a stratum column beforehand is
+    unnecessary — the hash is uniform within every stratum, so each
+    stratum is sampled at ``fraction`` without a shuffle (for exact
+    per-stratum counts use a windowed rank instead)."""
+    return df.filter(hash_bucket(id_col, seed) < int(round(fraction * BUCKETS)))
+
+
+def split_oracle_sql(
+    table: str,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+) -> str:
+    """DuckDB CASE expression mirroring ``assign_split`` exactly."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = (
+        f"(('0x' || substring(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {BUCKETS})"
+    )
+    names = list(weights)
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += weights[name]
+        whens.append(f"WHEN {bucket} < {int(round(cum * BUCKETS))} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return case

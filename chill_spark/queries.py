@@ -2143,3 +2143,63 @@ def q_minmax_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.round("scaled", 6).alias("scaled"))
         .orderBy("event_id")
     )
+
+
+# --- deterministic sampling / dataset splitting ----------------------------
+
+from .llm_ops.sampling import (  # noqa: E402
+    BUCKETS as _SPLIT_BUCKETS,
+    assign_split,
+    split_oracle_sql,
+    stratified_sample,
+)
+
+_SPLIT_CASE = split_oracle_sql("documents", "doc_id")
+
+
+@query(
+    "q_split_counts",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents)
+    GROUP BY split ORDER BY split
+    """,
+)
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (md5 hash buckets of
+    doc_id — stable under re-runs/repartitioning, reproduced
+    bit-for-bit by the DuckDB oracle). Narrow per-row expression: the
+    only shuffle is the final count-by-split."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % {10_000}) < 2000
+    ORDER BY doc_id
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus sample (uniform within every lang
+    stratum by hash uniformity) — row-level output so the oracle
+    verifies the exact membership, not just the rate."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        stratified_sample(docs, "doc_id", 0.2, seed="sample")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

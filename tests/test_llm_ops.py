@@ -203,3 +203,29 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(NotImplementedError):
         from chill_spark.llm_ops.multimodal import Codec
         Codec().decode_image(b"x")
+
+
+def test_hash_split_deterministic_partition(spark, sf_dir):
+    from chill_spark.llm_ops.sampling import assign_split, stratified_sample
+    from chill_spark.queries import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    s1 = assign_split(docs, "doc_id")
+    # every row gets exactly one split; assignment is stable across
+    # plans and repartitioning
+    assert s1.count() == docs.count()
+    again = assign_split(docs.repartition(7), "doc_id")
+    assert (
+        s1.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+    counts = {r["split"]: r["n"] for r in
+              s1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert 0.8 <= counts.get("train", 0) / n <= 0.97
+    # stratified: each lang sampled near the global fraction
+    samp = stratified_sample(docs, "doc_id", 0.2)
+    rate = samp.count() / n
+    assert 0.1 <= rate <= 0.3
