@@ -197,9 +197,22 @@ _PBT_TEMPLATES = [
     ("arg1[0:2] if len(arg1) > 4 else arg1", "s"),
 ]
 
+# Case mapping (upper/lower) is a documented contract boundary: tier-1
+# compiles to JVM-side F.upper/F.lower, whose Unicode tables (ICU,
+# Unicode 16) are newer than CPython 3.11's (Unicode 14) — e.g. U+019B
+# 'ƛ' gained an uppercase U+A7DC in Unicode 16, so Spark maps it and
+# Python doesn't. Differential testing of casing therefore sticks to
+# codepoints ≤ U+024F whose mappings are stable across both tables;
+# all other templates draw from the full letter/digit alphabet.
 _text = st.text(
     alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
                            whitelist_characters=" _-."),
+    min_size=0, max_size=20,
+)
+_text_stable_case = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
+                           whitelist_characters=" _-.",
+                           max_codepoint=0x024F),
     min_size=0, max_size=20,
 )
 _ints = st.integers(min_value=-10**9, max_value=10**9)
@@ -211,9 +224,13 @@ _ints = st.integers(min_value=-10**9, max_value=10**9)
 def test_tier1_property_differential(spark, template, kind, data):
     """Random inputs through tier-1 compiled Columns must equal the
     reference's substitute+eval semantics (str()-coerced args)."""
-    vals = data.draw(
-        st.lists(_text if kind == "s" else _ints.map(str), min_size=1, max_size=5)
-    )
+    if kind != "s":
+        strat = _ints.map(str)
+    elif "upper" in template or "lower" in template:
+        strat = _text_stable_case
+    else:
+        strat = _text
+    vals = data.draw(st.lists(strat, min_size=1, max_size=5))
     df = spark.createDataFrame([(v,) for v in vals], ["c"])
     col = compile_template(template, arg_bindings(["c"]))
     got = [r[0] for r in df.select(col.alias("out")).collect()]
