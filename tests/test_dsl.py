@@ -202,8 +202,8 @@ _PBT_TEMPLATES = [
 # Unicode 16) are newer than CPython 3.11's (Unicode 14) — e.g. U+019B
 # 'ƛ' gained an uppercase U+A7DC in Unicode 16, so Spark maps it and
 # Python doesn't. Differential testing of casing therefore sticks to
-# codepoints ≤ U+024F whose mappings are stable across both tables;
-# all other templates draw from the full letter/digit alphabet.
+# Latin-1 (≤ U+00FF), whose case mappings are stable across both
+# tables; all other templates draw from the full letter/digit alphabet.
 _text = st.text(
     alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
                            whitelist_characters=" _-."),
@@ -212,7 +212,7 @@ _text = st.text(
 _text_stable_case = st.text(
     alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
                            whitelist_characters=" _-.",
-                           max_codepoint=0x024F),
+                           max_codepoint=0xFF),
     min_size=0, max_size=20,
 )
 _ints = st.integers(min_value=-10**9, max_value=10**9)
