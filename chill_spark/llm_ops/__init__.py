@@ -9,6 +9,7 @@ from .dedup import (
     simhash,
     simhash_near_dups,
 )
+from .chunking import chunk_documents, pack_sequences
 from .sampling import assign_split, hash_bucket, stratified_sample
 from .similarity import brute_force_topk, build_ivf, ivf_topk, topk_join
 from .text import (
@@ -27,4 +28,5 @@ __all__ = [
     "bpe_ish_token_count", "doc_fingerprint", "lang_id",
     "quality_score", "whitespace_token_count",
     "assign_split", "hash_bucket", "stratified_sample",
+    "chunk_documents", "pack_sequences",
 ]

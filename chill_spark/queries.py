@@ -2203,3 +2203,96 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking / sequence packing (LLM training-data pipeline surface)
+# ---------------------------------------------------------------------------
+
+from .llm_ops.chunking import (  # noqa: E402
+    chunk_documents,
+    chunk_oracle_sql,
+    pack_oracle_sql,
+    pack_sequences,
+    tokenize_ws,
+)
+
+
+@query(
+    "q_chunk_documents",
+    oracle=chunk_oracle_sql("documents", chunk_tokens=32, stride=24),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token-window chunking (32-token chunks,
+    stride 24). split/sequence/explode/slice only — whole-stage
+    codegen, no shuffle, no UDF; a pure map stage at any scale."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return chunk_documents(docs, chunk_tokens=32, stride=24)
+
+
+@query(
+    "q_pack_sequences",
+    oracle=pack_oracle_sql(
+        "(SELECT doc_id, source, len(string_split_regex(text, '\\s+')) AS n_tok"
+        " FROM documents)",
+        order_col="doc_id",
+        count_col="n_tok",
+        budget=512,
+        shard_col="source",
+        select_cols="doc_id, source, n_tok",
+    ),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: contiguous docs (per source shard,
+    doc_id order) share a 512-token sequence. One shuffle on the shard
+    key; the running sum parallelizes across shards — matching
+    per-file packing in real pipelines."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = docs.select(
+        "doc_id", "source", F.size(tokenize_ws("text")).alias("n_tok")
+    )
+    return pack_sequences(
+        d, order_col="doc_id", count_col="n_tok", budget=512, shard_col="source"
+    )
+
+
+@query(
+    "q19_disjunctive_join",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate join (adapted: the
+    synthetic part table has no p_container). Catalyst extracts the
+    common l_partkey=p_partkey equi-condition, broadcasts the part
+    side, and keeps the OR-of-conjunctions as a post-join filter;
+    per-branch ranges on l_quantity/p_size still push to the scans."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li, p = t["lineitem"], t["part"]
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            branch("Brand#12", 15, 1, 11)
+            | branch("Brand#23", 25, 10, 20)
+            | branch("Brand#34", 35, 20, 30)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
