@@ -10,6 +10,7 @@ from .dedup import (
     simhash_near_dups,
 )
 from .chunking import chunk_documents, pack_sequences
+from .components import component_survivors, connected_components
 from .sampling import assign_split, hash_bucket, stratified_sample
 from .similarity import brute_force_topk, build_ivf, ivf_topk, topk_join
 from .text import (
@@ -29,4 +30,5 @@ __all__ = [
     "quality_score", "whitespace_token_count",
     "assign_split", "hash_bucket", "stratified_sample",
     "chunk_documents", "pack_sequences",
+    "component_survivors", "connected_components",
 ]

@@ -2296,3 +2296,110 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: duplicate-cluster closure over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _chained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a 60%-prefix copy (id+1M) ∪ a 36%-prefix copy
+    (id+2M): shingle-Jaccard(orig, 60%) ≈ 0.57 and Jaccard(60%, 36%)
+    ≈ 0.54 clear a 0.45 threshold while Jaccard(orig, 36%) ≈ 0.31
+    does not — so clusters form multi-hop chains that only a
+    transitive closure collapses."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+
+    def prefix(frac: float, shift: int) -> DataFrame:
+        k = F.greatest(
+            F.floor(F.size(toks) * F.lit(frac)).cast("int"), F.lit(1)
+        )
+        return (
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+            .withColumn("text", F.concat_ws(" ", F.slice(toks, F.lit(1), k)))
+        )
+
+    cols = ["doc_id", "text", "source"]
+    return (
+        d.select(cols)
+        .unionByName(prefix(0.6, 1_000_000).select(cols))
+        .unionByName(prefix(0.36, 2_000_000).select(cols))
+    )
+
+
+_CHAINED_CC_SQL = r"""
+    WITH RECURSIVE
+    norm AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, source, t FROM norm
+      UNION ALL
+      SELECT doc_id + 1000000, source,
+             t[1 : greatest(CAST(floor(len(t) * 0.6) AS INT), 1)] FROM norm
+      UNION ALL
+      SELECT doc_id + 2000000, source,
+             t[1 : greatest(CAST(floor(len(t) * 0.36) AS INT), 1)] FROM norm
+    ),
+    shingled AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+                 range(1, greatest(len(t) - 5, 0) + 2),
+                 i -> array_to_string(t[i : i + 4], ' '))) AS sh
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shingled a JOIN shingled b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.45
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lab) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+      WHERE r.lab < s.b
+    )
+"""
+
+
+@query(
+    "q_dedup_components",
+    oracle=_CHAINED_CC_SQL + """
+    SELECT node, min(lab) AS component FROM reach GROUP BY node
+    ORDER BY node
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: exact shingle-Jaccard pairs
+    (source-blocked candidates) -> connected components by iterative
+    min-label propagation (one keyed shuffle per round, lineage
+    checkpointed). The chained corpus guarantees multi-hop clusters,
+    so this hash-checks the closure itself, not just the pair stage;
+    the DuckDB oracle recomputes it with a recursive CTE."""
+    from .llm_ops.components import connected_components
+    from .llm_ops.dedup import jaccard_pairs
+
+    corpus = _chained_docs(spark, sf_dir)
+    ids = corpus.select(F.col("doc_id").alias("id"), "source")
+    cand = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    edges = jaccard_pairs(
+        corpus, cand, "text", "doc_id", shingle_k=5, threshold=0.45
+    ).select("id_a", "id_b")
+    return connected_components(edges, "id_a", "id_b").orderBy("node")

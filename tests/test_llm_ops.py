@@ -289,3 +289,30 @@ def test_q19_broadcasts_part(spark, sf_dir):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_chain_and_survivors(spark):
+    from chill_spark.llm_ops.components import (
+        component_survivors, connected_components,
+    )
+
+    # two chains (multi-hop, no shortcut edge) + one isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["src", "dst"],
+    )
+    cc = {r["node"]: r["component"]
+          for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                  20: 20, 21: 20, 22: 20}
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 20, 21, 22, 99)],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in component_survivors(
+            docs, connected_components(edges), "doc_id"
+        ).collect()
+    )
+    assert kept == [1, 10, 20, 99]  # min id per cluster + the singleton
