@@ -151,3 +151,43 @@ def topk_join(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+) -> np.ndarray:
+    """Distributed Lloyd's iterations: assignment runs on executors as
+    a Column expression (``assign_centroid``), and each round reduces
+    only per-(cluster, dimension) partial sums — k*dim rows — to the
+    driver via posexplode + hash aggregate (map-side combine keeps the
+    shuffle tiny regardless of corpus size). Init is the first ``k``
+    vectors in id-less ``limit`` order off the parquet scan —
+    deterministic for a stable source. This is the 100 TB-correct
+    shape: the data never leaves executors, the model (k x dim floats)
+    is the only driver state — unlike ``train_centroids`` it needs no
+    representative driver-side sample."""
+    first = df.select(vec_col).limit(k).collect()
+    cents = np.array([r[0] for r in first], dtype=np.float64)
+    counts_sql = F.count(F.lit(1)).alias("n")
+    for _ in range(iters):
+        assigned = df.select(
+            assign_centroid(F.col(vec_col), cents).alias("__c"),
+            F.col(vec_col).alias("__v"),
+        )
+        stats = (
+            assigned.select("__c", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("__c", "pos")
+            .agg(F.sum("val").alias("s"), counts_sql)
+            .collect()
+        )
+        sums = np.zeros_like(cents)
+        ns = np.zeros(len(cents))
+        for r in stats:
+            sums[r["__c"], r["pos"]] = r["s"]
+            ns[r["__c"]] = r["n"]
+        nonzero = ns > 0
+        cents[nonzero] = sums[nonzero] / ns[nonzero, None]
+    return cents

@@ -2403,3 +2403,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, cand, "text", "doc_id", shingle_k=5, threshold=0.45
     ).select("id_a", "id_b")
     return connected_components(edges, "id_a", "id_b").orderBy("node")
+
+
+@query("q_kmeans_clusters")  # rows-only: iterative float means are not
+# stably hashable across engines (summation order); the driver checks
+# rows>0 and the unit test checks exact recovery on planted clusters.
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table: executor
+    -side assignment (Column expression), per-(cluster,dim) partial
+    sums to the driver — the scalable IVF-centroid trainer. Returns
+    cluster sizes + mean vector norm per cluster."""
+    from .llm_ops.similarity import assign_centroid, kmeans_fit
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = kmeans_fit(emb, "embedding", k=8, iters=3)
+    return (
+        emb.select(assign_centroid(F.col("embedding"), cents).alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("cluster")
+    )

@@ -316,3 +316,26 @@ def test_connected_components_chain_and_survivors(spark):
         ).collect()
     )
     assert kept == [1, 10, 20, 99]  # min id per cluster + the singleton
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    import numpy as np
+    from chill_spark.llm_ops.similarity import assign_centroid, kmeans_fit
+
+    centers = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]]
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [c[0] + rng.uniform(-1, 1), c[1] + rng.uniform(-1, 1)]))
+    df = spark.createDataFrame(rows, ["id", "embedding"])
+    cents = kmeans_fit(df, "embedding", k=4, iters=6)
+    # each fitted centroid sits inside one planted cluster's box
+    snapped = {tuple(round(v / 10) * 10.0 for v in c) for c in cents}
+    assert snapped == {tuple(c) for c in centers}
+    # and assignment is pure within clusters
+    out = df.select(
+        (F.col("id") % 4).alias("truth"),
+        assign_centroid(F.col("embedding"), cents).alias("got"),
+    )
+    assert out.groupBy("truth", "got").count().count() == 4
