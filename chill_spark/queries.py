@@ -2423,3 +2423,66 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy("cluster")
     )
+
+
+@query(
+    "q_sliding_window_events",
+    oracle="""
+    SELECT win_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - i * INTERVAL '30 minutes' AS win_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+    )
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 1-hour windows every 30
+    minutes via F.window — Catalyst expands each event into its 2
+    covering windows then hash-aggregates; same plan shape streaming
+    or batch. The oracle replicates the expansion with an explicit
+    unnest cross join."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query("q_approx_sketches")  # rows-only: HLL++/GK-sketch estimates are
+# engine-specific by design; the unit test bounds them against exact
+# values (<=5% relative error).
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for interactive profiling at scale:
+    approx_count_distinct (HyperLogLog++, fixed-size sketch merged
+    map-side — the only way COUNT DISTINCT scales past a shuffle of
+    every key) and approx_percentile per group."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("apx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("apx_parts"),
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10_000
+            ).alias("apx_price_p50_p95"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -339,3 +339,23 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
         assign_centroid(F.col("embedding"), cents).alias("got"),
     )
     assert out.groupBy("truth", "got").count().count() == 4
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    from chill_spark.queries import q_approx_sketches
+
+    got = {r["l_returnflag"]: r for r in q_approx_sketches(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        assert abs(got[flag]["apx_orders"] - e["orders"]) <= 0.05 * e["orders"]
+        p50 = got[flag]["apx_price_p50_p95"][0]
+        assert abs(p50 - e["p50"]) <= 0.05 * e["p50"]

@@ -145,3 +145,18 @@ def test_lsh_candidates_single_shuffle_no_join(spark):
     import re as _re
 
     assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(Q.queries()["q_chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan  # pure map stage: split/explode/slice
+    assert "BatchEvalPython" not in plan  # and no Python UDF
+
+
+def test_sliding_window_single_shuffle(spark, sf_dir):
+    plan = plan_of(Q.queries()["q_sliding_window_events"](spark, sf_dir))
+    # exactly the agg's hash exchange (+ the orderBy's range exchange);
+    # the window expansion itself must not shuffle
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "hashpartitioning" in plan
