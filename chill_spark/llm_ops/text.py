@@ -160,3 +160,23 @@ def shingle_fingerprints(
         idx,
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
     )
+
+
+def ngram_counts(col: Column | str, n: int = 3) -> tuple[Column, Column]:
+    """(total, distinct) n-gram counts over normalized whitespace
+    tokens — the Gopher-style within-document repetition signal.
+    Documents shorter than n tokens count as one gram (the whole
+    text), mirroring the shingle convention. Pure array exprs."""
+    toks = F.split(normalize_text(col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.size(grams), F.size(F.array_distinct(grams))
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Fraction of duplicated n-grams: 1 - distinct/total. High values
+    flag boilerplate / degenerate repetition for corpus filtering."""
+    total, distinct = ngram_counts(col, n)
+    return 1 - distinct / total

@@ -2486,3 +2486,38 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_repetition_filter",
+    oracle=r"""
+    SELECT doc_id, len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct,
+           round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+               AS rep_ratio
+    FROM (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(t) - 3, 0) + 2),
+                   i -> array_to_string(t[i : i + 2], ' ')) AS grams
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents)
+    )
+    ORDER BY doc_id
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: per-document duplicate
+    3-gram fraction (1 - distinct/total), computed with pure array
+    expressions in one shuffle-free map stage."""
+    from .llm_ops.text import ngram_counts
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    total, distinct = ngram_counts("text", 3)
+    return d.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        F.round(1 - distinct / total, 6).alias("rep_ratio"),
+    ).orderBy("doc_id")

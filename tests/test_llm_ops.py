@@ -359,3 +359,21 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
         assert abs(got[flag]["apx_orders"] - e["orders"]) <= 0.05 * e["orders"]
         p50 = got[flag]["apx_price_p50_p95"][0]
         assert abs(p50 - e["p50"]) <= 0.05 * e["p50"]
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    from chill_spark.llm_ops.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 20),            # degenerate repetition
+            (2, " ".join(f"w{i}" for i in range(40))),  # all distinct
+            (3, "ab"),                        # shorter than n -> 1 gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["r"] for r in
+           df.select("doc_id", repetition_ratio("text").alias("r")).collect()}
+    assert got[1] > 0.9
+    assert got[2] == 0.0
+    assert got[3] == 0.0
