@@ -161,14 +161,23 @@ def streaming_rollup(
     interval: str,
     watermark: str = "10 minutes",
     datetime_col: str = "DATETIME",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window rollup (the streaming A1): late rows
+    """Watermarked windowed rollup (the streaming A1): late rows
     inside the watermark still land in their window; beyond it they're
     dropped and the batch ladder repair picks them up. Append output
-    mode emits each window once, when the watermark passes it."""
+    mode emits each window once, when the watermark passes it.
+    ``slide`` < ``interval`` yields sliding (hopping) windows — each
+    row feeds interval/slide overlapping windows, state tracked per
+    window exactly as for tumbling."""
+    win = (
+        F.window(F.col(datetime_col), interval, slide)
+        if slide
+        else F.window(F.col(datetime_col), interval)
+    )
     agg = (
         stream_df.withWatermark(datetime_col, watermark)
-        .groupBy(F.window(F.col(datetime_col), interval).alias("w"), *keys)
+        .groupBy(win.alias("w"), *keys)
         .agg(*[F.sum(F.col(c)).alias(c) for c in counters])
     )
     return agg.select(

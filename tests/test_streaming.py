@@ -349,3 +349,54 @@ def test_stream_stream_join(spark, stream_dirs):
     got = {(r["ad_id"], str(r["clk_ts"])) for r in spark.read.parquet(out_dir).collect()}
     assert (1, "2024-01-01 00:10:00") in got
     assert all(ad != 2 for ad, _ in got)  # late click never joins
+
+
+def test_streaming_sliding_window(spark, stream_dirs):
+    """Sliding 30m/15m windows in append mode: each row lands in 2
+    overlapping windows; emitted results match the batch hopping agg
+    over the same rows."""
+    in_dir = os.path.join(stream_dirs["in"], "slide_src")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "s1.csv"), "w") as f:
+        f.write(
+            "DATETIME,SITE,CALLS\n"
+            "2024-01-01 00:05:00,s1,10\n"
+            "2024-01-01 00:20:00,s1,5\n"
+            "2024-01-01 02:00:00,s1,1\n"  # advances watermark
+        )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("DATETIME", StringType()),
+        StructField("SITE", StringType()),
+        StructField("CALLS", StringType()),
+    ])
+
+    def load(reader):
+        return reader.format("csv").schema(schema).option("header", "true") \
+            .load(f"{in_dir}/*.csv").select(
+                F.col("DATETIME").cast("timestamp").alias("DATETIME"),
+                "SITE",
+                F.col("CALLS").cast("double").alias("CALLS"),
+            )
+
+    agg = streaming_rollup(
+        load(spark.readStream), ["SITE"], ["CALLS"],
+        "30 minutes", watermark="10 minutes", slide="15 minutes",
+    )
+    out_dir = os.path.join(stream_dirs["out"], "slide")
+    ckpt = os.path.join(stream_dirs["ckpt"], "slide")
+    q = (
+        agg.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    drain(q)
+    got = {
+        (str(r["DATETIME"]), r["CALLS"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # row@00:05 -> windows 23:45 & 00:00; row@00:20 -> 00:00 & 00:15
+    assert ("2023-12-31 23:45:00", 10.0) in got
+    assert ("2024-01-01 00:00:00", 15.0) in got
+    assert ("2024-01-01 00:15:00", 5.0) in got
