@@ -2521,3 +2521,38 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct.alias("n_distinct"),
         F.round(1 - distinct / total, 6).alias("rep_ratio"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_unpivot_measures",
+    oracle="""
+    SELECT measure, round(avg(value), 6) AS avg_value, count(*) AS n
+    FROM (
+        SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure ORDER BY measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide measures to long form — DataFrame.unpivot
+    expands in-place (one scan, no join/union of rescans; the same
+    shape the reconcile layer's stack()-based value diff uses) —
+    then a per-measure profile aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.unpivot(
+            [],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+        .groupBy("measure")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("measure")
+    )
