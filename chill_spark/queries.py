@@ -2556,3 +2556,24 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+@query("q_dedup_minhash_cc")  # rows-only: LSH candidate recall is
+# probabilistic (band/bucket layout), so survivors aren't SQL-stable;
+# the closure itself is oracle-checked via q_dedup_components.
+def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full production-shape near-dedup: MinHash+LSH candidates ->
+    exact Jaccard verify -> connected-components closure -> min-id
+    survivor per cluster, over the chained corpus (multi-hop dups)."""
+    from .llm_ops.dedup import dedup_minhash_cc
+
+    corpus = _chained_docs(spark, sf_dir)
+    return (
+        dedup_minhash_cc(
+            # 16 bands x 2 rows: P(candidate) ~ 99% at J=0.5 (vs ~40%
+            # for 8x4, whose S-curve is tuned for J>=0.7)
+            corpus, "text", "doc_id", threshold=0.45, bands=16,
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

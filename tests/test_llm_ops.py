@@ -377,3 +377,37 @@ def test_repetition_ratio_flags_boilerplate(spark):
     assert got[1] > 0.9
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_dedup_cc_collapses_chains_greedy_misses(spark):
+    """Verified pairs (1,3),(2,3): greedy one-hop keeps {1,2}; the
+    CC-based pipeline collapses the whole component to {1}."""
+    from chill_spark.llm_ops.components import (
+        component_survivors, connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], ["id_a", "id_b"])
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 9)], ["doc_id", "text"]
+    )
+    greedy_doomed = {r["id_b"] for r in pairs.collect()}
+    assert greedy_doomed == {3}
+    cc = connected_components(pairs, "id_a", "id_b")
+    kept = sorted(r["doc_id"] for r in
+                  component_survivors(docs, cc, "doc_id").collect())
+    assert kept == [1, 9]
+
+
+def test_dedup_minhash_cc_on_chained_corpus(spark, sf_dir):
+    from chill_spark.llm_ops.dedup import dedup_minhash, dedup_minhash_cc
+    from chill_spark.queries import _chained_docs
+
+    corpus = _chained_docs(spark, sf_dir).limit(300)
+    cc_kept = dedup_minhash_cc(corpus, "text", "doc_id", threshold=0.45)
+    greedy_kept = dedup_minhash(corpus, "text", "doc_id", threshold=0.45)
+    n_cc, n_greedy, n_all = cc_kept.count(), greedy_kept.count(), corpus.count()
+    assert n_cc <= n_greedy < n_all  # closure dedups at least as hard
+    # survivors are exactly the component minima + singletons: every
+    # kept doc is the min id of its own cluster, so no kept doc is the
+    # higher side of any verified duplicate pair twice -- spot check:
+    assert cc_kept.select("doc_id").distinct().count() == n_cc
