@@ -180,3 +180,47 @@ def repetition_ratio(col: Column | str, n: int = 3) -> Column:
     flag boilerplate / degenerate repetition for corpus filtering."""
     total, distinct = ngram_counts(col, n)
     return 1 - distinct / total
+
+
+def bm25_scores(
+    df,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 scores for a term query over the corpus.
+
+    Shape for scale: one explode of matching tokens only (the isin
+    filter cuts the exploded stream before the shuffle), tf grouped
+    per (doc, term); document frequencies and the (n_docs, avgdl)
+    scalars are tiny aggregates broadcast back — the corpus itself is
+    never re-shuffled. Returns (id, bm25) for every matching doc;
+    rank/limit downstream.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    d = df.select(
+        F.col(id_col).alias("id"), toks.alias("t"), F.size(toks).alias("dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("id", "dl", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(list(query_terms)))
+        .groupBy("id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count_distinct("id").alias("df_t"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    score = idf * (F.col("tf") * (k1 + 1)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+    )

@@ -2577,3 +2577,42 @@ def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_bm25_rank",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id AS id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    dl AS (SELECT id, t, len(t) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT id, dl, tok, count(*) AS tf
+        FROM (SELECT id, dl, unnest(t) AS tok FROM dl)
+        WHERE tok IN ('batch', 'scan', 'customer')
+        GROUP BY id, dl, tok
+    ),
+    dfreq AS (SELECT tok, count(DISTINCT id) AS df_t FROM tf GROUP BY tok)
+    SELECT id, round(sum(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+    GROUP BY id ORDER BY id
+    """,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical ranking for query terms (batch, scan,
+    customer): explode-filter-aggregate tf, broadcast df/avgdl
+    scalars, score JVM-side. Completes the retrieval ladder next to
+    TF-IDF and ANN cosine."""
+    from .llm_ops.text import bm25_scores
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return bm25_scores(
+        docs, "text", "doc_id", ["batch", "scan", "customer"]
+    ).orderBy("id")
