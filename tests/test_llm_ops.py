@@ -411,3 +411,20 @@ def test_dedup_minhash_cc_on_chained_corpus(spark, sf_dir):
     # kept doc is the min id of its own cluster, so no kept doc is the
     # higher side of any verified duplicate pair twice -- spot check:
     assert cc_kept.select("doc_id").distinct().count() == n_cc
+
+
+def test_bm25_ranks_term_dense_doc_higher(spark):
+    from chill_spark.llm_ops.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "widget widget widget gizmo filler filler"),
+            (2, "widget filler filler filler filler filler"),
+            (3, "no relevant terms at all here whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r["bm25"] for r in
+           bm25_scores(df, "text", "doc_id", ["widget"]).collect()}
+    assert set(got) == {1, 2}          # doc 3 never matches
+    assert got[1] > got[2] > 0
