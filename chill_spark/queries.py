@@ -2616,3 +2616,33 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         docs, "text", "doc_id", ["batch", "scan", "customer"]
     ).orderBy("id")
+
+
+@query(
+    "q_cube_events",
+    oracle="""
+    SELECT event_type, date_part('dow', ts) AS dow,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, date_part('dow', ts))
+    ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+    """,
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping sets in
+    a single expand+aggregate pass — one scan, one shuffle, vs four
+    scans for the naive union of subtotals."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    dow = F.dayofweek("ts") - 1  # Spark: Sun=1..Sat=7 -> DuckDB dow Sun=0
+    return (
+        ev.select("event_type", dow.alias("dow"), "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("dow").asc_nulls_first()
+        )
+    )
