@@ -13,6 +13,8 @@ into engine subcommands; the daemon/sqlplus/scheduler middle band
                                      --expected DIR --actual DIR --report out.xml
     python -m chill_spark retention  --catalog cat.json --table T --in DIR \
                                      [--as-of 'YYYY-MM-DD HH:MM:SS'] [--apply]
+    python -m chill_spark dedup      --in DIR --out DIR [--method exact|near] \
+                                     [--threshold 0.7] [--bands 8]
 """
 
 from __future__ import annotations
@@ -132,6 +134,26 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    from .llm_ops.dedup import dedup_exact, dedup_minhash_cc
+    from .session import get_spark
+
+    spark = get_spark("chill-dedup")
+    df = spark.read.parquet(args.input)
+    n = df.count()
+    if args.method == "exact":
+        kept = dedup_exact(df, args.text_col, args.id_col)
+    else:
+        kept = dedup_minhash_cc(
+            df, args.text_col, args.id_col,
+            threshold=args.threshold, bands=args.bands,
+        )
+    kept.write.mode("overwrite").parquet(args.out)
+    k = spark.read.parquet(args.out).count()
+    print(f"{n} -> {k} rows ({n - k} removed, method={args.method})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="chill_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -177,6 +199,16 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("--as-of", dest="as_of")
     rt.add_argument("--apply", action="store_true")
     rt.set_defaults(fn=cmd_retention)
+
+    dd = sub.add_parser("dedup", help="exact or near (LSH+CC) corpus dedup")
+    dd.add_argument("--in", dest="input", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--method", choices=["exact", "near"], default="exact")
+    dd.add_argument("--text-col", dest="text_col", default="text")
+    dd.add_argument("--id-col", dest="id_col", default="doc_id")
+    dd.add_argument("--threshold", type=float, default=0.7)
+    dd.add_argument("--bands", type=int, default=8)
+    dd.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

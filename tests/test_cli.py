@@ -95,3 +95,16 @@ def test_cli_rollup(cli_dirs, capsys):
     ])
     assert rc == 0
     assert os.path.isdir(os.path.join(rollup_out, "CELL_STATS_HH"))
+
+
+def test_cli_dedup(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "docs_in")
+    dst = os.path.join(cli_dirs["base"], "docs_out")
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "unique text here")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    rc = main(["dedup", "--in", src, "--out", dst, "--method", "exact"])
+    assert rc == 0
+    assert spark.read.parquet(dst).count() == 2
+    assert "3 -> 2 rows" in capsys.readouterr().out
