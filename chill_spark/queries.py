@@ -810,15 +810,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_minhash")
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash+LSH near-dedup pipeline (shingle → 32 minhashes →
-    8 bands → bucket equi-join → exact Jaccard verify → min-id
-    survivor). xxhash64-based, so rows-only for the oracle gate; the
-    Jaccard verify stage is oracle-checked via q_dedup_ngram_jaccard."""
+    """Full MinHash+LSH near-dedup pipeline (shingle → 16 minhashes →
+    8 bands x 2 rows → bucket equi-join → exact Jaccard verify →
+    min-id survivor). Band layout matches the 0.5 threshold:
+    P(candidate | J=0.5) ≈ 90% for r=2 vs ~40% for the r=4 default
+    (which is tuned for J>=0.8) — and half the hashing work; false
+    candidates are removed by the exact verify stage. xxhash64-based,
+    so rows-only for the oracle gate; the Jaccard verify stage is
+    oracle-checked via q_dedup_ngram_jaccard."""
     from .llm_ops.dedup import dedup_minhash
 
     corpus = _truncated_docs(spark, sf_dir)
     return (
-        dedup_minhash(corpus, "text", "doc_id", threshold=0.5)
+        dedup_minhash(corpus, "text", "doc_id", threshold=0.5, num_hashes=16)
         .select("doc_id")
         .orderBy("doc_id")
     )
