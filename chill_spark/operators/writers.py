@@ -68,3 +68,54 @@ def read_fact(
             keys.append(ts.strftime("%Y%m%d%H%M"))
         df = df.filter(F.col(PARTITION_COL).isin(keys))
     return df.drop(PARTITION_COL)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partitions: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction for a DT_PART-partitioned fact table.
+
+    Streaming appends (one file per micro-batch per partition) and
+    fine-grained partition overwrites accumulate small files; at scale
+    a 100k-file partition turns every scan into driver-side listing
+    pain and per-file open overhead. For each partition (or the given
+    subset) whose file count exceeds what ``target_file_bytes`` would
+    produce, rewrite it with dynamic partition overwrite in
+    ceil(bytes/target) files via repartition.
+
+    Returns {partition_key: files_after} for rewritten partitions.
+    One partition at a time keeps the overwrite atomic per period —
+    the same idempotency contract as write_fact (S10).
+    """
+    import math
+    import os
+
+    rewritten: dict[str, int] = {}
+    base = path.rstrip("/")
+    parts = sorted(
+        p.split("=", 1)[1]
+        for p in os.listdir(base)
+        if p.startswith(f"{PARTITION_COL}=")
+    )
+    if partitions:
+        parts = [p for p in parts if p in partitions]
+    for key in parts:
+        pdir = f"{base}/{PARTITION_COL}={key}"
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        want = max(1, math.ceil(total / target_file_bytes))
+        if len(files) <= want:
+            continue
+        (
+            spark.read.parquet(pdir)
+            .repartition(want)
+            .withColumn(PARTITION_COL, F.lit(key))
+            .write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(base)
+        )
+        rewritten[key] = want
+    return rewritten

@@ -160,3 +160,29 @@ def test_sliding_window_single_shuffle(spark, sf_dir):
     import re
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert "hashpartitioning" in plan
+
+
+def test_compact_partitions_merges_small_files(spark):
+    from chill_spark.operators.writers import (
+        PARTITION_COL, compact_partitions, write_fact,
+    )
+
+    path = os.path.join(TMP, "compact_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", f"s{i}", float(i)) for i in range(200)]
+        + [("2024-01-01 00:15:00", "s1", 1.0)],
+        ["DATETIME", "SITE", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(df.repartition(20), path)
+    p0 = f"{path}/{PARTITION_COL}=202401010000"
+    before = len([f for f in os.listdir(p0) if f.endswith(".parquet")])
+    assert before > 1
+    rewritten = compact_partitions(spark, path)
+    after = len([f for f in os.listdir(p0) if f.endswith(".parquet")])
+    assert after == 1 and rewritten["202401010000"] == 1
+    # contents unchanged, other partition untouched
+    from chill_spark.operators.writers import read_fact
+    assert read_fact(spark, path).count() == 201
+    assert compact_partitions(spark, path) == {}  # idempotent
+    shutil.rmtree(path, ignore_errors=True)
