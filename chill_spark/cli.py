@@ -15,6 +15,7 @@ into engine subcommands; the daemon/sqlplus/scheduler middle band
                                      [--as-of 'YYYY-MM-DD HH:MM:SS'] [--apply]
     python -m chill_spark dedup      --in DIR --out DIR [--method exact|near] \
                                      [--threshold 0.7] [--bands 8]
+    python -m chill_spark compact    --in DIR [--target-mb 128]
 """
 
 from __future__ import annotations
@@ -154,6 +155,20 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .operators.writers import compact_partitions
+    from .session import get_spark
+
+    spark = get_spark("chill-compact")
+    done = compact_partitions(
+        spark, args.input, target_file_bytes=args.target_mb * 1024 * 1024
+    )
+    for k, n in sorted(done.items()):
+        print(f"{k}: rewritten to {n} file(s)")
+    print(f"{len(done)} partition(s) compacted")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="chill_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -209,6 +224,11 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--threshold", type=float, default=0.7)
     dd.add_argument("--bands", type=int, default=8)
     dd.set_defaults(fn=cmd_dedup)
+
+    cp = sub.add_parser("compact", help="merge small files per partition")
+    cp.add_argument("--in", dest="input", required=True)
+    cp.add_argument("--target-mb", dest="target_mb", type=int, default=128)
+    cp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

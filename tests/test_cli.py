@@ -108,3 +108,14 @@ def test_cli_dedup(cli_dirs, spark, capsys):
     assert rc == 0
     assert spark.read.parquet(dst).count() == 2
     assert "3 -> 2 rows" in capsys.readouterr().out
+
+
+def test_cli_compact(cli_dirs, spark, capsys):
+    main([
+        "run", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"],
+    ])
+    fact = os.path.join(cli_dirs["out"], "CELL_STATS_15M")
+    rc = main(["compact", "--in", fact, "--target-mb", "128"])
+    assert rc == 0
+    assert "partition(s) compacted" in capsys.readouterr().out
