@@ -2650,3 +2650,75 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").asc_nulls_first(), F.col("dow").asc_nulls_first()
         )
     )
+
+
+@query(
+    "q_ntile_revenue_deciles",
+    oracle="""
+    SELECT decile,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    GROUP BY decile ORDER BY decile
+    """,
+)
+def q_ntile_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization: NTILE(10) over order value (ties
+    broken by key so both engines bucket identically), then per-decile
+    revenue. The global sort window is the known scale bottleneck —
+    at 100 TB swap to approx_percentile cutpoints + a join-free CASE;
+    q_approx_sketches shows that path."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q_fuzzy_name_match",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY key_a, key_b
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: Levenshtein-close customer-name pairs,
+    blocked by nation (equi-join keeps the candidate set linear-ish;
+    never a full cross join — the same blocking discipline as the
+    dedup candidates). Edit distance is JVM-side F.levenshtein."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("key_a", "key_b")
+    )
