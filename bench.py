@@ -45,6 +45,10 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_chunk_documents",
+    "q_pack_sequences",
+    "q_bm25_rank",
+    "q_cube_events",
     "q_text_stats",
     "q_lang_id",
     "q_ann_topk",
