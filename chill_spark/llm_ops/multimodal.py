@@ -159,3 +159,103 @@ def media_summary(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+AUDIO_FEAT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+RESIZE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_pixel_bytes", LongType(), True),
+    ]
+)
+
+FAKE_SAMPLE_RATE = 16_000
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio decode + feature extraction (Arrow-batched mapInPandas).
+    FakeCodec semantics: bytes after the ``AUD:`` header are unsigned
+    8-bit samples at 16 kHz; features are sample count, duration and
+    RMS level. A real codec (soundfile/ffmpeg) drops in behind the
+    same schema — the Spark plumbing (binary column in, typed feature
+    rows out, bytes never leave the executor) is the part under test."""
+
+    def run(batches):
+        import math
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                if not content.startswith(b"AUD:"):
+                    out.append({"media_id": row["media_id"], "n_samples": None,
+                                "duration_s": None, "rms": None})
+                    continue
+                samples = content[4:] or b"\x00"
+                n = len(samples)
+                out.append({
+                    "media_id": row["media_id"],
+                    "n_samples": n,
+                    "duration_s": n / FAKE_SAMPLE_RATE,
+                    "rms": math.sqrt(sum(b * b for b in samples) / n),
+                })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEAT_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(run, schema=AUDIO_FEAT_SCHEMA)
+    )
+
+
+def resize_images(media: DataFrame, max_side: int) -> DataFrame:
+    """Image resize plumbing: scale (w, h) so the longer side is
+    ``max_side`` (never upscale) and subsample the fake pixel buffer
+    by the area ratio — the metadata arithmetic a real resampler
+    would produce, behind the schema a real one would use."""
+
+    def run(batches):
+        import math
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                parts = content.split(b":", 4)
+                if len(parts) != 5 or parts[0] != b"IMG":
+                    out.append({"media_id": row["media_id"], "width": None,
+                                "height": None, "n_pixel_bytes": None})
+                    continue
+                w, h = int(parts[1]), int(parts[2])
+                px = parts[4] or b"\x00"
+                scale = min(1.0, max_side / max(w, h))
+                nw = max(1, math.floor(w * scale))
+                nh = max(1, math.floor(h * scale))
+                step = max(1, math.ceil((w * h) / (nw * nh)))
+                out.append({
+                    "media_id": row["media_id"],
+                    "width": nw,
+                    "height": nh,
+                    "n_pixel_bytes": len(px[::step]),
+                })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZE_META_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(run, schema=RESIZE_META_SCHEMA)
+    )

@@ -2722,3 +2722,50 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .orderBy("key_a", "key_b")
     )
+
+
+@query(
+    "q_media_audio_features",
+    oracle=_MEDIA_SQL + """
+    SELECT media_id,
+           strlen(text) AS n_samples,
+           round(strlen(text) / 16000.0, 6) AS duration_s,
+           round(sqrt(list_aggregate(
+                     list_transform(range(1, strlen(text) + 1),
+                                    i -> ascii(text[i]) * ascii(text[i])),
+                     'sum')::DOUBLE / strlen(text)), 6) AS rms
+    FROM media WHERE kind = 'audio' ORDER BY media_id
+    """,
+)
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + features via Arrow-batched mapInPandas (FakeCodec
+    8-bit samples @16 kHz; oracle replicates the byte arithmetic)."""
+    from .llm_ops.multimodal import extract_audio_features
+
+    feats = extract_audio_features(_synthetic_media(spark, sf_dir))
+    return feats.select(
+        "media_id", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("media_id")
+
+
+@query(
+    "q_media_resize",
+    oracle=_MEDIA_SQL + """
+    -- synthetic images are all 3x4: max_side=2 -> scale 0.5 ->
+    -- (1, 2), subsample step ceil(12/2)=6
+    SELECT media_id, 1 AS width, 2 AS height,
+           CAST(ceil(strlen(text) / 6.0) AS BIGINT) AS n_pixel_bytes
+    FROM media WHERE kind = 'image' ORDER BY media_id
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (downscale to max side 2, subsampled
+    pixel buffer) through mapInPandas; metadata arithmetic replicated
+    by the oracle."""
+    from .llm_ops.multimodal import resize_images
+
+    return resize_images(_synthetic_media(spark, sf_dir), max_side=2).orderBy(
+        "media_id"
+    )

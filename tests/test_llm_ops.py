@@ -428,3 +428,27 @@ def test_bm25_ranks_term_dense_doc_higher(spark):
            bm25_scores(df, "text", "doc_id", ["widget"]).collect()}
     assert set(got) == {1, 2}          # doc 3 never matches
     assert got[1] > got[2] > 0
+
+
+def test_audio_and_resize_plumbing(spark):
+    from chill_spark.llm_ops.multimodal import (
+        extract_audio_features, resize_images,
+    )
+
+    from chill_spark.llm_ops.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(b"AUD:" + bytes([3, 4])), None, 6),
+            (2, "audio", bytearray(b"not-audio"), None, 9),
+            (3, "image", bytearray(b"IMG:8:4:1:" + bytes(range(32))), None, 42),
+        ],
+        MEDIA_SCHEMA,
+    )
+    a = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert a[1]["n_samples"] == 2
+    assert abs(a[1]["rms"] - ((9 + 16) / 2) ** 0.5) < 1e-9
+    assert a[2]["n_samples"] is None  # bad header -> nulls, not a crash
+    r = resize_images(media, max_side=4).collect()[0]
+    # 8x4 -> scale 0.5 -> 4x2; step = ceil(32/8) = 4 -> 8 bytes kept
+    assert (r["width"], r["height"], r["n_pixel_bytes"]) == (4, 2, 8)
