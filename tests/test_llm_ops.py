@@ -7,6 +7,8 @@ from __future__ import annotations
 import math
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as hyp_st
 from pyspark.sql import functions as F
 
 from chill_spark.llm_ops import (
@@ -452,3 +454,34 @@ def test_audio_and_resize_plumbing(spark):
     r = resize_images(media, max_side=4).collect()[0]
     # 8x4 -> scale 0.5 -> 4x2; step = ceil(32/8) = 4 -> 8 bytes kept
     assert (r["width"], r["height"], r["n_pixel_bytes"]) == (4, 2, 8)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=hyp_st.data())
+def test_chunk_reconstruction_property(spark, data):
+    """For any text and chunk/stride with stride==chunk, chunks rejoin
+    to the whitespace-normalized original; with stride<chunk every
+    consecutive chunk pair overlaps by chunk-stride tokens."""
+    from chill_spark.llm_ops.chunking import chunk_documents
+
+    words = data.draw(hyp_st.lists(
+        hyp_st.text(alphabet="abcXYZ09", min_size=1, max_size=6),
+        min_size=1, max_size=30))
+    chunk = data.draw(hyp_st.integers(min_value=1, max_value=8))
+    stride = data.draw(hyp_st.integers(min_value=1, max_value=chunk))
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_start"], r["chunk_text"], r["chunk_len"])
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, stride=stride
+        ).collect()
+    )
+    if stride == chunk:
+        assert " ".join(t for _, t, _ in rows) == text
+    starts = [s for s, _, _ in rows]
+    assert starts == list(range(0, len(words), stride))
+    for s, t, ln in rows:
+        toks = t.split(" ")
+        assert toks == words[s:s + chunk]
+        assert ln == len(toks)
