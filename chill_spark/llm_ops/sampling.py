@@ -90,3 +90,27 @@ def split_oracle_sql(
         whens.append(f"WHEN {bucket} < {int(round(cum * BUCKETS))} THEN '{name}'")
     case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
     return case
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    n_per_stratum: int,
+    seed: str = "sample",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer when the
+    stratum is smaller): rank rows inside each stratum by their id
+    hash (uniform, deterministic) and keep the first n. One shuffle
+    on the stratum key; no RNG state, stable under repartitioning —
+    the exact-count companion to ``stratified_sample``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket(id_col, seed), id_col
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

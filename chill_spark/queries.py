@@ -2769,3 +2769,32 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(_synthetic_media(spark, sf_dir), max_side=2).orderBy(
         "media_id"
     )
+
+
+@query(
+    "q_stratified_exact_counts",
+    oracle=f"""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::BIGINT % {10_000}, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    ORDER BY lang, doc_id
+    """,
+)
+def q_stratified_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: 10 docs per language, chosen
+    by deterministic hash rank (stable membership, no RNG); row-level
+    output so the oracle checks the exact selection."""
+    from .llm_ops.sampling import stratified_sample_exact
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        stratified_sample_exact(docs, "doc_id", "lang", 10)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

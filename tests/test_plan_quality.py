@@ -186,3 +186,23 @@ def test_compact_partitions_merges_small_files(spark):
     assert read_fact(spark, path).count() == 201
     assert compact_partitions(spark, path) == {}  # idempotent
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_cells_partition_prune_on_disk(spark, sf_dir):
+    """The IVF scale path: persist the corpus partitioned by cell so a
+    probe scans only nprobe/C of the files (PartitionFilters, not a
+    post-scan filter)."""
+    from chill_spark.llm_ops.similarity import build_ivf
+
+    path = os.path.join(TMP, "ivf_table")
+    shutil.rmtree(path, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed, cents = build_ivf(emb, n_centroids=4, sample=500)
+    indexed.write.partitionBy("__ivf_cell").parquet(path)
+    probed = spark.read.parquet(path).filter(F.col("__ivf_cell").isin([0, 1]))
+    plan = plan_of(probed)
+    assert "PartitionFilters" in plan
+    n_cells = len([d for d in os.listdir(path) if d.startswith("__ivf_cell=")])
+    assert n_cells == 4
+    assert 0 < probed.count() < emb.count()
+    shutil.rmtree(path, ignore_errors=True)
