@@ -2798,3 +2798,62 @@ def q_stratified_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=r"""
+    SELECT rank, tok, cnt,
+           round(cum::DOUBLE / total, 6) AS coverage
+    FROM (
+        SELECT tok, cnt,
+               row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+               sum(cnt) OVER (ORDER BY cnt DESC, tok
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER () AS total
+        FROM (
+            SELECT tok, count(*) AS cnt
+            FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        )
+    )
+    WHERE rank <= 100
+    ORDER BY rank
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: cumulative fraction of all corpus
+    tokens covered by the top-k vocabulary (tokenizer-budget sizing /
+    OOV analysis). Explode -> count (map-side combined) -> running
+    sum over the tiny vocab table; ties broken by token so both
+    engines rank identically."""
+    from pyspark.sql import Window
+
+    from .llm_ops.text import normalize_text
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    counts = (
+        docs.select(F.explode(F.split(normalize_text("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    return (
+        counts.select(
+            F.row_number().over(w).alias("rank"),
+            "tok",
+            "cnt",
+            F.round(
+                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.sum("cnt").over(
+                    Window.partitionBy().rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+                6,
+            ).alias("coverage"),
+        )
+        .filter(F.col("rank") <= 100)
+        .orderBy("rank")
+    )
