@@ -2857,3 +2857,74 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 100)
         .orderBy("rank")
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id,
+           round(sum(value) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ), 4) AS trailing_1h
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: per event, the trailing-1-hour sum for
+    its type — RANGE on epoch seconds (value-based frame, not row
+    count), the standard trailing-window feature shape."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("trailing_1h")
+    ).orderBy("event_id")
+
+
+@query(
+    "q_full_outer_hourly_diff",
+    oracle="""
+    SELECT coalesce(e.hr, p.hr) AS hr,
+           coalesce(e.n, 0) AS n_errors,
+           coalesce(p.n, 0) AS n_purchases
+    FROM (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+          FROM events WHERE event_type = 'error' GROUP BY 1) e
+    FULL OUTER JOIN
+         (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+          FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+      ON e.hr = p.hr
+    ORDER BY hr
+    """,
+)
+def q_full_outer_hourly_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two sparse hourly aggregates —
+    hours where either side is absent surface with a zero count
+    instead of silently dropping (the reconcile layer's count
+    comparison, as one relational query)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+
+    def hourly(kind: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    e, p = hourly("error", "n_e"), hourly("purchase", "n_p")
+    return (
+        e.join(p, "hr", "full_outer")
+        .select(
+            "hr",
+            F.coalesce("n_e", F.lit(0)).alias("n_errors"),
+            F.coalesce("n_p", F.lit(0)).alias("n_purchases"),
+        )
+        .orderBy("hr")
+    )
