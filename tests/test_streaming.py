@@ -400,3 +400,55 @@ def test_streaming_sliding_window(spark, stream_dirs):
     assert ("2023-12-31 23:45:00", 10.0) in got
     assert ("2024-01-01 00:00:00", 15.0) in got
     assert ("2024-01-01 00:15:00", 5.0) in got
+
+
+def test_streaming_dedup_within_watermark(spark, stream_dirs):
+    """At-least-once replay tolerance: duplicate event ids inside the
+    watermark are dropped by state, not by a batch-side distinct."""
+    in_dir = os.path.join(stream_dirs["in"], "dedup_src")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "d1.csv"), "w") as f:
+        f.write(
+            "EVENT_ID,DATETIME,CALLS\n"
+            "e1,2024-01-01 00:01:00,10\n"
+            "e1,2024-01-01 00:01:00,10\n"   # replay inside same file
+            "e2,2024-01-01 00:02:00,5\n"
+        )
+    with open(os.path.join(in_dir, "d2.csv"), "w") as f:
+        f.write(
+            "EVENT_ID,DATETIME,CALLS\n"
+            "e2,2024-01-01 00:02:00,5\n"    # replay across files
+            "e3,2024-01-01 00:03:00,7\n"
+        )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("EVENT_ID", StringType()),
+        StructField("DATETIME", StringType()),
+        StructField("CALLS", StringType()),
+    ])
+    src = (
+        spark.readStream.format("csv").schema(schema)
+        .option("header", "true").option("maxFilesPerTrigger", "1")
+        .load(f"{in_dir}/*.csv")
+        .select(
+            "EVENT_ID",
+            F.col("DATETIME").cast("timestamp").alias("DATETIME"),
+            F.col("CALLS").cast("double").alias("CALLS"),
+        )
+        .withWatermark("DATETIME", "1 hour")
+        .dropDuplicatesWithinWatermark(["EVENT_ID"])
+    )
+    out_dir = os.path.join(stream_dirs["out"], "dedup")
+    ckpt = os.path.join(stream_dirs["ckpt"], "dedup")
+    q = (
+        src.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    drain(q)
+    got = sorted(
+        (r["EVENT_ID"], r["CALLS"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [("e1", 10.0), ("e2", 5.0), ("e3", 7.0)]
