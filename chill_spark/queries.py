@@ -2977,3 +2977,81 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_corpus_prep_pipeline",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, text,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source, text, t, len(t) AS n_tok,
+               list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                              i -> array_to_string(t[i : i + 2], ' ')) AS g
+        FROM toks
+    ),
+    filtered AS (
+        SELECT doc_id, source, text, n_tok
+        FROM grams
+        WHERE n_tok >= 30
+          AND 1 - len(list_distinct(g))::DOUBLE / len(g) < 0.2
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, any_value(source) AS source,
+               any_value(n_tok) AS n_tok
+        FROM (SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM filtered)
+        GROUP BY fp
+    ),
+    split AS (
+        SELECT doc_id, source, n_tok,
+               {{SPLIT_CASE}} AS split
+        FROM deduped
+    )
+    SELECT doc_id, split,
+           CASE WHEN split = 'train' THEN
+               CAST(floor((sum(CASE WHEN split = 'train' THEN n_tok ELSE 0 END)
+                               OVER (PARTITION BY source, split ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0)
+                    AS BIGINT)
+           END AS seq_id
+    FROM split
+    ORDER BY doc_id
+    """.replace("{SPLIT_CASE}", split_oracle_sql("deduped", "doc_id")),
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus prep pipeline as ONE declarative
+    plan: repetition/length quality filter -> exact dedup (min-id
+    survivor) -> deterministic train/val/test split -> per-shard
+    512-token sequence packing for the train split. Every stage is a
+    narrow map or a single keyed shuffle; the whole chain is one
+    Catalyst plan (stages fuse where possible) and the DuckDB oracle
+    replays it in CTEs."""
+    from pyspark.sql import Window
+
+    from .llm_ops.dedup import dedup_exact
+    from .llm_ops.sampling import assign_split
+    from .llm_ops.text import ngram_counts, repetition_ratio
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    total, _ = ngram_counts("text", 3)
+    n_tok = F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
+    filtered = docs.withColumn("n_tok", n_tok).filter(
+        (F.col("n_tok") >= 30) & (repetition_ratio("text") < 0.2)
+    )
+    deduped = dedup_exact(filtered, "text", "doc_id")
+    split = assign_split(deduped, "doc_id")
+    w = (
+        Window.partitionBy("source", "split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    train_tok = F.when(F.col("split") == "train", F.col("n_tok")).otherwise(0)
+    seq = F.when(
+        F.col("split") == "train",
+        F.floor((F.sum(train_tok).over(w) - F.col("n_tok")) / 512.0),
+    )
+    return split.select("doc_id", "split", seq.alias("seq_id")).orderBy("doc_id")
