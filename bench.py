@@ -49,6 +49,7 @@ HEADLINE = [
     "q_pack_sequences",
     "q_bm25_rank",
     "q_cube_events",
+    "q_corpus_prep_pipeline",
     "q_text_stats",
     "q_lang_id",
     "q_ann_topk",

@@ -224,3 +224,29 @@ def bm25_scores(
         .groupBy("id")
         .agg(F.round(F.sum(score), 6).alias("bm25"))
     )
+
+
+def with_repetition_stats(df, text_col: str, n: int = 3):
+    """Two-projection repetition stats: adds ``n_tok``, ``n_grams``,
+    ``n_distinct`` and ``rep_ratio`` columns.
+
+    Same lesson as shingle_sets: higher-order lambdas are interpreted,
+    so a gram lambda that references the raw split *expression*
+    re-runs the regexp tokenizer once per gram (O(tokens x grams) per
+    row). Materializing the token array as a column attribute in a
+    first projection anchors it, so the gram window only slices."""
+    toks = F.split(normalize_text(text_col), " ")
+    with_t = df.withColumn("__t", toks)
+    t = F.col("__t")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    return (
+        with_t.withColumn("n_tok", F.size(t))
+        .withColumn("__g", grams)
+        .withColumn("n_grams", F.size("__g"))
+        .withColumn("n_distinct", F.size(F.array_distinct("__g")))
+        .withColumn(
+            "rep_ratio", 1 - F.col("n_distinct") / F.col("n_grams")
+        )
+        .drop("__t", "__g")
+    )

@@ -2515,16 +2515,17 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signal: per-document duplicate
     3-gram fraction (1 - distinct/total), computed with pure array
     expressions in one shuffle-free map stage."""
-    from .llm_ops.text import ngram_counts
+    from .llm_ops.text import with_repetition_stats
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    total, distinct = ngram_counts("text", 3)
-    return d.select(
-        "doc_id",
-        total.alias("n_grams"),
-        distinct.alias("n_distinct"),
-        F.round(1 - distinct / total, 6).alias("rep_ratio"),
-    ).orderBy("doc_id")
+    return (
+        with_repetition_stats(d, "text")
+        .select(
+            "doc_id", "n_grams", "n_distinct",
+            F.round("rep_ratio", 6).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -3034,13 +3035,11 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .llm_ops.dedup import dedup_exact
     from .llm_ops.sampling import assign_split
-    from .llm_ops.text import ngram_counts, repetition_ratio
+    from .llm_ops.text import with_repetition_stats
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    total, _ = ngram_counts("text", 3)
-    n_tok = F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
-    filtered = docs.withColumn("n_tok", n_tok).filter(
-        (F.col("n_tok") >= 30) & (repetition_ratio("text") < 0.2)
+    filtered = with_repetition_stats(docs, "text").filter(
+        (F.col("n_tok") >= 30) & (F.col("rep_ratio") < 0.2)
     )
     deduped = dedup_exact(filtered, "text", "doc_id")
     split = assign_split(deduped, "doc_id")
