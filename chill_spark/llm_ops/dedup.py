@@ -64,6 +64,13 @@ def minhash_signature(
 
     Entirely array expressions: one pass, no UDF, no shuffle. Empty
     docs get null signatures.
+
+    WARNING — per-row Column convenience only: the shingle expression
+    is re-evaluated inside every per-hash lambda (interpreted, no CSE
+    across lambdas), so cost grows ~num_hashes x shingle cost per row.
+    The production pipeline (``minhash_candidates``) instead shingles
+    once via ``shingle_sets`` (anchored projections) and computes
+    signatures explode-and-aggregate — use that for anything big.
     """
     shingles = shingle_fingerprints(col, k=shingle_k)
 

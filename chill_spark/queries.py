@@ -1843,17 +1843,27 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints: min shingle-hash per sliding
     window of w=4 shingles — the classic local fingerprint selection
-    (rows-only: xxhash64-based). Pure array exprs, one scan."""
-    from .llm_ops.text import shingle_fingerprints
+    (rows-only: xxhash64-based). Staged projections anchor tokens and
+    shingles as column attributes; inlining them into the window
+    lambda re-evaluates the whole shingle chain per window (13x
+    slower at sf0.01, quadratic with doc length)."""
+    from .llm_ops.text import normalize_text, shingle_fingerprints
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    sh = shingle_fingerprints("text", k=5)
+    toks = d.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("__t")
+    )
+    shingled = toks.select(
+        "doc_id",
+        shingle_fingerprints(F.col("__t"), k=5, col_is_tokens=True).alias("__sh"),
+    )
+    sh = F.col("__sh")
     w = 4
     idx = F.sequence(F.lit(0), F.greatest(F.size(sh) - w, F.lit(0)))
     winnowed = F.array_distinct(
         F.transform(idx, lambda i: F.array_min(F.slice(sh, i + 1, w)))
     )
-    return d.select(
+    return shingled.select(
         "doc_id",
         F.size(winnowed).alias("n_fingerprints"),
         winnowed.alias("fingerprints"),
