@@ -282,6 +282,11 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
     For each bit b: sum over tokens of +1/-1 by token-hash bit b; the
     sign of the sum sets the output bit. Built as transform(sequence)
     + aggregate — JVM-side, no UDF; cost O(tokens x bits) per row.
+
+    WARNING: per-row convenience — the token-hash array is
+    re-evaluated inside each of the ``bits`` aggregates. The dedup
+    pipeline (``simhash_near_dups``) computes the same sketch
+    explode-and-aggregate; use that for datasets.
     """
     toks = F.split(normalize_text(col), " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))

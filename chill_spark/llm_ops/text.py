@@ -148,6 +148,12 @@ def shingle_fingerprints(
     Built entirely from array functions: tokenize -> sliding windows
     via transform(sequence) -> hash each window. Input to minhash and
     winnowing-style fingerprint selection.
+
+    WARNING: when given raw text, the tokenizer expression sits inside
+    the window lambda and is re-evaluated per shingle (interpreted
+    higher-order functions do no CSE). Anchor the token array in its
+    own projection and pass it with ``col_is_tokens=True`` — see
+    q_winnowing_fingerprints / shingle_sets.
     """
     toks = (
         (F.col(col) if isinstance(col, str) else col)
@@ -166,7 +172,11 @@ def ngram_counts(col: Column | str, n: int = 3) -> tuple[Column, Column]:
     """(total, distinct) n-gram counts over normalized whitespace
     tokens — the Gopher-style within-document repetition signal.
     Documents shorter than n tokens count as one gram (the whole
-    text), mirroring the shingle convention. Pure array exprs."""
+    text), mirroring the shingle convention. Pure array exprs.
+
+    WARNING: per-row convenience — the gram lambda re-evaluates the
+    tokenizer per gram. For datasets use ``with_repetition_stats``
+    (anchored projections, ~9x faster warm)."""
     toks = F.split(normalize_text(col), " ")
     starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
