@@ -2030,6 +2030,157 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11_important_parts",
+    oracle="""
+    WITH nat AS (
+      SELECT l.l_partkey, sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(CAST(part_value AS DOUBLE), 4) AS part_value
+    FROM nat
+    WHERE part_value > (SELECT sum(part_value) * CAST(0.002 AS DECIMAL(10,6)) FROM nat)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp table in the testdata — lineitem
+    is the supplier-part bridge): per-part value restricted to one
+    nation's suppliers, HAVING over a scalar subquery of the grand
+    total. The scalar total is a 1-row broadcast cross join, so the
+    fact is scanned and aggregated once; sums run in DECIMAL so the
+    threshold comparison is accumulation-order-independent at any
+    partition count."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    nat_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_value"))
+    )
+    total = per_part.agg(
+        (F.sum("part_value") * F.expr("CAST(0.002 AS DECIMAL(10,6))")).alias("__cut")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__cut"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value").cast("double"), 4).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size)
+    with a NOT IN supplier exclusion. The supplier-part relationship
+    is deduplicated BEFORE the joins (distinct on two narrow columns),
+    so the count-distinct aggregate and both joins see one row per
+    relationship instead of every lineitem — at 100 TB that's the
+    difference between shuffling 2 columns of distinct pairs and
+    shuffling the fact table. Exclusion list and part dim are
+    broadcast."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pt = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    return (
+        pairs.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (
+      SELECT l_partkey, sum(supp_qty) AS part_qty FROM sp GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT sp.l_suppkey
+      FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+      WHERE sp.supp_qty > 0.3 * pt.part_qty
+        AND sp.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty replaced by shipped volume): suppliers
+    who shipped >30% of a large part's 1997 volume. The correlated
+    quantity-threshold subquery is decorrelated into two stacked
+    aggregates — the per-part total is re-aggregated FROM the
+    per-(supplier, part) partial, so the fact table is scanned and
+    shuffled once; the part filter and the final supplier probe are
+    broadcast semi-joins. l_quantity values are small integers, so
+    double sums are exact and the 0.3x threshold computes identically
+    in both engines."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    sp = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("supp_qty").alias("part_qty"))
+    big_parts = t["part"].filter(F.col("p_size") >= 40).select("p_partkey")
+    dominant = (
+        sp.join(pt, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .join(F.broadcast(big_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "q_zscore_normalize",
     oracle="""
     SELECT event_id, user_id,
@@ -2533,6 +2684,131 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "n_grams", "n_distinct",
             F.round("rep_ratio", 6).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 3, 0) + 2),
+                 i -> array_to_string(t[i : i + 2], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+    SELECT grams.doc_id,
+           count(*) AS hit_grams,
+           any_value(doc_grams.n_grams) AS n_grams,
+           round(count(*)::DOUBLE / any_value(doc_grams.n_grams), 6) AS contam_ratio
+    FROM grams
+    JOIN bench USING (g)
+    JOIN (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id) doc_grams
+      USING (doc_id)
+    WHERE grams.doc_id % 20 <> 0
+    GROUP BY grams.doc_id
+    ORDER BY grams.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    3-gram with a held-out benchmark set (docs with doc_id % 20 == 0
+    stand in for the benchmark). Grams are built with the anchored
+    two-projection pattern (no per-gram re-tokenization), distinct
+    PER DOCUMENT before the explode so each (doc, gram) pair shuffles
+    once, and the benchmark gram set — small by nature, benchmarks
+    are fixed corpora — is broadcast, so the training side never
+    shuffles: the whole check is scan -> explode -> broadcast hash
+    join -> partial agg, which holds at 100 TB."""
+    from .llm_ops.text import normalize_text
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n = 3
+    with_t = d.select("doc_id", F.split(normalize_text("text"), " ").alias("__t"))
+    t = F.col("__t")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = with_t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 20 != 0)
+    per_doc = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hit_grams"))
+    )
+    return (
+        hits.join(per_doc, "doc_id")
+        .select(
+            "doc_id", "hit_grams", "n_grams",
+            F.round(F.col("hit_grams") / F.col("n_grams"), 6).alias("contam_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'contact user' || doc_id || '@example.com or +1-555-' ||
+             lpad((n_chars % 10000)::VARCHAR, 4, '0') || ' :: ' ||
+             substr(text, 1, 80) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+           len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS n_phones,
+           substr(regexp_replace(regexp_replace(raw,
+                      '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+                  '\+1-555-[0-9]{4}', '[PHONE]', 'g'), 1, 120) AS redacted
+    FROM seeded
+    ORDER BY doc_id
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails/phones with per-doc
+    match counts. The corpus is word-soup, so deterministic PII is
+    seeded from (doc_id, n_chars) first, then redacted — patterns are
+    kept to the RE2/Java-regex common subset so Spark and DuckDB agree.
+    Pure map stage: codegen'd regexp ops, zero shuffles at any scale."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    email_pat = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_pat = r"\+1-555-[0-9]{4}"
+    raw = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("n_chars") % 10000).cast("string"), 4, "0"),
+        F.lit(" :: "), F.substring("text", 1, 80),
+    )
+    seeded = d.select("doc_id", raw.alias("raw"))
+    return (
+        seeded.select(
+            "doc_id",
+            F.regexp_count("raw", F.lit(email_pat)).alias("n_emails"),
+            F.regexp_count("raw", F.lit(phone_pat)).alias("n_phones"),
+            F.substring(
+                F.regexp_replace(
+                    F.regexp_replace("raw", email_pat, "[EMAIL]"),
+                    phone_pat, "[PHONE]",
+                ),
+                1, 120,
+            ).alias("redacted"),
         )
         .orderBy("doc_id")
     )
