@@ -240,16 +240,21 @@ def with_repetition_stats(df, text_col: str, n: int = 3):
     """Two-projection repetition stats: adds ``n_tok``, ``n_grams``,
     ``n_distinct`` and ``rep_ratio`` columns.
 
-    Same lesson as shingle_sets: higher-order lambdas are interpreted,
-    so a gram lambda that references the raw split *expression*
-    re-runs the regexp tokenizer once per gram (O(tokens x grams) per
-    row). Materializing the token array as a column attribute in a
-    first projection anchors it, so the gram window only slices."""
+    The gram array is built WITHOUT a higher-order lambda:
+    ``transform(starts, i -> concat_ws(slice(t, i, n)))`` evaluates an
+    interpreted expression tree per gram (millions of evals per
+    partition). ``arrays_zip`` of n shifted slices produces the same
+    grams as token-tuple structs in a handful of vectorized collection
+    ops — and distinct-counting structs equals distinct-counting the
+    joined strings, since tokens cannot contain the joiner (space)
+    after the split. arrays_zip pads the shorter shifted slices with
+    null, which reproduces the transform version's single short gram
+    for rows with fewer than n tokens."""
     toks = F.split(normalize_text(text_col), " ")
     with_t = df.withColumn("__t", toks)
     t = F.col("__t")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    m = F.greatest(F.size(t) - (n - 1), F.lit(1))
+    grams = F.arrays_zip(*[F.slice(t, i + 1, m) for i in range(n)])
     return (
         with_t.withColumn("n_tok", F.size(t))
         .withColumn("__g", grams)
