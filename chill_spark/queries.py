@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .session import load_tables
+from .session import load_tables, normalize_event_ts
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1112,13 +1112,12 @@ def q_stream_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch SQL oracle applies. The production path (watermark +
     append + file sink) is exercised in tests/test_streaming.py."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long
-    src = (
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = normalize_event_ts(
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

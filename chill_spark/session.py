@@ -66,10 +66,9 @@ def get_spark(
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views; return dict of DFs.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; we read nanos as long (legacy conf) and convert with
-    exact integer division to a micros timestamp — matching DuckDB's
-    ns->us truncation so oracle hashes line up.
+    ``events.parquet`` has shipped as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across testdata generations; ``normalize_event_ts``
+    handles either so oracle hashes line up with DuckDB.
     """
     names = names or [
         "region", "nation", "customer", "supplier", "part",
@@ -88,5 +87,20 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_ts(df):
+    """Normalize events.ts to session-TZ TIMESTAMP regardless of how the
+    parquet file encodes it: TIMESTAMP(NANOS) surfaces as long under the
+    nanosAsLong conf (convert with exact ns->us truncation, matching
+    DuckDB), TIMESTAMP(MICROS) surfaces as timestamp/timestamp_ntz
+    (plain cast — values identical under the UTC session TZ)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
