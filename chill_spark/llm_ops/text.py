@@ -70,6 +70,61 @@ def stopword_ratio(col: Column | str, stopwords: str = _STOPWORDS_EN) -> Column:
     return F.when(words == 0, F.lit(0.0)).otherwise(hits / words.cast("double"))
 
 
+# Gopher-style repetition-free quality rules (Rae et al. 2021, public
+# "Scaling Language Models: ... Gopher" appendix A; C4 filtering rules,
+# Raffel et al. 2020). Word-level only — the synthetic corpus carries no
+# newlines, so line-based rules (bullet/ellipsis lines) are omitted.
+GOPHER_SYMBOL_CLASS = r"[#{}<>|\\]"
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+
+
+def gopher_quality_flags(col: Column | str) -> dict[str, Column]:
+    """Per-document quality-rule flags, Gopher/C4-style, as a dict of
+    named boolean Columns plus the conjunction ``keep``.
+
+    Everything is built-in Column expressions over ONE pass of the text
+    column — at 100 TB this is a map-only stage fused into the scan by
+    whole-stage codegen; no shuffle, no UDF. The reference has no text
+    analytics; this belongs to the north-star LLM-pipeline surface.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_words = whitespace_token_count(c)
+    words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = (
+        F.length(F.regexp_replace(c, r"\s+", "")).cast("double") / words_d
+    )
+    symbol_ratio = (
+        F.length(F.regexp_replace(c, r"[^#{}<>|\\]", "")).cast("double")
+        / F.greatest(F.length(c), F.lit(1)).cast("double")
+    )
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(rf"\b({_STOPWORDS_EN})\b"), 0)
+    )
+    alpha_words = F.size(
+        F.regexp_extract_all(c, F.lit(r"\S*[A-Za-z]\S*"), 0)
+    )
+    alpha_ratio = alpha_words.cast("double") / words_d
+    flags = {
+        "r_words": (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS),
+        "r_mean_len": (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "r_symbol": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "r_stop": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+        "r_alpha": alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO,
+    }
+    keep = F.lit(True)
+    for f in flags.values():
+        keep = keep & f
+    flags["keep"] = keep
+    return flags
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic: reasonable length, sane
     punctuation, native-ish stopword density, not shouting. Weights are

@@ -3339,3 +3339,267 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.sum(train_tok).over(w) - F.col("n_tok")) / 512.0),
     )
     return split.select("doc_id", "split", seq.alias("seq_id")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule filtering, histograms, gap-fill, cohorts
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_quality_rules",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               len(regexp_extract_all(trim(text), '\\S+')) AS n_words,
+               length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                 / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS mean_len,
+               length(regexp_replace(text, '[^#{}<>|\\\\]', '', 'g'))::DOUBLE
+                 / greatest(length(text), 1) AS sym_r,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|a|in|is|it|that|was|for|on|are|with|as|at|be|this|have|from)\\b')) AS stop_hits,
+               len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))::DOUBLE
+                 / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS alpha_r
+        FROM documents
+    ), f AS (
+        SELECT source,
+               (n_words BETWEEN 50 AND 100000)   AS r_words,
+               (mean_len BETWEEN 3.0 AND 10.0)   AS r_mean_len,
+               (sym_r <= 0.1)                    AS r_symbol,
+               (stop_hits >= 2)                  AS r_stop,
+               (alpha_r >= 0.8)                  AS r_alpha
+        FROM s
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN r_words AND r_mean_len AND r_symbol AND r_stop AND r_alpha
+                    THEN 1 ELSE 0 END) AS n_keep,
+           sum(CASE WHEN NOT r_words    THEN 1 ELSE 0 END) AS n_fail_words,
+           sum(CASE WHEN NOT r_mean_len THEN 1 ELSE 0 END) AS n_fail_mean_len,
+           sum(CASE WHEN NOT r_symbol   THEN 1 ELSE 0 END) AS n_fail_symbol,
+           sum(CASE WHEN NOT r_stop     THEN 1 ELSE 0 END) AS n_fail_stop,
+           sum(CASE WHEN NOT r_alpha    THEN 1 ELSE 0 END) AS n_fail_alpha
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality rules (word count bounds, mean
+    word length, symbol ratio, stopword presence, alpha-word fraction)
+    rolled up to per-source pass/fail counts. One map-only pass over the
+    text column (all built-in exprs, codegen-fused into the scan) + one
+    small hash aggregate — at 100 TB the only shuffle is |sources| rows."""
+    from .llm_ops.text import gopher_quality_flags
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    flags = gopher_quality_flags("text")
+    flagged = d.select("source", *[c.alias(n) for n, c in flags.items()])
+    fail = lambda r: F.sum(F.when(~F.col(r), 1).otherwise(0))  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+            fail("r_words").alias("n_fail_words"),
+            fail("r_mean_len").alias("n_fail_mean_len"),
+            fail("r_symbol").alias("n_fail_symbol"),
+            fail("r_stop").alias("n_fail_stop"),
+            fail("r_alpha").alias("n_fail_alpha"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_histogram_prices",
+    oracle="""
+    SELECT least(floor(l_extendedprice / 5000.0), 20)::BIGINT AS bucket,
+           (least(floor(l_extendedprice / 5000.0), 20) * 5000)::BIGINT AS bucket_lo,
+           count(*) AS n_items,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket analog): bucket id computed
+    arithmetically (no UDF), last bucket open-ended. Partial+final hash
+    agg over ~21 groups — the classic profile/EDA query shape that must
+    stay one scan + one tiny shuffle at any scale."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 5000.0), F.lit(20)).cast("long")
+    return (
+        li.select(
+            bucket.alias("bucket"),
+            (bucket * 5000).alias("bucket_lo"),
+            "l_quantity",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_gapfill_hourly",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT h.hour, t.event_type, coalesce(a.n, 0) AS n_events
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN agg a ON a.hour = h.hour AND a.event_type = t.event_type
+    ORDER BY h.hour, t.event_type
+    """,
+)
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: dense (hour x event_type) grid via
+    sequence+explode over the observed bounds, left-joined with the
+    hourly counts, missing hours zero-filled. The grid derives from a
+    1-row aggregate so it is always broadcast-sized; the real work is
+    the hourly hash agg (pre-aggregated BEFORE the join, so the grid
+    join touches |hours|x|types| rows, never raw events)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return (
+        grid.join(F.broadcast(hourly), ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n_events"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT e.user_id, f.cohort_day,
+               floor(date_diff('day', f.cohort_day, e.ts::DATE) / 7.0)::BIGINT AS week_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, week_offset, count(DISTINCT user_id) AS active_users
+    FROM activity
+    GROUP BY cohort_day, week_offset
+    ORDER BY cohort_day, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by first-seen day, activity
+    bucketed into week offsets, distinct active users per cell. Two
+    shuffles total (first-seen agg on user_id, then the cohort-cell
+    distinct-count); the first-seen side is keyed the same as the join,
+    so Catalyst reuses the exchange. At 100 TB the dimension to watch is
+    |users| — both shuffles key on user_id and stay balanced."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    day = F.to_date("ts")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.join(first_seen, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.floor(F.datediff(day, F.col("cohort_day")) / 7.0).alias("week_offset"),
+    )
+    return (
+        activity.groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+@query(
+    "q_ann_quantized_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qz AS (
+        SELECT vec_id,
+               list_transform(v, x -> floor(
+                   x / (greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) / 127.0)
+                   + 0.5)) AS q
+        FROM c
+    )
+    SELECT a.vec_id,
+           round(list_cosine_similarity(a.q, (SELECT q FROM qz WHERE vec_id = 0)), 6) AS qcos
+    FROM qz a
+    ORDER BY qcos DESC, vec_id LIMIT 10
+    """,
+)
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k: symmetric per-vector quantization
+    (scale = max|x|/127, explicit half-up floor) then integer-exact dot
+    products — the 4x-compressed scan path for vector search. Query
+    vector = codes of vec_id 0; scales cancel in the cosine so ranking
+    uses codes only."""
+    from .llm_ops.similarity import quantized_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return quantized_topk(emb, qvec, k=10)
+
+
+@query(
+    "q_jsonl_roundtrip",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(length(text)) AS sum_text_len,
+           sum(n_chars) AS sum_n_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source roundtrip: write the documents table as
+    partitioned JSONL, read it back with an explicit schema, aggregate.
+    Hash-matching the parquet-side oracle proves the roundtrip is
+    lossless (unicode escapes, partition-column reattachment). The
+    read declares _corrupt_record; the filter proves zero bad lines."""
+    import tempfile
+
+    from .sources.jsonl import CORRUPT_COL, read_jsonl, write_jsonl
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = tempfile.mkdtemp(prefix="chill_jsonl_")
+    write_jsonl(d, path, partition_by=["source"])
+    back = read_jsonl(
+        spark, path,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return (
+        back.filter(F.col(CORRUPT_COL).isNull())
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "lang")
+    )

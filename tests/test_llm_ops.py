@@ -485,3 +485,56 @@ def test_chunk_reconstruction_property(spark, data):
         toks = t.split(" ")
         assert toks == words[s:s + chunk]
         assert ln == len(toks)
+
+
+def test_quantize_int8_codes_bounded_and_ranking_close(spark, sf_dir):
+    """Codes stay in [-127,127]; quantized top-10 overlaps the exact
+    top-10 heavily (>=8 of 10 on the synthetic corpus)."""
+    from chill_spark.llm_ops.similarity import brute_force_topk, quantize_int8, quantized_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes = emb.select(quantize_int8(F.col("embedding")).alias("q"))
+    mx = codes.select(
+        F.max(F.array_max("q")).alias("hi"), F.min(F.array_min("q")).alias("lo")
+    ).first()
+    assert mx["hi"] <= 127 and mx["lo"] >= -127
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()}
+    quant = {r["vec_id"] for r in quantized_topk(emb, qvec, k=10).collect()}
+    assert len(exact & quant) >= 8
+
+
+def test_jsonl_corrupt_line_quarantine(spark, tmp_path):
+    """A malformed line surfaces in _corrupt_record instead of vanishing."""
+    from chill_spark.sources.jsonl import CORRUPT_COL, read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n{"doc_id": 2, "text": "also ok"}\n')
+    df = read_jsonl(spark, str(p), schema="doc_id bigint, text string")
+    rows = df.collect()
+    good = [r for r in rows if r[CORRUPT_COL] is None]
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0][CORRUPT_COL]
+
+
+def test_gopher_flags_reject_degenerate_docs(spark):
+    """Synthetic degenerate docs trip the right rules."""
+    from chill_spark.llm_ops.text import gopher_quality_flags
+    from pyspark.sql import functions as F
+
+    good = "the quick brown fox jumps over the lazy dog and then it runs away to a very distant place where it was seen by many people on that day " * 3
+    rows = [
+        ("good", good),
+        ("too_short", "tiny doc"),
+        ("symbol_soup", "{ } < > | # " * 60),
+        ("no_stopwords", "alpha beta gamma delta epsilon zeta " * 20),
+    ]
+    df = spark.createDataFrame(rows, ["name", "text"])
+    flags = gopher_quality_flags("text")
+    out = {r["name"]: r for r in df.select("name", *[c.alias(n) for n, c in flags.items()]).collect()}
+    assert out["good"]["keep"]
+    assert not out["too_short"]["r_words"]
+    assert not out["symbol_soup"]["r_symbol"] and not out["symbol_soup"]["r_alpha"]
+    assert not out["no_stopwords"]["r_stop"]
