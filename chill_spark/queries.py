@@ -3603,3 +3603,121 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "q_span_dedup",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, i AS span_idx,
+               array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS span
+        FROM w, unnest(range((len(toks)+9)//10)) AS t(i)
+    ),
+    keep AS (
+        SELECT doc_id, span_idx, span,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+        FROM spans
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           coalesce(length(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                                      ORDER BY span_idx)), 0) AS clean_len
+    FROM keep GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup (Raffel et al. 2020 dedup 3-sentence
+    spans; here spans = non-overlapping 10-token windows since the
+    synthetic corpus has no sentence boundaries): every span occurring
+    more than once corpus-wide is removed except its first occurrence
+    (min doc_id, span_idx), then documents are reassembled in order.
+    One explode + ONE shuffle keyed by span text (the first-occurrence
+    window) + one per-doc regroup. At 100 TB key the window by a
+    128-bit span hash and pre-aggregate map-side; skew on boilerplate
+    spans is exactly what AQE skew-split handles."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_spans = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    spans = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+                )
+            ).alias("span_idx", "span"),
+        )
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    keep = spans.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("span_idx"), F.col("span"))
+    )
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.length(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["span"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+           sum(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END) AS n_viewed,
+           sum(CASE WHEN t_view > t_signup AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS n_clicked,
+           sum(CASE WHEN t_view > t_signup AND t_click > t_view
+                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchased
+    FROM u
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: first-timestamp-per-stage conditional
+    aggregation, chained ordering predicates (signup -> view -> click ->
+    purchase). One shuffle on user_id (conditional min is map-side
+    combinable) + a scalar final agg; NULL stage times fail the ordering
+    predicate in both engines."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    def t(stage):
+        return F.min(F.when(F.col("event_type") == stage, F.col("ts"))).alias(f"t_{stage}")
+    u = ev.groupBy("user_id").agg(t("signup"), t("view"), t("click"), t("purchase"))
+    viewed = F.col("t_view") > F.col("t_signup")
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    cnt = lambda c, n: F.sum(F.when(c, 1).otherwise(0)).alias(n)  # noqa: E731
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(F.col("t_signup").isNotNull(), "n_signup"),
+        cnt(viewed, "n_viewed"),
+        cnt(clicked, "n_clicked"),
+        cnt(purchased, "n_purchased"),
+    )

@@ -108,6 +108,8 @@ def run_stream(
     trigger_seconds: int = 5,
     available_now: bool = False,
     quarantine_dir: str | None = None,
+    ladder_root: str | None = None,
+    ladder_levels: list[str] | None = None,
     **source_opts,
 ) -> StreamingQuery:
     """The full streaming ETL: file-watch source -> per-micro-batch
@@ -120,7 +122,15 @@ def run_stream(
     the downstream reconcile layer (anti-joins on keys+DATETIME)
     detects duplicates, matching the reference's at-least-once loader
     + reconciliation posture.
+
+    With ``ladder_root`` set, each micro-batch also repairs the rollup
+    ladder incrementally (operators.incremental): only the ladder
+    windows touched by the batch are re-aggregated from the base table
+    (pruned scan) and partition-overwritten — idempotent under replay,
+    so the ladder tables are exactly-once even though the base is
+    at-least-once per micro-batch replay.
     """
+    from ..operators.incremental import maintain_ladder_increment
     from ..pipeline import transform  # late import: avoid cycle
 
     src = stream_csv_source(spark, job, columns, **source_opts)
@@ -143,6 +153,14 @@ def run_stream(
                 .partitionBy(PARTITION_COL)
                 .parquet(path)
             )
+            if ladder_root is not None:
+                dts = [
+                    r["DATETIME"]
+                    for r in df.select("DATETIME").distinct().collect()
+                ]
+                maintain_ladder_increment(
+                    spark, path, ladder_root, table, dts, levels=ladder_levels
+                )
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

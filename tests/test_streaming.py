@@ -452,3 +452,78 @@ def test_streaming_dedup_within_watermark(spark, stream_dirs):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert got == [("e1", 10.0), ("e2", 5.0), ("e3", 7.0)]
+
+
+def test_incremental_ladder_maintenance(spark, stream_dirs):
+    """Per-micro-batch ladder repair: after streaming, each ladder level
+    equals a full batch recompute from the base table; a late-arriving
+    file repairs only its touched windows and the equality still holds."""
+    from chill_spark.operators.incremental import maintain_ladder_increment  # noqa: F401
+    from chill_spark.operators.rollup import rollup
+    from chill_spark.operators.writers import PARTITION_COL
+
+    job = make_job(stream_dirs["in"])
+    cat = make_catalog()
+    ladder_root = os.path.join(os.path.dirname(stream_dirs["out"]), "ladder")
+
+    def run_once():
+        q = run_stream(
+            spark, job, cat,
+            out_dir=stream_dirs["out"],
+            checkpoint_dir=stream_dirs["ckpt"],
+            columns=COLUMNS,
+            available_now=True,
+            ladder_root=ladder_root,
+            ladder_levels=["HR", "DY"],
+        )
+        drain(q)
+
+    def assert_ladder_matches_batch():
+        base = spark.read.parquet(f"{stream_dirs['out']}/CELL_STATS_15M").drop(PARTITION_COL)
+        table = cat.tables["CELL_STATS"]
+        for g in ["HR", "DY"]:
+            got = {
+                (r["SITE"], str(r["DATETIME"]), r["CALLS"], r["DROPS"])
+                for r in spark.read.parquet(f"{ladder_root}/CELL_STATS_{g}")
+                .drop(PARTITION_COL).collect()
+            }
+            want = {
+                (r["SITE"], str(r["DATETIME"]), r["CALLS"], r["DROPS"])
+                for r in rollup(base, table.key_fields,
+                                [c.db_name for c in table.counters], g).collect()
+            }
+            assert got == want, (g, got, want)
+
+    run_once()
+    assert_ladder_matches_batch()
+    hr_dirs = set(os.listdir(f"{ladder_root}/CELL_STATS_HR"))
+    assert any(d.startswith(PARTITION_COL + "=") for d in hr_dirs)
+
+    # late file lands in a NEW hour -> only that window is added/repaired
+    with open(os.path.join(stream_dirs["in"], "A20240101.0100_cells.csv"), "w") as f:
+        f.write("site,calls_raw,drops_raw\ns1,70,2\n")
+    run_once()
+    assert_ladder_matches_batch()
+    hr_dirs_after = set(os.listdir(f"{ladder_root}/CELL_STATS_HR"))
+    assert len([d for d in hr_dirs_after if d.startswith(PARTITION_COL + "=")]) == 2
+
+
+def test_truncate_py_mirrors_spark_semantics():
+    """Driver-side truncation matches Spark date_trunc/window alignment:
+    epoch-grid floors, Monday weeks, calendar month/year rollover."""
+    from datetime import datetime
+
+    from chill_spark.operators.incremental import base_periods, truncate_py, window_end
+
+    dt = datetime(2024, 1, 7, 13, 47, 31)  # a Sunday
+    assert truncate_py(dt, "15M") == datetime(2024, 1, 7, 13, 45)
+    assert truncate_py(dt, "HH") == datetime(2024, 1, 7, 13, 30)
+    assert truncate_py(dt, "HR") == datetime(2024, 1, 7, 13)
+    assert truncate_py(dt, "DY") == datetime(2024, 1, 7)
+    assert truncate_py(dt, "WK") == datetime(2024, 1, 1)  # Monday
+    assert truncate_py(dt, "MO") == datetime(2024, 1, 1)
+    assert truncate_py(dt, "YR") == datetime(2024, 1, 1)
+    assert window_end(datetime(2024, 12, 1), "MO") == datetime(2025, 1, 1)
+    assert window_end(datetime(2024, 1, 1), "WK") == datetime(2024, 1, 8)
+    ps = base_periods(datetime(2024, 1, 7, 13), datetime(2024, 1, 7, 14), "15M")
+    assert ps == [datetime(2024, 1, 7, 13, m) for m in (0, 15, 30, 45)]
