@@ -3721,3 +3721,42 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(clicked, "n_clicked"),
         cnt(purchased, "n_purchased"),
     )
+
+
+@query(
+    "q_variant_props",
+    oracle="""
+    SELECT event_type,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_with_k,
+           sum(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_with_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    Variant column, then typed variant_get extraction — the open-schema
+    answer to the reference's fixed HLD schema. Unlike repeated
+    get_json_object calls, the JSON parses ONCE per row regardless of
+    how many paths are read; absent paths yield NULL (try semantics),
+    no error channel needed."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.variant_get(v, "$.missing", "string")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.max("k").alias("max_k"),
+            F.min("k").alias("min_k"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_with_k"),
+            F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0)).alias("n_with_missing"),
+        )
+        .orderBy("event_type")
+    )

@@ -223,3 +223,41 @@ def test_rollup_ladder(spark, fixture_dir):
     dy = ladder["DY"].collect()
     assert {r["SITE"]: r["CALLS"] for r in dy} == {"s1": 210.0, "s2": 200.0, "s3": 50.0}
     assert str(dy[0]["DATETIME"]) == "2024-01-01 00:00:00"
+
+
+def test_python_datasource_matches_preprocessed_scan(spark, tmp_path):
+    """The chill_csv Python Data Source (Spark 4 pluggable source)
+    returns the same rows as scan_csv_preprocessed for the same
+    pre-parse config (slice + ignore + _file identity)."""
+    from chill_spark.config import JobSpec
+    from chill_spark.sources.csv_source import scan_csv_preprocessed
+    from chill_spark.sources.pyds import ChillCSVDataSource
+
+    files = {
+        "X1.csv": "junk line\nsite,calls\ns1,10\ns2,20\n#EOF\n",
+        "X2.csv": "junk line\nsite,calls\ns3,30\n#EOF\n",
+    }
+    for name, body in files.items():
+        (tmp_path / name).write_text(body)
+    glob = f"{tmp_path}/*.csv"
+
+    spark.dataSource.register(ChillCSVDataSource)
+    via_ds = (
+        spark.read.format("chill_csv")
+        .option("path", glob)
+        .option("valid_lines", "1:")
+        .option("ignore_lines", "#EOF")
+        .load()
+    )
+    assert via_ds.schema.fieldNames() == ["_file", "site", "calls"]
+
+    job = JobSpec(
+        input_dir=str(tmp_path), input_mask="*.csv",
+        valid_lines=(1, None), ignore_lines=["#EOF"], fields=[],
+    )
+    via_helper = scan_csv_preprocessed(spark, glob, job)
+    got = {tuple(r) for r in via_ds.collect()}
+    want = {tuple(r) for r in via_helper.select("_file", "site", "calls").collect()}
+    assert got == want == {
+        ("X1.csv", "s1", "10"), ("X1.csv", "s2", "20"), ("X2.csv", "s3", "30"),
+    }
