@@ -55,6 +55,14 @@ HEADLINE = [
     "q_ann_topk",
     "q_embedding_near_dups_lsh",
     "q_media_image_meta",
+    "q_quality_rules",
+    "q_span_dedup",
+    "q_gapfill_hourly",
+    "q_cohort_retention",
+    "q_funnel_conversion",
+    "q_histogram_prices",
+    "q_ann_quantized_topk",
+    "q_variant_props",
 ]
 
 

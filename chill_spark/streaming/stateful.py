@@ -115,3 +115,116 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=conf,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful v2) variant
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class SessionProcessor(StatefulProcessor):
+    """Gap-sessionizer on the Spark 4 ``StatefulProcessor`` API —
+    typed ValueState + optional processing-time timers, the successor
+    to applyInPandasWithState's tuple-state/timeout conf. Same
+    semantics as ``sessionize_stream`` so either path can serve the
+    live side of the batch/stream agreement.
+
+    Requires the RocksDB state store provider (set by
+    ``sessionize_stream_v2``) and the protobuf runtime (the v2
+    state-server protocol is protobuf-based) — environments without
+    ``google.protobuf`` must use ``sessionize_stream`` (v1), which has
+    identical semantics. Import of this module stays clean either way.
+    """
+
+    def __init__(self, gap_seconds: int, idle_timeout_ms: int | None):
+        self.gap_us = gap_seconds * 1_000_000
+        self.idle_timeout_ms = idle_timeout_ms
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            IntegerType as _I,
+            LongType as _L,
+            StructField as _F,
+            StructType as _S,
+        )
+
+        self.handle = handle
+        self.state = handle.getValueState(
+            "session",
+            _S([_F("start", _L()), _F("last", _L()), _F("n", _I())]),
+        )
+
+    def handleInputRows(self, key, rows, timer_values) -> "Iterator[pd.DataFrame]":
+        (user,) = key
+        cur = self.state.get() if self.state.exists() else None
+        start, last, n = cur if cur is not None else (None, None, 0)
+        closed: list[dict[str, Any]] = []
+        ts_all = (
+            pd.concat([p["ts"] for p in rows])
+            .sort_values()
+            .values.astype("datetime64[us]")
+            .astype("int64")
+        )
+        for t in ts_all:
+            t = int(t)
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > self.gap_us:
+                closed.append(_session_row(user, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            self.state.update((start, last, n))
+            if self.idle_timeout_ms is not None:
+                self.handle.registerTimer(
+                    timer_values.getCurrentProcessingTimeInMs() + self.idle_timeout_ms
+                )
+        yield pd.DataFrame(closed, columns=SESSION_SCHEMA.fieldNames())
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        (user,) = key
+        out = []
+        if self.state.exists():
+            start, last, n = self.state.get()
+            out.append(_session_row(user, start, last, n))
+            self.state.clear()
+        yield pd.DataFrame(out, columns=SESSION_SCHEMA.fieldNames())
+
+    def close(self) -> None:
+        pass
+
+
+def _session_row(user, start, last, n):
+    return {
+        "user_id": user,
+        "session_start": pd.Timestamp(start, unit="us"),
+        "session_end": pd.Timestamp(last, unit="us"),
+        "n_events": n,
+    }
+
+
+def sessionize_stream_v2(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """``sessionize_stream`` on transformWithStateInPandas.
+    ``idle_timeout_ms=None`` -> no timers (drain/availableNow mode);
+    set it for live streams to flush idle sessions."""
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(gap_seconds, idle_timeout_ms),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="ProcessingTime" if idle_timeout_ms is not None else "None",
+    )

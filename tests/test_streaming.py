@@ -527,3 +527,57 @@ def test_truncate_py_mirrors_spark_semantics():
     assert window_end(datetime(2024, 1, 1), "WK") == datetime(2024, 1, 8)
     ps = base_periods(datetime(2024, 1, 7, 13), datetime(2024, 1, 7, 14), "15M")
     assert ps == [datetime(2024, 1, 7, 13, m) for m in (0, 15, 30, 45)]
+
+
+def test_stateful_sessionize_stream_v2(spark, stream_dirs):
+    """transformWithStateInPandas (stateful v2) sessionizer agrees with
+    the v1 path: sessions close on >30min gaps across micro-batches.
+    The v2 state-server protocol needs protobuf at runtime — skip where
+    it isn't installed (the operator itself is import-clean)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from chill_spark.streaming.stateful import sessionize_stream_v2
+
+    in_dir = os.path.join(stream_dirs["in"], "sess2_src")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "b1.csv"), "w") as f:
+        f.write(
+            "user_id,ts\n"
+            "1,2024-01-01 00:00:00\n"
+            "1,2024-01-01 00:10:00\n"
+            "2,2024-01-01 00:00:00\n"
+        )
+    with open(os.path.join(in_dir, "b2.csv"), "w") as f:
+        f.write(
+            "user_id,ts\n"
+            "1,2024-01-01 00:20:00\n"
+            "1,2024-01-01 02:00:00\n"
+            "2,2024-01-01 03:00:00\n"
+        )
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts", StringType()),
+    ])
+    src = (
+        spark.readStream.format("csv").schema(schema)
+        .option("header", "true").option("maxFilesPerTrigger", "1")
+        .load(f"{in_dir}/*.csv")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    sessions = sessionize_stream_v2(src, gap_seconds=1800)
+    out_dir = os.path.join(stream_dirs["out"], "sessions_v2")
+    ckpt = os.path.join(stream_dirs["ckpt"], "sessions_v2")
+    q = (
+        sessions.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "stream did not self-terminate"
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (1, "2024-01-01 00:00:00", "2024-01-01 00:20:00", 3) in got
+    assert (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1) in got
