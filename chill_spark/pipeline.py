@@ -33,6 +33,18 @@ class RunResult:
     datetimes: dict[str, list] = field(default_factory=dict)  # A3 bookkeeping
     derive_errors: list[str] = field(default_factory=list)
     written: dict[str, str] = field(default_factory=dict)  # table -> path
+    # Run metrics — the reference silently drops unmatched files
+    # (Partrans.py:248-252) and missing raw columns (:295-303); we keep
+    # those semantics but surface counters (SURVEY §7.4 risk register).
+    # skipped_columns: plan-time, per table. rows/null_datetime: runtime
+    # via df.observe (piggybacks on the write action, zero extra jobs).
+    # unmatched_rows: rows whose routing key matched no table.
+    skipped_columns: dict[str, list[str]] = field(default_factory=dict)
+    metrics: dict[str, dict] = field(default_factory=dict)
+    unmatched_rows: int | None = None
+    # pre-routing-filter frame (OM_GROUP derived, cached upstream) —
+    # run_batch counts unmatched rows from it
+    routing_df: DataFrame | None = None
 
 
 def transform(
@@ -77,14 +89,21 @@ def transform(
         res.derive_errors.extend(derived.errors)
         df = derived.df
         if job.om_group_field and job.om_group_field in df.columns:
+            if res.routing_df is None:
+                res.routing_df = df  # OM_GROUP over ALL rows, pre-filter
             df = df.filter(
                 F.col(job.om_group_field) == F.lit(table.counter_group)
             )
-        # P1 passthrough rename (missing raw columns skipped silently)
+        # P1 passthrough rename (missing raw columns skipped silently —
+        # but counted, see RunResult.skipped_columns)
         present = set(df.columns)
+        skipped: list[str] = []
         for spec in table.stored_columns:
             if spec.raw_name and spec.raw_name in present and spec.db_name not in present:
                 df = df.withColumnRenamed(spec.raw_name, spec.db_name)
+            elif spec.raw_name and spec.raw_name not in present and spec.db_name not in present:
+                skipped.append(spec.raw_name)
+        res.skipped_columns[table.name] = skipped
         df = conform_to_schema(df, table)
         res.tables[table.name] = df
     return res
@@ -97,10 +116,38 @@ def run_batch(
     out_dir: str,
     views: dict[str, DataFrame] | None = None,
 ) -> RunResult:
-    """transform + idempotent partitioned write + A3 bookkeeping."""
+    """transform + idempotent partitioned write + A3 bookkeeping +
+    run metrics (rows / null-DATETIME per table via Observation —
+    measured by the write action itself, no extra scan; unmatched-row
+    count from one cheap job over the cached preprocessed frame)."""
+    from pyspark.sql import Observation
+
     res = transform(spark, job, catalog, views)
+    observations: dict[str, Observation] = {}
+    counter_cols: dict[str, list[str]] = {}
     for table in catalog.tables.values():
         df = res.tables[table.name]
+        obs = Observation(f"chill_{table.name}")
+        counters = [
+            c.db_name for c in table.counters if c.db_name in df.columns
+        ]
+        counter_cols[table.name] = counters
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.when(F.col("DATETIME").isNull(), 1).otherwise(0)
+            ).alias("null_datetime"),
+            # per-counter non-null counts: a 0 here means the raw
+            # column was absent from every routed file (the reference's
+            # silent per-file skip, Partrans.py:295-303) or the source
+            # truly sent no values — either way worth surfacing
+            *[
+                F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).alias(f"nn_{c}")
+                for c in counters
+            ],
+        )
+        observations[table.name] = obs
         path = f"{out_dir}/{table.name}_{table.base_granularity}"
         write_fact(df, path)
         res.written[table.name] = path
@@ -108,4 +155,18 @@ def run_batch(
             r[0]
             for r in df.select("DATETIME").distinct().collect()
         ]
+    for name, obs in observations.items():
+        m = dict(obs.get)
+        nn = {c: m.pop(f"nn_{c}") for c in counter_cols[name]}
+        m["skipped_columns"] = res.skipped_columns.get(name, [])
+        m["all_null_columns"] = [
+            c for c, v in nn.items() if m["rows"] > 0 and v == 0
+        ]
+        res.metrics[name] = m
+    if job.om_group_field and res.routing_df is not None:
+        groups = [t.counter_group for t in catalog.tables.values()]
+        res.unmatched_rows = res.routing_df.filter(
+            ~F.col(job.om_group_field).isin(groups)
+            | F.col(job.om_group_field).isNull()
+        ).count()
     return res

@@ -261,3 +261,41 @@ def test_python_datasource_matches_preprocessed_scan(spark, tmp_path):
     assert got == want == {
         ("X1.csv", "s1", "10"), ("X1.csv", "s2", "20"), ("X2.csv", "s3", "30"),
     }
+
+
+def test_run_metrics_surface_silent_skips(spark, fixture_dir, tmp_path):
+    """SURVEY §7.4: the reference drops unmatched files and missing raw
+    columns silently; we keep the semantics but surface counters —
+    observe()-based rows/null-DATETIME per table, plan-time skipped
+    columns, and the unmatched-row count."""
+    in_dir = tmp_path / "rd"
+    in_dir.mkdir()
+    for name, body in FILES.items():
+        (in_dir / name).write_text(body)
+    # a file whose routing key ('Z' prefix -> OM_NODE?) matches... no:
+    # OM_GROUP expr maps non-'A' to OM_NODE, so craft an unmatched group
+    (in_dir / "Z20240101.0000_junk.csv").write_text(
+        "#VENDOR=NONE\nJUNK\nsite,calls_raw,drops_raw\nzz,1,1\n"
+    )
+
+    cat = make_catalog()
+    # declare a counter whose raw column exists in no file
+    cat.tables["CELL_STATS"].columns.append(
+        ColumnSpec("GHOST", raw_name="ghost_raw", dtype="double")
+    )
+    job = make_job(str(in_dir))
+    # route Z-files to a group no table owns
+    job.fields[0].function = (
+        "'OM_CELL' if arg1[0:1] == 'A' else "
+        "('OM_NODE' if arg1[0:1] == 'B' else 'OM_NOWHERE')"
+    )
+    out = str(tmp_path / "out")
+    res = run_batch(spark, job, cat, out)
+    assert res.metrics["CELL_STATS"]["rows"] == 4
+    assert res.metrics["CELL_STATS"]["null_datetime"] == 0
+    # ghost_raw exists in no file: the scan materializes it as nulls,
+    # so it surfaces as an all-null counter (GHOST after rename)
+    assert res.metrics["CELL_STATS"]["all_null_columns"] == ["GHOST"]
+    assert res.metrics["NODE_STATS"]["rows"] == 2
+    assert res.metrics["NODE_STATS"]["all_null_columns"] == []
+    assert res.unmatched_rows == 1  # the Z file's single row
