@@ -3760,3 +3760,102 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    SELECT label, i - 1 AS dim, avg(embedding[i]::DOUBLE) AS mean_val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: element-wise mean via posexplode +
+    hash agg on (label, dim) — the class-prototype computation for
+    embedding analytics. One shuffle of |rows| x dim skinny rows; at
+    100 TB prefer map-side partial aggregation (free here: avg is
+    partial+final) and a dim-major layout only if dim is huge."""
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("mean_val"))
+        .orderBy("label", "dim")
+    )
+
+
+@query(
+    "q_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT regexp_extract_all(trim(text), '\\S+') AS t FROM documents
+    ),
+    ucnt AS (
+        SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    un AS (SELECT sum(c) AS n FROM ucnt),
+    bcnt AS (
+        SELECT w1, w2, count(*) AS c12 FROM (
+            SELECT t[i] AS w1, t[i+1] AS w2
+            FROM toks, unnest(generate_series(1, len(t)-1)) AS s(i)
+        ) GROUP BY w1, w2
+    ),
+    bn AS (SELECT sum(c12) AS n2 FROM bcnt)
+    SELECT w1, w2, c12,
+           round(ln((c12 / n2) / ((a.c / un.n) * (b.c / un.n))), 6) AS pmi
+    FROM bcnt JOIN ucnt a ON bcnt.w1 = a.w
+              JOIN ucnt b ON bcnt.w2 = b.w
+              CROSS JOIN un CROSS JOIN bn
+    WHERE c12 >= 20
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, top-50 by PMI among pairs seen >= 20 times. Bigrams
+    come from zipping the token array with its tail (arrays_zip of two
+    slices — no self-join); unigram/bigram counts are two hash aggs;
+    the count joins broadcast (vocabulary-sized); totals are 1-row
+    cross joins. At 100 TB the only big shuffles are the two count
+    aggs, both map-side combinable."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    toks = d.select(t.alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    un = ucnt.agg(F.sum("c").alias("n"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bn = bcnt.agg(F.sum("c12").alias("n2"))
+    a = F.broadcast(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
+    b = F.broadcast(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2")))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.col("n2"))
+            / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+        ),
+        6,
+    )
+    return (
+        bcnt.filter(F.col("c12") >= 20)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -206,3 +206,31 @@ def test_ivf_cells_partition_prune_on_disk(spark, sf_dir):
     assert n_cells == 4
     assert 0 < probed.count() < emb.count()
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_quality_rules_single_scan_map_only(spark):
+    """Gopher rules: exactly one scan of documents, one exchange (the
+    per-source agg) — all rule exprs fused map-side."""
+    plan = plan_of(Q.queries()["q_quality_rules"](spark, SF))
+    # formatted explain prints each node twice (tree + detail section)
+    assert plan.count(") Scan parquet") == 1
+    # per-source agg + presentation sort = 2 exchanges max
+    assert plan.count(") Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_pmi_count_joins_broadcast(spark):
+    """PMI: unigram-count joins and the totals are broadcast — no
+    sort-merge join of vocabulary against bigram counts."""
+    plan = plan_of(Q.queries()["q_bigram_pmi"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan  # totals go via BroadcastNestedLoop
+
+
+def test_gapfill_grid_joins_broadcast(spark):
+    """Gap fill: the dense grid side is broadcast; raw events are
+    aggregated BEFORE joining (no raw-row join amplification)."""
+    plan = plan_of(Q.queries()["q_gapfill_hourly"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
