@@ -169,6 +169,53 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .llm_ops.text import gopher_quality_flags
+    from .session import get_spark
+
+    spark = get_spark("chill-quality")
+    df = spark.read.parquet(args.input)
+    flags = gopher_quality_flags(args.text_col)
+    flagged = df.select("*", *[c.alias(n) for n, c in flags.items()])
+    # one pass: rule tallies via observe on the filtered write
+    tallies = flagged.select(
+        *[
+            F.sum(F.when(~F.col(r), 1).otherwise(0)).alias(r)
+            for r in flags if r != "keep"
+        ],
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+    ).first()
+    kept = flagged.filter(F.col("keep")).drop(*list(flags))
+    kept.write.mode("overwrite").parquet(args.out)
+    for r in flags:
+        if r != "keep":
+            print(f"fail {r}: {tallies[r]}")
+    print(f"{tallies['total']} -> {tallies['kept']} rows kept")
+    return 0
+
+
+def cmd_ladder_repair(args) -> int:
+    from datetime import datetime
+
+    from .operators.incremental import maintain_ladder_increment
+    from .session import get_spark
+
+    spark = get_spark("chill-ladder")
+    cat = _load(args.catalog, Catalog)
+    table = cat.tables[args.table]
+    dts = [datetime.fromisoformat(d) for d in args.datetimes]
+    repaired = maintain_ladder_increment(
+        spark, args.base, args.out, table, dts,
+        levels=args.levels.split(",") if args.levels else None,
+    )
+    for g, windows in repaired.items():
+        print(f"{g}: repaired {len(windows)} window(s)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="chill_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -224,6 +271,24 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--threshold", type=float, default=0.7)
     dd.add_argument("--bands", type=int, default=8)
     dd.set_defaults(fn=cmd_dedup)
+
+    qc = sub.add_parser("quality", help="Gopher/C4 quality-rule corpus filter")
+    qc.add_argument("--input", required=True)
+    qc.add_argument("--out", required=True)
+    qc.add_argument("--text-col", default="text")
+    qc.set_defaults(fn=cmd_quality)
+
+    lr = sub.add_parser(
+        "ladder-repair",
+        help="incrementally repair ladder windows touched by given DATETIMEs",
+    )
+    lr.add_argument("--base", required=True, help="base fact table path")
+    lr.add_argument("--out", required=True, help="ladder root directory")
+    lr.add_argument("--catalog", required=True)
+    lr.add_argument("--table", required=True)
+    lr.add_argument("--levels", help="comma list, default: full ladder")
+    lr.add_argument("datetimes", nargs="+", help="ISO timestamps")
+    lr.set_defaults(fn=cmd_ladder_repair)
 
     cp = sub.add_parser("compact", help="merge small files per partition")
     cp.add_argument("--in", dest="input", required=True)

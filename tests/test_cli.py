@@ -119,3 +119,42 @@ def test_cli_compact(cli_dirs, spark, capsys):
     rc = main(["compact", "--in", fact, "--target-mb", "128"])
     assert rc == 0
     assert "partition(s) compacted" in capsys.readouterr().out
+
+
+def test_cli_quality(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "q_in")
+    dst = os.path.join(cli_dirs["base"], "q_out")
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs away "
+        "to a very distant place where it was seen by many people that day " * 3
+    )
+    spark.createDataFrame(
+        [(1, good), (2, "tiny"), (3, "{ } < > | # " * 60)], ["doc_id", "text"]
+    ).write.parquet(src)
+    rc = main(["quality", "--input", src, "--out", dst])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "3 -> 1 rows kept" in out and "fail r_words" in out
+    kept = spark.read.parquet(dst)
+    assert kept.count() == 1 and "keep" not in kept.columns
+
+
+def test_cli_ladder_repair(cli_dirs, spark, capsys):
+    main([
+        "run", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"],
+    ])
+    capsys.readouterr()
+    ladder = os.path.join(cli_dirs["base"], "ladder_inc")
+    rc = main([
+        "ladder-repair",
+        "--base", os.path.join(cli_dirs["out"], "CELL_STATS_15M"),
+        "--out", ladder, "--catalog", cli_dirs["catalog"],
+        "--table", "CELL_STATS", "--levels", "HR,DY",
+        "2024-01-01T00:00:00",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "HR: repaired 1 window(s)" in out
+    got = spark.read.parquet(os.path.join(ladder, "CELL_STATS_HR")).collect()
+    assert {(r["SITE"], r["CALLS"]) for r in got} == {("s1", 100.0), ("s2", 200.0)}
