@@ -119,3 +119,40 @@ def compact_partitions(
         )
         rewritten[key] = want
     return rewritten
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Cluster-by write: range-repartition on ``cluster_cols`` then
+    sort within partitions before writing.
+
+    Each output file then covers a narrow, near-disjoint range of the
+    cluster key, so parquet column statistics (file + row-group
+    min/max) let selective scans skip most files entirely — the poor
+    man's Z-order, and the single biggest read-amplification lever for
+    a 100 TB fact table queried by time/key ranges. Row groups inside
+    each file are sorted too, so even partially-overlapping files
+    prune at row-group granularity.
+
+    ``n_files`` caps output files (defaults to the session shuffle
+    partitioning); range partitioning samples the key distribution, so
+    skew in the cluster key yields balanced files regardless.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    part = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    (
+        part.sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )

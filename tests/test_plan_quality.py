@@ -234,3 +234,45 @@ def test_gapfill_grid_joins_broadcast(spark):
     plan = plan_of(Q.queries()["q_gapfill_hourly"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_write_clustered_enables_file_skipping(spark):
+    """Clustered write: per-file parquet min/max ranges on the cluster
+    key are near-disjoint, so a selective range scan can skip most
+    files (checked directly in the footers via pyarrow)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from chill_spark.operators.writers import write_clustered
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    out = os.path.join(TMP, "clustered_li")
+    shutil.rmtree(out, ignore_errors=True)
+    write_clustered(li, out, ["l_shipdate"], n_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    # near-disjoint: each file's range starts at/after the previous
+    # file's end (range partitioning makes boundaries exact)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert lo2 >= hi1, (ranges,)
+    # and a narrow predicate overlaps only a small fraction of files
+    probe_lo, probe_hi = ranges[2][0], ranges[2][1]
+    overlapping = [r for r in ranges if not (r[1] < probe_lo or r[0] > probe_hi)]
+    assert len(overlapping) <= 2
