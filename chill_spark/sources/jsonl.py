@@ -60,3 +60,29 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int | None = None,
+    quarantine_corrupt: bool = True,
+) -> DataFrame:
+    """Streaming JSONL source (corpus intake): the same explicit-schema
+    + corrupt-record contract as ``read_jsonl``, over readStream — so a
+    quality-filter/dedup-prep plan runs identically in batch and as a
+    continuously-ingesting stream. Schema is REQUIRED (streaming can't
+    infer)."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if quarantine_corrupt and CORRUPT_COL not in schema.fieldNames():
+        schema = schema.add(CORRUPT_COL, "string")
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return (
+        r.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )

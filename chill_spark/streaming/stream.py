@@ -211,3 +211,56 @@ def drain(query: StreamingQuery, stop: bool = True) -> None:
     if stop:
         query.stop()
         query.awaitTermination()
+
+
+class MetricsListener:
+    """Per-micro-batch loader metrics via StreamingQueryListener — the
+    Spark-native form of the reference's loader-log scraping
+    (parse_dbl_error_files counts loaded/rejected rows from BCP logs,
+    HlxTools.py:315-350). Collects (batch_id, numInputRows,
+    inputRowsPerSecond, durationMs) per progress event; pair with the
+    quarantine sink's rejected counts for the full load report."""
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+
+    def attach(self, spark) -> "MetricsListener":
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                outer.progress.append(
+                    {
+                        "query_id": str(p.id),
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "input_rows_per_second": p.inputRowsPerSecond,
+                        "duration_ms": dict(p.durationMs),
+                    }
+                )
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark) -> None:
+        spark.streams.removeListener(self._listener)
+
+    def total_input_rows(self, query_id: str | None = None) -> int:
+        return sum(
+            p["num_input_rows"]
+            for p in self.progress
+            if query_id is None or p["query_id"] == query_id
+        )

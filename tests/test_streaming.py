@@ -581,3 +581,77 @@ def test_stateful_sessionize_stream_v2(spark, stream_dirs):
     }
     assert (1, "2024-01-01 00:00:00", "2024-01-01 00:20:00", 3) in got
     assert (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1) in got
+
+
+def test_metrics_listener_counts_input_rows(spark, stream_dirs):
+    """StreamingQueryListener metrics: total input rows across
+    micro-batches equals the rows in the source files (S13 loader
+    metrics, the Spark form of the reference's BCP-log scraping)."""
+    from chill_spark.streaming.stream import MetricsListener
+
+    job = make_job(stream_dirs["in"])
+    cat = make_catalog()
+    ml = MetricsListener().attach(spark)
+    try:
+        q = run_stream(
+            spark, job, cat,
+            out_dir=stream_dirs["out"],
+            checkpoint_dir=stream_dirs["ckpt"],
+            columns=COLUMNS,
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        drain(q)
+        # listener events are async; wait for both batch progress events
+        import time
+        qid = str(q.id)
+        for _ in range(40):
+            if ml.total_input_rows(qid) >= 4:
+                break
+            time.sleep(0.25)
+        assert ml.total_input_rows(qid) == 4  # 2 files x 2 rows
+        batches = [p for p in ml.progress if p["query_id"] == qid and p["num_input_rows"] > 0]
+        assert len(batches) == 2  # maxFilesPerTrigger=1
+        assert all("triggerExecution" in p["duration_ms"] for p in batches)
+    finally:
+        ml.detach(spark)
+
+
+def test_streaming_jsonl_quality_intake(spark, stream_dirs):
+    """Corpus intake: JSONL stream -> Gopher quality filter -> parquet.
+    The same map-only filter plan as batch, run per micro-batch; bad
+    lines surface via the corrupt-record column instead of poisoning
+    the batch."""
+    import json
+
+    from chill_spark.llm_ops.text import gopher_quality_flags
+    from chill_spark.sources.jsonl import CORRUPT_COL, read_jsonl_stream
+
+    in_dir = os.path.join(stream_dirs["in"], "jsonl_src")
+    os.makedirs(in_dir)
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs away "
+        "to a very distant place where it was seen by many people that day " * 3
+    )
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": good}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "tiny"}) + "\n")
+        f.write("{broken json\n")
+
+    src = read_jsonl_stream(spark, in_dir, "doc_id bigint, text string")
+    flags = gopher_quality_flags("text")
+    kept = (
+        src.filter(F.col(CORRUPT_COL).isNull())
+        .filter(flags["keep"])
+        .select("doc_id", "text")
+    )
+    out_dir = os.path.join(stream_dirs["out"], "jsonl_kept")
+    ckpt = os.path.join(stream_dirs["ckpt"], "jsonl_kept")
+    q = (
+        kept.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    assert [r["doc_id"] for r in rows] == [1]
