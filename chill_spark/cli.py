@@ -5,6 +5,9 @@ external pipeline -> reconcile -> JUnit XML, chill.py:45-227) collapses
 into engine subcommands; the daemon/sqlplus/scheduler middle band
 (chill.py:103-194) is the engine itself.
 
+``--job``/``--catalog`` accept JSON specs or the reference's own Excel
+formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
+
     python -m chill_spark run        --job job.json --catalog cat.json --out DIR
     python -m chill_spark stream     --job job.json --catalog cat.json --out DIR \
                                      --checkpoint DIR --columns a,b,c
@@ -28,6 +31,14 @@ from .config.model import JobSpec
 
 
 def _load(path: str, cls):
+    """Load a JobSpec/Catalog from JSON — or straight from the
+    reference's Excel formats (Chill sheet / HLD workbook,
+    Partrans.py:40-96 / ParseHLD.py:52-63) when given a .xlsx path, so
+    a reference user's existing configs run unmodified."""
+    if path.endswith((".xlsx", ".xlsm")):
+        from .config.excel import load_chill_xlsx, load_hld_xlsx
+
+        return load_chill_xlsx(path) if cls is JobSpec else load_hld_xlsx(path)
     with open(path) as f:
         return cls.from_json(f.read())
 

@@ -158,3 +158,44 @@ def test_cli_ladder_repair(cli_dirs, spark, capsys):
     assert "HR: repaired 1 window(s)" in out
     got = spark.read.parquet(os.path.join(ladder, "CELL_STATS_HR")).collect()
     assert {(r["SITE"], r["CALLS"]) for r in got} == {("s1", 100.0), ("s2", 200.0)}
+
+
+def test_cli_run_from_excel_configs(cli_dirs, spark, capsys):
+    """A reference user's Excel configs (Chill sheet + HLD workbook)
+    drive the CLI directly — no JSON conversion step."""
+    from chill_spark.config.xlsx import write_xlsx
+
+    chill_rows = [
+        ["input_rd", os.path.join(cli_dirs["base"], "in")],
+        ["input_rd_mask", "*.csv"],
+        ["field"],
+        ["OM_GROUP", "constant", None, None, "OM_CELL", None],
+        ["DATETIME", "column", None, "_file", None,
+         "datetime.strptime(arg1[1:14], '%Y%m%d.%H%M').strftime('%Y-%m-%d %H:%M:%S')",
+         None, None, "ALL"],
+    ]
+    hld_sheets = {
+        "Tables": [
+            [None, "Table Name", "Counter Group in RD", "Base Granularity"],
+            [None, "-", "-", "-"],
+            [None, "-", "-", "-"],
+            [None, "CELL_STATS", "OM_CELL", "15M"],
+        ],
+        "Key_Counters_Kpis": [
+            [None, "Table Name", "Counter/KPI DB Name", "Raw Data Counter Name/OID",
+             "TYPE", "Data Type", "Formula"],
+            [None, "-", "-", "-", "-", "-", "-"],
+            [None, "-", "-", "-", "-", "-", "-"],
+            [None, "CELL_STATS", "SITE", "site", "KEY", "string"],
+            [None, "CELL_STATS", "CALLS", "calls_raw", "COUNTER", "double"],
+        ],
+    }
+    job_x = os.path.join(cli_dirs["base"], "chill.xlsx")
+    cat_x = os.path.join(cli_dirs["base"], "hld.xlsx")
+    write_xlsx(job_x, {"Chill": chill_rows})
+    write_xlsx(cat_x, hld_sheets)
+    out = os.path.join(cli_dirs["base"], "out_xlsx")
+    rc = main(["run", "--job", job_x, "--catalog", cat_x, "--out", out])
+    assert rc == 0
+    got = spark.read.parquet(os.path.join(out, "CELL_STATS_15M"))
+    assert {r["SITE"] for r in got.collect()} == {"s1", "s2"}
