@@ -3859,3 +3859,68 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "q_corpus_embedding_assembly",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(trim(text), '\\S+')) AS n_words,
+               length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                 / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS mean_len,
+               length(regexp_replace(text, '[^#{}<>|\\\\]', '', 'g'))::DOUBLE
+                 / greatest(length(text), 1) AS sym_r,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|and|of|to|a|in|is|it|that|was|for|on|are|with|as|at|be|this|have|from)\\b')) AS stop_hits,
+               len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))::DOUBLE
+                 / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS alpha_r
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, source FROM s
+        WHERE n_words BETWEEN 50 AND 100000
+          AND mean_len BETWEEN 3.0 AND 10.0
+          AND sym_r <= 0.1 AND stop_hits >= 2 AND alpha_r >= 0.8
+    ),
+    j AS (
+        SELECT k.source, e.label,
+               sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+        FROM kept k JOIN embeddings e ON k.doc_id = e.vec_id
+    )
+    SELECT source, label, count(*) AS n_docs, round(avg(nrm), 6) AS avg_norm
+    FROM j GROUP BY source, label ORDER BY source, label
+    """,
+)
+def q_corpus_embedding_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus assembly across modalities: quality-rule filter
+    on the text table (map-only), equi-join to the embedding table on
+    document id, per-(source, label) counts + mean embedding norm. The
+    filter runs BEFORE the join, so the shuffle carries only surviving
+    ids — at 100 TB push every per-row predicate below the join and
+    let AQE pick broadcast when one side collapses."""
+    from .llm_ops.text import gopher_quality_flags
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    kept = (
+        t["documents"]
+        .filter(gopher_quality_flags("text")["keep"])
+        .select("doc_id", "source")
+    )
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    j = kept.join(
+        t["embeddings"].select(F.col("vec_id").alias("doc_id"), "label",
+                               nrm.alias("nrm")),
+        "doc_id",
+    )
+    return (
+        j.groupBy("source", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+        .orderBy("source", "label")
+    )
