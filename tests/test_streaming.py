@@ -655,3 +655,38 @@ def test_streaming_jsonl_quality_intake(spark, stream_dirs):
     assert q.awaitTermination(120)
     rows = spark.read.parquet(out_dir).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_stream_with_lookup_enrichment(spark, stream_dirs):
+    """The DSL lookup (broadcast dim join + coalesce default) runs
+    per micro-batch exactly as in batch — streaming enrichment against
+    a static dimension snapshot."""
+    cat = make_catalog()
+    cat.tables["CELL_STATS"].columns.append(
+        ColumnSpec("REGION", dtype="string", kind="KEY")
+    )
+    job = make_job(stream_dirs["in"])
+    job.fields.append(
+        FieldSpec(
+            name="REGION", source="lookup", inputs=["site"],
+            function="view[view['cell_id'] == arg1]['region'].values[0]",
+            view="cells", default="UNK",
+        )
+    )
+    views = {
+        "cells": spark.createDataFrame(
+            [("s1", "EAST"), ("s2", "WEST")], ["cell_id", "region"]
+        )
+    }
+    q = run_stream(
+        spark, job, cat,
+        out_dir=stream_dirs["out"],
+        checkpoint_dir=stream_dirs["ckpt"],
+        columns=COLUMNS,
+        views=views,
+        available_now=True,
+    )
+    drain(q)
+    out = spark.read.parquet(f"{stream_dirs['out']}/CELL_STATS_15M")
+    got = {(r["SITE"], r["REGION"]) for r in out.collect()}
+    assert got == {("s1", "EAST"), ("s2", "WEST"), ("s3", "UNK")}
