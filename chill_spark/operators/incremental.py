@@ -119,3 +119,47 @@ def maintain_ladder_increment(
         write_fact(lvl, f"{out_root}/{table.name}_{g}")
         repaired[g] = windows
     return repaired
+
+
+def validate_ladder(
+    spark: SparkSession,
+    base_path: str,
+    out_root: str,
+    table: TableSpec,
+    levels: list[str] | None = None,
+    agg_map: dict[str, str] | None = None,
+    tolerance: float = 1e-9,
+) -> dict[str, int]:
+    """Audit the materialized ladder: re-aggregate each level from the
+    base table and count rows that disagree with what's stored
+    (missing, extra, or value drift beyond ``tolerance``).
+
+    The comparison is a full-outer join per level on (DATETIME, keys)
+    — distributed, nothing collected but the per-level counters.
+    Returns {level: bad_rows}; all-zero means the ladder is consistent
+    (the reference only ever checks rollup *existence* via its
+    scheduler; this checks the numbers)."""
+    from pyspark.sql import functions as F
+
+    counters = [c.db_name for c in table.counters]
+    keys = ["DATETIME", *table.key_fields]
+    base = read_fact(spark, base_path)
+    out: dict[str, int] = {}
+    for g in levels or table.ladder_above_base():
+        want = rollup(base, table.key_fields, counters, g, agg_map)
+        got = read_fact(spark, f"{out_root}/{table.name}_{g}")
+        w = want.select(
+            *keys, *[F.col(c).alias(f"__w_{c}") for c in counters]
+        )
+        gt = got.select(
+            *keys, *[F.col(c).alias(f"__g_{c}") for c in counters]
+        )
+        j = w.join(gt, keys, "full_outer")
+        mismatch = F.lit(False)
+        for c in counters:
+            a, b = F.col(f"__w_{c}"), F.col(f"__g_{c}")
+            mismatch = mismatch | (
+                a.isNull() != b.isNull()
+            ) | (F.abs(a - b) > tolerance)
+        out[g] = j.filter(mismatch).count()
+    return out

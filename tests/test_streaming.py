@@ -690,3 +690,38 @@ def test_stream_with_lookup_enrichment(spark, stream_dirs):
     out = spark.read.parquet(f"{stream_dirs['out']}/CELL_STATS_15M")
     got = {(r["SITE"], r["REGION"]) for r in out.collect()}
     assert got == {("s1", "EAST"), ("s2", "WEST"), ("s3", "UNK")}
+
+
+def test_validate_ladder_detects_drift(spark, stream_dirs):
+    """Ladder audit: consistent ladder -> zero bad rows; a corrupted
+    level value -> counted."""
+    from chill_spark.operators.incremental import validate_ladder
+    from chill_spark.operators.writers import PARTITION_COL
+
+    job = make_job(stream_dirs["in"])
+    cat = make_catalog()
+    ladder_root = os.path.join(os.path.dirname(stream_dirs["out"]), "ladder_v")
+    q = run_stream(
+        spark, job, cat,
+        out_dir=stream_dirs["out"],
+        checkpoint_dir=stream_dirs["ckpt"],
+        columns=COLUMNS,
+        available_now=True,
+        ladder_root=ladder_root,
+        ladder_levels=["HR"],
+    )
+    drain(q)
+    table = cat.tables["CELL_STATS"]
+    base = f"{stream_dirs['out']}/CELL_STATS_15M"
+    assert validate_ladder(spark, base, ladder_root, table, ["HR"]) == {"HR": 0}
+
+    # corrupt one stored HR value
+    hr = f"{ladder_root}/CELL_STATS_HR"
+    df = spark.read.parquet(hr).drop(PARTITION_COL)
+    bad = df.withColumn(
+        "CALLS",
+        F.when(F.col("SITE") == "s1", F.col("CALLS") + 1).otherwise(F.col("CALLS")),
+    )
+    from chill_spark.operators.writers import write_fact
+    write_fact(bad, hr)
+    assert validate_ladder(spark, base, ladder_root, table, ["HR"]) == {"HR": 1}
