@@ -114,3 +114,33 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    target_fraction: float,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep probability
+    proportional to ``weight_col`` (importance/quality-weighted corpus
+    selection), scaled so the expected kept fraction over uniform
+    weights is ``target_fraction``; per-row probabilities cap at 1.
+
+    keep iff hash_bucket(id) < p_row * BUCKETS, with
+    p_row = min(1, target_fraction * w / mean(w)). The mean is a 1-row
+    aggregate broadcast back (the only non-map stage); selection stays
+    a stable per-row hash — same replay/repartition guarantees as the
+    uniform sampler."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    mean_w = df.agg(F.avg(w).alias("__mw"))
+    b = hash_bucket(id_col, seed)
+    p = F.least(F.lit(1.0), F.lit(target_fraction) * w / F.col("__mw"))
+    # explicit floor: Spark's double->bigint cast truncates but other
+    # engines (DuckDB) round, so the oracle must see the same boundary
+    return (
+        df.crossJoin(F.broadcast(mean_w))
+        .filter(b < F.floor(p * BUCKETS).cast("bigint"))
+        .drop("__mw")
+    )

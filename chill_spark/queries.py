@@ -3924,3 +3924,45 @@ def q_corpus_embedding_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "label")
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(trim(text), '\\S+')) AS n_words
+        FROM documents
+    ),
+    mw AS (SELECT avg(n_words) AS mean_w FROM w)
+    SELECT source, count(*) AS n_kept, sum(n_words) AS sum_words
+    FROM w, mw
+    WHERE (('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 10000)
+          < CAST(floor(least(1.0, 0.3 * n_words / mean_w) * 10000) AS BIGINT)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling: keep probability
+    proportional to document length (any quality weight works), scaled
+    to a 30% expected fraction, selection by the stable md5 id hash —
+    deterministic across engines, replays, and repartitioning. The
+    only non-map stage is the 1-row mean-weight broadcast."""
+    from .llm_ops.sampling import weighted_sample
+    from .llm_ops.text import whitespace_token_count
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = d.select(
+        "doc_id", "source", whitespace_token_count("text").alias("n_words")
+    )
+    kept = weighted_sample(d, "doc_id", "n_words", 0.3)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_words").alias("sum_words"),
+        )
+        .orderBy("source")
+    )
