@@ -63,6 +63,10 @@ HEADLINE = [
     "q_histogram_prices",
     "q_ann_quantized_topk",
     "q_variant_props",
+    "q_bigram_pmi",
+    "q_embedding_centroids",
+    "q_corpus_embedding_assembly",
+    "q_weighted_sample",
 ]
 
 
