@@ -1,0 +1,123 @@
+"""Byte-pair-encoding vocabulary induction, Spark-first.
+
+Classic BPE (Sennrich et al. 2016, public) trains on the *word
+frequency table*, not the raw corpus — so the distributed part is one
+corpus pass building (word, freq), after which each merge iteration
+runs over that (comparatively tiny but still distributed) table:
+
+  1. pair counts: explode adjacent symbol pairs, weight by word freq,
+     hash-aggregate — one small shuffle per iteration
+  2. best pair -> driver (a 1-row TakeOrdered)
+  3. apply the merge: a fold (``F.aggregate``) over each word's symbol
+     array — greedy left-to-right non-overlapping, the standard BPE
+     application order; pure Column exprs, no UDF
+
+At 100 TB the corpus pass dominates and happens ONCE; the iteration
+state is |vocab| rows (millions at worst) cached in memory. This is
+the engine-shaped version of the tokenizer-training preprocessing an
+LLM data pipeline runs next to dedup/quality filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_freqs(df: DataFrame, text_col: str, lowercase: bool = True) -> DataFrame:
+    """(word, freq) from one corpus pass — the only full-data scan."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    return (
+        df.select(F.explode(F.split(F.trim(c), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _init_state(freqs: DataFrame) -> DataFrame:
+    # word -> array of single-char symbols + end-of-word marker
+    syms = F.concat(
+        F.split(F.col("w"), ""), F.array(F.lit(END_OF_WORD))
+    )
+    return freqs.select("freq", syms.alias("syms"))
+
+
+def _merge_fold(a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) -> a+b as an
+    array fold; a freshly merged symbol does not re-merge within the
+    same pass (standard BPE application)."""
+    merged = a + b
+
+    def step(acc, x):
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            can,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return lambda syms: F.aggregate(
+        syms, F.array().cast("array<string>"), step
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+    lowercase: bool = True,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, pair_freq)]
+    in merge order. Deterministic: ties broken lexicographically."""
+    spark = df.sparkSession
+    state = _init_state(word_freqs(df, text_col, lowercase)).cache()
+    state.count()  # materialize once
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            state.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < 2:
+            break
+        a, b, n = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["n"])
+        merges.append((a, b, n))
+        new_state = state.select(
+            "freq", _merge_fold(a, b)(F.col("syms")).alias("syms")
+        ).cache()
+        new_state.count()
+        state.unpersist()
+        state = new_state
+    state.unpersist()
+    return merges
+
+
+def bpe_segment(col, merges: list[tuple[str, str, int]]):
+    """Apply learned merges to a word column (array<string> of symbols
+    out). Merges apply in training order — same fold, chained."""
+    syms = F.concat(F.split(col, ""), F.array(F.lit(END_OF_WORD)))
+    for a, b, _ in merges:
+        syms = _merge_fold(a, b)(syms)
+    return syms

@@ -3966,3 +3966,21 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("q_bpe_merges")
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al. 2016) over the
+    documents corpus: one corpus pass builds the word-frequency table,
+    then each of 10 merge iterations is a small pair-count shuffle over
+    the vocab + a pure-Column greedy merge fold. Rows-only (iterative
+    driver loop, not SQL-expressible); merge correctness is unit-tested
+    on the classic corpus."""
+    from .llm_ops.bpe import bpe_train
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    merges = bpe_train(d, "text", n_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_freq bigint",
+    ).orderBy("rank")

@@ -538,3 +538,37 @@ def test_gopher_flags_reject_degenerate_docs(spark):
     assert not out["too_short"]["r_words"]
     assert not out["symbol_soup"]["r_symbol"] and not out["symbol_soup"]["r_alpha"]
     assert not out["no_stopwords"]["r_stop"]
+
+
+def test_bpe_learns_expected_merges(spark):
+    """Classic BPE example: frequent character pairs merge first and
+    greedy application is left-to-right non-overlapping."""
+    from chill_spark.llm_ops.bpe import END_OF_WORD, bpe_segment, bpe_train
+    from pyspark.sql import functions as F
+
+    rows = [("low low low low low lowest lowest newer newer newer wider",)]
+    df = spark.createDataFrame(rows, ["text"])
+    merges = bpe_train(df, "text", n_merges=4)
+    assert len(merges) == 4
+    # 'l'+'o' (freq 7) then 'lo'+'w' (7) dominate the classic corpus
+    assert merges[0][:2] == ("l", "o") and merges[0][2] == 7
+    assert merges[1][:2] == ("lo", "w")
+    seg = spark.createDataFrame([("low",), ("lowest",)], ["w"]).select(
+        F.col("w"), bpe_segment(F.col("w"), merges).alias("s")
+    )
+    got = {r["w"]: r["s"] for r in seg.collect()}
+    # merge 3 is ('low', '</w>') -> the whole word collapses to one token
+    assert got["low"] == ["low</w>"]
+    assert got["lowest"][0] == "low"
+
+
+def test_bpe_greedy_no_overlap(spark):
+    """'aaaa' with merge (a,a) -> [aa, aa], never [aa, a, a] or
+    overlapping re-merge within one pass."""
+    from chill_spark.llm_ops.bpe import bpe_segment
+    from pyspark.sql import functions as F
+
+    seg = spark.createDataFrame([("aaaa",)], ["w"]).select(
+        bpe_segment(F.col("w"), [("a", "a", 0)]).alias("s")
+    )
+    assert seg.first()["s"][:2] == ["aa", "aa"]
