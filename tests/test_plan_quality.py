@@ -276,3 +276,41 @@ def test_write_clustered_enables_file_skipping(spark):
     probe_lo, probe_hi = ranges[2][0], ranges[2][1]
     overlapping = [r for r in ranges if not (r[1] < probe_lo or r[0] > probe_hi)]
     assert len(overlapping) <= 2
+
+
+def test_corpus_assembly_filter_below_join(spark):
+    """Quality filter must run below the doc/embedding join: the Filter
+    node sits on the scan side, not above the Join."""
+    plan = plan_of(Q.queries()["q_corpus_embedding_assembly"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # quality predicate pushed into the documents branch: the text
+    # column is consumed by a Filter/Project before any Join node reads it
+    jpos = plan.index(") Join") if ") Join" in plan else plan.index("Join")
+    fpos = plan.index("Filter")
+    assert fpos > 0
+    # and no Python in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_no_wide_shuffle(spark):
+    """Weighted sampling: the mean-weight side is a broadcast of one
+    row; the kept-set selection is a narrow filter (no hash exchange of
+    the corpus before the final agg)."""
+    import re
+
+    plan = plan_of(Q.queries()["q_weighted_sample"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # exchanges: the 1-row mean-weight agg, the per-source agg, and the
+    # presentation sort — the corpus itself is never hash-exchanged
+    # before selection
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_span_dedup_three_exchanges(spark):
+    """Span dedup: window-on-span + per-doc regroup + presentation
+    sort — no fourth shuffle, no join."""
+    import re
+
+    plan = plan_of(Q.queries()["q_span_dedup"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert "Join" not in plan
