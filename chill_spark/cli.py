@@ -75,6 +75,8 @@ def cmd_stream(args) -> int:
         trigger_seconds=args.trigger,
         available_now=args.drain,
         quarantine_dir=args.quarantine,
+        ladder_root=args.ladder_root,
+        ladder_levels=args.ladder_levels.split(",") if args.ladder_levels else None,
     )
     if args.drain:
         drain(q)
@@ -245,6 +247,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--columns", required=True, help="comma-separated raw columns")
     s.add_argument("--trigger", type=int, default=5)
     s.add_argument("--quarantine")
+    s.add_argument("--ladder-root",
+                   help="also repair the rollup ladder incrementally per batch")
+    s.add_argument("--ladder-levels", help="comma list, default: full ladder")
     s.add_argument("--drain", action="store_true",
                    help="process available files then exit (availableNow)")
     s.set_defaults(fn=cmd_stream)

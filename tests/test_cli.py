@@ -199,3 +199,17 @@ def test_cli_run_from_excel_configs(cli_dirs, spark, capsys):
     assert rc == 0
     got = spark.read.parquet(os.path.join(out, "CELL_STATS_15M"))
     assert {r["SITE"] for r in got.collect()} == {"s1", "s2"}
+
+
+def test_cli_stream_with_ladder(cli_dirs, spark, capsys):
+    ckpt = os.path.join(cli_dirs["base"], "ckpt")
+    ladder = os.path.join(cli_dirs["base"], "stream_ladder")
+    rc = main([
+        "stream", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"], "--checkpoint", ckpt,
+        "--columns", "site,calls_raw", "--drain",
+        "--ladder-root", ladder, "--ladder-levels", "HR",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(os.path.join(ladder, "CELL_STATS_HR")).collect()
+    assert {(r["SITE"], r["CALLS"]) for r in got} == {("s1", 100.0), ("s2", 200.0)}
