@@ -3984,3 +3984,83 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, pair_freq bigint",
     ).orderBy("rank")
+
+
+@query(
+    "q_new_users_cumulative",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(ts::DATE) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT d, new_users,
+           sum(new_users) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM daily ORDER BY d
+    """,
+)
+def q_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth analytics: first-seen day per user -> daily new users ->
+    cumulative distinct users via a running sum over days. Spark has no
+    windowed COUNT(DISTINCT); the first-occurrence reduction makes it a
+    plain running sum over |days| rows (the single-partition window is
+    fine — it runs on the already-aggregated daily frame, never raw
+    events)."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    ).orderBy("d")
+
+
+@query(
+    "q_max_concurrency",
+    oracle="""
+    WITH deltas AS (
+        SELECT ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 5 MINUTE AS t, -1 AS delta FROM events
+    ),
+    sweep AS (
+        SELECT t::DATE AS d, t, delta,
+               sum(delta) OVER (ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        FROM deltas
+    )
+    SELECT d, max(live) AS peak_concurrency
+    FROM sweep GROUP BY d ORDER BY d
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: each event opens a 5-minute
+    presence interval; +1/-1 deltas sorted by time with a running sum
+    give the number of live intervals at every boundary; max per day.
+    Tie order (+1 before -1 at the same instant? here delta ASC puts
+    -1 first — half-open intervals) is pinned identically in both
+    engines. The global ordered window runs over 2x|events| skinny
+    rows; at 100 TB partition the sweep by day first (intervals never
+    cross days here) to keep the sort distributed."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    opens = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    closes = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = opens.unionAll(closes)
+    w = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = deltas.select(
+        F.to_date("t").alias("d"), F.sum("delta").over(w).alias("live")
+    )
+    return (
+        sweep.groupBy("d")
+        .agg(F.max("live").alias("peak_concurrency"))
+        .orderBy("d")
+    )
