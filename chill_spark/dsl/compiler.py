@@ -132,6 +132,14 @@ class _Tier1(ast.NodeVisitor):
     # -- operators --
 
     def v_BinOp(self, n: ast.BinOp) -> Typed:
+        # str % formatting intercepts before the generic visit: a tuple
+        # rhs ('%s-%s' % (a, b)) has no standalone Column form
+        if (
+            isinstance(n.op, ast.Mod)
+            and isinstance(n.left, ast.Constant)
+            and isinstance(n.left.value, str)
+        ):
+            return self._format_str(n)
         lhs, rhs = self.visit(n.left), self.visit(n.right)
         op = type(n.op).__name__
         if op == "Add":
@@ -165,6 +173,27 @@ class _Tier1(ast.NodeVisitor):
             return Typed(F.pmod(lhs.col, rhs.col), _num_t(lhs.t, rhs.t))
         raise UnsupportedTemplate(f"binop {op} on {lhs.t}/{rhs.t}")
 
+    def _format_str(self, n: ast.BinOp) -> Typed:
+        """'%03d' % x / '%s-%s' % (a, b) -> format_string. Only the
+        Formatter-compatible subset (%s %d %i %f with flags/width/
+        precision) and a CONSTANT format compile; anything else falls
+        to tier 3."""
+        import re as _re
+
+        fmt = n.left.value
+        specs = _re.findall(r"%[-+0 #]*\d*(?:\.\d+)?[sdif%]", fmt)
+        if _re.sub(r"%[-+0 #]*\d*(?:\.\d+)?[sdif%]", "", fmt).count("%"):
+            raise UnsupportedTemplate("unsupported % spec")
+        vals = (
+            [self.visit(e) for e in n.right.elts]
+            if isinstance(n.right, ast.Tuple)
+            else [self.visit(n.right)]
+        )
+        if len([s for s in specs if s != "%%"]) != len(vals):
+            raise UnsupportedTemplate("% arity")
+        jfmt = fmt.replace("%i", "%d")
+        return Typed(F.format_string(jfmt, *[v.col for v in vals]), "str")
+
     def v_UnaryOp(self, n: ast.UnaryOp) -> Typed:
         val = self.visit(n.operand)
         if isinstance(n.op, ast.USub) and val.is_num:
@@ -190,6 +219,10 @@ class _Tier1(ast.NodeVisitor):
         if op == "In" and isinstance(n.comparators[0], (ast.List, ast.Tuple)):
             items = [self.visit(e).col for e in n.comparators[0].elts]
             return Typed(lhs.col.isin(*items), "bool")
+        if op in ("In", "NotIn") and lhs.t == "str" and rhs.t == "str":
+            # 'x' in s -> substring containment
+            c = F.contains(rhs.col, lhs.col)
+            return Typed(~c if op == "NotIn" else c, "bool")
         raise UnsupportedTemplate(f"compare {op}")
 
     def v_List(self, n: ast.List) -> Typed:
@@ -335,6 +368,31 @@ class _Tier1(ast.NodeVisitor):
             return Typed(F.endswith(obj.col, args[0].col), "bool")
         if meth == "split" and len(args) == 1:
             raise UnsupportedTemplate("bare split (need [i] index)")
+        if meth == "find" and len(args) == 1:
+            # instr is 1-based with 0=absent; find is 0-based with -1
+            return Typed(F.instr(obj.col, args[0].col) - 1, "int")
+        if meth == "count" and len(args) == 1:
+            if not (isinstance(n.args[0], ast.Constant) and n.args[0].value):
+                raise UnsupportedTemplate("count needs a non-empty literal")
+            sub = n.args[0].value
+            diff = F.length(obj.col) - F.length(
+                F.replace(obj.col, F.lit(sub), F.lit(""))
+            )
+            return Typed((diff / len(sub)).cast("long"), "int")
+        if meth in ("ljust", "rjust") and len(args) in (1, 2):
+            if not isinstance(n.args[0], ast.Constant):
+                raise UnsupportedTemplate("dynamic pad width")
+            width = n.args[0].value
+            fill = n.args[1].value if len(args) == 2 else " "
+            pad = F.rpad if meth == "ljust" else F.lpad
+            # Python never truncates when already wide enough; Spark's
+            # pad does — guard to keep semantics exact
+            return Typed(
+                F.when(F.length(obj.col) >= width, obj.col).otherwise(
+                    pad(obj.col, width, fill)
+                ),
+                "str",
+            )
         raise UnsupportedTemplate(f"str method {meth}")
 
 

@@ -64,6 +64,16 @@ TEMPLATES = [
     ("arg1.zfill(6)", ["cnt"]),
     ("int(arg1) % 7", ["cnt"]),
     ("int(arg1) // 10", ["cnt"]),
+    ("'%05d' % int(arg1)", ["cnt"]),
+    ("'%s-%03d' % (arg1, int(arg2))", ["grp", "cnt"]),
+    ("arg1.find('_')", ["fname"]),
+    ("arg1.find('zzz')", ["fname"]),
+    ("arg1.count('_')", ["fname"]),
+    ("arg1.ljust(8, '.')", ["grp"]),
+    ("arg1.rjust(10)", ["fname"]),
+    ("'OM' in arg1", ["grp"]),
+    ("'zzz' in arg1", ["fname"]),
+    ("arg1.startswith('OM')", ["grp"]),
 ]
 
 
