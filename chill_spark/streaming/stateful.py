@@ -56,6 +56,13 @@ def sessionize_stream(
     keeps scheduling batches to service timeouts and never
     self-terminates; with 'none' it stops after the available data and
     open sessions stay in the checkpointed state for the next run.
+
+    ``timeout='event'`` flushes on EVENT time instead: the caller must
+    put a watermark on the stream (``withWatermark(ts_col, ...)``), and
+    an open session closes once the watermark passes session_end + gap
+    — replay/backfill then produces exactly the same sessions as a live
+    run, because no wall-clock enters the semantics (the batch
+    equivalent is queries.q_sessionize).
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -93,6 +100,10 @@ def sessionize_stream(
             state.update((start, last, n))
             if timeout == "processing":
                 state.setTimeoutDuration(idle_timeout_ms)
+            elif timeout == "event":
+                # flush when the event-time watermark passes the point
+                # at which the gap rule would close this session
+                state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
         yield pd.DataFrame(closed, columns=SESSION_SCHEMA.fieldNames())
 
     def _row(user, start, last, n):
@@ -103,11 +114,11 @@ def sessionize_stream(
             "n_events": n,
         }
 
-    conf = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if timeout == "processing"
-        else GroupStateTimeout.NoTimeout
-    )
+    conf = {
+        "processing": GroupStateTimeout.ProcessingTimeTimeout,
+        "event": GroupStateTimeout.EventTimeTimeout,
+        "none": GroupStateTimeout.NoTimeout,
+    }[timeout]
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,

@@ -725,3 +725,49 @@ def test_validate_ladder_detects_drift(spark, stream_dirs):
     from chill_spark.operators.writers import write_fact
     write_fact(bad, hr)
     assert validate_ladder(spark, base, ladder_root, table, ["HR"]) == {"HR": 1}
+
+
+def test_stateful_sessionize_event_time_flush(spark, stream_dirs):
+    """timeout='event': an open session flushes when the WATERMARK
+    passes session_end + gap — no wall clock involved, so replays
+    produce identical sessions. A later batch whose events advance the
+    watermark far enough closes u2's idle session without u2 sending
+    any more events."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from chill_spark.streaming import sessionize_stream
+
+    in_dir = os.path.join(stream_dirs["in"], "sess_evt")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "b1.csv"), "w") as f:
+        f.write("user_id,ts\n2,2024-01-01 00:00:00\n")
+    with open(os.path.join(in_dir, "b2.csv"), "w") as f:
+        # u1 events push the watermark to ~05:50 (06:00 - 10m delay),
+        # far past u2's 00:00 + 30m gap
+        f.write("user_id,ts\n1,2024-01-01 06:00:00\n")
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("ts", StringType()),
+    ])
+    src = (
+        spark.readStream.format("csv").schema(schema)
+        .option("header", "true").option("maxFilesPerTrigger", "1")
+        .load(f"{in_dir}/*.csv")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+    )
+    sessions = sessionize_stream(src, gap_seconds=1800, timeout="event")
+    out_dir = os.path.join(stream_dirs["out"], "sessions_evt")
+    ckpt = os.path.join(stream_dirs["ckpt"], "sessions_evt")
+    q = (
+        sessions.writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "stream did not self-terminate"
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (2, "2024-01-01 00:00:00", 1) in got  # flushed by watermark
