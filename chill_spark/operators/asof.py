@@ -31,6 +31,7 @@ def asof_join(
     right_time: str,
     value_cols: list[str] | None = None,
     strict: bool = False,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join.
 
@@ -44,12 +45,21 @@ def asof_join(
                 False -> right_time <= left_time (ties match). Among
                 equal-(time) right rows the greatest value struct wins
                 — deterministic.
+    tolerance_seconds
+                max staleness: a match older than left_time - tolerance
+                yields NULLs instead (common market-data / dim-state
+                semantics). Implemented as a post-window predicate on
+                the matched row's time (carried in the struct) — the
+                plan shape (one shuffle, no amplification) is unchanged.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_time)
     ]
     lcols = left.columns
-    vstruct = F.struct(*[F.col(c) for c in value_cols])
+    vstruct = F.struct(
+        *[F.col(c) for c in value_cols],
+        F.col(right_time).alias("__rt"),
+    )
     null_vstruct = F.lit(None).cast(
         right.select(vstruct.alias("v")).schema["v"].dataType
     )
@@ -83,7 +93,18 @@ def asof_join(
     filled = unioned.select(
         "*", F.last(F.col("__v"), ignorenulls=True).over(w).alias("__m")
     )
+    matched = F.col("__m")
+    if tolerance_seconds is not None:
+        # TIMESTAMP_NTZ has no direct long cast; go via session-TZ
+        # timestamp (value-preserving under the UTC session default)
+        def _secs(c):
+            return c.cast("timestamp").cast("long")
+
+        fresh = (
+            _secs(F.col("__t")) - _secs(matched["__rt"])
+        ) <= tolerance_seconds
+        matched = F.when(fresh, matched)
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col("__m")[c].alias(c) for c in value_cols],
+        *[matched[c].alias(c) for c in value_cols],
     )

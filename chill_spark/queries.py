@@ -4064,3 +4064,46 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").alias("peak_concurrency"))
         .orderBy("d")
     )
+
+
+@query(
+    "q_asof_join_tolerance",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, ts - INTERVAL 28 YEAR AS ts FROM events
+    )
+    SELECT ev.event_id, ev.user_id,
+           (SELECT max(o.o_orderdate) FROM orders o
+            WHERE o.o_custkey = ev.user_id
+              AND o.o_orderdate <= ev.ts
+              AND epoch(o.o_orderdate) >= floor(epoch(ev.ts)) - 7776000
+           ) AS recent_order_date
+    FROM ev ORDER BY ev.event_id
+    """,
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with max staleness: match only orders within 90 days
+    before the event, older matches become NULL. Same one-shuffle
+    union+window plan — staleness is a post-window predicate on the
+    matched row's time (carried in the value struct), not a join
+    condition, so no amplification appears. The oracle's staleness
+    bound uses floor(epoch(ts)) to mirror Spark's long-cast truncation
+    exactly."""
+    from .operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ["events", "orders"])
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 28 YEARS")).alias("ts"),
+    )
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join(
+        ev, orders, on="user_id", left_time="ts", right_time="o_orderdate",
+        value_cols=["o_orderdate"], tolerance_seconds=90 * 86400,
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderdate").alias("recent_order_date")
+    ).orderBy("event_id")
