@@ -314,3 +314,47 @@ def test_span_dedup_three_exchanges(spark):
     plan = plan_of(Q.queries()["q_span_dedup"](spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
     assert "Join" not in plan
+
+
+def test_zorder_write_skips_on_both_dimensions(spark):
+    """Z-order clustering: per-file min/max ranges are narrow on BOTH
+    cluster columns (a plain sort only helps its leading column)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from chill_spark.operators.writers import write_zordered
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    out = os.path.join(TMP, "zorder_li")
+    shutil.rmtree(out, ignore_errors=True)
+    write_zordered(li, out, ["l_orderkey", "l_partkey"], n_files=16)
+
+    def file_coverages(col):
+        glo, ghi = None, None
+        spans = []
+        for f in sorted(glob.glob(f"{out}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            lo, hi = min(mins), max(maxs)
+            spans.append((lo, hi))
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        width = ghi - glo
+        return [ (hi - lo) / width for lo, hi in spans ]
+
+    for col in ["l_orderkey", "l_partkey"]:
+        cov = file_coverages(col)
+        assert len(cov) >= 8
+        # average per-file span well below the full range on BOTH dims
+        assert sum(cov) / len(cov) < 0.6, (col, cov)
