@@ -572,3 +572,68 @@ def test_bpe_greedy_no_overlap(spark):
         bpe_segment(F.col("w"), [("a", "a", 0)]).alias("s")
     )
     assert seg.first()["s"][:2] == ["aa", "aa"]
+
+
+def test_gopher_flags_property_differential(spark):
+    """Property test: Spark's gopher_quality_flags agree with a
+    pure-Python reference implementation of the same rules on random
+    texts (tokenization + ratio arithmetic parity)."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from chill_spark.llm_ops.text import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_RATIO,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+        gopher_quality_flags,
+    )
+
+    stop = (
+        "the|and|of|to|a|in|is|it|that|was|for|on|are|with|as|at|be|this|have|from"
+    ).split("|")
+
+    def py_flags(text: str) -> dict:
+        toks = _re.findall(r"\S+", text.strip())
+        n = len(toks)
+        words_d = max(n, 1)
+        mean_len = len(_re.sub(r"\s+", "", text)) / words_d
+        sym = len(_re.findall(r"[#{}<>|\\]", text)) / max(len(text), 1)
+        stop_hits = len(
+            _re.findall(r"\b(" + "|".join(stop) + r")\b", text.lower())
+        )
+        alpha = len([t for t in toks if _re.search(r"[A-Za-z]", t)]) / words_d
+        return {
+            "r_words": GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS,
+            "r_mean_len": GOPHER_MIN_MEAN_WORD_LEN <= mean_len <= GOPHER_MAX_MEAN_WORD_LEN,
+            "r_symbol": sym <= GOPHER_MAX_SYMBOL_RATIO,
+            "r_stop": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+            "r_alpha": alpha >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        }
+
+    # words from a mixed alphabet incl. symbols/digits/stopwords
+    word = st.one_of(
+        st.sampled_from(stop),
+        st.text(
+            alphabet="abcXYZ019#{}<>|\\.,!?", min_size=1, max_size=12
+        ).filter(lambda s: s.strip()),
+    )
+    texts = st.lists(word, min_size=0, max_size=80).map(" ".join)
+
+    @settings(max_examples=30, deadline=None)
+    @given(texts)
+    def check(text):
+        df = spark.createDataFrame([(text,)], "text string")
+        flags = gopher_quality_flags("text")
+        got = df.select(
+            *[c.alias(nme) for nme, c in flags.items() if nme != "keep"]
+        ).first().asDict()
+        want = py_flags(text)
+        assert got == want, (repr(text), got, want)
+
+    check()
