@@ -117,6 +117,19 @@ def cmd_reconcile(args) -> int:
         counters=[c.db_name for c in table.counters],
     )
     report = build_report([rep])
+    if args.expect_not_null or args.expect_unique:
+        from .reconcile.expectations import (
+            check_expectations, expectations_report, not_null, unique,
+        )
+
+        exps = []
+        if args.expect_not_null:
+            exps.append(not_null(*args.expect_not_null.split(",")))
+        if args.expect_unique:
+            exps.append(unique(*args.expect_unique.split(",")))
+        report.merge(
+            expectations_report(table.name, check_expectations(actual, exps))
+        )
     xml = report.to_xml()
     if args.report:
         with open(args.report, "w") as f:
@@ -267,6 +280,8 @@ def main(argv: list[str] | None = None) -> int:
     rc.add_argument("--expected", required=True)
     rc.add_argument("--actual", required=True)
     rc.add_argument("--report")
+    rc.add_argument("--expect-not-null", help="comma list of columns")
+    rc.add_argument("--expect-unique", help="comma list of key columns")
     rc.set_defaults(fn=cmd_reconcile)
 
     rt = sub.add_parser("retention", help="thinout expired partitions")

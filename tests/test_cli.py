@@ -213,3 +213,21 @@ def test_cli_stream_with_ladder(cli_dirs, spark, capsys):
     assert rc == 0
     got = spark.read.parquet(os.path.join(ladder, "CELL_STATS_HR")).collect()
     assert {(r["SITE"], r["CALLS"]) for r in got} == {("s1", 100.0), ("s2", 200.0)}
+
+
+def test_cli_reconcile_with_expectations(cli_dirs, capsys):
+    main([
+        "run", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"],
+    ])
+    capsys.readouterr()
+    fact = os.path.join(cli_dirs["out"], "CELL_STATS_15M")
+    report = os.path.join(cli_dirs["base"], "report_exp.xml")
+    rc = main([
+        "reconcile", "--catalog", cli_dirs["catalog"], "--table", "CELL_STATS",
+        "--expected", fact, "--actual", fact, "--report", report,
+        "--expect-not-null", "SITE,CALLS", "--expect-unique", "SITE",
+    ])
+    assert rc == 0
+    xml = open(report).read()
+    assert "Expectations" in xml and "not_null(SITE,CALLS)" in xml
