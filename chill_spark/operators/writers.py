@@ -145,11 +145,9 @@ def write_clustered(
     skew in the cluster key yields balanced files regardless.
     """
     cols = [F.col(c) for c in cluster_cols]
-    part = (
-        df.repartitionByRange(n_files, *cols)
-        if n_files
-        else df.repartitionByRange(*cols)
-    )
+    if n_files is None:
+        n_files = partitions_for(df)
+    part = df.repartitionByRange(n_files, *cols)
     (
         part.sortWithinPartitions(*cols)
         .write.mode(mode)
@@ -227,3 +225,22 @@ def write_zordered(
         .format(fmt)
         .save(path)
     )
+
+
+def estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (file sizes for
+    scans, propagated through projections/filters). Cheap — no job."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def partitions_for(
+    df: DataFrame, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """How many output files/partitions a write of ``df`` should use so
+    files land near ``target_file_bytes`` — the sizing knob that keeps
+    a 100 TB table from becoming either a million tiny files or a
+    handful of unsplittable monsters. Derived from plan statistics
+    (estimate; compact_partitions trues it up post-hoc)."""
+    import math
+
+    return max(1, math.ceil(estimated_plan_bytes(df) / target_file_bytes))

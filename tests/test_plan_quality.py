@@ -358,3 +358,16 @@ def test_zorder_write_skips_on_both_dimensions(spark):
         assert len(cov) >= 8
         # average per-file span well below the full range on BOTH dims
         assert sum(cov) / len(cov) < 0.6, (col, cov)
+
+
+def test_partitions_for_sizing(spark):
+    from chill_spark.operators.writers import estimated_plan_bytes, partitions_for
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = estimated_plan_bytes(li)
+    assert n > 0
+    assert partitions_for(li, target_file_bytes=n // 3) in (3, 4)
+    assert partitions_for(li, target_file_bytes=n * 10) == 1
+    # column pruning shrinks the estimate
+    pruned = li.select("l_orderkey")
+    assert estimated_plan_bytes(pruned) < n
