@@ -67,11 +67,21 @@ def cmd_stream(args) -> int:
     spark = get_spark("chill-stream")
     job = _load(args.job, JobSpec)
     cat = _load(args.catalog, Catalog)
+    columns = (
+        args.columns.split(",")
+        if args.columns
+        else [
+            s.raw_name
+            for t in cat.tables.values()
+            for s in t.stored_columns
+            if s.raw_name
+        ]
+    )
     q = run_stream(
         spark, job, cat,
         out_dir=args.out,
         checkpoint_dir=args.checkpoint,
-        columns=args.columns.split(","),
+        columns=columns,
         trigger_seconds=args.trigger,
         available_now=args.drain,
         quarantine_dir=args.quarantine,
@@ -257,7 +267,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--catalog", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--checkpoint", required=True)
-    s.add_argument("--columns", required=True, help="comma-separated raw columns")
+    s.add_argument("--columns",
+                   help="comma-separated raw columns (default: catalog raw names)")
     s.add_argument("--trigger", type=int, default=5)
     s.add_argument("--quarantine")
     s.add_argument("--ladder-root",

@@ -231,3 +231,15 @@ def test_cli_reconcile_with_expectations(cli_dirs, capsys):
     assert rc == 0
     xml = open(report).read()
     assert "Expectations" in xml and "not_null(SITE,CALLS)" in xml
+
+
+def test_cli_stream_columns_default_from_catalog(cli_dirs, spark):
+    """--columns defaults to the catalog's declared raw names."""
+    ckpt = os.path.join(cli_dirs["base"], "ckpt_nc")
+    rc = main([
+        "stream", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"], "--checkpoint", ckpt, "--drain",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(os.path.join(cli_dirs["out"], "CELL_STATS_15M"))
+    assert {r["SITE"] for r in got.collect()} == {"s1", "s2"}

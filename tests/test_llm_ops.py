@@ -637,3 +637,21 @@ def test_gopher_flags_property_differential(spark):
         assert got == want, (repr(text), got, want)
 
     check()
+
+
+def test_jsonl_gzip_roundtrip(spark, tmp_path):
+    """Compressed JSONL interchange: gzip write -> .json.gz part files,
+    read back losslessly with the explicit schema."""
+    import glob as _glob
+
+    from chill_spark.sources.jsonl import CORRUPT_COL, read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "héllo wörld"), (2, 'quotes " and \\ slashes')], "doc_id bigint, text string"
+    )
+    out = str(tmp_path / "gz")
+    write_jsonl(df, out, compression="gzip")
+    assert _glob.glob(f"{out}/*.json.gz")
+    back = read_jsonl(spark, out, schema="doc_id bigint, text string")
+    rows = {r["doc_id"]: r["text"] for r in back.filter(F.col(CORRUPT_COL).isNull()).collect()}
+    assert rows == {1: "héllo wörld", 2: 'quotes " and \\ slashes'}
