@@ -21,15 +21,27 @@ from .text import doc_fingerprint, normalize_text, shingle_fingerprints
 # ---------------------------------------------------------------------------
 
 def dedup_exact(
-    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: str = "min",
+    priority_col: Column | str | None = None,
 ) -> DataFrame:
     """Keep one row per identical normalized text — the survivor is the
-    min (or max) id. Single hash-shuffle on the fingerprint; survivor
-    selection is min_by (no window, no second shuffle)."""
+    min (or max) id, or, with ``priority_col``, the row with the
+    smallest (priority, id) pair (source-preference dedup: keep the
+    curated copy over the crawl copy). Single hash-shuffle on the
+    fingerprint; survivor selection is min_by over a struct ordering
+    (lexicographic) — no window, no second shuffle either way."""
     fp = doc_fingerprint(text_col)
-    agg = F.min_by(F.struct(*df.columns), F.col(id_col)) if keep == "min" else (
-        F.max_by(F.struct(*df.columns), F.col(id_col))
-    )
+    if priority_col is not None:
+        p = F.col(priority_col) if isinstance(priority_col, str) else priority_col
+        order = F.struct(p.alias("p"), F.col(id_col).alias("i"))
+        agg = F.min_by(F.struct(*df.columns), order)
+    elif keep == "min":
+        agg = F.min_by(F.struct(*df.columns), F.col(id_col))
+    else:
+        agg = F.max_by(F.struct(*df.columns), F.col(id_col))
     return (
         df.groupBy(fp.alias("__fp"))
         .agg(agg.alias("__row"))

@@ -4107,3 +4107,45 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.col("o_orderdate").alias("recent_order_date")
     ).orderBy("event_id")
+
+
+@query(
+    "q_dedup_exact_priority",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text, source, 1 AS p FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, 'copy' AS source, 0 AS p
+        FROM documents
+    )
+    SELECT min_by(doc_id, p * 10000000 + doc_id) AS doc_id,
+           min_by(source, p * 10000000 + doc_id) AS source
+    FROM corpus
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_exact_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-preference exact dedup: the corpus is doubled with a
+    preferred 'copy' side (priority 0 < 1); the survivor per
+    fingerprint group is min (priority, id) — the curated copy beats
+    the lower-id original, which plain min-id dedup would keep. Same
+    single-shuffle min_by-over-struct plan as q_dedup_exact."""
+    from .llm_ops.dedup import dedup_exact
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "text", "source"
+    )
+    corpus = d.withColumn("p", F.lit(1)).unionByName(
+        d.select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+            "text",
+            F.lit("copy").alias("source"),
+            F.lit(0).alias("p"),
+        )
+    )
+    return (
+        dedup_exact(corpus, "text", "doc_id", priority_col="p")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
