@@ -139,8 +139,8 @@ def pack_oracle_sql(
     part = f"PARTITION BY {shard_col} " if shard_col else ""
     return f"""
     SELECT {select_cols},
-           sum({count_col}) OVER ({part}ORDER BY {order_col}
-               ROWS UNBOUNDED PRECEDING) - {count_col} AS seq_offset,
+           CAST(sum({count_col}) OVER ({part}ORDER BY {order_col}
+               ROWS UNBOUNDED PRECEDING) - {count_col} AS BIGINT) AS seq_offset,
            CAST(floor((sum({count_col}) OVER ({part}ORDER BY {order_col}
                ROWS UNBOUNDED PRECEDING) - {count_col}) / {budget}) AS BIGINT)
                AS seq_id

