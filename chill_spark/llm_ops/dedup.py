@@ -134,12 +134,17 @@ def shingle_sets(
     return th_df.select("id", F.array_distinct(sh).alias("sh"))
 
 
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
 def pairs_within_buckets(
     df: DataFrame,
     bucket_cols: list[str],
     id_col: str = "id",
     payload_cols: list[str] | None = None,
     dedup_pairs: bool = True,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing a bucket.
 
@@ -147,11 +152,17 @@ def pairs_within_buckets(
     self-equi-join costs: collect the sorted member structs per
     bucket, expand in-bucket pairs with nested ``transform``
     (JVM-side, no UDF), explode, distinct. Pair expansion is
-    quadratic in bucket size — correct for LSH buckets, whose whole
-    design keeps buckets small; a pathological mega-bucket would
-    equally blow up the self-join's output. At 100 TB halving the
-    shuffled bytes on the widest intermediate (the banded rows) is
-    the difference between one network pass and two.
+    quadratic in bucket size — fine for LSH buckets, whose whole
+    design keeps buckets small, but web corpora always have a few
+    degenerate keys (boilerplate / empty-doc signatures) whose
+    buckets would expand to millions of pairs and OOM one task.
+    ``max_bucket_size`` drops those buckets outright (the standard
+    corpus-dedup policy: a signature shared by thousands of docs is
+    boilerplate, not near-duplication, and exact dedup already
+    handles identical texts). Pass ``observation`` (a
+    ``pyspark.sql.Observation``) to surface how much was skipped —
+    ``oversize_buckets`` / ``oversize_members`` — on the same action,
+    zero extra jobs, matching the repo's no-silent-skip policy.
 
     ``payload_cols`` ride along inside the member struct, so the
     verify stage (Hamming / cosine) reads them straight off the pair
@@ -167,6 +178,17 @@ def pairs_within_buckets(
         .agg(F.sort_array(F.collect_set(member)).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    if max_bucket_size is not None:
+        oversize = F.size("ms") > max_bucket_size
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.sum(F.when(oversize, 1).otherwise(0)).alias("oversize_buckets"),
+                F.sum(F.when(oversize, F.size("ms")).otherwise(0)).alias(
+                    "oversize_members"
+                ),
+            )
+        buckets = buckets.filter(~oversize)
     pair_lists = F.flatten(
         F.transform(
             F.col("ms"),
@@ -195,6 +217,8 @@ def minhash_candidates(
     bands: int = 8,
     shingle_k: int = 5,
     sets_df: DataFrame | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) colliding in >=1 LSH band.
 
@@ -226,7 +250,10 @@ def minhash_candidates(
     banded = sig.select(
         "id", F.explode(F.array(*band_structs)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
-    return pairs_within_buckets(banded, ["band", "bucket"], "id")
+    return pairs_within_buckets(
+        banded, ["band", "bucket"], "id",
+        max_bucket_size=max_bucket_size, observation=observation,
+    )
 
 
 def jaccard_pairs(
@@ -335,6 +362,8 @@ def simhash_near_dups(
     id_col: str,
     max_hamming: int = 3,
     block_bits: int = 16,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top ``block_bits`` bits
     (a rotation-free approximation of the classic 4-table scheme),
@@ -367,7 +396,8 @@ def simhash_near_dups(
         "blk", F.shiftrightunsigned(F.col("sh"), 64 - block_bits)
     )
     pairs = pairs_within_buckets(
-        h, ["blk"], "id", payload_cols=["sh"], dedup_pairs=False
+        h, ["blk"], "id", payload_cols=["sh"], dedup_pairs=False,
+        max_bucket_size=max_bucket_size, observation=observation,
     )
     return (
         pairs.select(
@@ -403,6 +433,8 @@ def embedding_near_dups(
     threshold: float = 0.95,
     planes: int = 12,
     seed: int = 42,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine: random-hyperplane LSH bucket
     (sign bits of dot products with ``planes`` fixed random vectors)
@@ -431,7 +463,8 @@ def embedding_near_dups(
         bucket.alias("bkt"),
     )
     pairs = pairs_within_buckets(
-        h, ["bkt"], "id", payload_cols=["v"], dedup_pairs=False
+        h, ["bkt"], "id", payload_cols=["v"], dedup_pairs=False,
+        max_bucket_size=max_bucket_size, observation=observation,
     )
     return (
         pairs.select(

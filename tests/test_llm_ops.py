@@ -655,3 +655,42 @@ def test_jsonl_gzip_roundtrip(spark, tmp_path):
     back = read_jsonl(spark, out, schema="doc_id bigint, text string")
     rows = {r["doc_id"]: r["text"] for r in back.filter(F.col(CORRUPT_COL).isNull()).collect()}
     assert rows == {1: "héllo wörld", 2: 'quotes " and \\ slashes'}
+
+
+def test_oversize_bucket_capped_and_surfaced(spark):
+    """A degenerate LSH bucket (boilerplate shared by thousands of docs)
+    must not expand quadratically: buckets above max_bucket_size are
+    dropped and the skip is surfaced via the Observation metrics."""
+    from pyspark.sql import Observation
+
+    from chill_spark.llm_ops.dedup import pairs_within_buckets
+
+    n_big, n_small = 50, 3
+    rows = [(i, 0) for i in range(n_big)] + [
+        (1000 + i, 7) for i in range(n_small)
+    ]
+    df = spark.createDataFrame(rows, ["id", "bkt"])
+    obs = Observation("lsh_cap")
+    pairs = pairs_within_buckets(
+        df, ["bkt"], "id", max_bucket_size=10, observation=obs
+    ).collect()
+    # only the small bucket's pairs survive
+    assert len(pairs) == n_small * (n_small - 1) // 2
+    assert all(p["id_a"] >= 1000 for p in pairs)
+    assert obs.get["oversize_buckets"] == 1
+    assert obs.get["oversize_members"] == n_big
+
+
+def test_minhash_boilerplate_bucket_does_not_blow_up(spark):
+    """End-to-end: 200 identical boilerplate docs + 2 genuine near-dups.
+    With a cap below 200 the boilerplate bucket is skipped (exact dedup
+    owns identical texts) while the near-dup pair still verifies."""
+    rows = [(i, "boiler plate terms of service page " * 8) for i in range(200)]
+    rows += [(500, BASE), (501, NEAR)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = minhash_candidates(
+        df, "text", "doc_id", num_hashes=32, bands=16, max_bucket_size=50
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (500, 501) in pairs
+    assert all(a >= 500 for a, _ in pairs)  # no boilerplate pair expanded
