@@ -89,9 +89,9 @@ def extract_image_metadata(
     def run(batches):
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                meta = codec.decode_image(bytes(row["content"] or b""))
-                out.append({"media_id": row["media_id"], **meta})
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                meta = codec.decode_image(bytes(content or b""))
+                out.append({"media_id": media_id, **meta})
             yield pd.DataFrame(
                 out, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
             )
@@ -120,15 +120,15 @@ def frame_sample_plan(
     def run(batches):
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"] or b"")
+            for media_id, raw in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(raw or b"")
                 if content.startswith(b"VID:"):
                     try:
                         n = int(content.split(b":", 2)[1])
                     except Exception:
                         n = 0
                     rows.extend(
-                        {"media_id": row["media_id"], "frame_idx": i}
+                        {"media_id": media_id, "frame_idx": i}
                         for i in range(0, n, every_n)
                     )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx"])
@@ -195,16 +195,16 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"] or b"")
+            for media_id, raw in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(raw or b"")
                 if not content.startswith(b"AUD:"):
-                    out.append({"media_id": row["media_id"], "n_samples": None,
+                    out.append({"media_id": media_id, "n_samples": None,
                                 "duration_s": None, "rms": None})
                     continue
                 samples = content[4:] or b"\x00"
                 n = len(samples)
                 out.append({
-                    "media_id": row["media_id"],
+                    "media_id": media_id,
                     "n_samples": n,
                     "duration_s": n / FAKE_SAMPLE_RATE,
                     "rms": math.sqrt(sum(b * b for b in samples) / n),
@@ -231,11 +231,11 @@ def resize_images(media: DataFrame, max_side: int) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = bytes(row["content"] or b"")
+            for media_id, raw in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(raw or b"")
                 parts = content.split(b":", 4)
                 if len(parts) != 5 or parts[0] != b"IMG":
-                    out.append({"media_id": row["media_id"], "width": None,
+                    out.append({"media_id": media_id, "width": None,
                                 "height": None, "n_pixel_bytes": None})
                     continue
                 w, h = int(parts[1]), int(parts[2])
@@ -245,7 +245,7 @@ def resize_images(media: DataFrame, max_side: int) -> DataFrame:
                 nh = max(1, math.floor(h * scale))
                 step = max(1, math.ceil((w * h) / (nw * nh)))
                 out.append({
-                    "media_id": row["media_id"],
+                    "media_id": media_id,
                     "width": nw,
                     "height": nh,
                     "n_pixel_bytes": len(px[::step]),

@@ -54,11 +54,24 @@ def train_centroids(
 ) -> np.ndarray:
     """K-means on a driver-side sample (numpy; deterministic seed).
     At 100 TB you train once on a 0.001% sample and persist the
-    centroids with the table."""
+    centroids with the table.
+
+    The sample is a deterministic content-hash draw: every row is
+    ranked by ``xxhash64(vector, seed)`` and the ``sample`` smallest
+    win. That is a TakeOrdered (per-partition heap + driver merge of
+    ``sample`` rows — no corpus shuffle), and, unlike a bare
+    ``limit`` (which drains whichever partition answers first, i.e.
+    one shard's distribution on a partitioned table), the draw is
+    invariant to partitioning, task order, and retries. Hash ties are
+    broken by the vector itself so the cut line is a total order."""
+    v = F.col(vec_col).cast("array<double>")
     rows = (
-        df.select(vec_col).limit(sample).collect()
+        df.select(v.alias("__v"), F.xxhash64(v, F.lit(seed)).alias("__k"))
+        .orderBy("__k", "__v")
+        .limit(sample)
+        .collect()
     )
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = np.array([r["__v"] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -163,14 +176,20 @@ def kmeans_fit(
     a Column expression (``assign_centroid``), and each round reduces
     only per-(cluster, dimension) partial sums — k*dim rows — to the
     driver via posexplode + hash aggregate (map-side combine keeps the
-    shuffle tiny regardless of corpus size). Init is the first ``k``
-    vectors in id-less ``limit`` order off the parquet scan —
-    deterministic for a stable source. This is the 100 TB-correct
+    shuffle tiny regardless of corpus size). Init is the ``k``
+    vectors with the smallest content hash (TakeOrdered — invariant
+    to partitioning, unlike a bare ``limit``). This is the 100 TB-correct
     shape: the data never leaves executors, the model (k x dim floats)
     is the only driver state — unlike ``train_centroids`` it needs no
     representative driver-side sample."""
-    first = df.select(vec_col).limit(k).collect()
-    cents = np.array([r[0] for r in first], dtype=np.float64)
+    v0 = F.col(vec_col).cast("array<double>")
+    first = (
+        df.select(v0.alias("__v"), F.xxhash64(v0, F.lit(17)).alias("__k"))
+        .orderBy("__k", "__v")
+        .limit(k)
+        .collect()
+    )
+    cents = np.array([r["__v"] for r in first], dtype=np.float64)
     counts_sql = F.count(F.lit(1)).alias("n")
     for _ in range(iters):
         assigned = df.select(

@@ -694,3 +694,22 @@ def test_minhash_boilerplate_bucket_does_not_blow_up(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     assert (500, 501) in pairs
     assert all(a >= 500 for a, _ in pairs)  # no boilerplate pair expanded
+
+
+def test_centroid_training_invariant_to_partitioning(spark, sf_dir):
+    """Content-hash sampling makes centroids independent of partition
+    layout (a bare limit() would take whichever partition answers
+    first — VERDICT r1 finding 3)."""
+    import numpy as np
+
+    from chill_spark.llm_ops.similarity import kmeans_fit, train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = train_centroids(emb, n_centroids=4, sample=200, iters=3)
+    b = train_centroids(
+        emb.repartition(13, "vec_id"), n_centroids=4, sample=200, iters=3
+    )
+    assert np.allclose(a, b)
+    ka = kmeans_fit(emb, k=3, iters=2)
+    kb = kmeans_fit(emb.repartition(7), k=3, iters=2)
+    assert np.allclose(ka, kb)
