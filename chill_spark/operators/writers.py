@@ -14,6 +14,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARTITION_COL = "DT_PART"
+# Sub-partition keyed by streaming micro-batch id: a replayed batch
+# dynamic-overwrites exactly the (DT_PART, BATCH_PART) leaves it wrote
+# before, making an append-style stream sink effectively exactly-once.
+BATCH_COL = "BATCH_PART"
 _PART_FMT = "yyyyMMddHHmm"
 
 
@@ -67,7 +71,7 @@ def read_fact(
             ts = d if isinstance(d, _dt) else _dt.fromisoformat(str(d))
             keys.append(ts.strftime("%Y%m%d%H%M"))
         df = df.filter(F.col(PARTITION_COL).isin(keys))
-    return df.drop(PARTITION_COL)
+    return df.drop(PARTITION_COL, BATCH_COL)
 
 
 def compact_partitions(

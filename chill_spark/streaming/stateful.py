@@ -164,15 +164,20 @@ class SessionProcessor(StatefulProcessor):
         )
 
         self.handle = handle
+        # seen_ms = processing time of the group's last input batch, so
+        # an expired timer can tell a genuinely idle session from one a
+        # later batch extended (timers registered in earlier batches
+        # keep firing at their original deadline).
         self.state = handle.getValueState(
             "session",
-            _S([_F("start", _L()), _F("last", _L()), _F("n", _I())]),
+            _S([_F("start", _L()), _F("last", _L()), _F("n", _I()),
+                _F("seen_ms", _L())]),
         )
 
     def handleInputRows(self, key, rows, timer_values) -> "Iterator[pd.DataFrame]":
         (user,) = key
         cur = self.state.get() if self.state.exists() else None
-        start, last, n = cur if cur is not None else (None, None, 0)
+        start, last, n, _seen = cur if cur is not None else (None, None, 0, 0)
         closed: list[dict[str, Any]] = []
         ts_all = (
             pd.concat([p["ts"] for p in rows])
@@ -190,20 +195,31 @@ class SessionProcessor(StatefulProcessor):
             else:
                 last, n = t, n + 1
         if start is not None:
-            self.state.update((start, last, n))
+            now_ms = timer_values.getCurrentProcessingTimeInMs()
+            self.state.update((start, last, n, now_ms))
             if self.idle_timeout_ms is not None:
-                self.handle.registerTimer(
-                    timer_values.getCurrentProcessingTimeInMs() + self.idle_timeout_ms
-                )
+                # one live timer per group: drop deadlines registered by
+                # earlier batches (they'd fire early and split an active
+                # session), then arm the fresh one.
+                for t_old in self.handle.listTimers():
+                    self.handle.deleteTimer(t_old)
+                self.handle.registerTimer(now_ms + self.idle_timeout_ms)
         yield pd.DataFrame(closed, columns=SESSION_SCHEMA.fieldNames())
 
     def handleExpiredTimer(self, key, timer_values, expired_timer_info):
         (user,) = key
         out = []
         if self.state.exists():
-            start, last, n = self.state.get()
-            out.append(_session_row(user, start, last, n))
-            self.state.clear()
+            start, last, n, seen_ms = self.state.get()
+            now_ms = timer_values.getCurrentProcessingTimeInMs()
+            idle = self.idle_timeout_ms or 0
+            if now_ms - seen_ms >= idle:
+                out.append(_session_row(user, start, last, n))
+                self.state.clear()
+            else:
+                # stale deadline (input arrived after it was armed):
+                # keep the session and re-arm from last activity.
+                self.handle.registerTimer(seen_ms + idle)
         yield pd.DataFrame(out, columns=SESSION_SCHEMA.fieldNames())
 
     def close(self) -> None:

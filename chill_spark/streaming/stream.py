@@ -33,7 +33,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from ..catalog.model import Catalog
 from ..config.model import JobSpec
-from ..operators.writers import PARTITION_COL, with_partition_col
+from ..operators.writers import BATCH_COL, PARTITION_COL, with_partition_col
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -71,6 +71,12 @@ def stream_csv_source(
         .option("sep", job.delimiter)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        # The schema is applied positionally; with the default
+        # enforceSchema=true a header whose column order differs from
+        # ``columns`` silently mis-assigns values. false validates the
+        # header against the schema and fails the query instead
+        # (CORRUPT_COL is exempt from the check).
+        .option("enforceSchema", "false")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -117,18 +123,21 @@ def run_stream(
     fact tables; rejects to a quarantine sink.
 
     Source progress is checkpointed (each file processed exactly once
-    across restarts); sinks are append-mode, so a crash *between* a
-    sink write and the checkpoint commit can replay one micro-batch —
-    the downstream reconcile layer (anti-joins on keys+DATETIME)
-    detects duplicates, matching the reference's at-least-once loader
-    + reconciliation posture.
+    across restarts). The fact sink is made idempotent under
+    micro-batch replay by keying each batch's rows to their own
+    partition leaves: writes go to ``DT_PART=<period>/BATCH_PART=<id>``
+    with dynamic partition overwrite, so a crash *between* the sink
+    write and the checkpoint commit replays the batch into exactly the
+    leaves it wrote before (same batch_id + same source files = same
+    rows) instead of appending duplicates — foreachBatch's standard
+    batch-id-keyed exactly-once recipe, expressed as partitions.
+    The quarantine sink uses the same batch-keyed overwrite.
 
     With ``ladder_root`` set, each micro-batch also repairs the rollup
     ladder incrementally (operators.incremental): only the ladder
     windows touched by the batch are re-aggregated from the base table
-    (pruned scan) and partition-overwritten — idempotent under replay,
-    so the ladder tables are exactly-once even though the base is
-    at-least-once per micro-batch replay.
+    (pruned scan) and partition-overwritten. Because the base itself is
+    now replay-idempotent, the recomputed ladder windows are too.
     """
     from ..operators.incremental import maintain_ladder_increment
     from ..pipeline import transform  # late import: avoid cycle
@@ -140,7 +149,9 @@ def run_stream(
         if quarantine_dir is not None:
             (
                 bad.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(quarantine_dir)
             )
         res = transform(spark, job, catalog, views=views, raw=good)
@@ -149,8 +160,10 @@ def run_stream(
             path = f"{out_dir}/{table.name}_{table.base_granularity}"
             (
                 with_partition_col(df)
-                .write.mode("append")
-                .partitionBy(PARTITION_COL)
+                .withColumn(BATCH_COL, F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(PARTITION_COL, BATCH_COL)
                 .parquet(path)
             )
             if ladder_root is not None:

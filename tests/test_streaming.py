@@ -771,3 +771,36 @@ def test_stateful_sessionize_event_time_flush(spark, stream_dirs):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert (2, "2024-01-01 00:00:00", 1) in got  # flushed by watermark
+
+
+def test_batch_keyed_base_write_is_replay_idempotent(spark, stream_dirs):
+    """A replayed micro-batch (same batch_id, same rows) overwrites its
+    own partition leaves instead of appending duplicates; a different
+    batch lands alongside (ADVICE r1: the base sink was append-mode,
+    so replay duplicated base rows and the ladder re-aggregated them)."""
+    from chill_spark.operators.writers import BATCH_COL, PARTITION_COL, with_partition_col
+
+    path = os.path.join(stream_dirs["out"], "idem_base")
+    df = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 1.0)], ["SITE", "DATETIME", "CALLS"]
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+
+    def write(batch_id):
+        (
+            with_partition_col(df)
+            .withColumn(BATCH_COL, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COL, BATCH_COL)
+            .parquet(path)
+        )
+
+    write(0)
+    write(0)  # replay: same leaves overwritten
+    assert spark.read.parquet(path).count() == 1
+    write(1)  # genuinely new batch appends its own leaf
+    assert spark.read.parquet(path).count() == 2
+    from chill_spark.operators.writers import read_fact
+
+    got = read_fact(spark, path)
+    assert sorted(got.columns) == ["CALLS", "DATETIME", "SITE"]
