@@ -67,15 +67,22 @@ def cmd_stream(args) -> int:
     spark = get_spark("chill-stream")
     job = _load(args.job, JobSpec)
     cat = _load(args.catalog, Catalog)
+    # Default: every table's raw columns, deduped order-preserving —
+    # tables sharing key columns must not yield duplicate schema
+    # fields (the CSV reader rejects those). The reader fails fast if
+    # this order disagrees with the file header (enforceSchema=false
+    # in stream_csv_source), rather than silently mis-assigning.
     columns = (
         args.columns.split(",")
         if args.columns
-        else [
-            s.raw_name
-            for t in cat.tables.values()
-            for s in t.stored_columns
-            if s.raw_name
-        ]
+        else list(
+            dict.fromkeys(
+                s.raw_name
+                for t in cat.tables.values()
+                for s in t.stored_columns
+                if s.raw_name
+            )
+        )
     )
     q = run_stream(
         spark, job, cat,
@@ -214,18 +221,26 @@ def cmd_quality(args) -> int:
     spark = get_spark("chill-quality")
     df = spark.read.parquet(args.input)
     flags = gopher_quality_flags(args.text_col)
-    flagged = df.select("*", *[c.alias(n) for n, c in flags.items()])
-    # one pass: rule tallies via observe on the filtered write
-    tallies = flagged.select(
+    # __q_-prefixed flag columns so an input that already has a column
+    # named keep/r_words/... is neither clobbered nor dropped.
+    names = {n: f"__q_{n}" for n in flags}
+    flagged = df.select("*", *[c.alias(names[n]) for n, c in flags.items()])
+    # rule tallies ride the write action via observe — one scan total
+    from pyspark.sql import Observation
+
+    obs = Observation("chill_quality")
+    flagged = flagged.observe(
+        obs,
         *[
-            F.sum(F.when(~F.col(r), 1).otherwise(0)).alias(r)
+            F.sum(F.when(~F.col(names[r]), 1).otherwise(0)).alias(r)
             for r in flags if r != "keep"
         ],
         F.count(F.lit(1)).alias("total"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
-    ).first()
-    kept = flagged.filter(F.col("keep")).drop(*list(flags))
+        F.sum(F.when(F.col(names["keep"]), 1).otherwise(0)).alias("kept"),
+    )
+    kept = flagged.filter(F.col(names["keep"])).drop(*names.values())
     kept.write.mode("overwrite").parquet(args.out)
+    tallies = dict(obs.get)
     for r in flags:
         if r != "keep":
             print(f"fail {r}: {tallies[r]}")

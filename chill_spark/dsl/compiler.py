@@ -191,7 +191,14 @@ class _Tier1(ast.NodeVisitor):
         )
         if len([s for s in specs if s != "%%"]) != len(vals):
             raise UnsupportedTemplate("% arity")
-        jfmt = fmt.replace("%i", "%d")
+        # %i -> %d only inside matched conversion specs: a plain
+        # str.replace would also rewrite the escaped literal '%%i'
+        # (which renders as '%i', not a conversion) into '%%d'.
+        jfmt = _re.sub(
+            r"%[-+0 #]*\d*(?:\.\d+)?[sdif%]",
+            lambda m: m.group(0)[:-1] + "d" if m.group(0).endswith("i") else m.group(0),
+            fmt,
+        )
         return Typed(F.format_string(jfmt, *[v.col for v in vals]), "str")
 
     def v_UnaryOp(self, n: ast.UnaryOp) -> Typed:

@@ -243,3 +243,23 @@ def test_cli_stream_columns_default_from_catalog(cli_dirs, spark):
     assert rc == 0
     got = spark.read.parquet(os.path.join(cli_dirs["out"], "CELL_STATS_15M"))
     assert {r["SITE"] for r in got.collect()} == {"s1", "s2"}
+
+
+def test_cli_quality_preserves_user_keep_column(cli_dirs, spark, capsys):
+    """Flag columns are __q_-prefixed: an input column named 'keep'
+    survives to the output untouched (ADVICE r1)."""
+    src = os.path.join(cli_dirs["base"], "q_in2")
+    dst = os.path.join(cli_dirs["base"], "q_out2")
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs away "
+        "to a very distant place where it was seen by many people that day " * 3
+    )
+    spark.createDataFrame(
+        [(1, good, "user-value"), (2, "tiny", "x")],
+        ["doc_id", "text", "keep"],
+    ).write.parquet(src)
+    rc = main(["quality", "--input", src, "--out", dst])
+    assert rc == 0
+    kept = spark.read.parquet(dst)
+    assert kept.count() == 1
+    assert kept.first()["keep"] == "user-value"

@@ -66,6 +66,10 @@ TEMPLATES = [
     ("int(arg1) // 10", ["cnt"]),
     ("'%05d' % int(arg1)", ["cnt"]),
     ("'%s-%03d' % (arg1, int(arg2))", ["grp", "cnt"]),
+    ("'%i' % int(arg1)", ["cnt"]),
+    # escaped '%%i' must stay a literal '%i' while the real '%i'
+    # converts (ADVICE r1: plain replace rewrote the escape too)
+    ("'100%%i: %i' % int(arg1)", ["cnt"]),
     ("arg1.find('_')", ["fname"]),
     ("arg1.find('zzz')", ["fname"]),
     ("arg1.count('_')", ["fname"]),
