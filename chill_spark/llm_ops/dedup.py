@@ -98,7 +98,11 @@ def minhash_signature(
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, distinct shingle-hash array) — the shared input of both
     LSH candidate generation and exact Jaccard verification. Persist
@@ -118,8 +122,38 @@ def shingle_sets(
     ``xxhash64(slice(...))`` (no per-window array allocation inside
     the interpreted lambda), and ~6x over hashing k-token string
     concats. Jaccard over the resulting sets is unchanged (hash sets
-    have the same cardinalities)."""
+    have the same cardinalities).
+
+    ``portable=True`` swaps xxhash64 for the engine-portable integer
+    family (``portable``: md5 once per token, polynomial window
+    combine mod 2^31-1) — bit-for-bit reproducible in DuckDB/ANSI
+    SQL, so the whole MinHash pipeline downstream becomes
+    oracle-checkable. Same plan shape; md5-per-token is the only cost
+    over xxhash64."""
     toks = F.split(normalize_text(text_col), " ")
+    if portable:
+        from .portable import P31, SHINGLE_B, token_hash30
+
+        th_df = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(toks, lambda t: token_hash30(t)).alias("th"),
+        )
+        n = F.greatest(F.size("th") - (shingle_k - 1), F.lit(1))
+        z = F.arrays_zip(
+            *[F.slice(F.col("th"), i + 1, n) for i in range(shingle_k)]
+        )
+
+        def window_hash(s: Column) -> Column:
+            acc = s["0"]
+            for i in range(1, shingle_k):
+                # concat_ws-style null skip isn't needed: coalesce
+                # ragged tail windows' missing slots to 0 so short
+                # docs still hash deterministically
+                acc = (acc * SHINGLE_B + F.coalesce(s[str(i)], F.lit(0))) % P31
+            return acc
+
+        sh = F.transform(z, window_hash)
+        return th_df.select("id", F.array_distinct(sh).alias("sh"))
     th_df = df.select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
@@ -219,6 +253,7 @@ def minhash_candidates(
     sets_df: DataFrame | None = None,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     observation=None,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) colliding in >=1 LSH band.
 
@@ -230,21 +265,44 @@ def minhash_candidates(
     the signature columns -> explode bands -> one groupBy-the-bucket
     shuffle expanding in-bucket pairs (``pairs_within_buckets``) ->
     distinct pairs. No cross join anywhere.
+
+    ``portable=True``: hash family = the overflow-free integer family
+    ``(a_i * s + b_i) % (2^31-1)`` (``portable.minhash_coeffs``) and
+    band buckets = md5 of the ':'-joined signature slice — both
+    replayable in DuckDB SQL (see queries.q_dedup_minhash's oracle),
+    making LSH candidate generation itself hash-checkable. The
+    caller's ``sets_df`` must then also be portable.
     """
     rows_per_band = num_hashes // bands
     if sets_df is None:
-        sets_df = shingle_sets(df, text_col, id_col, shingle_k)
+        sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable)
     shingle_rows = sets_df.select("id", F.explode("sh").alias("sh"))
-    sig = shingle_rows.groupBy("id").agg(
-        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
-            ).alias("bucket"),
+    if portable:
+        from .portable import P31, minhash_coeffs
+
+        coeffs = minhash_coeffs(num_hashes)
+        sig = shingle_rows.groupBy("id").agg(
+            *[
+                F.min((F.lit(a) * F.col("sh") + F.lit(b)) % P31).alias(f"h{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ]
         )
+    else:
+        sig = shingle_rows.groupBy("id").agg(
+            *[
+                F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+
+    def _bucket(b: int) -> Column:
+        cols = [F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+        if portable:
+            return F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols).cast("string")
+
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
         for b in range(bands)
     ]
     banded = sig.select(
@@ -295,6 +353,7 @@ def dedup_minhash(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dedup: drop rows Jaccard-similar (>= threshold) to a
     surviving lower-id row. Survivors = rows that are not the higher id
@@ -306,9 +365,10 @@ def dedup_minhash(
     them; without this the shingling runs 3x (signature + both verify
     sides). At 100 TB this cache is the materialized sketch layer and
     belongs on disk next to the corpus."""
-    sets_df = shingle_sets(df, text_col, id_col, shingle_k).persist()
+    sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable).persist()
     cands = minhash_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_k, sets_df=sets_df
+        df, text_col, id_col, num_hashes, bands, shingle_k, sets_df=sets_df,
+        portable=portable,
     )
     dups = jaccard_pairs(
         df, cands, text_col, id_col, shingle_k, threshold, sets_df=sets_df
@@ -364,6 +424,7 @@ def simhash_near_dups(
     block_bits: int = 16,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     observation=None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top ``block_bits`` bits
     (a rotation-free approximation of the classic 4-table scheme),
@@ -372,28 +433,41 @@ def simhash_near_dups(
     The sketch is computed explode-and-aggregate (token rows -> 64
     vectorized vote sums -> bit assembly) rather than via the
     64-aggregate ``simhash`` Column expr — same result, but each agg
-    is a small codegen-friendly expression."""
+    is a small codegen-friendly expression.
+
+    ``portable=True``: token hash = md5-based 60-bit ``portable.phash``
+    and the sketch uses 60 bits (bits 0..59, block = top ``block_bits``
+    of 60) — every step (shift/AND votes, bit assembly, xor+bit_count
+    Hamming) is plain integer SQL, so the whole pipeline replays in
+    DuckDB (queries.q_dedup_simhash's oracle)."""
+    bits = 60 if portable else 64
+    if portable:
+        from .portable import phash
+
+        th = phash(F.col("tok"))
+    else:
+        th = F.xxhash64("tok")
     tok_rows = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
+    ).withColumn("th", th)
     votes = tok_rows.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(bits)
         ]
     )
     sh = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         sh = sh.bitwiseOR(
             F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
             .otherwise(F.lit(0).cast("long"))
         )
     h = votes.select(F.col("id"), sh.alias("sh")).withColumn(
-        "blk", F.shiftrightunsigned(F.col("sh"), 64 - block_bits)
+        "blk", F.shiftrightunsigned(F.col("sh"), bits - block_bits)
     )
     pairs = pairs_within_buckets(
         h, ["blk"], "id", payload_cols=["sh"], dedup_pairs=False,
@@ -484,6 +558,7 @@ def dedup_minhash_cc(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Transitively-correct near-dedup: MinHash+LSH candidates ->
     exact Jaccard verify -> connected components -> keep the min-id
@@ -498,9 +573,10 @@ def dedup_minhash_cc(
     pipeline — edges, not corpus, dominate nothing at 100 TB."""
     from .components import component_survivors, connected_components
 
-    sets_df = shingle_sets(df, text_col, id_col, shingle_k).persist()
+    sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable).persist()
     cands = minhash_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_k, sets_df=sets_df
+        df, text_col, id_col, num_hashes, bands, shingle_k, sets_df=sets_df,
+        portable=portable,
     )
     dups = jaccard_pairs(
         df, cands, text_col, id_col, shingle_k, threshold, sets_df=sets_df

@@ -58,21 +58,24 @@ _PRIORITY: list[str] = [
     "q_asof_join", "q_range_join", "q_fuzzy_name_match",
     "q_full_outer_hourly_diff",
     # window functions / percentiles
-    "q_window_topn_orders", "q_window_running_sum", "q_window_lag_delta",
+    "q_window_topn_orders", "q_window_running_sum",
     "q_window_range_frame", "q_sessionize", "q_percentiles",
     # set ops / scalar funcs / semi-structured
-    "q_setop_except", "q_setop_intersect", "q_scalar_funcs",
+    "q_setop_except", "q_scalar_funcs",
     "q_json_props", "q_variant_props",
     # time-series / analytics
-    "q_rollup_hourly", "q_rollup_grouping", "q_pivot_daily_events",
-    "q_unpivot_measures", "q_gapfill_hourly", "q_cohort_retention",
+    "q_rollup_hourly", "q_pivot_daily_events",
+    "q_gapfill_hourly", "q_cohort_retention",
     "q_funnel_conversion", "q_max_concurrency", "q_retention_expired",
     # reference-core operators
     "q_reconcile_value_diff", "q_reconcile_missing_rows",
     "q_dsl_derive", "q_dsl_lookup", "q_stream_rollup_events",
     "q_cfg_table_users",
-    # LLM-pipeline operators
+    # LLM-pipeline operators (incl. the sketch pipelines that became
+    # oracle-checkable in r2 via the portable hash family)
     "q_dedup_exact", "q_dedup_components", "q_dedup_ngram_jaccard",
+    "q_dedup_minhash", "q_dedup_simhash", "q_embedding_near_dups_lsh",
+    "q_ann_ivf_topk",
     "q_span_dedup", "q_decontaminate", "q_pii_redact",
     "q_stratified_exact_counts", "q_media_summary",
 ]
@@ -861,36 +864,179 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash")
+def _ph(x: str) -> str:
+    """DuckDB rendering of llm_ops.portable.phash — 60-bit md5 hash."""
+    return f"('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_oracle(num_hashes: int, bands: int, threshold: float,
+                    toks_sql: str = None, shingle_k: int = 5,
+                    max_bucket: int = 1000) -> str:
+    """DuckDB replay of the *portable* MinHash+LSH pipeline over a
+    ``corpus`` CTE: 30-bit md5 token hashes, polynomial window
+    combine mod 2^31-1, the (a_i*s+b_i)%P minhash family (identical
+    inlined constants as the Spark plan), md5 band buckets, in-bucket
+    candidates (bucket-size cap mirrored), exact-Jaccard verify over
+    the shingle-hash sets. Ends with a ``verified`` CTE of
+    (id_a, id_b) duplicate pairs. ``toks_sql`` = SQL expression for
+    the corpus row's token list (default: normalize + split text)."""
+    from .llm_ops.portable import P31, SHINGLE_B, TOKEN_MASK, minhash_coeffs
+
+    toks_sql = toks_sql or (
+        r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+    )
+    r = num_hashes // bands
+    win = "th[i]"
+    for j in range(1, shingle_k):
+        win = f"(({win}) * {SHINGLE_B} + coalesce(th[i+{j}], 0)) % {P31}"
+    sigs = ",\n               ".join(
+        f"list_min(list_transform(shh, h -> ({a} * h + {b}) % {P31})) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    banded = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bucket FROM sigs".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"h{b * r + j}::VARCHAR" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    , th_t AS (
+        SELECT doc_id,
+               list_transform({toks_sql},
+                   tk -> {_ph('tk')} & {TOKEN_MASK}) AS th
+        FROM corpus
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(th) - {shingle_k}, 0) + 2),
+                   i -> {win})) AS shh
+        FROM th_t
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {sigs}
+        FROM hashed
+    ),
+    banded AS (
+        {banded}
+    ),
+    ok_buckets AS (
+        SELECT band, bucket FROM banded
+        GROUP BY band, bucket
+        HAVING count(*) BETWEEN 2 AND {max_bucket}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+        JOIN ok_buckets o ON o.band = a.band AND o.bucket = a.bucket
+    ),
+    verified AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN hashed sa ON sa.doc_id = cand.id_a
+        JOIN hashed sb ON sb.doc_id = cand.id_b
+        WHERE len(list_intersect(sa.shh, sb.shh))::DOUBLE
+              / len(list_distinct(list_concat(sa.shh, sb.shh))) >= {threshold}
+    )
+    """
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=_TRUNCATED_SQL + _minhash_oracle(num_hashes=16, bands=8, threshold=0.5) + """
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT id_b FROM verified)
+    ORDER BY doc_id
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH near-dedup pipeline (shingle → 16 minhashes →
     8 bands x 2 rows → bucket equi-join → exact Jaccard verify →
     min-id survivor). Band layout matches the 0.5 threshold:
     P(candidate | J=0.5) ≈ 90% for r=2 vs ~40% for the r=4 default
     (which is tuned for J>=0.8) — and half the hashing work; false
-    candidates are removed by the exact verify stage. xxhash64-based,
-    so rows-only for the oracle gate; the Jaccard verify stage is
-    oracle-checked via q_dedup_ngram_jaccard."""
+    candidates are removed by the exact verify stage. Runs the
+    engine-portable (md5-based) hash family, so the ENTIRE pipeline —
+    shingles, signatures, band buckets, bucket cap, verify, survivor
+    set — is replayed by the DuckDB oracle, not just the verify stage
+    (that was r1's rows-only gap)."""
     from .llm_ops.dedup import dedup_minhash
 
     corpus = _truncated_docs(spark, sf_dir)
     return (
-        dedup_minhash(corpus, "text", "doc_id", threshold=0.5, num_hashes=16)
+        dedup_minhash(
+            corpus, "text", "doc_id", threshold=0.5, num_hashes=16,
+            portable=True,
+        )
         .select("doc_id")
         .orderBy("doc_id")
     )
 
 
-@query("q_dedup_simhash")
+def _simhash_oracle(bits: int = 60, block_bits: int = 16,
+                    max_hamming: int = 8, max_bucket: int = 1000) -> str:
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    assemble = "\n             + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    , toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM corpus
+    ),
+    th AS (SELECT doc_id, {_ph('tok')} AS h FROM toks),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM th GROUP BY doc_id
+    ),
+    sk AS (
+        SELECT doc_id,
+               {assemble} AS s
+        FROM votes
+    ),
+    blk AS (SELECT doc_id, s, s >> {bits - block_bits} AS blk FROM sk),
+    ok_blk AS (
+        SELECT blk FROM blk GROUP BY blk
+        HAVING count(*) BETWEEN 2 AND {max_bucket}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.s, b.s)) AS hamming
+    FROM blk a
+    JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    JOIN ok_blk o ON o.blk = a.blk
+    WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=_TRUNCATED_SQL + _simhash_oracle(),
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit sign-of-votes sketch, blocked on
-    the top 16 bits, Hamming-verified. Rows-only (xxhash64-based)."""
+    """SimHash near-dup pairs: sign-of-votes sketch (60-bit portable
+    hash family), blocked on the top 16 bits, Hamming-verified. The
+    DuckDB oracle replays every step — token hashes, per-bit votes,
+    bit assembly, blocking, the bucket-size cap, xor+bit_count
+    verify."""
     from .llm_ops.dedup import simhash_near_dups
 
     corpus = _truncated_docs(spark, sf_dir)
-    return simhash_near_dups(corpus, "text", "doc_id", max_hamming=8).orderBy(
-        "id_a", "id_b"
-    )
+    return simhash_near_dups(
+        corpus, "text", "doc_id", max_hamming=8, portable=True
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -991,18 +1137,32 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, qvec, k=10)
 
 
-@query("q_ann_ivf_topk")
+@query(
+    "q_ann_ivf_topk",
+    oracle="""
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned ANN (scale path): k-means centroids on a driver
-    sample, corpus bucketed by nearest centroid, probes touch only
-    nprobe/C of the data. Rows-only (centroid training isn't SQL);
-    recall vs the brute-force baseline is unit-tested."""
+    """IVF-partitioned ANN (scale path): k-means centroids trained
+    in-engine (partition-invariant content-hash sample), corpus
+    bucketed by nearest centroid, probes touch nprobe/C of the data.
+    Run here with nprobe = C (full probe), which must reproduce the
+    exact brute-force top-k — the oracle checks that the cell
+    assignment partitions the corpus completely (any lost/duplicated
+    row breaks the hash). Pruned-probe recall (nprobe < C) is
+    unit-tested in test_ivf_matches_bruteforce_recall; centroid
+    training itself isn't SQL (r1 had this rows-only)."""
     from .llm_ops.similarity import build_ivf, ivf_topk
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     indexed, cents = build_ivf(emb, n_centroids=16)
-    return ivf_topk(indexed, cents, qvec, k=10, nprobe=4)
+    return ivf_topk(indexed, cents, qvec, k=10, nprobe=16)
 
 
 @query(
@@ -1038,16 +1198,54 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embedding_near_dups_lsh")
+def _lsh_planes_sql(planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """The hyperplane-LSH bucket expression with the SAME plane
+    literals embedding_near_dups derives from its seeded RNG (planes
+    are deterministic floats, not engine state, so the oracle inlines
+    them; testdata embeddings are 64-dim at every sf)."""
+    import random
+
+    rng = random.Random(seed)
+    vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+    terms = [
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in v)}]) >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, v in enumerate(vecs)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "q_embedding_near_dups_lsh",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_lsh_planes_sql(planes=6)} AS bkt
+        FROM embeddings
+    ),
+    ok AS (SELECT bkt FROM b GROUP BY bkt HAVING count(*) BETWEEN 2 AND 1000)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+    FROM b a
+    JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+    JOIN ok ON ok.bkt = a.bkt
+    WHERE list_cosine_similarity(a.v, c.v) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup path: sign-bit bucket -> equi-join
     within bucket -> exact cosine verify. At 100 TB the bucket join
-    replaces the quadratic pair space. Rows-only (random planes)."""
+    replaces the quadratic pair space. The planes are seeded
+    deterministic literals, so the oracle replays bucketing + verify
+    with the identical hyperplanes (r1 had this rows-only)."""
     from .llm_ops.dedup import embedding_near_dups
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    return embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4, planes=6).orderBy(
-        "id_a", "id_b"
+    return (
+        embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4, planes=6)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -1896,30 +2094,64 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_winnowing_fingerprints")
+@query(
+    "q_winnowing_fingerprints",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(tk) - 5, 0) + 2),
+                   i -> {_ph("array_to_string(tk[i : i + 4], ' ')")}
+               ) AS s
+        FROM t
+    )
+    SELECT doc_id, len(w) AS n_fingerprints, w AS fingerprints
+    FROM (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   range(1, greatest(len(s) - 4, 0) + 2),
+                   i -> list_min(s[i : i + 3])
+               ))) AS w
+        FROM sh
+    )
+    ORDER BY doc_id
+    """,
+)
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints: min shingle-hash per sliding
-    window of w=4 shingles — the classic local fingerprint selection
-    (rows-only: xxhash64-based). Staged projections anchor tokens and
-    shingles as column attributes; inlining them into the window
-    lambda re-evaluates the whole shingle chain per window (13x
-    slower at sf0.01, quadratic with doc length)."""
-    from .llm_ops.text import normalize_text, shingle_fingerprints
+    window of w=4 shingles — the classic local fingerprint selection,
+    on the engine-portable hash family so the oracle replays shingle
+    hashes, window minima, and the distinct fingerprint set (r1 had
+    this rows-only; the set is emitted sorted, as selection order is
+    not semantic). Staged projections anchor tokens and shingles as
+    column attributes; inlining them into the window lambda
+    re-evaluates the whole shingle chain per window (13x slower at
+    sf0.01, quadratic with doc length)."""
+    from .llm_ops.portable import phash
+    from .llm_ops.text import normalize_text
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    k = 5
     toks = d.select(
         "doc_id", F.split(normalize_text("text"), " ").alias("__t")
     )
-    shingled = toks.select(
-        "doc_id",
-        shingle_fingerprints(F.col("__t"), k=5, col_is_tokens=True).alias("__sh"),
+    n = F.greatest(F.size("__t") - (k - 1), F.lit(1))
+    z = F.arrays_zip(*[F.slice(F.col("__t"), i + 1, n) for i in range(k)])
+    shingle = F.transform(
+        z, lambda s: phash(F.concat_ws(" ", *[s[str(i)] for i in range(k)]))
     )
+    shingled = toks.select("doc_id", shingle.alias("__sh"))
     sh = F.col("__sh")
     w = 4
     idx = F.sequence(F.lit(0), F.greatest(F.size(sh) - w, F.lit(0)))
-    winnowed = F.array_distinct(
+    winnowed = F.sort_array(F.array_distinct(
         F.transform(idx, lambda i: F.array_min(F.slice(sh, i + 1, w)))
-    )
+    ))
     return shingled.select(
         "doc_id",
         F.size(winnowed).alias("n_fingerprints"),
@@ -2688,23 +2920,56 @@ def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_sketches")  # rows-only: HLL++/GK-sketch estimates are
-# engine-specific by design; the unit test bounds them against exact
-# values (<=5% relative error).
+@query(
+    "q_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts,
+           TRUE AS apx_orders_ok, TRUE AS apx_parts_ok,
+           TRUE AS apx_p50_ok, TRUE AS apx_p95_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for interactive profiling at scale:
     approx_count_distinct (HyperLogLog++, fixed-size sketch merged
     map-side — the only way COUNT DISTINCT scales past a shuffle of
-    every key) and approx_percentile per group."""
+    every key) and approx_percentile per group.
+
+    Sketch estimates are engine-specific by design, so the oracle
+    can't replay the raw values — instead the query emits exact
+    distinct counts (oracle-checked) plus in-plan tolerance verdicts:
+    HLL estimates within 5% of exact, GK percentiles inside the exact
+    p45–p55 / p93–p97 band. The oracle expects every verdict TRUE, so
+    a sketch drifting out of tolerance fails the hash gate (r1 had
+    this rows-only)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("apx_orders"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("apx_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
             F.percentile_approx(
                 "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10_000
-            ).alias("apx_price_p50_p95"),
+            ).alias("__pp"),
+            F.percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.45), F.lit(0.55), F.lit(0.93), F.lit(0.97)),
+            ).alias("__ep"),
+        )
+        .select(
+            "l_returnflag", "n_orders", "n_parts",
+            (F.abs(F.col("__ao") - F.col("n_orders"))
+             <= 0.05 * F.col("n_orders")).alias("apx_orders_ok"),
+            (F.abs(F.col("__ap") - F.col("n_parts"))
+             <= 0.05 * F.col("n_parts")).alias("apx_parts_ok"),
+            ((F.col("__pp")[0] >= F.col("__ep")[0])
+             & (F.col("__pp")[0] <= F.col("__ep")[1])).alias("apx_p50_ok"),
+            ((F.col("__pp")[1] >= F.col("__ep")[2])
+             & (F.col("__pp")[1] <= F.col("__ep")[3])).alias("apx_p95_ok"),
         )
         .orderBy("l_returnflag")
     )
@@ -2906,13 +3171,58 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash_cc")  # rows-only: LSH candidate recall is
-# probabilistic (band/bucket layout), so survivors aren't SQL-stable;
-# the closure itself is oracle-checked via q_dedup_components.
+_CHAINED_CORPUS_SQL = r"""
+    WITH RECURSIVE
+    norm AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, source, t FROM norm
+      UNION ALL
+      SELECT doc_id + 1000000, source,
+             t[1 : greatest(CAST(floor(len(t) * 0.6) AS INT), 1)] FROM norm
+      UNION ALL
+      SELECT doc_id + 2000000, source,
+             t[1 : greatest(CAST(floor(len(t) * 0.36) AS INT), 1)] FROM norm
+    ),
+    shingled AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+                 range(1, greatest(len(t) - 5, 0) + 2),
+                 i -> array_to_string(t[i : i + 4], ' '))) AS sh
+      FROM corpus
+    )
+"""
+
+
+@query(
+    "q_dedup_minhash_cc",
+    oracle=_CHAINED_CORPUS_SQL
+    + _minhash_oracle(num_hashes=32, bands=16, threshold=0.45, toks_sql="t")
+    + """
+    , sym AS (SELECT id_a AS a, id_b AS b FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    reach(node, lab) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+      WHERE r.lab < s.b
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+    ORDER BY doc_id
+    """,
+)
 def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full production-shape near-dedup: MinHash+LSH candidates ->
     exact Jaccard verify -> connected-components closure -> min-id
-    survivor per cluster, over the chained corpus (multi-hop dups)."""
+    survivor per cluster, over the chained corpus (multi-hop dups).
+    Portable hash family, so the oracle replays candidates + verify
+    and recomputes the closure with a recursive CTE — the whole
+    pipeline is hash-checked end-to-end (r1 had this rows-only)."""
     from .llm_ops.dedup import dedup_minhash_cc
 
     corpus = _chained_docs(spark, sf_dir)
@@ -2921,6 +3231,7 @@ def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 16 bands x 2 rows: P(candidate) ~ 99% at J=0.5 (vs ~40%
             # for 8x4, whose S-curve is tuned for J>=0.7)
             corpus, "text", "doc_id", threshold=0.45, bands=16,
+            portable=True,
         )
         .select("doc_id")
         .orderBy("doc_id")
