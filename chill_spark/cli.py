@@ -72,18 +72,7 @@ def cmd_stream(args) -> int:
     # fields (the CSV reader rejects those). The reader fails fast if
     # this order disagrees with the file header (enforceSchema=false
     # in stream_csv_source), rather than silently mis-assigning.
-    columns = (
-        args.columns.split(",")
-        if args.columns
-        else list(
-            dict.fromkeys(
-                s.raw_name
-                for t in cat.tables.values()
-                for s in t.stored_columns
-                if s.raw_name
-            )
-        )
-    )
+    columns = args.columns.split(",") if args.columns else _default_columns(cat)
     q = run_stream(
         spark, job, cat,
         out_dir=args.out,
@@ -127,7 +116,28 @@ def cmd_reconcile(args) -> int:
     cat = _load(args.catalog, Catalog)
     table = cat.tables[args.table]
     expected = spark.read.parquet(args.expected)
-    actual = spark.read.parquet(args.actual)
+    if args.actual.startswith("jdbc:"):
+        # live-DB compare (the reference's posture: expected files vs
+        # the actual Oracle table, HlxTools.py:396-450) with the
+        # DATETIME predicate pushed down to the database
+        from .operators.writers import read_fact_jdbc
+
+        if not args.actual_table:
+            print("--actual-table is required with a jdbc: actual",
+                  file=sys.stderr)
+            return 2
+        props = {}
+        if args.jdbc_driver:
+            props["driver"] = args.jdbc_driver
+        dts = args.datetimes or [
+            r[0] for r in expected.select("DATETIME").distinct().collect()
+        ]
+        actual = read_fact_jdbc(
+            spark, args.actual, args.actual_table, datetimes=dts,
+            properties=props,
+        )
+    else:
+        actual = spark.read.parquet(args.actual)
     rep = compare_tables(
         expected, actual, table.name,
         keys=table.key_fields,
@@ -248,6 +258,89 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def _default_columns(cat: Catalog) -> list[str]:
+    """Every table's raw columns, deduped order-preserving."""
+    return list(
+        dict.fromkeys(
+            s.raw_name
+            for t in cat.tables.values()
+            for s in t.stored_columns
+            if s.raw_name
+        )
+    )
+
+
+def cmd_e2e(args) -> int:
+    """One-command end-to-end run mirroring the reference's chill.py
+    main() (chill.py:45-227): ingest -> derive -> load partitioned
+    facts -> rollup ladder -> reconcile -> five-suite JUnit XML, in a
+    single invocation. ``--stream`` ingests through the Structured
+    Streaming path (drained availableNow) instead of the batch one;
+    the reconcile then doubles as the stream=batch agreement check,
+    since the expected side is always the batch derivation plan over
+    the same input files."""
+    import os
+
+    from .operators.rollup import build_ladder
+    from .operators.writers import read_fact, write_fact
+    from .pipeline import run_batch, transform
+    from .reconcile import compare_tables
+    from .report import build_report
+    from .session import get_spark
+
+    spark = get_spark("chill-e2e")
+    job = _load(args.job, JobSpec)
+    cat = _load(args.catalog, Catalog)
+
+    derive_errors: list[str] = []
+    if args.stream:
+        from .streaming import drain, run_stream
+
+        q = run_stream(
+            spark, job, cat,
+            out_dir=args.out,
+            checkpoint_dir=args.checkpoint or os.path.join(args.out, "_ckpt"),
+            columns=_default_columns(cat),
+            available_now=True,
+            quarantine_dir=os.path.join(args.out, "_quarantine"),
+        )
+        drain(q)
+    else:
+        res = run_batch(spark, job, cat, args.out)
+        derive_errors = res.derive_errors
+
+    expected = transform(spark, job, cat).tables
+    ladder_root = args.ladder or args.out
+    reports = []
+    for table in cat.tables.values():
+        path = f"{args.out}/{table.name}_{table.base_granularity}"
+        actual = read_fact(spark, path)
+        reports.append(
+            compare_tables(
+                expected[table.name], actual, table.name,
+                keys=table.key_fields,
+                counters=[c.db_name for c in table.counters],
+            )
+        )
+        for level, df in build_ladder(actual, table).items():
+            write_fact(df, f"{ladder_root}/{table.name}_{level}")
+            print(f"{table.name}_{level}: {ladder_root}/{table.name}_{level}")
+
+    report = build_report(
+        reports,
+        loader_errors={t.name: derive_errors for t in cat.tables.values()}
+        if derive_errors else None,
+    )
+    xml = report.to_xml()
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(xml)
+        print(f"wrote {args.report}")
+    else:
+        print(xml)
+    return 0 if report.passed else 1
+
+
 def cmd_ladder_repair(args) -> int:
     from datetime import datetime
 
@@ -293,6 +386,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="process available files then exit (availableNow)")
     s.set_defaults(fn=cmd_stream)
 
+    ee = sub.add_parser(
+        "e2e",
+        help="one-shot: ingest -> facts -> rollup ladder -> reconcile "
+        "-> five-suite JUnit (chill.py main() in a single command)",
+    )
+    ee.add_argument("--job", required=True)
+    ee.add_argument("--catalog", required=True)
+    ee.add_argument("--out", required=True)
+    ee.add_argument("--ladder", help="ladder output root (default: --out)")
+    ee.add_argument("--report", help="JUnit XML path (default: stdout)")
+    ee.add_argument("--stream", action="store_true",
+                    help="ingest via the streaming path (drained)")
+    ee.add_argument("--checkpoint", help="stream checkpoint dir")
+    ee.set_defaults(fn=cmd_e2e)
+
     ro = sub.add_parser("rollup", help="materialize the granularity ladder")
     ro.add_argument("--catalog", required=True)
     ro.add_argument("--table", required=True)
@@ -304,7 +412,17 @@ def main(argv: list[str] | None = None) -> int:
     rc.add_argument("--catalog", required=True)
     rc.add_argument("--table", required=True)
     rc.add_argument("--expected", required=True)
-    rc.add_argument("--actual", required=True)
+    rc.add_argument(
+        "--actual", required=True,
+        help="parquet path, or a jdbc: URL (with --actual-table)",
+    )
+    rc.add_argument("--actual-table", help="remote table for jdbc: actuals")
+    rc.add_argument("--jdbc-driver", help="JDBC driver class, if not auto")
+    rc.add_argument(
+        "--datetimes", nargs="*",
+        help="ISO DATETIMEs to compare (default: expected side's set); "
+        "pushed down to the database as a DATETIME IN (...) predicate",
+    )
     rc.add_argument("--report")
     rc.add_argument("--expect-not-null", help="comma list of columns")
     rc.add_argument("--expect-unique", help="comma list of key columns")

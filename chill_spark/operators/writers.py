@@ -74,6 +74,42 @@ def read_fact(
     return df.drop(PARTITION_COL, BATCH_COL)
 
 
+def read_fact_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    datetimes: list | None = None,
+    properties: dict[str, str] | None = None,
+    datetime_col: str = "DATETIME",
+) -> DataFrame:
+    """Fact scan from a live JDBC database — the reference reconciles
+    expected data against the actual Oracle table with one SELECT per
+    DATETIME (HlxTools.py:396-450, query at :423-429). Spark-native:
+    one JDBC relation with a ``DATETIME IN (...)`` predicate the JDBC
+    source pushes down to the remote database (PushedFilters in the
+    scan), so the DB ships only the requested periods — never a full
+    table copy. Pass ``properties`` for driver/credentials (e.g.
+    {"driver": "oracle.jdbc.OracleDriver", "user": ...})."""
+    from datetime import datetime as _dt
+
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .options(**(properties or {}))
+    )
+    df = reader.load()
+    if datetimes:
+        ts = [
+            d if isinstance(d, _dt) else _dt.fromisoformat(str(d))
+            for d in datetimes
+        ]
+        # python datetimes become timestamp literals -> the In filter
+        # is eligible for JDBC pushdown (Column args would not be)
+        df = df.filter(F.col(datetime_col).isin(ts))
+    return df
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

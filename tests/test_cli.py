@@ -263,3 +263,85 @@ def test_cli_quality_preserves_user_keep_column(cli_dirs, spark, capsys):
     kept = spark.read.parquet(dst)
     assert kept.count() == 1
     assert kept.first()["keep"] == "user-value"
+
+
+def test_cli_reconcile_jdbc_actual(cli_dirs, spark, capsys):
+    """Reconcile the expected parquet against a live JDBC table
+    (embedded Derby, the JDBC engine bundled with Spark) — parity
+    with the reference's expected-files-vs-Oracle compare. The
+    DATETIME predicate must be pushed down to the database."""
+    import io
+    from contextlib import redirect_stdout
+
+    main([
+        "run", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"],
+    ])
+    capsys.readouterr()
+    fact = os.path.join(cli_dirs["out"], "CELL_STATS_15M")
+    url = f"jdbc:derby:{os.path.join(cli_dirs['base'], 'derby')};create=true"
+    spark.read.parquet(fact).drop("DT_PART").write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", "ACTUAL").mode("overwrite").save()
+
+    rc = main([
+        "reconcile", "--catalog", cli_dirs["catalog"], "--table", "CELL_STATS",
+        "--expected", fact, "--actual", url, "--actual-table", "ACTUAL",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and 'failures="0"' in out
+
+    # the JDBC scan must carry the DATETIME filter (fully pushed: *)
+    from chill_spark.operators.writers import read_fact_jdbc
+    from datetime import datetime
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        read_fact_jdbc(
+            spark, url, "ACTUAL", datetimes=[datetime(2024, 1, 1, 0, 0)]
+        ).explain("formatted")
+    assert "PushedFilters: [*IsNotNull(DATETIME), *" in buf.getvalue()
+
+    # drift in the DB -> nonzero exit + failure surfaced in the XML
+    spark.sql("SELECT 's1' AS SITE, TIMESTAMP '2024-01-01 00:00:00' AS DATETIME, CAST(999 AS DOUBLE) AS CALLS").write.format(
+        "jdbc"
+    ).option("url", url).option("dbtable", "ACTUAL").mode("overwrite").save()
+    rc = main([
+        "reconcile", "--catalog", cli_dirs["catalog"], "--table", "CELL_STATS",
+        "--expected", fact, "--actual", url, "--actual-table", "ACTUAL",
+    ])
+    assert rc == 1 and "failure" in capsys.readouterr().out
+
+
+def test_cli_e2e_batch(cli_dirs, spark, capsys):
+    """Single-command end-to-end (VERDICT r1 item 7): ingest ->
+    facts -> ladder -> reconcile -> five-suite JUnit."""
+    report = os.path.join(cli_dirs["base"], "e2e.xml")
+    rc = main([
+        "e2e", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"], "--report", report,
+    ])
+    assert rc == 0
+    xml = open(report).read()
+    for suite in ["DBLoader Errors", "Number of records comparison",
+                  "Missing Data", "Data Difference", "Missing Columns"]:
+        assert suite in xml
+    assert 'failures="0"' in xml
+    # ladder written alongside the base fact
+    assert os.path.isdir(os.path.join(cli_dirs["out"], "CELL_STATS_HR"))
+    assert os.path.isdir(os.path.join(cli_dirs["out"], "CELL_STATS_DY"))
+
+
+def test_cli_e2e_stream(cli_dirs, spark, capsys):
+    """--stream ingests through Structured Streaming (drained); the
+    reconcile side is the batch plan over the same files, so a green
+    report certifies stream=batch agreement end-to-end."""
+    report = os.path.join(cli_dirs["base"], "e2e_s.xml")
+    rc = main([
+        "e2e", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", os.path.join(cli_dirs["base"], "out_s"),
+        "--report", report, "--stream",
+    ])
+    assert rc == 0
+    xml = open(report).read()
+    assert 'failures="0"' in xml
