@@ -129,6 +129,14 @@ def compact_partitions(
     Returns {partition_key: files_after} for rewritten partitions.
     One partition at a time keeps the overwrite atomic per period —
     the same idempotency contract as write_fact (S10).
+
+    Streamed facts nest a BATCH_PART level under each period (the
+    replay-idempotence key); compaction counts those files too and
+    collapses the batch subdirs into flat period files. Run it only
+    on *sealed* periods (no in-flight stream writing them): after the
+    collapse a replay of an old micro-batch would land beside the
+    compacted files instead of overwriting its original leaf — the
+    standard compact-behind-the-watermark discipline.
     """
     import math
     import os
@@ -144,13 +152,19 @@ def compact_partitions(
         parts = [p for p in parts if p in partitions]
     for key in parts:
         pdir = f"{base}/{PARTITION_COL}={key}"
-        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-        total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        files = [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(pdir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
         want = max(1, math.ceil(total / target_file_bytes))
         if len(files) <= want:
             continue
         (
             spark.read.parquet(pdir)
+            .drop(BATCH_COL)
             .repartition(want)
             .withColumn(PARTITION_COL, F.lit(key))
             .write.mode("overwrite")

@@ -804,3 +804,35 @@ def test_batch_keyed_base_write_is_replay_idempotent(spark, stream_dirs):
 
     got = read_fact(spark, path)
     assert sorted(got.columns) == ["CALLS", "DATETIME", "SITE"]
+
+
+def test_compaction_collapses_batch_leaves(spark, stream_dirs):
+    """compact_partitions on a streamed (batch-keyed) fact: counts the
+    nested BATCH_PART files, collapses them into flat period files,
+    and preserves every row."""
+    from chill_spark.operators.writers import (
+        BATCH_COL, PARTITION_COL, compact_partitions, read_fact,
+        with_partition_col,
+    )
+
+    path = os.path.join(stream_dirs["out"], "compact_base")
+    for batch_id in range(3):
+        df = spark.createDataFrame(
+            [(f"s{batch_id}", "2024-01-01 00:00:00", float(batch_id))],
+            ["SITE", "DATETIME", "CALLS"],
+        ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+        (
+            with_partition_col(df)
+            .withColumn(BATCH_COL, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COL, BATCH_COL)
+            .parquet(path)
+        )
+    before = {tuple(r) for r in read_fact(spark, path).collect()}
+    assert len(before) == 3
+    done = compact_partitions(spark, path, target_file_bytes=10**9)
+    assert done == {"202401010000": 1}
+    pdir = os.path.join(path, f"{PARTITION_COL}=202401010000")
+    assert not any(d.startswith(BATCH_COL) for d in os.listdir(pdir))
+    assert {tuple(r) for r in read_fact(spark, path).collect()} == before
