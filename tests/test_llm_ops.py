@@ -713,3 +713,78 @@ def test_centroid_training_invariant_to_partitioning(spark, sf_dir):
     ka = kmeans_fit(emb, k=3, iters=2)
     kb = kmeans_fit(emb.repartition(7), k=3, iters=2)
     assert np.allclose(ka, kb)
+
+
+def test_portable_hash_family_matches_duckdb(spark):
+    """Pin the cross-engine contract of llm_ops.portable: phash,
+    30-bit token hashes, polynomial shingle combine, the minhash
+    permutation family, and the portable shingle_sets all reproduce
+    bit-for-bit in DuckDB — the invariant every sketch oracle rests
+    on."""
+    import duckdb
+
+    from chill_spark.llm_ops.dedup import shingle_sets
+    from chill_spark.llm_ops.portable import (
+        P31, PHASH_SQL, SHINGLE_B, TOKEN_MASK, minhash_coeffs, phash,
+    )
+
+    rows = [
+        (1, "The quick  Brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today indeed"),
+        (3, ""), (4, "one two three"), (5, "naïve café — unicode ✓"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+
+    got = {r["d"]: r["h"] for r in df.select(
+        F.col("doc_id").alias("d"), phash("text").alias("h")).collect()}
+    want = dict(con.execute(
+        f"SELECT doc_id, {PHASH_SQL.format(x='text')} FROM docs").fetchall())
+    assert got == want
+
+    sp = {r["id"]: sorted(r["sh"]) for r in
+          shingle_sets(df, "text", "doc_id", 5, portable=True).collect()}
+    win = "th[i]"
+    for j in range(1, 5):
+        win = f"(({win}) * {SHINGLE_B} + coalesce(th[i+{j}], 0)) % {P31}"
+    ph_tok = PHASH_SQL.format(x="tk")
+    du = dict(con.execute(rf"""
+        WITH t AS (
+          SELECT doc_id, list_transform(
+            string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '),
+            tk -> {ph_tok} & {TOKEN_MASK}) AS th
+          FROM docs)
+        SELECT doc_id, list_sort(list_distinct(list_transform(
+          range(1, greatest(len(th) - 5, 0) + 2), i -> {win})))
+        FROM t""").fetchall())
+    assert sp == {k: list(v) for k, v in du.items()}
+
+    (a0, b0), (a1, b1) = minhash_coeffs(2)
+    s_min = {r["id"]: (r["h0"], r["h1"]) for r in
+             shingle_sets(df, "text", "doc_id", 5, portable=True)
+             .select("id", F.explode("sh").alias("sh")).groupBy("id")
+             .agg(F.min((F.lit(a0) * F.col("sh") + F.lit(b0)) % P31).alias("h0"),
+                  F.min((F.lit(a1) * F.col("sh") + F.lit(b1)) % P31).alias("h1"))
+             .collect()}
+    for k, sh in du.items():
+        assert s_min[k] == (
+            min((a0 * s + b0) % P31 for s in sh),
+            min((a1 * s + b1) % P31 for s in sh),
+        )
+
+
+def test_portable_minhash_keeps_single_bucket_shuffle(spark, sf_dir):
+    """The portable hash family must not change the LSH plan shape:
+    candidate generation stays one groupBy-the-bucket Exchange off the
+    banded rows, no self-join."""
+    from chill_spark.llm_ops.dedup import minhash_candidates
+    from tests.test_plan_quality import plan_of
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(minhash_candidates(d, "text", "doc_id", 16, 8, portable=True))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # explode->sig agg->band explode->bucket groupBy->pair dedup: the
+    # corpus is shuffled on id (sig agg) and bucket only
+    assert "BatchEvalPython" not in plan
