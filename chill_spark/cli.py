@@ -195,16 +195,40 @@ def cmd_dedup(args) -> int:
     spark = get_spark("chill-dedup")
     df = spark.read.parquet(args.input)
     n = df.count()
+    skips = None
     if args.method == "exact":
         kept = dedup_exact(df, args.text_col, args.id_col)
     else:
+        from .llm_ops.dedup import minhash_bucket_stats, shingle_sets
+
+        # shingle once, share the persisted sets between the dedup and
+        # the skip-diagnostics job (a plan-attached Observation would
+        # be free, but AQE's empty-relation propagation loses it when
+        # the capped pipeline yields zero pairs — the exact degenerate
+        # case the diagnostic exists for)
+        sets_df = shingle_sets(df, args.text_col, args.id_col).persist()
+        skips = minhash_bucket_stats(
+            df, args.text_col, args.id_col, bands=args.bands,
+            max_bucket_size=args.max_bucket, sets_df=sets_df,
+        )
         kept = dedup_minhash_cc(
             df, args.text_col, args.id_col,
             threshold=args.threshold, bands=args.bands,
+            max_bucket_size=args.max_bucket, sets_df=sets_df,
         )
     kept.write.mode("overwrite").parquet(args.out)
     k = spark.read.parquet(args.out).count()
     print(f"{n} -> {k} rows ({n - k} removed, method={args.method})")
+    if skips and skips["oversize_buckets"]:
+        # no silent skips: degenerate buckets above --max-bucket were
+        # excluded from pair expansion (boilerplate policy)
+        print(
+            f"skipped {skips['oversize_buckets']} oversize LSH bucket(s) "
+            f"({skips['oversize_members']} member rows) above "
+            f"--max-bucket={args.max_bucket}; raise it to force "
+            "pair expansion",
+            file=sys.stderr,
+        )
     return 0
 
 
@@ -326,11 +350,20 @@ def cmd_e2e(args) -> int:
             write_fact(df, f"{ladder_root}/{table.name}_{level}")
             print(f"{table.name}_{level}: {ladder_root}/{table.name}_{level}")
 
-    report = build_report(
-        reports,
-        loader_errors={t.name: derive_errors for t in cat.tables.values()}
-        if derive_errors else None,
-    )
+    report = build_report(reports)
+    if derive_errors:
+        # derive errors are job-level (pre-routing), so report them as
+        # ONE case in the DBLoader suite rather than fanning the same
+        # text out to every table (which multiplies the failure count)
+        from .report.junit import TestCase
+
+        report.suite("DBLoader Errors").add(
+            TestCase(
+                name="(derive)",
+                classname="dbloader",
+                failure_message="\n".join(derive_errors),
+            )
+        )
     xml = report.to_xml()
     if args.report:
         with open(args.report, "w") as f:
@@ -445,6 +478,11 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--id-col", dest="id_col", default="doc_id")
     dd.add_argument("--threshold", type=float, default=0.7)
     dd.add_argument("--bands", type=int, default=8)
+    dd.add_argument(
+        "--max-bucket", type=int, default=1000,
+        help="drop LSH buckets larger than this (degenerate boilerplate "
+        "signatures); skips are reported on stderr",
+    )
     dd.set_defaults(fn=cmd_dedup)
 
     qc = sub.add_parser("quality", help="Gopher/C4 quality-rule corpus filter")

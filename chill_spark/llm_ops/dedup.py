@@ -197,6 +197,9 @@ def pairs_within_buckets(
     ``pyspark.sql.Observation``) to surface how much was skipped —
     ``oversize_buckets`` / ``oversize_members`` — on the same action,
     zero extra jobs, matching the repo's no-silent-skip policy.
+    Caveat: AQE's empty-relation propagation drops the CollectMetrics
+    node when the capped result is EMPTY (all buckets oversize) — use
+    ``minhash_bucket_stats`` for a loss-proof standalone count.
 
     ``payload_cols`` ride along inside the member struct, so the
     verify stage (Hamming / cosine) reads them straight off the pair
@@ -273,6 +276,29 @@ def minhash_candidates(
     making LSH candidate generation itself hash-checkable. The
     caller's ``sets_df`` must then also be portable.
     """
+    banded = banded_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_k,
+        sets_df=sets_df, portable=portable,
+    )
+    return pairs_within_buckets(
+        banded, ["band", "bucket"], "id",
+        max_bucket_size=max_bucket_size, observation=observation,
+    )
+
+
+def banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    sets_df: DataFrame | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band, bucket) rows: minhash signatures folded into per-band
+    bucket keys — the shared front half of candidate generation and
+    bucket diagnostics."""
     rows_per_band = num_hashes // bands
     if sets_df is None:
         sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable)
@@ -305,13 +331,47 @@ def minhash_candidates(
         F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "id", F.explode(F.array(*band_structs)).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
-    return pairs_within_buckets(
-        banded, ["band", "bucket"], "id",
-        max_bucket_size=max_bucket_size, observation=observation,
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    sets_df: DataFrame | None = None,
+    portable: bool = False,
+) -> dict[str, int]:
+    """Standalone oversize-bucket diagnostics: {"oversize_buckets",
+    "oversize_members"} above ``max_bucket_size``.
+
+    The free path is the ``observation`` hook on the main dedup job,
+    but AQE's empty-relation propagation drops the CollectMetrics node
+    whenever the capped pipeline yields ZERO pairs — exactly the
+    degenerate all-boilerplate corpus where the number matters. This
+    runs the count as its own tiny job (pass the persisted ``sets_df``
+    from the main run so shingling isn't repeated; the extra cost is
+    one signature+band aggregation)."""
+    banded = banded_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_k,
+        sets_df=sets_df, portable=portable,
     )
+    row = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > (max_bucket_size or 0))
+        .agg(
+            F.count(F.lit(1)).alias("oversize_buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("oversize_members"),
+        )
+        .first()
+    )
+    return {k: int(row[k]) for k in ("oversize_buckets", "oversize_members")}
 
 
 def jaccard_pairs(
@@ -354,10 +414,15 @@ def dedup_minhash(
     bands: int = 8,
     shingle_k: int = 5,
     portable: bool = False,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dedup: drop rows Jaccard-similar (>= threshold) to a
     surviving lower-id row. Survivors = rows that are not the higher id
-    of any verified pair (greedy min-id representative).
+    of any verified pair (greedy min-id representative). Oversize LSH
+    buckets are capped (``max_bucket_size``) — pass ``observation`` to
+    surface the skip counts; the CLI path prints them.
 
     The shingle sets are computed once and persisted (MEMORY_AND_DISK,
     evicted LRU / reused across identical plans by Spark's cache
@@ -365,10 +430,14 @@ def dedup_minhash(
     them; without this the shingling runs 3x (signature + both verify
     sides). At 100 TB this cache is the materialized sketch layer and
     belongs on disk next to the corpus."""
-    sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable).persist()
+    if sets_df is None:
+        sets_df = shingle_sets(
+            df, text_col, id_col, shingle_k, portable=portable
+        ).persist()
     cands = minhash_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k, sets_df=sets_df,
-        portable=portable,
+        portable=portable, max_bucket_size=max_bucket_size,
+        observation=observation,
     )
     dups = jaccard_pairs(
         df, cands, text_col, id_col, shingle_k, threshold, sets_df=sets_df
@@ -559,6 +628,9 @@ def dedup_minhash_cc(
     bands: int = 8,
     shingle_k: int = 5,
     portable: bool = False,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Transitively-correct near-dedup: MinHash+LSH candidates ->
     exact Jaccard verify -> connected components -> keep the min-id
@@ -573,10 +645,14 @@ def dedup_minhash_cc(
     pipeline — edges, not corpus, dominate nothing at 100 TB."""
     from .components import component_survivors, connected_components
 
-    sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable).persist()
+    if sets_df is None:
+        sets_df = shingle_sets(
+            df, text_col, id_col, shingle_k, portable=portable
+        ).persist()
     cands = minhash_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k, sets_df=sets_df,
-        portable=portable,
+        portable=portable, max_bucket_size=max_bucket_size,
+        observation=observation,
     )
     dups = jaccard_pairs(
         df, cands, text_col, id_col, shingle_k, threshold, sets_df=sets_df

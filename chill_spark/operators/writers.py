@@ -88,9 +88,13 @@ def read_fact_jdbc(
     one JDBC relation with a ``DATETIME IN (...)`` predicate the JDBC
     source pushes down to the remote database (PushedFilters in the
     scan), so the DB ships only the requested periods — never a full
-    table copy. Pass ``properties`` for driver/credentials (e.g.
+    table copy. Large period sets are chunked into an OR of
+    <=900-literal IN lists (Oracle rejects a single IN list over 1000
+    elements, ORA-01795; Or-of-In is still pushable and legal
+    everywhere). Pass ``properties`` for driver/credentials (e.g.
     {"driver": "oracle.jdbc.OracleDriver", "user": ...})."""
     from datetime import datetime as _dt
+    from functools import reduce
 
     reader = (
         spark.read.format("jdbc")
@@ -104,9 +108,15 @@ def read_fact_jdbc(
             d if isinstance(d, _dt) else _dt.fromisoformat(str(d))
             for d in datetimes
         ]
-        # python datetimes become timestamp literals -> the In filter
-        # is eligible for JDBC pushdown (Column args would not be)
-        df = df.filter(F.col(datetime_col).isin(ts))
+        # python datetimes become timestamp literals -> the In filters
+        # are eligible for JDBC pushdown (Column args would not be)
+        chunks = [ts[i:i + 900] for i in range(0, len(ts), 900)]
+        df = df.filter(
+            reduce(
+                lambda a, b: a | b,
+                [F.col(datetime_col).isin(c) for c in chunks],
+            )
+        )
     return df
 
 
@@ -132,14 +142,20 @@ def compact_partitions(
 
     Streamed facts nest a BATCH_PART level under each period (the
     replay-idempotence key); compaction counts those files too and
-    collapses the batch subdirs into flat period files. Run it only
-    on *sealed* periods (no in-flight stream writing them): after the
-    collapse a replay of an old micro-batch would land beside the
-    compacted files instead of overwriting its original leaf — the
-    standard compact-behind-the-watermark discipline.
+    collapses a period's batch subdirs into ONE leaf, ``BATCH_PART=-1``
+    (-1 never collides with a real micro-batch id). Keeping the level
+    — rather than flattening — preserves a uniform partition depth
+    across the table, so partially-compacted tables stay readable
+    (partition discovery rejects mixed flat/nested layouts with
+    CONFLICTING_PARTITION_COLUMN_NAMES). Run it only on *sealed*
+    periods (no in-flight stream writing them): after the collapse a
+    replay of an old micro-batch would land beside the compacted leaf
+    instead of overwriting its original one — the standard
+    compact-behind-the-watermark discipline.
     """
     import math
     import os
+    import shutil
 
     rewritten: dict[str, int] = {}
     base = path.rstrip("/")
@@ -152,6 +168,9 @@ def compact_partitions(
         parts = [p for p in parts if p in partitions]
     for key in parts:
         pdir = f"{base}/{PARTITION_COL}={key}"
+        nested = any(
+            d.startswith(f"{BATCH_COL}=") for d in os.listdir(pdir)
+        )
         files = [
             os.path.join(d, f)
             for d, _, fs in os.walk(pdir)
@@ -162,15 +181,31 @@ def compact_partitions(
         want = max(1, math.ceil(total / target_file_bytes))
         if len(files) <= want:
             continue
-        (
-            spark.read.parquet(pdir)
-            .drop(BATCH_COL)
-            .repartition(want)
-            .withColumn(PARTITION_COL, F.lit(key))
-            .write.mode("overwrite")
-            .partitionBy(PARTITION_COL)
-            .parquet(base)
-        )
+        if nested:
+            # read -> stage under a temp dir (a nested table can't use
+            # dynamic overwrite here: data in the collapsed leaf alone
+            # would leave the original batch leaves in place) -> swap
+            # the period dir in one rename
+            tmp = f"{base}/.compact_tmp_{key}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                spark.read.parquet(pdir)
+                .drop(BATCH_COL)
+                .repartition(want)
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/{BATCH_COL}=-1")
+            )
+            shutil.rmtree(pdir)
+            os.replace(tmp, pdir)
+        else:
+            (
+                spark.read.parquet(pdir)
+                .repartition(want)
+                .withColumn(PARTITION_COL, F.lit(key))
+                .write.mode("overwrite")
+                .partitionBy(PARTITION_COL)
+                .parquet(base)
+            )
         rewritten[key] = want
     return rewritten
 

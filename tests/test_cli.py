@@ -345,3 +345,40 @@ def test_cli_e2e_stream(cli_dirs, spark, capsys):
     assert rc == 0
     xml = open(report).read()
     assert 'failures="0"' in xml
+
+
+def test_read_fact_jdbc_chunks_large_in_lists(cli_dirs, spark):
+    """>900 DATETIME literals split into an OR of IN chunks (Oracle's
+    1000-literal IN limit, ORA-01795) with identical semantics."""
+    from datetime import datetime, timedelta
+
+    from chill_spark.operators.writers import read_fact_jdbc
+
+    url = f"jdbc:derby:{os.path.join(cli_dirs['base'], 'derby2')};create=true"
+    spark.sql(
+        "SELECT 's1' AS SITE, TIMESTAMP '2024-01-01 00:00:00' AS DATETIME, "
+        "CAST(1 AS DOUBLE) AS CALLS"
+    ).write.format("jdbc").option("url", url).option("dbtable", "T").save()
+    base = datetime(2024, 1, 1)
+    dts = [base + timedelta(minutes=15 * i) for i in range(1001)]
+    got = read_fact_jdbc(spark, url, "T", datetimes=dts).collect()
+    assert len(got) == 1 and got[0]["SITE"] == "s1"
+    # excluding the matching period excludes the row
+    assert not read_fact_jdbc(spark, url, "T", datetimes=dts[1:]).collect()
+
+
+def test_cli_dedup_near_reports_oversize_buckets(cli_dirs, spark, capsys):
+    """--method near surfaces capped-bucket skips instead of silently
+    under-deduplicating (r2 review finding)."""
+    src = os.path.join(cli_dirs["base"], "dd_in")
+    dst = os.path.join(cli_dirs["base"], "dd_out")
+    text = "the same boilerplate sentence repeated across many documents here"
+    rows = [(i, f"{text} {i % 2}") for i in range(30)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    rc = main([
+        "dedup", "--in", src, "--out", dst, "--method", "near",
+        "--max-bucket", "5",
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "oversize LSH bucket" in err and "--max-bucket=5" in err

@@ -829,10 +829,29 @@ def test_compaction_collapses_batch_leaves(spark, stream_dirs):
             .partitionBy(PARTITION_COL, BATCH_COL)
             .parquet(path)
         )
+    # second period with a single small leaf: below the compaction
+    # threshold, so it keeps its original batch leaf — the table must
+    # stay readable with one period compacted and one not
+    df2 = spark.createDataFrame(
+        [("s9", "2024-01-01 00:15:00", 9.0)], ["SITE", "DATETIME", "CALLS"]
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    (
+        with_partition_col(df2)
+        .withColumn(BATCH_COL, F.lit(7))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COL, BATCH_COL)
+        .parquet(path)
+    )
     before = {tuple(r) for r in read_fact(spark, path).collect()}
-    assert len(before) == 3
+    assert len(before) == 4
     done = compact_partitions(spark, path, target_file_bytes=10**9)
     assert done == {"202401010000": 1}
+    # collapsed into the single BATCH_PART=-1 leaf (uniform depth)
     pdir = os.path.join(path, f"{PARTITION_COL}=202401010000")
-    assert not any(d.startswith(BATCH_COL) for d in os.listdir(pdir))
+    leaves = [d for d in os.listdir(pdir) if d.startswith(BATCH_COL)]
+    assert leaves == [f"{BATCH_COL}=-1"]
+    # partially-compacted table still reads end-to-end (r2 review
+    # finding: flattening one period made discovery fail with
+    # CONFLICTING_PARTITION_COLUMN_NAMES)
     assert {tuple(r) for r in read_fact(spark, path).collect()} == before
