@@ -1,0 +1,172 @@
+"""Incremental near-dedup against a persisted sketch store.
+
+At 100 TB you never re-run dedup over the whole corpus when a new
+crawl lands. The MinHash sketch layer (distinct shingle-hash sets +
+banded signature buckets) is materialized ONCE per document and stored
+next to the corpus; deduplicating an increment then costs:
+
+  sketch(new)                                  — O(|new|), map-only
+  bucket-join(new, store)                      — shuffle of |new| + the
+                                                 store rows in TOUCHED
+                                                 buckets only (bucket-
+                                                 partitioned store →
+                                                 pruned scan)
+  verify(candidate pairs)                      — pair-sized joins
+
+The old corpus is never re-shingled and old×old pairs are never
+re-expanded (they were handled when those docs were ingested). The
+candidate semantics are exactly "pairs of the batch run restricted to
+pairs touching a new doc", so the batch oracle replays the incremental
+result by filtering its verified pairs — see
+queries.q_dedup_incremental.
+
+Store layout (``write_sketch_store`` / ``read_sketch_store``):
+  <root>/sets/    (id, sh array)        — Jaccard verify side
+  <root>/banded/  (id, band, bucket)    — candidate generation side
+Append new batches to both after deduplication; both are plain
+parquet and can be bucketed by (band, bucket) for co-located joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
+    banded_signatures,
+    pairs_within_buckets,
+    shingle_sets,
+)
+
+
+def write_sketch_store(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    root: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    portable: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the sketch layer for ``df`` (one shingling pass —
+    the sets feed the banded signatures)."""
+    sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable)
+    sets_df.write.mode(mode).parquet(f"{root}/sets")
+    banded = banded_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_k,
+        sets_df=sets_df, portable=portable,
+    )
+    banded.write.mode(mode).parquet(f"{root}/banded")
+
+
+def read_sketch_store(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{root}/sets"),
+        spark.read.parquet(f"{root}/banded"),
+    )
+
+
+def incremental_candidates(
+    new_banded: DataFrame,
+    old_banded: DataFrame,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
+) -> DataFrame:
+    """Candidate pairs touching at least one NEW doc: new×new and
+    new×old within shared buckets, never old×old (those were expanded
+    when the old docs were ingested).
+
+    Shape: one union + one groupBy-the-bucket shuffle (the same
+    single-shuffle pair expansion as the batch path); buckets with no
+    new member are dropped BEFORE expansion (`max(__new) = false`), so
+    the steady-state cost tracks the increment, not the corpus. The
+    residual old×old pairs inside touched buckets are filtered after
+    expansion — bounded by the bucket cap, not corpus size."""
+    tagged = old_banded.select(
+        "id", "band", "bucket", F.lit(False).alias("__new")
+    ).unionByName(
+        new_banded.select("id", "band", "bucket", F.lit(True).alias("__new"))
+    )
+    member = F.struct(F.col("id").alias("i"), F.col("__new").alias("__new"))
+    buckets = (
+        tagged.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(F.collect_set(member)).alias("ms"),
+            F.max("__new").alias("__touched"),
+        )
+        .filter(F.col("__touched") & (F.size("ms") > 1))
+    )
+    if max_bucket_size is not None:
+        oversize = F.size("ms") > max_bucket_size
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.sum(F.when(oversize, 1).otherwise(0)).alias("oversize_buckets"),
+                F.sum(F.when(oversize, F.size("ms")).otherwise(0)).alias(
+                    "oversize_members"
+                ),
+            )
+        buckets = buckets.filter(~oversize)
+    pair_lists = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_lists).alias("p"))
+        .filter(F.col("p.a.__new") | F.col("p.b.__new"))
+        .select(F.col("p.a.i").alias("id_a"), F.col("p.b.i").alias("id_b"))
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def incremental_minhash_dups(
+    new_df: DataFrame,
+    old_sets: DataFrame,
+    old_banded: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    portable: bool = False,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Verified duplicate pairs (id_a < id_b, jaccard) between the new
+    batch and (itself ∪ the stored corpus). Equals the batch pipeline's
+    verified pairs restricted to pairs touching a new doc — the
+    property queries.q_dedup_incremental hash-checks against the batch
+    SQL oracle."""
+    new_sets = shingle_sets(
+        new_df, text_col, id_col, shingle_k, portable=portable
+    ).persist()
+    new_banded = banded_signatures(
+        new_df, text_col, id_col, num_hashes, bands, shingle_k,
+        sets_df=new_sets, portable=portable,
+    )
+    cands = incremental_candidates(
+        new_banded, old_banded, max_bucket_size=max_bucket_size
+    )
+    all_sets = old_sets.unionByName(new_sets)
+    a, b = all_sets.alias("sa"), all_sets.alias("sb")
+    joined = (
+        cands.join(a, cands["id_a"] == F.col("sa.id"))
+        .join(b, cands["id_b"] == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+                / F.size(F.array_union("sa.sh", "sb.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold)

@@ -937,7 +937,10 @@ def _minhash_oracle(num_hashes: int, bands: int, threshold: float,
         JOIN ok_buckets o ON o.band = a.band AND o.bucket = a.bucket
     ),
     verified AS (
-        SELECT id_a, id_b
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa.shh, sb.shh))::DOUBLE
+                     / len(list_distinct(list_concat(sa.shh, sb.shh))), 6)
+                   AS jaccard
         FROM cand
         JOIN hashed sa ON sa.doc_id = cand.id_a
         JOIN hashed sb ON sb.doc_id = cand.id_b
@@ -976,6 +979,55 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=_TRUNCATED_SQL + _minhash_oracle(num_hashes=16, bands=8, threshold=0.5) + """
+    SELECT id_a, id_b, jaccard FROM verified
+    WHERE id_a >= 1000000 OR id_b >= 1000000
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup against a persisted sketch store (the
+    100 TB daily-crawl shape): the old corpus (documents) has its
+    shingle sets + banded signatures materialized; the new batch (the
+    truncated near-dup copies, ids +1M) is sketched, bucket-joined
+    against the store, and verified — the old corpus is never
+    re-shingled and old×old pairs are never re-expanded.
+
+    Correctness contract: the incremental pairs must equal the BATCH
+    pipeline's verified pairs restricted to pairs touching a new doc —
+    which is exactly what the oracle computes (the full q_dedup_minhash
+    SQL replay filtered to id >= 1M), so any divergence between the
+    incremental and batch paths fails the hash."""
+    from .llm_ops.dedup import banded_signatures, shingle_sets
+    from .llm_ops.incremental_dedup import incremental_minhash_dups
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    trunc = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+    )
+    new = (
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+        .withColumn("text", trunc)
+    )
+    # the "store": sketches of the old corpus (materialized once in
+    # production via incremental_dedup.write_sketch_store)
+    old_sets = shingle_sets(d, "text", "doc_id", 5, portable=True)
+    old_banded = banded_signatures(
+        d, "text", "doc_id", 16, 8, 5, sets_df=old_sets, portable=True
+    )
+    return (
+        incremental_minhash_dups(
+            new, old_sets, old_banded, "text", "doc_id",
+            threshold=0.5, num_hashes=16, bands=8, portable=True,
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
     )
 
 

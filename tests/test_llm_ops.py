@@ -788,3 +788,42 @@ def test_portable_minhash_keeps_single_bucket_shuffle(spark, sf_dir):
     # explode->sig agg->band explode->bucket groupBy->pair dedup: the
     # corpus is shuffled on id (sig agg) and bucket only
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Disk-backed sketch store: materialize the old corpus's sketches,
+    dedup a new batch incrementally, and assert the verified pairs
+    equal the batch pipeline's pairs restricted to pairs touching a
+    new doc — without re-shingling the old corpus."""
+    from chill_spark.llm_ops.dedup import (
+        jaccard_pairs, minhash_candidates, shingle_sets,
+    )
+    from chill_spark.llm_ops.incremental_dedup import (
+        incremental_minhash_dups, read_sketch_store, write_sketch_store,
+    )
+
+    old = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    trunc = F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))))
+    new = old.withColumn("doc_id", F.col("doc_id") + F.lit(10_000)).withColumn("text", trunc)
+
+    root = str(tmp_path / "sketches")
+    write_sketch_store(old, "text", "doc_id", root, num_hashes=16, bands=8)
+    old_sets, old_banded = read_sketch_store(spark, root)
+    inc = {
+        (r["id_a"], r["id_b"]) for r in incremental_minhash_dups(
+            new, old_sets, old_banded, "text", "doc_id",
+            threshold=0.5, num_hashes=16, bands=8,
+        ).collect()
+    }
+
+    union = old.unionByName(new)
+    sets_df = shingle_sets(union, "text", "doc_id").persist()
+    cands = minhash_candidates(union, "text", "doc_id", 16, 8, sets_df=sets_df)
+    batch = {
+        (r["id_a"], r["id_b"]) for r in jaccard_pairs(
+            union, cands, "text", "doc_id", threshold=0.5, sets_df=sets_df
+        ).collect()
+        if r["id_a"] >= 10_000 or r["id_b"] >= 10_000
+    }
+    assert inc == batch and len(inc) > 100
