@@ -121,3 +121,87 @@ def bpe_segment(col, merges: list[tuple[str, str, int]]):
     for a, b, _ in merges:
         syms = _merge_fold(a, b)(syms)
     return syms
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Plain-Python mirror of ``bpe_segment``: apply merges in
+    training-rank order, greedy left-to-right non-overlapping within
+    each pass."""
+    syms = list(word) + [END_OF_WORD]
+    for (a, b), _rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str, int]],
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-level tokenizer application: (id, tokens, n_tokens) with
+    the learned merges — the encode half of the tokenizer story (what
+    you run over 100 TB once the vocab is frozen).
+
+    Arrow-batched ``mapInPandas`` is the right tool here, not Column
+    exprs: per-word merge application is inherently iterative (one
+    fold per merge), and a ``transform``-of-50-chained-``aggregate``s
+    column tree is interpreted per element. The merge table ships as a
+    closure constant (tokenizer vocabs are small); bytes stay on the
+    executor. Agreement with the declarative ``bpe_segment`` fold is
+    differential-tested."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("tokens", ArrayType(StringType()), True),
+            StructField("n_tokens", IntegerType(), True),
+        ]
+    )
+
+    def run(batches):
+        word_cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            out = []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                t = (text or "").strip()
+                if lowercase:
+                    t = t.lower()
+                toks: list[str] = []
+                for w in t.split():
+                    enc = word_cache.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, ranks)
+                        word_cache[w] = enc
+                    toks.extend(enc)
+                out.append({"id": i, "tokens": toks, "n_tokens": len(toks)})
+            yield pd.DataFrame(out, columns=["id", "tokens", "n_tokens"])
+
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .mapInPandas(run, schema=schema)
+    )
+
+
+def decode_tokens(tokens_col) -> "F.Column":
+    """Reconstruct normalized text from BPE tokens: concatenate and
+    turn end-of-word markers back into spaces. Exact inverse of
+    ``bpe_encode_docs`` on whitespace-normalized text — the
+    round-trip is the encoder's correctness contract."""
+    joined = F.array_join(tokens_col, "")
+    return F.trim(F.replace(joined, F.lit(END_OF_WORD), F.lit(" ")))

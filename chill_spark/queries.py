@@ -4413,6 +4413,55 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bpe_encode",
+    oracle="""
+    SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS tokens_bounded
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: train 10 merges, then
+    encode every document with the frozen vocab (Arrow-batched
+    mapInPandas; per-word merge application is inherently iterative).
+
+    The vocab itself is rows-only (iterative training), but the
+    encoder has a hash-checkable contract the oracle enforces:
+    decode(encode(text)) must reproduce the normalized text exactly
+    (roundtrip_ok), and the token count must sit in
+    [n_words, n_chars + n_words] (tokens_bounded). The oracle expects
+    every verdict TRUE — a lossy or miscounting encoder fails the
+    gate."""
+    from .llm_ops.bpe import bpe_encode_docs, bpe_train, decode_tokens
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    merges = bpe_train(d, "text", n_merges=10)
+    enc = bpe_encode_docs(d, "text", "doc_id", merges)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    ref = d.select(
+        "doc_id",
+        norm.alias("__norm"),
+        F.size(F.split(norm, " ")).alias("__w"),
+        F.length(F.regexp_replace(norm, " ", "")).alias("__c"),
+    )
+    # empty docs: split('') yields [''] -> 1 "word" but 0 tokens
+    n_words = F.when(F.col("__norm") == "", 0).otherwise(F.col("__w"))
+    return (
+        enc.join(ref, enc["id"] == ref["doc_id"])
+        .select(
+            "doc_id",
+            (decode_tokens(F.col("tokens")) == F.col("__norm")).alias(
+                "roundtrip_ok"
+            ),
+            (
+                (F.col("n_tokens") >= n_words)
+                & (F.col("n_tokens") <= F.col("__c") + n_words)
+            ).alias("tokens_bounded"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_new_users_cumulative",
     oracle="""
     WITH first_seen AS (

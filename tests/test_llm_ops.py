@@ -827,3 +827,46 @@ def test_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
         if r["id_a"] >= 10_000 or r["id_b"] >= 10_000
     }
     assert inc == batch and len(inc) > 100
+
+
+def test_bpe_encode_matches_declarative_fold(spark):
+    """The Arrow-batched corpus encoder must agree token-for-token
+    with the declarative bpe_segment Column fold, and round-trip the
+    normalized text."""
+    from chill_spark.llm_ops.bpe import (
+        bpe_encode_docs, bpe_segment, bpe_train, decode_tokens,
+    )
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "newer newest new low"),
+        (3, ""),
+        (4, "Low LOW lower"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train(df, "text", n_merges=8)
+    assert merges
+
+    enc = {r["id"]: list(r["tokens"]) for r in
+           bpe_encode_docs(df, "text", "doc_id", merges).collect()}
+
+    # declarative: per-word segment fold, flattened in word order
+    words = df.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    seg = words.select("doc_id", bpe_segment(F.col("w"), merges).alias("s"))
+    folded: dict[int, list[str]] = {i: [] for i, _ in rows}
+    for r in seg.collect():
+        folded[r["doc_id"]].extend(r["s"])
+    for i, _ in rows:
+        assert enc.get(i, []) == folded[i], i
+
+    # round-trip through decode_tokens
+    rt = bpe_encode_docs(df, "text", "doc_id", merges).select(
+        "id", decode_tokens(F.col("tokens")).alias("txt"))
+    got = {r["id"]: r["txt"] for r in rt.collect()}
+    assert got[1] == "low lower lowest low low" and got[3] == ""
+    assert got[4] == "low low lower"
