@@ -19,3 +19,7 @@ __all__ = [
 from .stateful import SESSION_SCHEMA, sessionize_stream  # noqa: E402
 
 __all__ += ["SESSION_SCHEMA", "sessionize_stream"]
+
+from .dedup_stream import run_dedup_stream  # noqa: E402
+
+__all__ += ["run_dedup_stream"]

@@ -1,0 +1,127 @@
+"""Continuously-deduplicating corpus intake.
+
+The streaming face of ``llm_ops.incremental_dedup``: JSONL documents
+land in a watched directory; each micro-batch is sketched, bucket-
+joined against the persisted sketch store (everything ingested so
+far), Jaccard-verified, and only the survivors are appended — to the
+corpus AND to the store, so the next batch dedups against them too.
+
+Exactly-once posture matches run_stream: survivors and both store
+tables are keyed by micro-batch id (``BATCH_PART=<id>`` dynamic
+partition overwrite), so a replayed batch rewrites its own leaves.
+The one cross-batch subtlety: a replayed batch re-dedups against a
+store that already contains its own survivors — harmless, because a
+doc never collides with itself (same id ⇒ not an ``id_a < id_b``
+pair) and duplicate-of-survivor rows were already dropped the first
+time.
+
+At 100 TB the store is the corpus-sized sketch layer; per batch the
+work is sketch(new) + one bucket shuffle touching only the store rows
+in buckets the batch hits (bucket-partition the store for pruning)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..llm_ops.dedup import banded_signatures, shingle_sets
+from ..llm_ops.incremental_dedup import incremental_minhash_dups
+from ..operators.writers import BATCH_COL
+from ..sources.jsonl import CORRUPT_COL, read_jsonl_stream
+
+_SETS_SCHEMA = "id BIGINT, sh ARRAY<BIGINT>"
+_BANDED_SCHEMA = "id BIGINT, band INT, bucket STRING"
+
+
+def _read_store_side(
+    spark: SparkSession, path: str, ddl: str
+) -> DataFrame:
+    try:
+        return spark.read.parquet(path).drop(BATCH_COL)
+    except Exception:
+        # first batch: no store yet
+        return spark.createDataFrame([], ddl)
+
+
+def _append_batch_keyed(df: DataFrame, path: str, batch_id: int) -> None:
+    (
+        df.withColumn(BATCH_COL, F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_COL)
+        .parquet(path)
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    out_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    available_now: bool = False,
+    trigger_seconds: int = 5,
+) -> StreamingQuery:
+    """Watch ``input_dir`` for JSONL docs; append only near-dup
+    survivors to ``out_dir``; maintain the sketch store under
+    ``store_root`` (``sets/`` + ``banded/``)."""
+
+    src = read_jsonl_stream(spark, input_dir, schema)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        new = new.persist()
+        try:
+            if not new.head(1):
+                return
+            old_sets = _read_store_side(spark, f"{store_root}/sets", _SETS_SCHEMA)
+            old_banded = _read_store_side(
+                spark, f"{store_root}/banded", _BANDED_SCHEMA
+            )
+            new_sets = shingle_sets(new, text_col, id_col, shingle_k).persist()
+            dups = incremental_minhash_dups(
+                new, old_sets, old_banded, text_col, id_col,
+                threshold=threshold, num_hashes=num_hashes, bands=bands,
+                shingle_k=shingle_k,
+            )
+            # min-id survivorship: a new doc dies if it duplicates any
+            # smaller id (stored or in-batch). Stored docs are never
+            # retroactively removed (append-only corpus contract).
+            doomed = (
+                dups.select(F.col("id_b").alias(id_col))
+                .join(new.select(id_col), id_col, "left_semi")
+                .distinct()
+            )
+            survivors = new.join(doomed, id_col, "left_anti").persist()
+            _append_batch_keyed(survivors, out_dir, batch_id)
+            surv_ids = survivors.select(F.col(id_col).alias("id"))
+            _append_batch_keyed(
+                new_sets.join(surv_ids, "id", "left_semi"),
+                f"{store_root}/sets", batch_id,
+            )
+            surv_banded = banded_signatures(
+                survivors, text_col, id_col, num_hashes, bands, shingle_k,
+                sets_df=new_sets.join(surv_ids, "id", "left_semi"),
+            )
+            _append_batch_keyed(surv_banded, f"{store_root}/banded", batch_id)
+            new_sets.unpersist()
+            survivors.unpersist()
+        finally:
+            new.unpersist()
+
+    writer = src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -855,3 +855,48 @@ def test_compaction_collapses_batch_leaves(spark, stream_dirs):
     # finding: flattening one period made discovery fail with
     # CONFLICTING_PARTITION_COLUMN_NAMES)
     assert {tuple(r) for r in read_fact(spark, path).collect()} == before
+
+
+def test_dedup_stream_dedups_across_batches(spark, stream_dirs):
+    """Continuously-deduplicating corpus intake: batch 2's near-dup of
+    a batch-1 doc is dropped against the persisted sketch store, while
+    genuinely new docs survive; the store grows with survivors only."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "dd_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "dd_out")
+    store = os.path.join(base, "dd_store")
+    ckpt = os.path.join(base, "dd_ckpt")
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    long_b = "one two three four five six seven eight nine ten eleven " * 4
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": long_a}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": long_b}) + "\n")
+
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out,
+        store_root=store, checkpoint_dir=ckpt,
+        threshold=0.5, num_hashes=16, bands=8, available_now=True,
+    )
+    drain(run_dedup_stream(spark, ind, **kw))
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # wave 2: near-dup of doc 1 (a few tokens dropped) + a new doc
+    near_a = " ".join(long_a.split()[:-3])
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": near_a}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": "completely different fresh content here today"}) + "\n")
+    drain(run_dedup_stream(spark, ind, **kw))
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 11}, got
+    # store holds sketches for survivors only
+    ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert ids == {1, 2, 11}
+    banded = spark.read.parquet(os.path.join(store, "banded"))
+    assert {r["id"] for r in banded.select("id").distinct().collect()} == {1, 2, 11}
