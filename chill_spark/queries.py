@@ -73,7 +73,7 @@ _PRIORITY: list[str] = [
     "q_cfg_table_users",
     # LLM-pipeline operators (incl. the sketch pipelines that became
     # oracle-checkable in r2 via the portable hash family)
-    "q_dedup_exact", "q_dedup_components", "q_dedup_ngram_jaccard",
+    "q_dedup_exact", "q_dedup_components", "q_dedup_incremental",
     "q_dedup_minhash", "q_dedup_simhash", "q_embedding_near_dups_lsh",
     "q_ann_ivf_topk",
     "q_span_dedup", "q_decontaminate", "q_pii_redact",
