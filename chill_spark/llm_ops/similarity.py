@@ -176,20 +176,37 @@ def kmeans_fit(
     a Column expression (``assign_centroid``), and each round reduces
     only per-(cluster, dimension) partial sums — k*dim rows — to the
     driver via posexplode + hash aggregate (map-side combine keeps the
-    shuffle tiny regardless of corpus size). Init is the ``k``
-    vectors with the smallest content hash (TakeOrdered — invariant
-    to partitioning, unlike a bare ``limit``). This is the 100 TB-correct
+    shuffle tiny regardless of corpus size). Init: a content-hash
+    sample (TakeOrdered — invariant to partitioning, unlike a bare
+    ``limit``) refined by greedy farthest-point selection on the
+    driver, so the k seeds spread across the data instead of landing
+    in one dense region (plain smallest-hash-k init merges planted
+    clusters). This is the 100 TB-correct
     shape: the data never leaves executors, the model (k x dim floats)
     is the only driver state — unlike ``train_centroids`` it needs no
     representative driver-side sample."""
     v0 = F.col(vec_col).cast("array<double>")
-    first = (
-        df.select(v0.alias("__v"), F.xxhash64(v0, F.lit(17)).alias("__k"))
-        .orderBy("__k", "__v")
-        .limit(k)
-        .collect()
+    sample_n = max(64, 8 * k)
+    samp = np.array(
+        [
+            r["__v"]
+            for r in df.select(
+                v0.alias("__v"), F.xxhash64(v0, F.lit(17)).alias("__k")
+            )
+            .orderBy("__k", "__v")
+            .limit(sample_n)
+            .collect()
+        ],
+        dtype=np.float64,
     )
-    cents = np.array([r["__v"] for r in first], dtype=np.float64)
+    # greedy farthest-point (k-center) seeding over the sample
+    chosen = [0]
+    d2 = ((samp - samp[0]) ** 2).sum(1)
+    while len(chosen) < min(k, len(samp)):
+        nxt = int(d2.argmax())
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((samp - samp[nxt]) ** 2).sum(1))
+    cents = samp[chosen].copy()
     counts_sql = F.count(F.lit(1)).alias("n")
     for _ in range(iters):
         assigned = df.select(

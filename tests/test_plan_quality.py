@@ -371,3 +371,24 @@ def test_partitions_for_sizing(spark):
     # column pruning shrinks the estimate
     pruned = li.select("l_orderkey")
     assert estimated_plan_bytes(pruned) < n
+
+
+def test_incremental_candidates_single_bucket_shuffle(spark):
+    """Incremental dedup candidates: one union + one groupBy-the-bucket
+    Exchange; no self-join, no cartesian, no Python in the plan."""
+    import re
+
+    from chill_spark.llm_ops.incremental_dedup import incremental_candidates
+
+    old = spark.createDataFrame(
+        [(i, 0, f"b{i % 3}") for i in range(30)], ["id", "band", "bucket"]
+    )
+    new = spark.createDataFrame(
+        [(100 + i, 0, f"b{i % 3}") for i in range(10)], ["id", "band", "bucket"]
+    )
+    plan = plan_of(incremental_candidates(new, old))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    # bucket groupBy + the pair-dedup exchange only
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
