@@ -174,16 +174,26 @@ def bpe_encode_docs(
         ]
     )
 
+    import re
+
+    # ASCII \s to match Spark/Java's \s+ exactly: Python's default
+    # \s (and str.split()) also split on Unicode whitespace like
+    # U+00A0, which Spark's tokenizer keeps inside words — a mismatch
+    # would break both the round-trip contract and agreement with
+    # word_freqs/bpe_segment
+    ws = re.compile(r"\s+", re.ASCII)
+
     def run(batches):
         word_cache: dict[str, list[str]] = {}
         for pdf in batches:
             out = []
             for i, text in zip(pdf["id"], pdf["text"]):
-                t = (text or "").strip()
+                t = text or ""
                 if lowercase:
                     t = t.lower()
+                t = ws.sub(" ", t).strip(" ")
                 toks: list[str] = []
-                for w in t.split():
+                for w in t.split(" ") if t else []:
                     enc = word_cache.get(w)
                     if enc is None:
                         enc = _encode_word(w, ranks)

@@ -63,9 +63,15 @@ def write_sketch_store(
 
 
 def read_sketch_store(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
+    """Read both store sides. Tolerates (drops) the BATCH_PART
+    partition column a streaming maintainer (run_dedup_stream) adds —
+    the returned frames always have the plain (id, sh) / (id, band,
+    bucket) schemas that incremental_minhash_dups unions against."""
+    from ..operators.writers import BATCH_COL
+
     return (
-        spark.read.parquet(f"{root}/sets"),
-        spark.read.parquet(f"{root}/banded"),
+        spark.read.parquet(f"{root}/sets").drop(BATCH_COL),
+        spark.read.parquet(f"{root}/banded").drop(BATCH_COL),
     )
 
 
@@ -123,6 +129,13 @@ def incremental_candidates(
         buckets.select(F.explode(pair_lists).alias("p"))
         .filter(F.col("p.a.__new") | F.col("p.b.__new"))
         .select(F.col("p.a.i").alias("id_a"), F.col("p.b.i").alias("id_b"))
+        # a replayed micro-batch sees its own prior survivors in the
+        # store: the same id is then a member twice (old + new tag),
+        # collect_set keeps both structs, and expansion would emit the
+        # self-pair (X, X) — which trivially verifies at Jaccard 1.0
+        # and dooms X. Guard explicitly (ids are unique, so struct
+        # sort still guarantees id_a <= id_b).
+        .filter(F.col("id_a") != F.col("id_b"))
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
 
@@ -139,34 +152,42 @@ def incremental_minhash_dups(
     shingle_k: int = 5,
     portable: bool = False,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    sets_df: DataFrame | None = None,
+    banded_df: DataFrame | None = None,
+    observation=None,
 ) -> DataFrame:
     """Verified duplicate pairs (id_a < id_b, jaccard) between the new
     batch and (itself ∪ the stored corpus). Equals the batch pipeline's
     verified pairs restricted to pairs touching a new doc — the
     property queries.q_dedup_incremental hash-checks against the batch
-    SQL oracle."""
-    new_sets = shingle_sets(
-        new_df, text_col, id_col, shingle_k, portable=portable
-    ).persist()
-    new_banded = banded_signatures(
-        new_df, text_col, id_col, num_hashes, bands, shingle_k,
-        sets_df=new_sets, portable=portable,
-    )
-    cands = incremental_candidates(
-        new_banded, old_banded, max_bucket_size=max_bucket_size
-    )
-    all_sets = old_sets.unionByName(new_sets)
-    a, b = all_sets.alias("sa"), all_sets.alias("sb")
-    joined = (
-        cands.join(a, cands["id_a"] == F.col("sa.id"))
-        .join(b, cands["id_b"] == F.col("sb.id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sa.sh", "sb.sh"))
-                / F.size(F.array_union("sa.sh", "sb.sh"))
-            ).alias("jaccard"),
+    SQL oracle.
+
+    Pass the new batch's (persisted) ``sets_df``/``banded_df`` when the
+    caller already computed them (run_dedup_stream does) so shingling —
+    the dominant per-row cost — runs once; otherwise they're built and
+    persisted here. ``observation`` surfaces oversize-bucket skips
+    (same CollectMetrics caveat as pairs_within_buckets)."""
+    from .dedup import jaccard_pairs
+
+    new_sets = sets_df
+    if new_sets is None:
+        new_sets = shingle_sets(
+            new_df, text_col, id_col, shingle_k, portable=portable
+        ).persist()
+    new_banded = banded_df
+    if new_banded is None:
+        new_banded = banded_signatures(
+            new_df, text_col, id_col, num_hashes, bands, shingle_k,
+            sets_df=new_sets, portable=portable,
         )
+    cands = incremental_candidates(
+        new_banded, old_banded, max_bucket_size=max_bucket_size,
+        observation=observation,
     )
-    return joined.filter(F.col("jaccard") >= threshold)
+    # a replayed batch's ids exist on BOTH sides; keep one sketch per
+    # id or the verify join would fan out per duplicate row
+    all_sets = old_sets.unionByName(new_sets).dropDuplicates(["id"])
+    return jaccard_pairs(
+        new_df, cands, text_col, id_col, shingle_k, threshold,
+        sets_df=all_sets,
+    )

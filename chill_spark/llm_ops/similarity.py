@@ -199,10 +199,15 @@ def kmeans_fit(
         ],
         dtype=np.float64,
     )
-    # greedy farthest-point (k-center) seeding over the sample
+    if len(samp) == 0:
+        return np.zeros((0, 0))
+    # greedy farthest-point (k-center) seeding over the sample; stop
+    # early when every remaining point coincides with a chosen seed
+    # (fewer distinct vectors than k) — duplicate centroids would be
+    # dead slots assign_centroid can never fill
     chosen = [0]
     d2 = ((samp - samp[0]) ** 2).sum(1)
-    while len(chosen) < min(k, len(samp)):
+    while len(chosen) < min(k, len(samp)) and d2.max() > 0:
         nxt = int(d2.argmax())
         chosen.append(nxt)
         d2 = np.minimum(d2, ((samp - samp[nxt]) ** 2).sum(1))

@@ -735,19 +735,26 @@ _DOUBLED_SQL = """
 """
 
 
-def _truncated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ a near-dup copy (last 2 tokens dropped, id-shifted)
-    — synthesizes near-duplicate pairs with Jaccard ~0.67-0.95."""
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+def _truncated_near(d: DataFrame) -> DataFrame:
+    """The near-dup copies: last 2 tokens dropped, ids +1M — Jaccard
+    vs the original ~0.67-0.95. Shared by _truncated_docs (batch
+    corpora) and q_dedup_incremental (the 'new batch'); the paired
+    _TRUNCATED_SQL `near` CTE must mirror this expression."""
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
     trunc = F.concat_ws(
         " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
     )
-    near = (
+    return (
         d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
         .withColumn("text", trunc)
     )
-    return d.unionByName(near)
+
+
+def _truncated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a near-dup copy (last 2 tokens dropped, id-shifted)
+    — synthesizes near-duplicate pairs with Jaccard ~0.67-0.95."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return d.unionByName(_truncated_near(d))
 
 
 _TRUNCATED_SQL = """
@@ -1007,14 +1014,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.incremental_dedup import incremental_minhash_dups
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
-    trunc = F.concat_ws(
-        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
-    )
-    new = (
-        d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
-        .withColumn("text", trunc)
-    )
+    new = _truncated_near(d)
     # the "store": sketches of the old corpus (materialized once in
     # production via incremental_dedup.write_sketch_store)
     old_sets = shingle_sets(d, "text", "doc_id", 5, portable=True)

@@ -10,10 +10,11 @@ Exactly-once posture matches run_stream: survivors and both store
 tables are keyed by micro-batch id (``BATCH_PART=<id>`` dynamic
 partition overwrite), so a replayed batch rewrites its own leaves.
 The one cross-batch subtlety: a replayed batch re-dedups against a
-store that already contains its own survivors — harmless, because a
-doc never collides with itself (same id ⇒ not an ``id_a < id_b``
-pair) and duplicate-of-survivor rows were already dropped the first
-time.
+store that already contains its own survivors — harmless because
+``incremental_candidates`` explicitly guards the self-pair (same id
+on both sides would otherwise verify at Jaccard 1.0 and doom the
+doc), so the replay reproduces the original survivor set and
+overwrites the same leaves with the same rows.
 
 At 100 TB the store is the corpus-sized sketch layer; per batch the
 work is sketch(new) + one bucket shuffle touching only the store rows
@@ -37,11 +38,19 @@ _BANDED_SCHEMA = "id BIGINT, band INT, bucket STRING"
 def _read_store_side(
     spark: SparkSession, path: str, ddl: str
 ) -> DataFrame:
+    """Empty frame when the store doesn't exist yet (first batch);
+    any OTHER read failure (corrupt footer, permissions, transient FS
+    error) must propagate — treating it as an empty store would let
+    the batch dedup only against itself and silently admit duplicates
+    of everything already ingested."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path).drop(BATCH_COL)
-    except Exception:
-        # first batch: no store yet
-        return spark.createDataFrame([], ddl)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], ddl)
+        raise
 
 
 def _append_batch_keyed(df: DataFrame, path: str, batch_id: int) -> None:
@@ -69,14 +78,27 @@ def run_dedup_stream(
     shingle_k: int = 5,
     available_now: bool = False,
     trigger_seconds: int = 5,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for JSONL docs; append only near-dup
     survivors to ``out_dir``; maintain the sketch store under
-    ``store_root`` (``sets/`` + ``banded/``)."""
+    ``store_root`` (``sets/`` + ``banded/``). Corrupt lines go to
+    ``quarantine_dir`` (default: ``<out_dir>/_quarantine``) — the
+    same reject-channel contract as every other intake. For oversize
+    LSH-bucket skip diagnostics run ``minhash_bucket_stats`` over an
+    increment offline; an in-stream Observation is unsafe here (its
+    ``get`` can block the micro-batch thread when AQE's empty-relation
+    propagation drops the metrics node)."""
+    if quarantine_dir is None:
+        quarantine_dir = f"{out_dir}/_quarantine"
 
     src = read_jsonl_stream(spark, input_dir, schema)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bad = batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("rejected_line")
+        )
+        _append_batch_keyed(bad, quarantine_dir, batch_id)
         new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         new = new.persist()
         try:
@@ -86,11 +108,16 @@ def run_dedup_stream(
             old_banded = _read_store_side(
                 spark, f"{store_root}/banded", _BANDED_SCHEMA
             )
+            # shingle ONCE; sketches and candidates reuse these frames
             new_sets = shingle_sets(new, text_col, id_col, shingle_k).persist()
+            new_banded = banded_signatures(
+                new, text_col, id_col, num_hashes, bands, shingle_k,
+                sets_df=new_sets,
+            ).persist()
             dups = incremental_minhash_dups(
                 new, old_sets, old_banded, text_col, id_col,
                 threshold=threshold, num_hashes=num_hashes, bands=bands,
-                shingle_k=shingle_k,
+                shingle_k=shingle_k, sets_df=new_sets, banded_df=new_banded,
             )
             # min-id survivorship: a new doc dies if it duplicates any
             # smaller id (stored or in-batch). Stored docs are never
@@ -107,12 +134,12 @@ def run_dedup_stream(
                 new_sets.join(surv_ids, "id", "left_semi"),
                 f"{store_root}/sets", batch_id,
             )
-            surv_banded = banded_signatures(
-                survivors, text_col, id_col, num_hashes, bands, shingle_k,
-                sets_df=new_sets.join(surv_ids, "id", "left_semi"),
+            _append_batch_keyed(
+                new_banded.join(surv_ids, "id", "left_semi"),
+                f"{store_root}/banded", batch_id,
             )
-            _append_batch_keyed(surv_banded, f"{store_root}/banded", batch_id)
             new_sets.unpersist()
+            new_banded.unpersist()
             survivors.unpersist()
         finally:
             new.unpersist()

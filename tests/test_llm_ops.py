@@ -871,3 +871,84 @@ def test_bpe_encode_matches_declarative_fold(spark):
     got = {r["id"]: r["txt"] for r in rt.collect()}
     assert got[1] == "low lower lowest low low" and got[3] == ""
     assert got[4] == "low low lower"
+
+
+def test_incremental_replay_does_not_self_doom(spark):
+    """r2 review: a replayed micro-batch sees its own docs in the
+    store; the self-pair (X, X) must be guarded or every replayed doc
+    verifies against itself at Jaccard 1.0 and is deleted."""
+    from chill_spark.llm_ops.dedup import banded_signatures, shingle_sets
+    from chill_spark.llm_ops.incremental_dedup import (
+        incremental_candidates, incremental_minhash_dups,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some sufficiently long unique document body number {i} "
+             f"with plenty of tokens to shingle properly here") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    sets_df = shingle_sets(docs, "text", "doc_id")
+    banded = banded_signatures(docs, "text", "doc_id", 16, 8, sets_df=sets_df)
+    # store already contains the very same batch (the replay case)
+    cands = incremental_candidates(banded, banded)
+    assert cands.filter(F.col("id_a") == F.col("id_b")).count() == 0
+    dups = incremental_minhash_dups(
+        docs, sets_df, banded, "text", "doc_id",
+        threshold=0.5, num_hashes=16, bands=8,
+        sets_df=sets_df, banded_df=banded,
+    )
+    assert dups.count() == 0  # unique docs: replay dooms nothing
+
+
+def test_read_sketch_store_tolerates_stream_layout(spark, tmp_path):
+    """A store maintained by run_dedup_stream is BATCH_PART-keyed; the
+    public reader must strip that so incremental_minhash_dups can
+    union against fresh sketches (r2 review)."""
+    from chill_spark.llm_ops.dedup import shingle_sets
+    from chill_spark.llm_ops.incremental_dedup import (
+        incremental_minhash_dups, read_sketch_store,
+    )
+    from chill_spark.operators.writers import BATCH_COL
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " * 3)],
+        ["doc_id", "text"],
+    )
+    root = str(tmp_path / "store")
+    from chill_spark.llm_ops.dedup import banded_signatures
+
+    s = shingle_sets(docs, "text", "doc_id")
+    b = banded_signatures(docs, "text", "doc_id", 16, 8, sets_df=s)
+    for df, side in [(s, "sets"), (b, "banded")]:
+        (df.withColumn(BATCH_COL, F.lit(0)).write.mode("overwrite")
+         .partitionBy(BATCH_COL).parquet(f"{root}/{side}"))
+    old_sets, old_banded = read_sketch_store(spark, root)
+    assert BATCH_COL not in old_sets.columns and BATCH_COL not in old_banded.columns
+    new = docs.withColumn("doc_id", F.lit(2))  # identical content, new id
+    dups = incremental_minhash_dups(
+        new, old_sets, old_banded, "text", "doc_id",
+        threshold=0.5, num_hashes=16, bands=8,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in dups.collect()} == {(1, 2)}
+
+
+def test_bpe_encode_roundtrips_unicode_whitespace(spark, sf_dir):
+    """Python's default split() treats U+00A0 as whitespace while
+    Spark's \\s+ does not; the encoder must follow Spark's ASCII rule
+    or the round-trip oracle breaks (r2 review)."""
+    from chill_spark.llm_ops.bpe import bpe_encode_docs, bpe_train, decode_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "plain words here"), (2, "non breaking spaces kept"),
+         (3, "tabs\tand\nnewlines collapse")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(docs, "text", n_merges=4)
+    enc = bpe_encode_docs(docs, "text", "doc_id", merges)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    ok = (
+        enc.join(docs, enc["id"] == docs["doc_id"])
+        .select((decode_tokens(F.col("tokens")) == norm).alias("ok"))
+        .collect()
+    )
+    assert all(r["ok"] for r in ok)
