@@ -18,6 +18,8 @@ formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
                                      [--as-of 'YYYY-MM-DD HH:MM:SS'] [--apply]
     python -m chill_spark dedup      --in DIR --out DIR [--method exact|near] \
                                      [--threshold 0.7] [--bands 8]
+    python -m chill_spark dedup-stream --in DIR --out DIR --store DIR \
+                                     --checkpoint DIR [--drain]
     python -m chill_spark compact    --in DIR [--target-mb 128]
 """
 
@@ -282,6 +284,28 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_dedup_stream(args) -> int:
+    from .session import get_spark
+    from .streaming import drain
+    from .streaming.dedup_stream import run_dedup_stream
+
+    spark = get_spark("chill-dedup-stream")
+    q = run_dedup_stream(
+        spark, args.input, args.schema,
+        out_dir=args.out, store_root=args.store,
+        checkpoint_dir=args.checkpoint,
+        text_col=args.text_col, id_col=args.id_col,
+        threshold=args.threshold, bands=args.bands,
+        available_now=args.drain, trigger_seconds=args.trigger,
+        quarantine_dir=args.quarantine,
+    )
+    if args.drain:
+        drain(q)
+    else:
+        q.awaitTermination()
+    return 0
+
+
 def _default_columns(cat: Catalog) -> list[str]:
     """Every table's raw columns, deduped order-preserving."""
     return list(
@@ -484,6 +508,26 @@ def main(argv: list[str] | None = None) -> int:
         "signatures); skips are reported on stderr",
     )
     dd.set_defaults(fn=cmd_dedup)
+
+    ds = sub.add_parser(
+        "dedup-stream",
+        help="continuously-deduplicating JSONL intake: only near-dup "
+        "survivors reach the corpus; sketch store maintained per batch",
+    )
+    ds.add_argument("--in", dest="input", required=True)
+    ds.add_argument("--schema", default="doc_id BIGINT, text STRING")
+    ds.add_argument("--out", required=True)
+    ds.add_argument("--store", required=True, help="sketch store root")
+    ds.add_argument("--checkpoint", required=True)
+    ds.add_argument("--text-col", dest="text_col", default="text")
+    ds.add_argument("--id-col", dest="id_col", default="doc_id")
+    ds.add_argument("--threshold", type=float, default=0.7)
+    ds.add_argument("--bands", type=int, default=8)
+    ds.add_argument("--trigger", type=int, default=5)
+    ds.add_argument("--quarantine")
+    ds.add_argument("--drain", action="store_true",
+                    help="process available files then exit (availableNow)")
+    ds.set_defaults(fn=cmd_dedup_stream)
 
     qc = sub.add_parser("quality", help="Gopher/C4 quality-rule corpus filter")
     qc.add_argument("--input", required=True)

@@ -184,9 +184,14 @@ def incremental_minhash_dups(
         new_banded, old_banded, max_bucket_size=max_bucket_size,
         observation=observation,
     )
-    # a replayed batch's ids exist on BOTH sides; keep one sketch per
-    # id or the verify join would fan out per duplicate row
-    all_sets = old_sets.unionByName(new_sets).dropDuplicates(["id"])
+    # a replayed batch's ids exist on BOTH sides; keep exactly one
+    # sketch per id or the verify join fans out per duplicate row. The
+    # NEW sketch wins (a re-sent id may carry changed content), and an
+    # anti-join on the id column beats a dropDuplicates-wide shuffle of
+    # the array-of-shingles frames.
+    all_sets = old_sets.join(
+        new_sets.select("id"), "id", "left_anti"
+    ).unionByName(new_sets)
     return jaccard_pairs(
         new_df, cands, text_col, id_col, shingle_k, threshold,
         sets_df=all_sets,

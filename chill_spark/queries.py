@@ -1015,9 +1015,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     new = _truncated_near(d)
-    # the "store": sketches of the old corpus (materialized once in
-    # production via incremental_dedup.write_sketch_store)
-    old_sets = shingle_sets(d, "text", "doc_id", 5, portable=True)
+    # the "store": sketches of the old corpus — persisted here to
+    # mirror production, where write_sketch_store materialized them on
+    # disk (unpersisted, the old corpus would re-shingle for both the
+    # banded side and the verify join: 3x the wall time)
+    old_sets = shingle_sets(d, "text", "doc_id", 5, portable=True).persist()
     old_banded = banded_signatures(
         d, "text", "doc_id", 16, 8, 5, sets_df=old_sets, portable=True
     )

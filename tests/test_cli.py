@@ -382,3 +382,25 @@ def test_cli_dedup_near_reports_oversize_buckets(cli_dirs, spark, capsys):
     assert rc == 0
     err = capsys.readouterr().err
     assert "oversize LSH bucket" in err and "--max-bucket=5" in err
+
+
+def test_cli_dedup_stream(cli_dirs, spark, capsys):
+    """dedup-stream subcommand: drained intake keeps only survivors
+    and builds the sketch store."""
+    import json
+
+    ind = os.path.join(cli_dirs["base"], "ds_in"); os.makedirs(ind)
+    out = os.path.join(cli_dirs["base"], "ds_out")
+    store = os.path.join(cli_dirs["base"], "ds_store")
+    ckpt = os.path.join(cli_dirs["base"], "ds_ckpt")
+    body = "the quick brown fox jumps over the lazy dog again and again " * 3
+    with open(os.path.join(ind, "a.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": body}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": body + "extra tail"}) + "\n")
+    rc = main([
+        "dedup-stream", "--in", ind, "--out", out, "--store", store,
+        "--checkpoint", ckpt, "--threshold", "0.5", "--drain",
+    ])
+    assert rc == 0
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+    assert os.path.isdir(os.path.join(store, "sets"))
