@@ -952,3 +952,53 @@ def test_bpe_encode_roundtrips_unicode_whitespace(spark, sf_dir):
         .collect()
     )
     assert all(r["ok"] for r in ok)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    hyp_st.lists(
+        hyp_st.sampled_from([
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine",
+            "red orange yellow green blue indigo violet colors",
+        ]),
+        min_size=4, max_size=10,
+    ),
+    hyp_st.integers(min_value=0, max_value=3),
+)
+def test_incremental_equals_batch_property(spark, bodies, n_new):
+    """Property: for any split of a corpus into (store, new batch),
+    the incremental pipeline's verified pairs equal the batch
+    pipeline's pairs restricted to pairs touching a new doc."""
+    from chill_spark.llm_ops.dedup import (
+        banded_signatures, jaccard_pairs, minhash_candidates, shingle_sets,
+    )
+    from chill_spark.llm_ops.incremental_dedup import incremental_minhash_dups
+
+    rows = [
+        (i, f"{b} suffix {i % 2} tail words to vary jaccard slightly")
+        for i, b in enumerate(bodies)
+    ]
+    n_new = min(n_new + 1, len(rows) - 1)
+    old_rows, new_rows = rows[:-n_new], rows[-n_new:]
+    old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    old_sets = shingle_sets(old, "text", "doc_id")
+    old_banded = banded_signatures(old, "text", "doc_id", 16, 8, sets_df=old_sets)
+    inc = {
+        (r["id_a"], r["id_b"]) for r in incremental_minhash_dups(
+            new, old_sets, old_banded, "text", "doc_id",
+            threshold=0.5, num_hashes=16, bands=8,
+        ).collect()
+    }
+    union = old.unionByName(new)
+    u_sets = shingle_sets(union, "text", "doc_id")
+    cands = minhash_candidates(union, "text", "doc_id", 16, 8, sets_df=u_sets)
+    new_ids = {i for i, _ in new_rows}
+    batch = {
+        (r["id_a"], r["id_b"]) for r in jaccard_pairs(
+            union, cands, "text", "doc_id", threshold=0.5, sets_df=u_sets
+        ).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert inc == batch
