@@ -284,6 +284,24 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_sketch(args) -> int:
+    """Bootstrap/refresh the MinHash sketch store from an existing
+    corpus — the precursor to dedup-stream or offline incremental
+    dedup against a corpus that wasn't ingested through the stream."""
+    from .llm_ops.incremental_dedup import write_sketch_store
+    from .session import get_spark
+
+    spark = get_spark("chill-sketch")
+    df = spark.read.parquet(args.input)
+    write_sketch_store(
+        df, args.text_col, args.id_col, args.store,
+        num_hashes=args.num_hashes, bands=args.bands,
+    )
+    n = spark.read.parquet(f"{args.store}/sets").count()
+    print(f"sketch store at {args.store}: {n} doc(s)")
+    return 0
+
+
 def cmd_dedup_stream(args) -> int:
     from .session import get_spark
     from .streaming import drain
@@ -295,7 +313,8 @@ def cmd_dedup_stream(args) -> int:
         out_dir=args.out, store_root=args.store,
         checkpoint_dir=args.checkpoint,
         text_col=args.text_col, id_col=args.id_col,
-        threshold=args.threshold, bands=args.bands,
+        threshold=args.threshold, num_hashes=args.num_hashes,
+        bands=args.bands,
         available_now=args.drain, trigger_seconds=args.trigger,
         quarantine_dir=args.quarantine,
     )
@@ -522,12 +541,26 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--text-col", dest="text_col", default="text")
     ds.add_argument("--id-col", dest="id_col", default="doc_id")
     ds.add_argument("--threshold", type=float, default=0.7)
+    ds.add_argument("--num-hashes", type=int, default=32)
     ds.add_argument("--bands", type=int, default=8)
     ds.add_argument("--trigger", type=int, default=5)
     ds.add_argument("--quarantine")
     ds.add_argument("--drain", action="store_true",
                     help="process available files then exit (availableNow)")
     ds.set_defaults(fn=cmd_dedup_stream)
+
+    sk = sub.add_parser(
+        "sketch",
+        help="materialize the MinHash sketch store for a corpus "
+        "(feeds dedup-stream / offline incremental dedup)",
+    )
+    sk.add_argument("--in", dest="input", required=True)
+    sk.add_argument("--store", required=True)
+    sk.add_argument("--text-col", dest="text_col", default="text")
+    sk.add_argument("--id-col", dest="id_col", default="doc_id")
+    sk.add_argument("--num-hashes", type=int, default=32)
+    sk.add_argument("--bands", type=int, default=8)
+    sk.set_defaults(fn=cmd_sketch)
 
     qc = sub.add_parser("quality", help="Gopher/C4 quality-rule corpus filter")
     qc.add_argument("--input", required=True)

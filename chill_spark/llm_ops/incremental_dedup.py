@@ -52,14 +52,63 @@ def write_sketch_store(
     mode: str = "overwrite",
 ) -> None:
     """Materialize the sketch layer for ``df`` (one shingling pass —
-    the sets feed the banded signatures)."""
+    the sets feed the banded signatures).
+
+    Written under a ``BATCH_PART=-1`` leaf so the layout is identical
+    to what a streaming maintainer (run_dedup_stream) appends —
+    partition discovery rejects mixed flat/nested trees, so a
+    bootstrap store must match the stream's batch-keyed shape."""
+    import json
+    import os
+
+    from ..operators.writers import BATCH_COL
+
     sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable)
-    sets_df.write.mode(mode).parquet(f"{root}/sets")
+    sets_df.write.mode(mode).parquet(f"{root}/sets/{BATCH_COL}=-1")
     banded = banded_signatures(
         df, text_col, id_col, num_hashes, bands, shingle_k,
         sets_df=sets_df, portable=portable,
     )
-    banded.write.mode(mode).parquet(f"{root}/banded")
+    banded.write.mode(mode).parquet(f"{root}/banded/{BATCH_COL}=-1")
+    # record the sketch parameters: signatures built with different
+    # num_hashes/bands/shingle_k produce disjoint band buckets, so a
+    # mismatched consumer would silently find ZERO candidates — make
+    # that a hard error instead (check_sketch_meta)
+    with open(os.path.join(root, "_meta.json"), "w") as f:
+        json.dump(
+            {"num_hashes": num_hashes, "bands": bands,
+             "shingle_k": shingle_k, "portable": portable}, f,
+        )
+
+
+def check_sketch_meta(
+    root: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    portable: bool = False,
+) -> None:
+    """Fail fast when a sketch store was built with different
+    parameters than the consumer is about to use (bucket keys would
+    never collide -> silent zero recall). No-op when the store has no
+    meta file (pre-meta stores / empty roots)."""
+    import json
+    import os
+
+    path = os.path.join(root, "_meta.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        meta = json.load(f)
+    mine = {"num_hashes": num_hashes, "bands": bands,
+            "shingle_k": shingle_k, "portable": portable}
+    if meta != mine:
+        raise ValueError(
+            f"sketch store at {root} was built with {meta}, "
+            f"but this run uses {mine} — band buckets would never "
+            "match (zero dedup recall); rebuild the store or align "
+            "the parameters"
+        )
 
 
 def read_sketch_store(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:

@@ -92,6 +92,10 @@ def run_dedup_stream(
     if quarantine_dir is None:
         quarantine_dir = f"{out_dir}/_quarantine"
 
+    from ..llm_ops.incremental_dedup import check_sketch_meta
+
+    check_sketch_meta(store_root, num_hashes, bands, shingle_k)
+
     src = read_jsonl_stream(spark, input_dir, schema)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -127,9 +131,19 @@ def run_dedup_stream(
                 .join(new.select(id_col), id_col, "left_semi")
                 .distinct()
             )
-            survivors = new.join(doomed, id_col, "left_anti").persist()
+            survivors = new.join(doomed, id_col, "left_anti")
             _append_batch_keyed(survivors, out_dir, batch_id)
-            surv_ids = survivors.select(F.col(id_col).alias("id"))
+            # derive the store writes from the survivors JUST WRITTEN
+            # to disk, not from the survivors plan: that plan reads the
+            # store (via the dup join), and on a replayed batch the
+            # store write below dynamic-overwrites the very leaf the
+            # plan would re-read if a cached partition were evicted —
+            # a read-then-overwrite cycle (FAILED_READ_FILE). The
+            # on-disk leaf is stable input.
+            surv_ids = (
+                spark.read.parquet(f"{out_dir}/{BATCH_COL}={batch_id}")
+                .select(F.col(id_col).alias("id"))
+            )
             _append_batch_keyed(
                 new_sets.join(surv_ids, "id", "left_semi"),
                 f"{store_root}/sets", batch_id,
@@ -140,7 +154,6 @@ def run_dedup_stream(
             )
             new_sets.unpersist()
             new_banded.unpersist()
-            survivors.unpersist()
         finally:
             new.unpersist()
 

@@ -404,3 +404,39 @@ def test_cli_dedup_stream(cli_dirs, spark, capsys):
     assert rc == 0
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
     assert os.path.isdir(os.path.join(store, "sets"))
+
+
+def test_cli_sketch_then_stream_dedups_against_bootstrap(cli_dirs, spark, capsys):
+    """sketch bootstraps the store from a batch corpus; dedup-stream
+    then drops near-dups of the pre-sketched docs."""
+    import json
+
+    corpus = os.path.join(cli_dirs["base"], "sk_corpus")
+    store = os.path.join(cli_dirs["base"], "sk_store")
+    body = "the quick brown fox jumps over the lazy dog again and again " * 3
+    spark.createDataFrame([(1, body)], ["doc_id", "text"]).write.parquet(corpus)
+    rc = main(["sketch", "--in", corpus, "--store", store,
+               "--num-hashes", "16", "--bands", "8"])
+    assert rc == 0 and "1 doc(s)" in capsys.readouterr().out
+
+    ind = os.path.join(cli_dirs["base"], "sk_in"); os.makedirs(ind)
+    out = os.path.join(cli_dirs["base"], "sk_out")
+    ckpt = os.path.join(cli_dirs["base"], "sk_ckpt")
+    with open(os.path.join(ind, "a.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 5, "text": body + "tiny tail"}) + "\n")
+        f.write(json.dumps({"doc_id": 6, "text": "fresh unrelated content entirely"}) + "\n")
+    # mismatched sketch params must fail fast, not silently miss dups
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero dedup recall"):
+        main([
+            "dedup-stream", "--in", ind, "--out", out, "--store", store,
+            "--checkpoint", ckpt, "--threshold", "0.5", "--drain",
+        ])
+    rc = main([
+        "dedup-stream", "--in", ind, "--out", out, "--store", store,
+        "--checkpoint", ckpt, "--threshold", "0.5", "--drain",
+        "--num-hashes", "16", "--bands", "8",
+    ])
+    assert rc == 0
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {6}
