@@ -20,6 +20,8 @@ formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
                                      [--threshold 0.7] [--bands 8]
     python -m chill_spark dedup-stream --in DIR --out DIR --store DIR \
                                      --checkpoint DIR [--drain]
+    python -m chill_spark sketch     --in DIR --store DIR
+    python -m chill_spark sql        "SELECT ..." --tables DIR [--out DIR]
     python -m chill_spark compact    --in DIR [--target-mb 128]
 """
 
@@ -281,6 +283,36 @@ def cmd_quality(args) -> int:
         if r != "keep":
             print(f"fail {r}: {tallies[r]}")
     print(f"{tallies['total']} -> {tallies['kept']} rows kept")
+    return 0
+
+
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over a directory of parquet tables — the engine's
+    answer to poking the warehouse with a SQL console (the reference
+    drives Oracle via sqlplus/conqt REPLs; here Catalyst + the fact
+    dirs ARE the warehouse). Every entry under --tables registers as a
+    temp view named after it (``X_15M/`` dirs and ``x.parquet`` files
+    both work)."""
+    import os
+
+    from .session import get_spark
+
+    spark = get_spark("chill-sql")
+    for entry in sorted(os.listdir(args.tables)):
+        path = os.path.join(args.tables, entry)
+        name = entry[:-8] if entry.endswith(".parquet") else entry
+        if not name.isidentifier():
+            continue
+        try:
+            spark.read.parquet(path).createOrReplaceTempView(name)
+        except Exception:  # noqa: BLE001 - non-parquet entries are skipped
+            continue
+    df = spark.sql(args.query)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
     return 0
 
 
@@ -561,6 +593,16 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--num-hashes", type=int, default=32)
     sk.add_argument("--bands", type=int, default=8)
     sk.set_defaults(fn=cmd_sketch)
+
+    sq = sub.add_parser(
+        "sql", help="ad-hoc SQL over a directory of parquet tables"
+    )
+    sq.add_argument("query")
+    sq.add_argument("--tables", required=True,
+                    help="dir whose entries register as temp views")
+    sq.add_argument("--out", help="write result parquet instead of printing")
+    sq.add_argument("--limit", type=int, default=50)
+    sq.set_defaults(fn=cmd_sql)
 
     qc = sub.add_parser("quality", help="Gopher/C4 quality-rule corpus filter")
     qc.add_argument("--input", required=True)

@@ -440,3 +440,24 @@ def test_cli_sketch_then_stream_dedups_against_bootstrap(cli_dirs, spark, capsys
     ])
     assert rc == 0
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {6}
+
+
+def test_cli_sql_over_fact_dir(cli_dirs, spark, capsys):
+    """sql subcommand: facts written by `run` are queryable by name."""
+    main([
+        "run", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"],
+    ])
+    capsys.readouterr()
+    rc = main([
+        "sql", "SELECT SITE, CALLS FROM CELL_STATS_15M ORDER BY SITE",
+        "--tables", cli_dirs["out"],
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "s1" in out and "100" in out
+    dst = os.path.join(cli_dirs["base"], "sql_out")
+    rc = main([
+        "sql", "SELECT count(*) AS n FROM CELL_STATS_15M",
+        "--tables", cli_dirs["out"], "--out", dst,
+    ])
+    assert rc == 0 and spark.read.parquet(dst).first()["n"] == 2
