@@ -134,13 +134,21 @@ def incremental_candidates(
     new×old within shared buckets, never old×old (those were expanded
     when the old docs were ingested).
 
-    Shape: one union + one groupBy-the-bucket shuffle (the same
-    single-shuffle pair expansion as the batch path); buckets with no
-    new member are dropped BEFORE expansion (`max(__new) = false`), so
-    the steady-state cost tracks the increment, not the corpus. The
-    residual old×old pairs inside touched buckets are filtered after
-    expansion — bounded by the bucket cap, not corpus size."""
-    tagged = old_banded.select(
+    Shape: the store side is first pruned to the buckets the new
+    batch actually touches via a BROADCAST semi-join on the batch's
+    (band, bucket) keys — the new batch is small by definition, so
+    the corpus-sized banded store is filtered at scan time (with a
+    bucket-partitioned store, at planning time) instead of being
+    shuffled whole. Then one union + one groupBy-the-bucket shuffle
+    over (touched store rows + new rows) — steady-state cost tracks
+    the increment, not the corpus. The residual old×old pairs inside
+    touched buckets are filtered after expansion — bounded by the
+    bucket cap, not corpus size."""
+    touched = new_banded.select("band", "bucket").distinct()
+    old_touched = old_banded.join(
+        F.broadcast(touched), ["band", "bucket"], "left_semi"
+    )
+    tagged = old_touched.select(
         "id", "band", "bucket", F.lit(False).alias("__new")
     ).unionByName(
         new_banded.select("id", "band", "bucket", F.lit(True).alias("__new"))
@@ -148,11 +156,8 @@ def incremental_candidates(
     member = F.struct(F.col("id").alias("i"), F.col("__new").alias("__new"))
     buckets = (
         tagged.groupBy("band", "bucket")
-        .agg(
-            F.sort_array(F.collect_set(member)).alias("ms"),
-            F.max("__new").alias("__touched"),
-        )
-        .filter(F.col("__touched") & (F.size("ms") > 1))
+        .agg(F.sort_array(F.collect_set(member)).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
     if max_bucket_size is not None:
         oversize = F.size("ms") > max_bucket_size

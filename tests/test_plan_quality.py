@@ -373,9 +373,11 @@ def test_partitions_for_sizing(spark):
     assert estimated_plan_bytes(pruned) < n
 
 
-def test_incremental_candidates_single_bucket_shuffle(spark):
-    """Incremental dedup candidates: one union + one groupBy-the-bucket
-    Exchange; no self-join, no cartesian, no Python in the plan."""
+def test_incremental_candidates_prunes_store_before_shuffle(spark):
+    """Incremental dedup candidates: the corpus-sized store side is
+    pruned to touched buckets by a BROADCAST semi-join BEFORE the one
+    groupBy-the-bucket Exchange — the store is never shuffled whole.
+    No cartesian, no Python in the plan."""
     import re
 
     from chill_spark.llm_ops.incremental_dedup import incremental_candidates
@@ -388,7 +390,12 @@ def test_incremental_candidates_single_bucket_shuffle(spark):
     )
     plan = plan_of(incremental_candidates(new, old))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
-    assert "Join" not in plan
     assert "BatchEvalPython" not in plan
-    # bucket groupBy + the pair-dedup exchange only
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    # the ONLY join is the broadcast semi prune of the store side
+    assert len(re.findall(r"BroadcastHashJoin.*LeftSemi", plan)) == 1
+    assert len(re.findall(r"(?<!Broadcast)HashJoin", plan)) == 0  # no shuffle join
+    # touched-keys distinct (small new side) + bucket groupBy +
+    # pair-dedup; broadcast exchanges are BroadcastExchange nodes,
+    # not counted by this pattern — the corpus-sized store side never
+    # feeds a plain Exchange before its semi-join prune
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
