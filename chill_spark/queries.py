@@ -1360,6 +1360,37 @@ def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_dedup",
+    oracle=_MEDIA_SQL + """
+    SELECT kind, count(*) AS n_total,
+           count(DISTINCT md5(content)) AS n_distinct,
+           count(*) - count(DISTINCT md5(content)) AS n_dupes
+    FROM media GROUP BY kind ORDER BY kind
+    """,
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by binary content fingerprint: md5 over the
+    opaque content column (bytes hashed where they live, never
+    decoded), per-kind duplicate accounting. The synthetic videos
+    collide heavily (50 distinct payloads), so the drop counts are
+    non-trivial; md5(binary) in Spark equals md5(VARCHAR) of the same
+    UTF-8 bytes in the oracle."""
+    media = _synthetic_media(spark, sf_dir)
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct(F.md5(F.col("content"))).alias("n_distinct"),
+        )
+        .select(
+            "kind", "n_total", "n_distinct",
+            (F.col("n_total") - F.col("n_distinct")).alias("n_dupes"),
+        )
+        .orderBy("kind")
+    )
+
+
+@query(
     "q_media_image_meta",
     oracle=_MEDIA_SQL + """
     SELECT media_id, 3 AS width, 4 AS height, 1 AS channels,
