@@ -21,6 +21,8 @@ formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
     python -m chill_spark dedup-stream --in DIR --out DIR --store DIR \
                                      --checkpoint DIR [--drain]
     python -m chill_spark sketch     --in DIR --store DIR
+    python -m chill_spark ladder-audit --catalog cat.json --table T \
+                                     --base DIR --out LADDER_DIR
     python -m chill_spark sql        "SELECT ..." --tables DIR [--out DIR]
     python -m chill_spark compact    --in DIR [--target-mb 128]
 """
@@ -284,6 +286,26 @@ def cmd_quality(args) -> int:
             print(f"fail {r}: {tallies[r]}")
     print(f"{tallies['total']} -> {tallies['kept']} rows kept")
     return 0
+
+
+def cmd_ladder_audit(args) -> int:
+    """Audit a materialized rollup ladder: re-aggregate each level from
+    the base table and count disagreeing rows. Exit 0 iff consistent —
+    the engine-native replacement for the reference's rollup-existence
+    polling (HlxTools wait loops), checking the numbers instead."""
+    from .operators.incremental import validate_ladder
+    from .session import get_spark
+
+    spark = get_spark("chill-ladder-audit")
+    cat = _load(args.catalog, Catalog)
+    table = cat.tables[args.table]
+    bad = validate_ladder(
+        spark, args.base, args.out, table,
+        levels=args.levels.split(",") if args.levels else None,
+    )
+    for g, n in bad.items():
+        print(f"{g}: {n} inconsistent row(s)")
+    return 0 if not any(bad.values()) else 1
 
 
 def cmd_sql(args) -> int:
@@ -593,6 +615,17 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--num-hashes", type=int, default=32)
     sk.add_argument("--bands", type=int, default=8)
     sk.set_defaults(fn=cmd_sketch)
+
+    la = sub.add_parser(
+        "ladder-audit",
+        help="recompute-vs-stored consistency check of a rollup ladder",
+    )
+    la.add_argument("--catalog", required=True)
+    la.add_argument("--table", required=True)
+    la.add_argument("--base", required=True, help="base fact dir")
+    la.add_argument("--out", required=True, help="ladder root")
+    la.add_argument("--levels", help="comma list, default: full ladder")
+    la.set_defaults(fn=cmd_ladder_audit)
 
     sq = sub.add_parser(
         "sql", help="ad-hoc SQL over a directory of parquet tables"

@@ -461,3 +461,35 @@ def test_cli_sql_over_fact_dir(cli_dirs, spark, capsys):
         "--tables", cli_dirs["out"], "--out", dst,
     ])
     assert rc == 0 and spark.read.parquet(dst).first()["n"] == 2
+
+
+def test_cli_ladder_audit(cli_dirs, spark, capsys):
+    """ladder-audit: green on a freshly built ladder, red after a
+    partition is tampered with."""
+    main([
+        "run", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"],
+    ])
+    fact = os.path.join(cli_dirs["out"], "CELL_STATS_15M")
+    ladder = os.path.join(cli_dirs["base"], "ladder_audit")
+    main([
+        "rollup", "--catalog", cli_dirs["catalog"], "--table", "CELL_STATS",
+        "--in", fact, "--out", ladder,
+    ])
+    capsys.readouterr()
+    args = [
+        "ladder-audit", "--catalog", cli_dirs["catalog"],
+        "--table", "CELL_STATS", "--base", fact, "--out", ladder,
+        "--levels", "HR,DY",
+    ]
+    assert main(args) == 0
+    # tamper: double one stored HR counter
+    from pyspark.sql import functions as F
+
+    hr = os.path.join(ladder, "CELL_STATS_HR")
+    df = spark.read.parquet(hr).withColumn("CALLS", F.col("CALLS") * 2)
+    df.write.mode("overwrite").parquet(hr + "_tmp")
+    shutil.rmtree(hr); os.rename(hr + "_tmp", hr)
+    capsys.readouterr()
+    assert main(args) == 1
+    assert "inconsistent row(s)" in capsys.readouterr().out
