@@ -1303,6 +1303,55 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embedding_dedup_cc",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               {_lsh_planes_sql(planes=6)} AS bkt
+        FROM embeddings
+    ),
+    ok AS (SELECT bkt FROM b GROUP BY bkt HAVING count(*) BETWEEN 2 AND 1000),
+    pairs AS (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a
+        JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+        JOIN ok ON ok.bkt = a.bkt
+        WHERE list_cosine_similarity(a.v, c.v) >= 0.4
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lab) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+        WHERE r.lab < s.b
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != component)
+    ORDER BY vec_id
+    """,
+)
+def q_embedding_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive embedding dedup: hyperplane-LSH candidate pairs ->
+    exact cosine verify -> connected-components closure -> min-id
+    survivor per semantic cluster — the embedding-modality twin of
+    q_dedup_minhash_cc. Fully oracle-replayed (seeded plane literals
+    + recursive CTE closure)."""
+    from .llm_ops.components import component_survivors, connected_components
+    from .llm_ops.dedup import embedding_near_dups
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    pairs = embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4, planes=6)
+    comps = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    return (
+        component_survivors(emb, comps, "vec_id")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 # --- multimodal: binary content column + typed metadata --------------------
 
 def _synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
