@@ -296,13 +296,28 @@ def cmd_ladder_audit(args) -> int:
     from .operators.incremental import validate_ladder
     from .session import get_spark
 
+    import os
+
     spark = get_spark("chill-ladder-audit")
     cat = _load(args.catalog, Catalog)
     table = cat.tables[args.table]
-    bad = validate_ladder(
-        spark, args.base, args.out, table,
-        levels=args.levels.split(",") if args.levels else None,
+    levels = (
+        [x for x in args.levels.split(",") if x] if args.levels else None
     )
+    # validate up front: a scripted audit's contract is a clean 0/1
+    # exit, not a traceback from deep inside the rollup
+    known = table.ladder_above_base()
+    for g in levels or []:
+        if g not in known:
+            print(f"unknown ladder level {g!r} (valid: {known})",
+                  file=sys.stderr)
+            return 2
+    for g in levels or known:
+        if not os.path.isdir(f"{args.out}/{table.name}_{g}"):
+            print(f"ladder level {g} not materialized under {args.out}",
+                  file=sys.stderr)
+            return 2
+    bad = validate_ladder(spark, args.base, args.out, table, levels=levels)
     for g, n in bad.items():
         print(f"{g}: {n} inconsistent row(s)")
     return 0 if not any(bad.values()) else 1
@@ -314,20 +329,42 @@ def cmd_sql(args) -> int:
     drives Oracle via sqlplus/conqt REPLs; here Catalyst + the fact
     dirs ARE the warehouse). Every entry under --tables registers as a
     temp view named after it (``X_15M/`` dirs and ``x.parquet`` files
-    both work)."""
+    both work). Only entries whose names appear in the query are
+    registered (no parquet-footer I/O for unreferenced tables; all
+    entries register when none match, e.g. quoted identifiers). Skips
+    and name collisions are reported on stderr, never silent."""
     import os
+    import re
 
     from .session import get_spark
 
     spark = get_spark("chill-sql")
-    for entry in sorted(os.listdir(args.tables)):
+    entries = sorted(os.listdir(args.tables))
+    names = {
+        e: (e[:-8] if e.endswith(".parquet") else e) for e in entries
+    }
+    q_words = {w.lower() for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", args.query)}
+    wanted = [e for e in entries if names[e].lower() in q_words] or entries
+    seen: dict[str, str] = {}
+    for entry in wanted:
         path = os.path.join(args.tables, entry)
-        name = entry[:-8] if entry.endswith(".parquet") else entry
+        name = names[entry]
         if not name.isidentifier():
+            print(f"skipped {entry}: not a valid view name", file=sys.stderr)
+            continue
+        if name.lower() in seen:
+            # temp-view resolution is case-insensitive; first wins
+            print(
+                f"skipped {entry}: view name collides with "
+                f"{seen[name.lower()]}", file=sys.stderr,
+            )
             continue
         try:
             spark.read.parquet(path).createOrReplaceTempView(name)
-        except Exception:  # noqa: BLE001 - non-parquet entries are skipped
+            seen[name.lower()] = entry
+        except Exception as e:  # noqa: BLE001
+            print(f"skipped {entry}: {str(e).splitlines()[0][:120]}",
+                  file=sys.stderr)
             continue
     df = spark.sql(args.query)
     if args.out:

@@ -129,6 +129,7 @@ def incremental_candidates(
     old_banded: DataFrame,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     observation=None,
+    broadcast_touched: bool = True,
 ) -> DataFrame:
     """Candidate pairs touching at least one NEW doc: new×new and
     new×old within shared buckets, never old×old (those were expanded
@@ -143,11 +144,18 @@ def incremental_candidates(
     over (touched store rows + new rows) — steady-state cost tracks
     the increment, not the corpus. The residual old×old pairs inside
     touched buckets are filtered after expansion — bounded by the
-    bucket cap, not corpus size."""
+    bucket cap, not corpus size.
+
+    ``broadcast_touched``: the hint is right for micro-batch-sized
+    increments (the streaming path) — |new| x bands keys broadcast to
+    every executor. For a BULK increment (multi-million-doc crawl) the
+    key set can exceed driver memory / Spark's 8 GB broadcast cap:
+    pass False and AQE picks the join strategy at runtime (a small
+    batch still converts to broadcast adaptively)."""
     touched = new_banded.select("band", "bucket").distinct()
-    old_touched = old_banded.join(
-        F.broadcast(touched), ["band", "bucket"], "left_semi"
-    )
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+    old_touched = old_banded.join(touched, ["band", "bucket"], "left_semi")
     tagged = old_touched.select(
         "id", "band", "bucket", F.lit(False).alias("__new")
     ).unionByName(
@@ -209,6 +217,7 @@ def incremental_minhash_dups(
     sets_df: DataFrame | None = None,
     banded_df: DataFrame | None = None,
     observation=None,
+    broadcast_touched: bool = True,
 ) -> DataFrame:
     """Verified duplicate pairs (id_a < id_b, jaccard) between the new
     batch and (itself ∪ the stored corpus). Equals the batch pipeline's
@@ -236,7 +245,7 @@ def incremental_minhash_dups(
         )
     cands = incremental_candidates(
         new_banded, old_banded, max_bucket_size=max_bucket_size,
-        observation=observation,
+        observation=observation, broadcast_touched=broadcast_touched,
     )
     # a replayed batch's ids exist on BOTH sides; keep exactly one
     # sketch per id or the verify join fans out per duplicate row. The

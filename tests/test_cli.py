@@ -493,3 +493,36 @@ def test_cli_ladder_audit(cli_dirs, spark, capsys):
     capsys.readouterr()
     assert main(args) == 1
     assert "inconsistent row(s)" in capsys.readouterr().out
+
+
+def test_cli_sql_reports_skips_and_collisions(cli_dirs, spark, capsys):
+    """sql: non-identifier entries and case-insensitive view-name
+    collisions are reported on stderr, never silently dropped
+    (r2 review)."""
+    base = os.path.join(cli_dirs["base"], "sql_tables")
+    os.makedirs(base)
+    spark.createDataFrame([(1,)], ["a"]).write.parquet(os.path.join(base, "T1"))
+    spark.createDataFrame([(2,)], ["a"]).write.parquet(os.path.join(base, "t1"))
+    spark.createDataFrame([(3,)], ["a"]).write.parquet(os.path.join(base, "bad-name"))
+    # query references T1 and t1 -> collision surfaced; bad-name is
+    # unreferenced so it is not even opened
+    rc = main(["sql", "SELECT a FROM T1 -- t1", "--tables", base])
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "collides with" in err and "bad-name" not in err
+    # no referenced name -> fallback registers everything; the
+    # non-identifier entry is then reported, not silently dropped
+    rc = main(["sql", "SELECT 1 AS one", "--tables", base])
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "skipped bad-name: not a valid view name" in err
+
+
+def test_cli_ladder_audit_validates_levels(cli_dirs, capsys):
+    rc = main([
+        "ladder-audit", "--catalog", cli_dirs["catalog"],
+        "--table", "CELL_STATS", "--base", "/nonexistent",
+        "--out", "/nonexistent", "--levels", "HRS",
+    ])
+    assert rc == 2
+    assert "unknown ladder level" in capsys.readouterr().err
