@@ -44,6 +44,7 @@ HEADLINE = [
     "q_dsl_derive",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_incremental",
     "q_dedup_simhash",
     "q_chunk_documents",
     "q_pack_sequences",
@@ -67,6 +68,7 @@ HEADLINE = [
     "q_embedding_centroids",
     "q_corpus_embedding_assembly",
     "q_weighted_sample",
+    "q_media_dedup",
 ]
 
 
