@@ -900,3 +900,49 @@ def test_dedup_stream_dedups_across_batches(spark, stream_dirs):
     assert ids == {1, 2, 11}
     banded = spark.read.parquet(os.path.join(store, "banded"))
     assert {r["id"] for r in banded.select("id").distinct().collect()} == {1, 2, 11}
+
+
+def test_dedup_stream_replay_after_lost_commit(spark, stream_dirs):
+    """Genuine micro-batch replay: drop the last checkpoint commit so
+    Structured Streaming re-runs the batch against a store that
+    already holds its survivors. The replay must neither doom its own
+    docs (the r2 self-pair bug) nor duplicate them — the batch-keyed
+    leaves are simply rewritten."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "rp_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "rp_out")
+    store = os.path.join(base, "rp_store")
+    ckpt = os.path.join(base, "rp_ckpt")
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": body}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "other content entirely here"}) + "\n")
+
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out,
+        store_root=store, checkpoint_dir=ckpt,
+        threshold=0.5, num_hashes=16, bands=8, available_now=True,
+    )
+    drain(run_dedup_stream(spark, ind, **kw))
+    want = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert {i for i, _ in want} == {1, 2}
+
+    # lose the commit record -> the next run REPLAYS batch 0
+    commits = os.path.join(ckpt, "commits")
+    nums = [f for f in os.listdir(commits) if f.isdigit()]
+    newest = max(nums, key=int)
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain(run_dedup_stream(spark, ind, **kw))
+
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert got == want  # no loss, no duplication
+    ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert ids == {1, 2}
