@@ -80,3 +80,35 @@ def component_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def component_survivors_by(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    priority,
+) -> DataFrame:
+    """Quality-weighted survivor policy: keep the row with the LARGEST
+    ``priority`` per duplicate cluster (ties broken by min id) instead
+    of the min id — the production corpus-dedup policy when cluster
+    members differ in quality (keep the longest / cleanest / curated
+    copy). Rows absent from ``components`` are singletons and survive.
+
+    One id-keyed join of the post-closure component map (duplicates
+    only — AQE broadcasts it when small) + one max_by aggregate keyed
+    by component — no window, same shuffle class as min-id
+    survivorship."""
+    p = F.col(priority) if isinstance(priority, str) else priority
+    member = components.select(
+        F.col("node").alias(id_col), "component"
+    )
+    in_cluster = df.join(member, id_col)
+    # max_by over (priority, -id): highest priority wins, then min id
+    order = F.struct(p.alias("p"), (-F.col(id_col)).alias("negid"))
+    winners = (
+        in_cluster.groupBy("component")
+        .agg(F.max_by(F.struct(*df.columns), order).alias("__row"))
+        .select("__row.*")
+    )
+    singletons = df.join(member.select(id_col), id_col, "left_anti")
+    return singletons.unionByName(winners)

@@ -2993,6 +2993,65 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, "id_a", "id_b").orderBy("node")
 
 
+@query(
+    "q_dedup_cc_keep_longest",
+    oracle=_CHAINED_CC_SQL + """
+    SELECT node AS doc_id FROM (
+        SELECT r.node,
+               row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY len(corpus.t) DESC, r.node
+               ) AS rn,
+               c.component
+        FROM (SELECT DISTINCT node FROM reach) r
+        JOIN (SELECT node, min(lab) AS component FROM reach GROUP BY node) c
+          ON c.node = r.node
+        JOIN corpus ON corpus.doc_id = r.node
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT node FROM reach)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_cc_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted cluster survivorship: same transitive closure
+    as q_dedup_components, but each duplicate cluster keeps its
+    LONGEST member (token count; ties -> min id) instead of the min
+    id — the production policy when near-duplicates differ in quality
+    (here every cluster's original beats its truncated copies, so the
+    survivor set is exactly the original doc ids). The oracle ranks
+    inside each recursive-CTE component."""
+    from .llm_ops.components import (
+        component_survivors_by, connected_components,
+    )
+    from .llm_ops.dedup import jaccard_pairs
+    from .llm_ops.text import whitespace_token_count
+
+    corpus = _chained_docs(spark, sf_dir)
+    ids = corpus.select(F.col("doc_id").alias("id"), "source")
+    cand = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    edges = jaccard_pairs(
+        corpus, cand, "text", "doc_id", shingle_k=5, threshold=0.45
+    ).select("id_a", "id_b")
+    comps = connected_components(edges, "id_a", "id_b")
+    return (
+        component_survivors_by(
+            corpus, comps, "doc_id", whitespace_token_count("text")
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @query("q_kmeans_clusters")  # rows-only: iterative float means are not
 # stably hashable across engines (summation order); the driver checks
 # rows>0 and the unit test checks exact recovery on planted clusters.

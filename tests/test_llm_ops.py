@@ -1002,3 +1002,21 @@ def test_incremental_equals_batch_property(spark, bodies, n_new):
         if r["id_a"] in new_ids or r["id_b"] in new_ids
     }
     assert inc == batch
+
+
+def test_component_survivors_by_keeps_highest_priority(spark):
+    """Priority survivorship: per cluster the max-priority member wins
+    (ties -> min id); singletons untouched."""
+    from chill_spark.llm_ops.components import (
+        component_survivors_by, connected_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 7)], ["doc_id", "quality"]
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    comps = connected_components(edges, "id_a", "id_b")
+    kept = {r["doc_id"] for r in component_survivors_by(
+        docs, comps, "doc_id", "quality").collect()}
+    # cluster {1,2,3}: quality 9 tie between 2 and 3 -> min id 2 wins
+    assert kept == {2, 10}
