@@ -3052,6 +3052,86 @@ def q_dedup_cc_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_cluster_sizes",
+    oracle=_CHAINED_CC_SQL + """
+    SELECT sz AS cluster_size, count(*) AS n_clusters FROM (
+        SELECT component, count(*) AS sz
+        FROM (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+        GROUP BY component
+    ) GROUP BY sz ORDER BY cluster_size
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the duplicate-cluster size distribution
+    (how much of the corpus is 2-way vs 3-way duplicated) — the first
+    chart anyone asks for after a dedup run. One count-per-component
+    + one histogram agg over the closure output."""
+    from .llm_ops.components import connected_components
+    from .llm_ops.dedup import jaccard_pairs
+
+    corpus = _chained_docs(spark, sf_dir)
+    ids = corpus.select(F.col("doc_id").alias("id"), "source")
+    cand = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    edges = jaccard_pairs(
+        corpus, cand, "text", "doc_id", shingle_k=5, threshold=0.45
+    ).select("id_a", "id_b")
+    comps = connected_components(edges, "id_a", "id_b")
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+@query(
+    "q_token_budget_by_split",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
+                AS BIGINT) AS budget_tokens
+    FROM (
+        SELECT text,
+               CASE WHEN ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % {10_000} < 9000 THEN 'train'
+                    WHEN ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % {10_000} < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split ORDER BY split
+    """,
+)
+def q_token_budget_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-budget planning: BPE-ish token totals per
+    deterministic train/val/test split — the number that decides how
+    many epochs a corpus affords. Composes the hash-bucket split
+    assignment with the tokenizer-style lexer count in one scan."""
+    from .llm_ops.sampling import assign_split
+    from .llm_ops.text import bpe_ish_token_count
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        assign_split(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_ish_token_count("text")).alias("budget_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 @query("q_kmeans_clusters")  # rows-only: iterative float means are not
 # stably hashable across engines (summation order); the driver checks
 # rows>0 and the unit test checks exact recovery on planted clusters.
