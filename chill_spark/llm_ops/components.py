@@ -94,21 +94,27 @@ def component_survivors_by(
     members differ in quality (keep the longest / cleanest / curated
     copy). Rows absent from ``components`` are singletons and survive.
 
-    One id-keyed join of the post-closure component map (duplicates
-    only — AQE broadcasts it when small) + one max_by aggregate keyed
-    by component — no window, same shuffle class as min-id
-    survivorship."""
+    ONE left join of the post-closure component map (duplicates only
+    — AQE broadcasts it when small; singletons label themselves via
+    coalesce, so no second anti-join scan of the corpus) + one
+    row_number window keyed by component. The window — rather than a
+    max_by over (priority, -id) — keeps the id tie-break generic:
+    unary minus on a string/hash id would cast (ANSI error) or
+    reorder numerically instead of lexicographically."""
+    from pyspark.sql.window import Window
+
     p = F.col(priority) if isinstance(priority, str) else priority
     member = components.select(
         F.col("node").alias(id_col), "component"
     )
-    in_cluster = df.join(member, id_col)
-    # max_by over (priority, -id): highest priority wins, then min id
-    order = F.struct(p.alias("p"), (-F.col(id_col)).alias("negid"))
-    winners = (
-        in_cluster.groupBy("component")
-        .agg(F.max_by(F.struct(*df.columns), order).alias("__row"))
-        .select("__row.*")
+    labeled = df.join(member, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
     )
-    singletons = df.join(member.select(id_col), id_col, "left_anti")
-    return singletons.unionByName(winners)
+    w = Window.partitionBy("component").orderBy(
+        p.desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "component")
+    )

@@ -2959,20 +2959,10 @@ _CHAINED_CC_SQL = r"""
 """
 
 
-@query(
-    "q_dedup_components",
-    oracle=_CHAINED_CC_SQL + """
-    SELECT node, min(lab) AS component FROM reach GROUP BY node
-    ORDER BY node
-    """,
-)
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clusters: exact shingle-Jaccard pairs
-    (source-blocked candidates) -> connected components by iterative
-    min-label propagation (one keyed shuffle per round, lineage
-    checkpointed). The chained corpus guarantees multi-hop clusters,
-    so this hash-checks the closure itself, not just the pair stage;
-    the DuckDB oracle recomputes it with a recursive CTE."""
+def _chained_components(spark: SparkSession, sf_dir: str):
+    """(chained corpus, its duplicate-cluster closure) — the shared
+    front half of the three closure queries; thresholds must stay in
+    lockstep with the _CHAINED_CC_SQL oracle."""
     from .llm_ops.components import connected_components
     from .llm_ops.dedup import jaccard_pairs
 
@@ -2990,7 +2980,25 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = jaccard_pairs(
         corpus, cand, "text", "doc_id", shingle_k=5, threshold=0.45
     ).select("id_a", "id_b")
-    return connected_components(edges, "id_a", "id_b").orderBy("node")
+    return corpus, connected_components(edges, "id_a", "id_b")
+
+
+@query(
+    "q_dedup_components",
+    oracle=_CHAINED_CC_SQL + """
+    SELECT node, min(lab) AS component FROM reach GROUP BY node
+    ORDER BY node
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: exact shingle-Jaccard pairs
+    (source-blocked candidates) -> connected components by iterative
+    min-label propagation (one keyed shuffle per round, lineage
+    checkpointed). The chained corpus guarantees multi-hop clusters,
+    so this hash-checks the closure itself, not just the pair stage;
+    the DuckDB oracle recomputes it with a recursive CTE."""
+    _, comps = _chained_components(spark, sf_dir)
+    return comps.orderBy("node")
 
 
 @query(
@@ -3022,27 +3030,10 @@ def q_dedup_cc_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (here every cluster's original beats its truncated copies, so the
     survivor set is exactly the original doc ids). The oracle ranks
     inside each recursive-CTE component."""
-    from .llm_ops.components import (
-        component_survivors_by, connected_components,
-    )
-    from .llm_ops.dedup import jaccard_pairs
+    from .llm_ops.components import component_survivors_by
     from .llm_ops.text import whitespace_token_count
 
-    corpus = _chained_docs(spark, sf_dir)
-    ids = corpus.select(F.col("doc_id").alias("id"), "source")
-    cand = (
-        ids.alias("a")
-        .join(
-            ids.alias("b"),
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-    edges = jaccard_pairs(
-        corpus, cand, "text", "doc_id", shingle_k=5, threshold=0.45
-    ).select("id_a", "id_b")
-    comps = connected_components(edges, "id_a", "id_b")
+    corpus, comps = _chained_components(spark, sf_dir)
     return (
         component_survivors_by(
             corpus, comps, "doc_id", whitespace_token_count("text")
@@ -3067,24 +3058,7 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (how much of the corpus is 2-way vs 3-way duplicated) — the first
     chart anyone asks for after a dedup run. One count-per-component
     + one histogram agg over the closure output."""
-    from .llm_ops.components import connected_components
-    from .llm_ops.dedup import jaccard_pairs
-
-    corpus = _chained_docs(spark, sf_dir)
-    ids = corpus.select(F.col("doc_id").alias("id"), "source")
-    cand = (
-        ids.alias("a")
-        .join(
-            ids.alias("b"),
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-    edges = jaccard_pairs(
-        corpus, cand, "text", "doc_id", shingle_k=5, threshold=0.45
-    ).select("id_a", "id_b")
-    comps = connected_components(edges, "id_a", "id_b")
+    _, comps = _chained_components(spark, sf_dir)
     return (
         comps.groupBy("component")
         .agg(F.count(F.lit(1)).alias("sz"))
@@ -3096,21 +3070,15 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_token_budget_by_split",
-    oracle=f"""
+    # split assignment reuses the shared _SPLIT_CASE so a change to
+    # assign_split's weights/seed cannot silently diverge this oracle
+    oracle="""
     SELECT split, count(*) AS n_docs,
            CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
                 AS BIGINT) AS budget_tokens
-    FROM (
-        SELECT text,
-               CASE WHEN ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                         % {10_000} < 9000 THEN 'train'
-                    WHEN ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                         % {10_000} < 9500 THEN 'val'
-                    ELSE 'test' END AS split
-        FROM documents
-    )
+    FROM (SELECT text, {split_case} AS split FROM documents)
     GROUP BY split ORDER BY split
-    """,
+    """.format(split_case=_SPLIT_CASE),
 )
 def q_token_budget_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-budget planning: BPE-ish token totals per

@@ -942,7 +942,13 @@ def test_dedup_stream_replay_after_lost_commit(spark, stream_dirs):
         os.remove(crc)
     drain(run_dedup_stream(spark, ind, **kw))
 
-    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
-    assert got == want  # no loss, no duplication
-    ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
-    assert ids == {1, 2}
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    # sorted LISTS, not sets: appended duplicates must fail, not
+    # collapse away (r2 review)
+    assert got == sorted(want)
+    ids = sorted(
+        r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()
+    )
+    assert ids == [1, 2]
