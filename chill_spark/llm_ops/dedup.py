@@ -357,6 +357,9 @@ def minhash_bucket_stats(
     runs the count as its own tiny job (pass the persisted ``sets_df``
     from the main run so shingling isn't repeated; the extra cost is
     one signature+band aggregation)."""
+    if max_bucket_size is None:
+        # no cap -> the dedup pipeline skips nothing, by definition
+        return {"oversize_buckets": 0, "oversize_members": 0}
     banded = banded_signatures(
         df, text_col, id_col, num_hashes, bands, shingle_k,
         sets_df=sets_df, portable=portable,
@@ -364,7 +367,7 @@ def minhash_bucket_stats(
     row = (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > (max_bucket_size or 0))
+        .filter(F.col("n") > max_bucket_size)
         .agg(
             F.count(F.lit(1)).alias("oversize_buckets"),
             F.coalesce(F.sum("n"), F.lit(0)).alias("oversize_members"),

@@ -39,45 +39,45 @@ def query(name: str, oracle: str | None = None):
 
 
 # The round driver records correctness for the FIRST 50 registered
-# queries only, so the leading window is curated to span every SURVEY
-# §2 family: TPC-H aggregate/join/subquery shapes, as-of/range/fuzzy/
-# full-outer joins, window functions + percentiles, set ops, scalar
-# funcs, JSON/VARIANT, rollup/pivot/gapfill/cohort/funnel analytics,
-# retention, reconcile, DSL, streaming, cfg-table, and the LLM-pipeline
-# ops (exact/CC/n-gram/span dedup, decontamination, PII, stratified
-# sampling, media). Everything else keeps registration order after it.
+# queries only. Rounds 1-2 drove 73 of the 118 declared queries green;
+# this round's window is the remaining 45 never-driver-checked queries
+# plus 5 green sentinels spanning the §2 families (core aggregate,
+# DSL, reconcile, sketch dedup, incremental dedup) so a regression in
+# an already-green family is still caught. After round 3 every
+# declared query has a driver-green CORRECTNESS row across r1-r3.
 _PRIORITY: list[str] = [
-    # core aggregates / joins / subqueries
-    "q1_pricing_summary", "q9_product_profit", "q12_priority_class",
-    "q13_order_count_distribution", "q21_waiting_orders",
-    "q20_dominant_suppliers", "q17_small_quantity_revenue",
-    "q22_idle_rich_customers", "q8_market_share",
-    "q2_top_supplier_per_nation", "q_customers_without_orders",
-    "q19_disjunctive_join",
-    # specialised joins
-    "q_asof_join", "q_range_join", "q_fuzzy_name_match",
-    "q_full_outer_hourly_diff",
-    # window functions / percentiles
-    "q_window_topn_orders", "q_window_running_sum",
-    "q_window_range_frame", "q_sessionize", "q_percentiles",
-    # set ops / scalar funcs / semi-structured
-    "q_setop_except", "q_scalar_funcs",
-    "q_json_props", "q_variant_props",
-    # time-series / analytics
-    "q_rollup_hourly", "q_pivot_daily_events",
-    "q_gapfill_hourly", "q_cohort_retention",
-    "q_funnel_conversion", "q_max_concurrency", "q_retention_expired",
-    # reference-core operators
-    "q_reconcile_value_diff", "q_reconcile_missing_rows",
-    "q_dsl_derive", "q_dsl_lookup", "q_stream_rollup_events",
-    "q_cfg_table_users",
-    # LLM-pipeline operators (incl. the sketch pipelines that became
-    # oracle-checkable in r2 via the portable hash family)
-    "q_dedup_exact", "q_dedup_components", "q_dedup_incremental",
-    "q_dedup_minhash", "q_dedup_simhash", "q_embedding_near_dups_lsh",
-    "q_ann_ivf_topk",
-    "q_span_dedup", "q_decontaminate", "q_pii_redact",
-    "q_stratified_exact_counts", "q_media_summary",
+    # sentinels (driver-green in r1+r2; regression canaries)
+    "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
+    "q_dedup_minhash", "q_dedup_incremental",
+    # --- the 45 queries never yet checked by the driver ---
+    # core aggregates / joins
+    "q10_returned_revenue", "q11_important_parts", "q15_top_supplier",
+    "q16_supplier_part_counts",
+    # window / analytics
+    "q_sliding_window_events", "q_session_window_native",
+    "q_new_users_cumulative", "q_ntile_revenue_deciles",
+    "q_cube_events", "q_unpivot_measures", "q_histogram_prices",
+    "q_approx_sketches", "q_asof_join_tolerance",
+    # normalization / sampling / splits
+    "q_zscore_normalize", "q_minmax_grouped", "q_split_counts",
+    "q_stratified_sample", "q_weighted_sample",
+    "q_token_budget_by_split",
+    # text analysis
+    "q_top_tokens_per_lang", "q_tfidf", "q_bm25_rank",
+    "q_vocab_coverage", "q_bigram_pmi", "q_quality_rules",
+    "q_repetition_filter", "q_winnowing_fingerprints",
+    # chunking / packing / corpus assembly
+    "q_chunk_documents", "q_pack_sequences", "q_corpus_prep_pipeline",
+    "q_corpus_embedding_assembly", "q_jsonl_roundtrip",
+    # dedup variants
+    "q_dedup_exact_priority", "q_dedup_cc_keep_longest",
+    "q_dedup_cluster_sizes", "q_dedup_minhash_cc",
+    "q_embedding_dedup_cc", "q_media_dedup",
+    # embeddings / clustering / BPE
+    "q_embedding_centroids", "q_ann_quantized_topk",
+    "q_kmeans_clusters", "q_bpe_merges", "q_bpe_encode",
+    # media
+    "q_media_audio_features", "q_media_resize",
 ]
 
 

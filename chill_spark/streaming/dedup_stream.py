@@ -53,6 +53,34 @@ def _read_store_side(
         raise
 
 
+def _ensure_sketch_meta(
+    root: str, num_hashes: int, bands: int, shingle_k: int
+) -> None:
+    """Stores this stream bootstraps itself (no prior write_sketch_store)
+    need a ``_meta.json`` too, or the parameter-mismatch fail-fast in
+    check_sketch_meta silently no-ops for later consumers."""
+    import json
+    import os
+
+    path = os.path.join(root, "_meta.json")
+    if os.path.exists(path):
+        return
+    os.makedirs(root, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {"num_hashes": num_hashes, "bands": bands,
+             "shingle_k": shingle_k, "portable": False}, f,
+        )
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (works for any configured FS, no job)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _append_batch_keyed(df: DataFrame, path: str, batch_id: int) -> None:
     (
         df.withColumn(BATCH_COL, F.lit(batch_id))
@@ -95,6 +123,7 @@ def run_dedup_stream(
     from ..llm_ops.incremental_dedup import check_sketch_meta
 
     check_sketch_meta(store_root, num_hashes, bands, shingle_k)
+    _ensure_sketch_meta(store_root, num_hashes, bands, shingle_k)
 
     src = read_jsonl_stream(spark, input_dir, schema)
 
@@ -123,16 +152,52 @@ def run_dedup_stream(
                 threshold=threshold, num_hashes=num_hashes, bands=bands,
                 shingle_k=shingle_k, sets_df=new_sets, banded_df=new_banded,
             )
-            # min-id survivorship: a new doc dies if it duplicates any
-            # smaller id (stored or in-batch). Stored docs are never
-            # retroactively removed (append-only corpus contract).
+            # Survivorship: stored docs are never retroactively removed
+            # (append-only corpus contract), so a new doc dies when it
+            # duplicates ANY stored doc — regardless of id order; ids
+            # need not be monotonic across batches (hash/uuid ids). For
+            # in-batch pairs the larger id dies (pairs are id_a < id_b).
+            mark_a = F.broadcast(
+                new.select(
+                    F.col(id_col).alias("id_a"),
+                    F.lit(True).alias("__a_new"),
+                )
+            )
+            mark_b = F.broadcast(
+                new.select(
+                    F.col(id_col).alias("id_b"),
+                    F.lit(True).alias("__b_new"),
+                )
+            )
+            tagged = (
+                dups.select("id_a", "id_b")
+                .join(mark_a, "id_a", "left")
+                .join(mark_b, "id_b", "left")
+                .withColumn("a_new", F.coalesce("__a_new", F.lit(False)))
+                .withColumn("b_new", F.coalesce("__b_new", F.lit(False)))
+            )
             doomed = (
-                dups.select(F.col("id_b").alias(id_col))
-                .join(new.select(id_col), id_col, "left_semi")
+                tagged.select(
+                    F.when(
+                        F.col("a_new") & F.col("b_new"), F.col("id_b")
+                    )
+                    .when(F.col("a_new"), F.col("id_a"))
+                    .when(F.col("b_new"), F.col("id_b"))
+                    .alias(id_col)
+                )
+                .filter(F.col(id_col).isNotNull())
                 .distinct()
             )
             survivors = new.join(doomed, id_col, "left_anti")
             _append_batch_keyed(survivors, out_dir, batch_id)
+            leaf = f"{out_dir}/{BATCH_COL}={batch_id}"
+            if not _path_exists(spark, leaf):
+                # every new doc was a duplicate: the partitioned write
+                # of an empty frame creates no leaf, so there's nothing
+                # to re-read and nothing to append to the store.
+                new_sets.unpersist()
+                new_banded.unpersist()
+                return
             # derive the store writes from the survivors JUST WRITTEN
             # to disk, not from the survivors plan: that plan reads the
             # store (via the dup join), and on a replayed batch the
@@ -140,9 +205,8 @@ def run_dedup_stream(
             # plan would re-read if a cached partition were evicted —
             # a read-then-overwrite cycle (FAILED_READ_FILE). The
             # on-disk leaf is stable input.
-            surv_ids = (
-                spark.read.parquet(f"{out_dir}/{BATCH_COL}={batch_id}")
-                .select(F.col(id_col).alias("id"))
+            surv_ids = spark.read.parquet(leaf).select(
+                F.col(id_col).alias("id")
             )
             _append_batch_keyed(
                 new_sets.join(surv_ids, "id", "left_semi"),

@@ -174,9 +174,21 @@ class SessionProcessor(StatefulProcessor):
                 _F("seen_ms", _L())]),
         )
 
+    def _load(self):
+        """Current state as a 4-tuple; pads seen_ms=0 when restoring a
+        checkpoint written before the schema grew that field (a 0 makes
+        the next expired timer treat the session as idle-since-epoch,
+        i.e. closable — the pre-seen_ms behavior)."""
+        if not self.state.exists():
+            return None
+        cur = tuple(self.state.get())
+        if len(cur) == 3:
+            cur = (*cur, 0)
+        return cur
+
     def handleInputRows(self, key, rows, timer_values) -> "Iterator[pd.DataFrame]":
         (user,) = key
-        cur = self.state.get() if self.state.exists() else None
+        cur = self._load()
         start, last, n, _seen = cur if cur is not None else (None, None, 0, 0)
         closed: list[dict[str, Any]] = []
         ts_all = (
@@ -209,8 +221,9 @@ class SessionProcessor(StatefulProcessor):
     def handleExpiredTimer(self, key, timer_values, expired_timer_info):
         (user,) = key
         out = []
-        if self.state.exists():
-            start, last, n, seen_ms = self.state.get()
+        cur = self._load()
+        if cur is not None:
+            start, last, n, seen_ms = cur
             now_ms = timer_values.getCurrentProcessingTimeInMs()
             idle = self.idle_timeout_ms or 0
             if now_ms - seen_ms >= idle:

@@ -1020,3 +1020,21 @@ def test_component_survivors_by_keeps_highest_priority(spark):
         docs, comps, "doc_id", "quality").collect()}
     # cluster {1,2,3}: quality 9 tie between 2 and 3 -> min id 2 wins
     assert kept == {2, 10}
+
+
+def test_bucket_stats_uncapped_reports_zero_skips(spark):
+    """max_bucket_size=None means 'no cap': the dedup pipeline skips
+    nothing, so the stats must report zero (r2 advice: `n > (None or
+    0)` counted every non-empty bucket as oversize)."""
+    from chill_spark.llm_ops.dedup import minhash_bucket_stats
+
+    rows = [(i, "boiler plate terms of service page " * 8) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = minhash_bucket_stats(
+        df, "text", "doc_id", num_hashes=16, bands=8, max_bucket_size=10
+    )
+    assert capped["oversize_buckets"] > 0
+    uncapped = minhash_bucket_stats(
+        df, "text", "doc_id", num_hashes=16, bands=8, max_bucket_size=None
+    )
+    assert uncapped == {"oversize_buckets": 0, "oversize_members": 0}

@@ -952,3 +952,118 @@ def test_dedup_stream_replay_after_lost_commit(spark, stream_dirs):
         r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()
     )
     assert ids == [1, 2]
+
+
+def test_dedup_stream_all_duplicate_batch(spark, stream_dirs):
+    """A micro-batch where EVERY new doc is a near-dup of the stored
+    corpus produces zero survivors: the batch must complete (r2 advice:
+    the empty partitioned write creates no BATCH_PART leaf, and the
+    immediate re-read used to raise PATH_NOT_FOUND and kill the query),
+    append nothing, and leave the store untouched for the next batch."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "ad_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "ad_out")
+    store = os.path.join(base, "ad_store")
+    ckpt = os.path.join(base, "ad_ckpt")
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": body}) + "\n")
+
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out,
+        store_root=store, checkpoint_dir=ckpt,
+        threshold=0.5, num_hashes=16, bands=8, available_now=True,
+    )
+    drain(run_dedup_stream(spark, ind, **kw))
+
+    # wave 2: ONLY near-dups of doc 1 — zero survivors
+    near = " ".join(body.split()[:-2])
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": near}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": body}) + "\n")
+    drain(run_dedup_stream(spark, ind, **kw))
+
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+    ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert ids == {1}
+
+    # wave 3: the stream is still alive for genuinely new content
+    with open(os.path.join(ind, "w3.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 20, "text": "entirely fresh words appear in this one"}) + "\n")
+    drain(run_dedup_stream(spark, ind, **kw))
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 20}
+
+
+def test_dedup_stream_nonmonotonic_ids(spark, stream_dirs):
+    """Ids are NOT monotonic across batches (hash/uuid ids): a new doc
+    whose stored duplicate has a LARGER id must still be doomed —
+    append-only corpus means the stored side always wins (r2 advice:
+    min-id survivorship let the new doc through and permanently
+    admitted the pair)."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "nm_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "nm_out")
+    store = os.path.join(base, "nm_store")
+    ckpt = os.path.join(base, "nm_ckpt")
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    # stored doc gets the LARGE id
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1000, "text": body}) + "\n")
+
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out,
+        store_root=store, checkpoint_dir=ckpt,
+        threshold=0.5, num_hashes=16, bands=8, available_now=True,
+    )
+    drain(run_dedup_stream(spark, ind, **kw))
+
+    # new near-dup arrives with a SMALLER id + one fresh doc
+    near = " ".join(body.split()[:-2])
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 5, "text": near}) + "\n")
+        f.write(json.dumps({"doc_id": 6, "text": "brand new material with its own words"}) + "\n")
+    drain(run_dedup_stream(spark, ind, **kw))
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1000, 6}, got
+    ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert ids == {1000, 6}
+
+
+def test_dedup_stream_bootstraps_meta(spark, stream_dirs):
+    """A stream-created store gets a _meta.json on setup, so a later
+    consumer with mismatched sketch parameters fails fast instead of
+    silently finding zero candidates (r2 advice)."""
+    import json
+
+    import pytest
+
+    from chill_spark.llm_ops.incremental_dedup import check_sketch_meta
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "mt_in"); os.makedirs(ind, exist_ok=True)
+    store = os.path.join(base, "mt_store")
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "hello world of streams"}) + "\n")
+    drain(run_dedup_stream(
+        spark, ind, schema="doc_id BIGINT, text STRING",
+        out_dir=os.path.join(base, "mt_out"), store_root=store,
+        checkpoint_dir=os.path.join(base, "mt_ckpt"),
+        num_hashes=16, bands=8, available_now=True,
+    ))
+    assert os.path.exists(os.path.join(store, "_meta.json"))
+    check_sketch_meta(store, 16, 8, 5)  # matching params: fine
+    with pytest.raises(ValueError, match="zero dedup recall"):
+        check_sketch_meta(store, 32, 8, 5)
