@@ -84,9 +84,10 @@ def train_centroids(
     return cents
 
 
-def assign_centroid(vec_col: Column, centroids: np.ndarray) -> Column:
-    """Nearest-centroid id as a Column expression: array of
-    (distance, cid) structs -> array_min -> cid. No UDF."""
+def nearest_centroid(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest centroid as a (d, cid) struct Column: array of
+    (sq-distance, cid) structs -> array_min (ties -> smaller cid).
+    No UDF; the centroid matrix is inlined as literals."""
     entries = []
     for cid, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(v)) for v in c])
@@ -96,7 +97,38 @@ def assign_centroid(vec_col: Column, centroids: np.ndarray) -> Column:
             lambda acc, v: acc + v,
         )
         entries.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*entries))["cid"]
+    return F.array_min(F.array(*entries))
+
+
+def assign_centroid(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id as a Column expression."""
+    return nearest_centroid(vec_col, centroids)["cid"]
+
+
+def hash_seed_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Engine-portable deterministic k-means seeding: the k rows with
+    the smallest ``md5(CAST(id AS STRING))`` win (ties by id). md5 is
+    universal across engines, so — unlike farthest-point or
+    xxhash64-sampled init — a SQL oracle can re-derive the exact seeds
+    and replay the Lloyd iterations bit-for-bit (queries.
+    q_kmeans_clusters). Same TakeOrdered shape as train_centroids:
+    per-partition heap of k rows, no corpus shuffle."""
+    rows = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__i"),
+        )
+        .orderBy("__h", "__i")
+        .limit(k)
+        .collect()
+    )
+    return np.array([r["__v"] for r in rows], dtype=np.float64)
 
 
 def build_ivf(
@@ -171,6 +203,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 16,
     iters: int = 5,
+    init_centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd's iterations: assignment runs on executors as
     a Column expression (``assign_centroid``), and each round reduces
@@ -184,7 +217,14 @@ def kmeans_fit(
     clusters). This is the 100 TB-correct
     shape: the data never leaves executors, the model (k x dim floats)
     is the only driver state — unlike ``train_centroids`` it needs no
-    representative driver-side sample."""
+    representative driver-side sample.
+
+    ``init_centroids`` overrides the farthest-point init with explicit
+    seeds (e.g. ``hash_seed_centroids`` for an engine-portable,
+    SQL-replayable run)."""
+    if init_centroids is not None:
+        cents = np.asarray(init_centroids, dtype=np.float64).copy()
+        return _lloyd_iterate(df, vec_col, cents, iters)
     v0 = F.col(vec_col).cast("array<double>")
     sample_n = max(64, 8 * k)
     samp = np.array(
@@ -212,6 +252,15 @@ def kmeans_fit(
         chosen.append(nxt)
         d2 = np.minimum(d2, ((samp - samp[nxt]) ** 2).sum(1))
     cents = samp[chosen].copy()
+    return _lloyd_iterate(df, vec_col, cents, iters)
+
+
+def _lloyd_iterate(
+    df: DataFrame, vec_col: str, cents: np.ndarray, iters: int
+) -> np.ndarray:
+    """The distributed Lloyd loop shared by both init modes: executor-
+    side assignment, k*dim partial sums to the driver, empty clusters
+    keep their previous centroid."""
     counts_sql = F.count(F.lit(1)).alias("n")
     for _ in range(iters):
         assigned = df.select(

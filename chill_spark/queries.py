@@ -3100,22 +3100,112 @@ def q_token_budget_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_kmeans_clusters")  # rows-only: iterative float means are not
-# stably hashable across engines (summation order); the driver checks
-# rows>0 and the unit test checks exact recovery on planted clusters.
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """DuckDB replay of the full distributed Lloyd run: the same
+    md5-hash seeding, then each iteration unrolled as (assign under
+    previous means -> per-dim avg, empty clusters keep their
+    centroid), then a final assignment under the trained centroids.
+    Discrete decisions (seed choice, argmin assignment) are exact
+    across engines; the float means differ only by summation order
+    (~1e-14), absorbed by round(..., 6)."""
+    ctes = [
+        f"""seeds AS (
+  SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cid, c
+  FROM (
+    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id,
+           embedding::DOUBLE[] AS c
+    FROM embeddings ORDER BY h, vec_id LIMIT {k}
+  )
+)""",
+        """pts AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+)""",
+        """m0 AS (
+  SELECT cid, generate_subscripts(c, 1) AS pos, unnest(c) AS m FROM seeds
+)""",
+    ]
+    for i in range(1, iters + 2):  # one extra: the output assignment
+        prev = f"m{i - 1}"
+        ctes.append(f"""d{i} AS (
+  SELECT p.vec_id, m.cid, sum((p.x - m.m) * (p.x - m.m)) AS d2
+  FROM pts p JOIN {prev} m USING (pos)
+  GROUP BY p.vec_id, m.cid
+)""")
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)""")
+        if i <= iters:
+            ctes.append(f"""u{i} AS (
+  SELECT a.cid, p.pos, avg(p.x) AS m
+  FROM a{i} a JOIN pts p USING (vec_id)
+  GROUP BY a.cid, p.pos
+)""")
+            ctes.append(f"""m{i} AS (
+  SELECT prev.cid, prev.pos, coalesce(u.m, prev.m) AS m
+  FROM {prev} prev LEFT JOIN u{i} u ON u.cid = prev.cid AND u.pos = prev.pos
+)""")
+    last_a, last_m = f"a{iters + 1}", f"m{iters}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT a.cid AS cluster, count(*)::BIGINT AS n_points,
+       round(avg(a.d2), 6) AS mean_d2,
+       round(n.norm, 6) AS centroid_norm
+FROM {last_a} a
+JOIN (SELECT cid, sqrt(sum(m * m)) AS norm FROM {last_m} GROUP BY cid) n
+  USING (cid)
+GROUP BY a.cid, n.norm
+ORDER BY cluster
+"""
+    )
+
+
+@query("q_kmeans_clusters", oracle=_kmeans_oracle_sql(k=8, iters=3))
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings table: executor
     -side assignment (Column expression), per-(cluster,dim) partial
-    sums to the driver — the scalable IVF-centroid trainer. Returns
-    cluster sizes + mean vector norm per cluster."""
-    from .llm_ops.similarity import assign_centroid, kmeans_fit
+    sums to the driver — the scalable IVF-centroid trainer.
+
+    Hash-checked end-to-end (r2 verdict item 2): seeding is the
+    engine-portable md5 draw (hash_seed_centroids), so the oracle
+    re-derives the seeds and replays every Lloyd iteration in SQL —
+    the driver verifies cluster membership counts, mean squared
+    distance, and the trained centroid norms, not just row counts.
+    kmeans_fit's production farthest-point init stays unit-tested
+    (planted-cluster recovery + partition invariance)."""
+    import numpy as np
+
+    from .llm_ops.similarity import (
+        hash_seed_centroids,
+        kmeans_fit,
+        nearest_centroid,
+    )
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    cents = kmeans_fit(emb, "embedding", k=8, iters=3)
+    seeds = hash_seed_centroids(emb, k=8)
+    cents = kmeans_fit(emb, "embedding", k=8, iters=3, init_centroids=seeds)
+    near = nearest_centroid(F.col("embedding"), cents)
+    norms = [float(np.sqrt((c * c).sum())) for c in cents]
     return (
-        emb.select(assign_centroid(F.col("embedding"), cents).alias("cluster"))
+        emb.select(near["cid"].alias("cluster"), near["d"].alias("d2"))
         .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_points"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("d2"), 6).alias("mean_d2"),
+        )
+        .withColumn(
+            "centroid_norm",
+            F.round(
+                F.element_at(
+                    F.array(*[F.lit(x) for x in norms]), F.col("cluster") + 1
+                ),
+                6,
+            ),
+        )
         .orderBy("cluster")
     )
 
@@ -4583,14 +4673,102 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bpe_merges")
+def _bpe_merge_stage_sql(i: int) -> str:
+    """One unrolled BPE merge iteration as DuckDB CTEs: pair counts
+    over the previous symbol state, best pair (ties lexicographic,
+    matching bpe_train's ORDER BY n DESC, a, b), then the greedy
+    left-to-right non-overlapping application. Greediness is the only
+    subtle part: a match at position p and p+1 can coexist only when
+    left==right (runs of one symbol), so runs of consecutive match
+    positions take every ODD offset — window functions, no recursion.
+    MATERIALIZED is load-bearing: DuckDB inlines CTEs by default and
+    the chained stages would re-expand exponentially."""
+    prev = f"state{i - 1}"
+    return f"""pos{i} AS MATERIALIZED (
+  SELECT s.id, s.freq, unnest(s.syms) AS sym,
+         generate_subscripts(s.syms, 1) AS pos
+  FROM {prev} s
+),
+pc{i} AS (
+  SELECT a, b, sum(freq)::BIGINT AS n FROM (
+    SELECT freq, sym AS a,
+           lead(sym) OVER (PARTITION BY id ORDER BY pos) AS b
+    FROM pos{i}
+  ) WHERE b IS NOT NULL GROUP BY a, b
+),
+best{i} AS MATERIALIZED (
+  SELECT {i - 1}::INT AS rank, a, b, n
+  FROM pc{i} ORDER BY n DESC, a, b LIMIT 1
+),
+mrk{i} AS (
+  SELECT p.id, p.freq, p.sym, p.pos, bb.a, bb.b,
+         coalesce(
+           p.sym = bb.a
+           AND lead(p.sym) OVER (PARTITION BY p.id ORDER BY p.pos) = bb.b,
+           FALSE) AS m
+  FROM pos{i} p CROSS JOIN best{i} bb
+),
+grd{i} AS (
+  SELECT *, CASE WHEN m THEN
+    pos - row_number() OVER (PARTITION BY id, m ORDER BY pos) END AS rg
+  FROM mrk{i}
+),
+st{i} AS (
+  SELECT *, m AND (
+    row_number() OVER (PARTITION BY id, m, rg ORDER BY pos) % 2 = 1
+  ) AS start
+  FROM grd{i}
+),
+state{i} AS MATERIALIZED (
+  SELECT id, max(freq) AS freq,
+         list(CASE WHEN start THEN a || b ELSE sym END ORDER BY pos) AS syms
+  FROM (
+    SELECT *, lag(start) OVER (PARTITION BY id ORDER BY pos) AS pstart
+    FROM st{i}
+  )
+  WHERE NOT coalesce(pstart, FALSE)
+  GROUP BY id
+)"""
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Full BPE training replay (r2 verdict item 3): the word-frequency
+    table, then ``n_merges`` unrolled merge stages; the final WHERE
+    n >= 2 mirrors bpe_train's early break (best-pair frequency is
+    non-increasing across merges, so a global filter equals the loop
+    break)."""
+    head = """words AS (
+  SELECT w, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0 GROUP BY w
+),
+state0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY w) AS id, freq,
+         list_append(string_split(w, ''), '</w>') AS syms
+  FROM words
+)"""
+    ctes = [head] + [_bpe_merge_stage_sql(i) for i in range(1, n_merges + 1)]
+    union = " UNION ALL ".join(
+        f"SELECT * FROM best{i}" for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT rank, a AS "left", b AS "right", n AS pair_freq
+FROM ({union}) WHERE n >= 2 ORDER BY rank"""
+    )
+
+
+@query("q_bpe_merges", oracle=_bpe_oracle_sql(10))
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary induction (Sennrich et al. 2016) over the
     documents corpus: one corpus pass builds the word-frequency table,
     then each of 10 merge iterations is a small pair-count shuffle over
-    the vocab + a pure-Column greedy merge fold. Rows-only (iterative
-    driver loop, not SQL-expressible); merge correctness is unit-tested
-    on the classic corpus."""
+    the vocab + a pure-Column greedy merge fold. Hash-checked: the
+    oracle replays the whole training loop (tokenize -> 10 unrolled
+    greedy merge stages) in SQL, so every learned (left, right,
+    pair_freq) is verified, not just row counts."""
     from .llm_ops.bpe import bpe_train
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
