@@ -572,6 +572,37 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def hyperplane_vectors(
+    dim: int, planes: int, bands: int = 1, seed: int = 42
+) -> list[list[list[float]]]:
+    """bands x planes x dim deterministic gaussian hyperplanes from one
+    seeded RNG stream. Plain floats (not engine state), so a SQL
+    oracle can inline the identical planes and replay the bucketing;
+    with bands=1 the stream matches the original single-band layout."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+        for _ in range(bands)
+    ]
+
+
+def _hyperplane_bucket(v: Column, plane_vecs: list[list[float]]) -> Column:
+    """Sign-bit bucket id of ``v`` (array<double>) under the given
+    planes: bit i = (v . plane_i >= 0)."""
+    bucket = None
+    for i, p in enumerate(plane_vecs):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str,
@@ -584,25 +615,19 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine: random-hyperplane LSH bucket
     (sign bits of dot products with ``planes`` fixed random vectors)
-    -> in-bucket pair expansion (one shuffle) -> exact cosine verify."""
-    import random
+    -> in-bucket pair expansion (one shuffle) -> exact cosine verify.
 
-    rng = random.Random(seed)
+    Single-table blocking: a pair is found only if it agrees on ALL
+    ``planes`` sign bits, so recall at a given cosine threshold decays
+    as (1 - angle/pi)^planes. Use ``embedding_near_dups_banded`` when
+    recall matters — this variant remains for the cheapest
+    one-shuffle screen."""
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = first["d"] if first else 0
-    plane_lits = [
-        F.array(*[F.lit(rng.gauss(0, 1)) for _ in range(dim)]) for _ in range(planes)
-    ]
     v = F.col(vec_col)
-    bucket = None
-    for i, p in enumerate(plane_lits):
-        dot = F.aggregate(
-            F.zip_with(v.cast("array<double>"), p, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i)
-        bucket = bit if bucket is None else bucket + bit
+    bucket = _hyperplane_bucket(
+        v.cast("array<double>"), hyperplane_vectors(dim, planes, 1, seed)[0]
+    )
     h = df.select(
         F.col(id_col).alias("id"),
         v.cast("array<double>").alias("v"),
@@ -610,6 +635,57 @@ def embedding_near_dups(
     )
     pairs = pairs_within_buckets(
         h, ["bkt"], "id", payload_cols=["v"], dedup_pairs=False,
+        max_bucket_size=max_bucket_size, observation=observation,
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine_sim(F.col("v_a"), F.col("v_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dups_banded(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: int = 6,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    observation=None,
+) -> DataFrame:
+    """Multi-band hyperplane LSH (the recall-bearing scale path, same
+    shape as MinHash banding): ``bands`` independent plane sets; a
+    pair becomes a candidate when it collides in ANY band, lifting
+    recall from p^planes to 1-(1-p^planes)^bands for per-plane
+    agreement p. One explode to (band, bucket) keys -> one shuffle ->
+    in-bucket pair expansion -> cross-band dedup -> exact cosine
+    verify. Verified pairs are exact cosines, so banding only ever
+    ADDS true pairs; the recall floor vs the all-pairs baseline is
+    pinned in tests/test_llm_ops.py."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    allv = hyperplane_vectors(dim, planes, bands, seed)
+    v = F.col(vec_col).cast("array<double>")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"), _hyperplane_bucket(v, allv[b]).alias("bkt")
+        )
+        for b in range(bands)
+    ]
+    h = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(
+        "id", "v", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt")
+    )
+    pairs = pairs_within_buckets(
+        h, ["band", "bkt"], "id", payload_cols=["v"], dedup_pairs=True,
         max_bucket_size=max_bucket_size, observation=observation,
     )
     return (

@@ -1252,72 +1252,113 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_planes_sql(planes: int = 6, dim: int = 64, seed: int = 42) -> str:
-    """The hyperplane-LSH bucket expression with the SAME plane
-    literals embedding_near_dups derives from its seeded RNG (planes
-    are deterministic floats, not engine state, so the oracle inlines
+def _lsh_bucket_sql(plane_vecs: list[list[float]]) -> str:
+    """Sign-bit bucket expression over the given inlined planes —
+    identical math to dedup._hyperplane_bucket (planes are
+    deterministic floats, not engine state, so the oracle inlines
     them; testdata embeddings are 64-dim at every sf)."""
-    import random
-
-    rng = random.Random(seed)
-    vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
     terms = [
         "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
-        f"[{', '.join(repr(x) for x in v)}]) >= 0 THEN {2 ** i} ELSE 0 END)"
-        for i, v in enumerate(vecs)
+        f"[{', '.join(repr(float(x)) for x in v)}]) >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, v in enumerate(plane_vecs)
     ]
     return " + ".join(terms)
 
 
-@query(
-    "q_embedding_near_dups_lsh",
-    oracle=f"""
-    WITH b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               {_lsh_planes_sql(planes=6)} AS bkt
-        FROM embeddings
+def _lsh_banded_oracle_sql(
+    planes: int = 6, bands: int = 8, dim: int = 64, seed: int = 42,
+    threshold: float = 0.4, cap: int = 1000,
+) -> str:
+    """Multi-band replay: per-band bucket assignment (same seeded RNG
+    stream as hyperplane_vectors), per-(band,bucket) cap, candidate
+    union with cross-band DISTINCT, exact cosine verify."""
+    from .llm_ops.dedup import hyperplane_vectors
+
+    allv = hyperplane_vectors(dim, planes, bands, seed)
+    band_sel = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_lsh_bucket_sql(allv[b])} AS bkt "
+        "FROM embeddings"
+        for b in range(bands)
+    )
+    return f"""
+    WITH b AS MATERIALIZED (
+        {band_sel}
     ),
-    ok AS (SELECT bkt FROM b GROUP BY bkt HAVING count(*) BETWEEN 2 AND 1000)
-    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-           round(list_cosine_similarity(a.v, c.v), 6) AS cosine
-    FROM b a
-    JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
-    JOIN ok ON ok.bkt = a.bkt
-    WHERE list_cosine_similarity(a.v, c.v) >= 0.4
+    ok AS (
+        SELECT band, bkt FROM b GROUP BY band, bkt
+        HAVING count(*) BETWEEN 2 AND {cap}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a
+        JOIN b c ON a.band = c.band AND a.bkt = c.bkt AND a.vec_id < c.vec_id
+        JOIN ok ON ok.band = a.band AND ok.bkt = a.bkt
+    )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(
+               x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cosine
+    FROM cand
+    JOIN embeddings x ON x.vec_id = cand.id_a
+    JOIN embeddings y ON y.vec_id = cand.id_b
+    WHERE list_cosine_similarity(
+        x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= {threshold}
     ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@query("q_embedding_near_dups_lsh", oracle=_lsh_banded_oracle_sql())
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-dup path: sign-bit bucket -> equi-join
-    within bucket -> exact cosine verify. At 100 TB the bucket join
-    replaces the quadratic pair space. The planes are seeded
-    deterministic literals, so the oracle replays bucketing + verify
-    with the identical hyperplanes (r1 had this rows-only)."""
-    from .llm_ops.dedup import embedding_near_dups
+    """Multi-band random-hyperplane LSH near-dup path: 8 independent
+    6-plane sign-bit bucketings; a pair is a candidate when it
+    collides in ANY band (same banding shape as MinHash). At 100 TB
+    the bucket join replaces the quadratic pair space. Banded because
+    a single 6-bit blocking recovers only ~9% of the true pairs at
+    this corpus's cosine>=0.4 operating point vs ~46% for 8 bands
+    (recall floor pinned in tests/test_llm_ops.py; planted
+    high-cosine pairs recover at ~99%). The planes are seeded
+    deterministic literals, so the oracle replays the full
+    bucket->cap->union->verify pipeline with identical hyperplanes."""
+    from .llm_ops.dedup import embedding_near_dups_banded
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return (
-        embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4, planes=6)
+        embedding_near_dups_banded(
+            emb, "embedding", "vec_id", threshold=0.4, planes=6, bands=8
+        )
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 
 
-@query(
-    "q_embedding_dedup_cc",
-    oracle=f"""
-    WITH RECURSIVE b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               {_lsh_planes_sql(planes=6)} AS bkt
-        FROM embeddings
+def _embedding_cc_oracle_sql(
+    planes: int = 6, bands: int = 8, dim: int = 64, seed: int = 42,
+    threshold: float = 0.4, cap: int = 1000,
+) -> str:
+    from .llm_ops.dedup import hyperplane_vectors
+
+    allv = hyperplane_vectors(dim, planes, bands, seed)
+    band_sel = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_lsh_bucket_sql(allv[b])} AS bkt "
+        "FROM embeddings"
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE b AS MATERIALIZED (
+        {band_sel}
     ),
-    ok AS (SELECT bkt FROM b GROUP BY bkt HAVING count(*) BETWEEN 2 AND 1000),
+    ok AS (
+        SELECT band, bkt FROM b GROUP BY band, bkt
+        HAVING count(*) BETWEEN 2 AND {cap}
+    ),
     pairs AS (
-        SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
         FROM b a
-        JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
-        JOIN ok ON ok.bkt = a.bkt
-        WHERE list_cosine_similarity(a.v, c.v) >= 0.4
+        JOIN b c ON a.band = c.band AND a.bkt = c.bkt AND a.vec_id < c.vec_id
+        JOIN ok ON ok.band = a.band AND ok.bkt = a.bkt
+        JOIN embeddings x ON x.vec_id = a.vec_id
+        JOIN embeddings y ON y.vec_id = c.vec_id
+        WHERE list_cosine_similarity(
+            x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= {threshold}
     ),
     sym AS (SELECT id_a AS a, id_b AS b FROM pairs
             UNION SELECT id_b, id_a FROM pairs),
@@ -1331,19 +1372,24 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id FROM embeddings
     WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != component)
     ORDER BY vec_id
-    """,
-)
+    """
+
+
+@query("q_embedding_dedup_cc", oracle=_embedding_cc_oracle_sql())
 def q_embedding_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive embedding dedup: hyperplane-LSH candidate pairs ->
-    exact cosine verify -> connected-components closure -> min-id
-    survivor per semantic cluster — the embedding-modality twin of
-    q_dedup_minhash_cc. Fully oracle-replayed (seeded plane literals
-    + recursive CTE closure)."""
+    """Transitive embedding dedup: multi-band hyperplane-LSH candidate
+    pairs -> exact cosine verify -> connected-components closure ->
+    min-id survivor per semantic cluster — the embedding-modality twin
+    of q_dedup_minhash_cc. Banded for the same recall reasons as
+    q_embedding_near_dups_lsh. Fully oracle-replayed (seeded plane
+    literals + recursive CTE closure)."""
     from .llm_ops.components import component_survivors, connected_components
-    from .llm_ops.dedup import embedding_near_dups
+    from .llm_ops.dedup import embedding_near_dups_banded
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    pairs = embedding_near_dups(emb, "embedding", "vec_id", threshold=0.4, planes=6)
+    pairs = embedding_near_dups_banded(
+        emb, "embedding", "vec_id", threshold=0.4, planes=6, bands=8
+    )
     comps = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
     return (
         component_survivors(emb, comps, "vec_id")

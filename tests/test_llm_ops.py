@@ -1038,3 +1038,87 @@ def test_bucket_stats_uncapped_reports_zero_skips(spark):
         df, "text", "doc_id", num_hashes=16, bands=8, max_bucket_size=None
     )
     assert uncapped == {"oversize_buckets": 0, "oversize_members": 0}
+
+
+def test_banded_lsh_recall_at_design_point(spark):
+    """Multi-band hyperplane LSH at its designed operating point
+    (cosine >= 0.9 near-dups): planted perturbation pairs must be
+    recovered at >= 90% recall with 8 bands x 8 planes (analytically
+    ~0.99: per-plane agreement p = 1 - angle/pi ~ 0.9, band hit
+    p^8 ~ 0.43, any-of-8 ~ 0.99). Deterministic: fixed numpy seed +
+    fixed plane seed."""
+    import numpy as np
+
+    from chill_spark.llm_ops.dedup import embedding_near_dups_banded
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(100, 32))
+    rows, expected = [], set()
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        dup = v + 0.1 * rng.normal(size=32)  # cosine ~ 0.98
+        cos = float(np.dot(v, dup) / (np.linalg.norm(v) * np.linalg.norm(dup)))
+        rows.append((1000 + i, [float(x) for x in dup]))
+        if cos >= 0.9:
+            expected.add((i, 1000 + i))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_banded(
+            df, "embedding", "vec_id", threshold=0.9, planes=8, bands=8
+        ).collect()
+    }
+    assert len(expected) >= 90  # the plant worked
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.9, f"recall {recall:.3f} of {len(expected)} planted pairs"
+    # every reported pair is exact-verified, so no false positives
+    # below the threshold can appear by construction of the verify step
+
+
+def test_banded_lsh_beats_single_band_on_corpus(spark, sf_dir):
+    """On the synthetic corpus (true pairs at cosine 0.4-0.6, a HARD
+    regime for sign-bit LSH), banding must lift recall well above the
+    single 6-bit blocking: measured 27/59 vs 5/59. Floors pinned
+    below the measured values so plane-count tweaks fail loudly, not
+    silently."""
+    from chill_spark.llm_ops.dedup import (
+        cosine_sim,
+        embedding_near_dups,
+        embedding_near_dups_banded,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    h = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a, b = h.alias("a"), h.alias("b")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    }
+    assert exact
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            emb, "embedding", "vec_id", 0.4, planes=6
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_banded(
+            emb, "embedding", "vec_id", 0.4, planes=6, bands=8
+        ).collect()
+    }
+    assert banded <= exact and single <= exact  # verify step is exact
+    r_single = len(single) / len(exact)
+    r_banded = len(banded) / len(exact)
+    assert r_banded >= 0.3, f"banded recall {r_banded:.3f}"
+    assert r_banded > 2 * r_single, (r_banded, r_single)
