@@ -40,6 +40,18 @@ from .dedup import (
 )
 
 
+# partition column for the optional hash-bucketed banded layout
+BUCKET_PART_COL = "BKT_PART"
+
+
+def bucket_part_expr(n: int, bucket_col: str = "bucket"):
+    """Stable hash-partition id for a band bucket: pmod(xxhash64, n).
+    The SAME expression derives the touched-partition list at query
+    time, so the store scan prunes at PLANNING time (PartitionFilters),
+    not scan time."""
+    return F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n)).cast("int")
+
+
 def write_sketch_store(
     df: DataFrame,
     text_col: str,
@@ -50,6 +62,7 @@ def write_sketch_store(
     shingle_k: int = 5,
     portable: bool = False,
     mode: str = "overwrite",
+    bucket_partitions: int | None = None,
 ) -> None:
     """Materialize the sketch layer for ``df`` (one shingling pass —
     the sets feed the banded signatures).
@@ -57,7 +70,13 @@ def write_sketch_store(
     Written under a ``BATCH_PART=-1`` leaf so the layout is identical
     to what a streaming maintainer (run_dedup_stream) appends —
     partition discovery rejects mixed flat/nested trees, so a
-    bootstrap store must match the stream's batch-keyed shape."""
+    bootstrap store must match the stream's batch-keyed shape.
+
+    ``bucket_partitions=N`` hash-partitions the banded side by
+    ``BKT_PART = pmod(xxhash64(bucket), N)``: an incremental consumer
+    then lists/reads only the partitions its batch touches (planning-
+    time pruning) instead of filtering a full scan. Recorded in
+    ``_meta.json`` so every later writer/reader agrees on N."""
     import json
     import os
 
@@ -69,7 +88,14 @@ def write_sketch_store(
         df, text_col, id_col, num_hashes, bands, shingle_k,
         sets_df=sets_df, portable=portable,
     )
-    banded.write.mode(mode).parquet(f"{root}/banded/{BATCH_COL}=-1")
+    w = banded
+    if bucket_partitions:
+        w = w.withColumn(BUCKET_PART_COL, bucket_part_expr(bucket_partitions))
+        w.write.mode(mode).partitionBy(BUCKET_PART_COL).parquet(
+            f"{root}/banded/{BATCH_COL}=-1"
+        )
+    else:
+        w.write.mode(mode).parquet(f"{root}/banded/{BATCH_COL}=-1")
     # record the sketch parameters: signatures built with different
     # num_hashes/bands/shingle_k produce disjoint band buckets, so a
     # mismatched consumer would silently find ZERO candidates — make
@@ -77,8 +103,24 @@ def write_sketch_store(
     with open(os.path.join(root, "_meta.json"), "w") as f:
         json.dump(
             {"num_hashes": num_hashes, "bands": bands,
-             "shingle_k": shingle_k, "portable": portable}, f,
+             "shingle_k": shingle_k, "portable": portable,
+             "bucket_partitions": bucket_partitions}, f,
         )
+
+
+#: the parameters that decide whether two sketch runs can match at all
+_CORE_META = ("num_hashes", "bands", "shingle_k", "portable")
+
+
+def read_sketch_meta(root: str) -> dict | None:
+    import json
+    import os
+
+    path = os.path.join(root, "_meta.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def check_sketch_meta(
@@ -90,21 +132,19 @@ def check_sketch_meta(
 ) -> None:
     """Fail fast when a sketch store was built with different
     parameters than the consumer is about to use (bucket keys would
-    never collide -> silent zero recall). No-op when the store has no
-    meta file (pre-meta stores / empty roots)."""
-    import json
-    import os
-
-    path = os.path.join(root, "_meta.json")
-    if not os.path.exists(path):
+    never collide -> silent zero recall). Only the signature-shaping
+    keys are compared — layout keys like bucket_partitions affect
+    where rows live, not what they hash to. No-op when the store has
+    no meta file (pre-meta stores / empty roots)."""
+    meta = read_sketch_meta(root)
+    if meta is None:
         return
-    with open(path) as f:
-        meta = json.load(f)
     mine = {"num_hashes": num_hashes, "bands": bands,
             "shingle_k": shingle_k, "portable": portable}
-    if meta != mine:
+    core = {k: meta.get(k) for k in _CORE_META}
+    if core != mine:
         raise ValueError(
-            f"sketch store at {root} was built with {meta}, "
+            f"sketch store at {root} was built with {core}, "
             f"but this run uses {mine} — band buckets would never "
             "match (zero dedup recall); rebuild the store or align "
             "the parameters"
@@ -130,6 +170,7 @@ def incremental_candidates(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     observation=None,
     broadcast_touched: bool = True,
+    bucket_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate pairs touching at least one NEW doc: new×new and
     new×old within shared buckets, never old×old (those were expanded
@@ -151,7 +192,28 @@ def incremental_candidates(
     every executor. For a BULK increment (multi-million-doc crawl) the
     key set can exceed driver memory / Spark's 8 GB broadcast cap:
     pass False and AQE picks the join strategy at runtime (a small
-    batch still converts to broadcast adaptively)."""
+    batch still converts to broadcast adaptively).
+
+    ``bucket_partitions``: when the store's banded side is hash-
+    partitioned by BKT_PART (write_sketch_store), pass the store's N
+    (from _meta.json) — the touched partition ids are collected from
+    the new batch (<= N ints) and applied as an isin filter on the
+    partition column, so the store scan prunes at PLANNING time:
+    untouched partition directories are never even listed."""
+    if bucket_partitions and BUCKET_PART_COL in old_banded.columns:
+        mods = [
+            r["m"]
+            for r in new_banded.select(
+                bucket_part_expr(bucket_partitions).alias("m")
+            )
+            .distinct()
+            .collect()
+        ]
+        old_banded = old_banded.filter(
+            F.col(BUCKET_PART_COL).isin(mods)
+        ).drop(BUCKET_PART_COL)
+    elif BUCKET_PART_COL in old_banded.columns:
+        old_banded = old_banded.drop(BUCKET_PART_COL)
     touched = new_banded.select("band", "bucket").distinct()
     if broadcast_touched:
         touched = F.broadcast(touched)
@@ -218,6 +280,7 @@ def incremental_minhash_dups(
     banded_df: DataFrame | None = None,
     observation=None,
     broadcast_touched: bool = True,
+    bucket_partitions: int | None = None,
 ) -> DataFrame:
     """Verified duplicate pairs (id_a < id_b, jaccard) between the new
     batch and (itself ∪ the stored corpus). Equals the batch pipeline's
@@ -246,6 +309,7 @@ def incremental_minhash_dups(
     cands = incremental_candidates(
         new_banded, old_banded, max_bucket_size=max_bucket_size,
         observation=observation, broadcast_touched=broadcast_touched,
+        bucket_partitions=bucket_partitions,
     )
     # a replayed batch's ids exist on BOTH sides; keep exactly one
     # sketch per id or the verify join fans out per duplicate row. The
@@ -259,3 +323,70 @@ def incremental_minhash_dups(
         new_df, cands, text_col, id_col, shingle_k, threshold,
         sets_df=all_sets,
     )
+
+
+def compact_sketch_store(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Collapse a multi-batch sketch store to one ``BATCH_PART=-1``
+    leaf per side.
+
+    A streaming maintainer (run_dedup_stream) appends one
+    ``BATCH_PART=<id>`` leaf per micro-batch; after 10^4-10^5 batches
+    that is the classic small-file / partition-listing pathology —
+    every incremental run pays a driver-side listing of every leaf
+    ever written. Compaction rewrites each side in
+    ceil(bytes/target_file_bytes) files (banded keeps its BKT_PART
+    hash-partitioning when present, so planning-time pruning
+    survives). Same discipline as compact_partitions for fact tables:
+    run it only when no stream is writing the store — after the
+    collapse a replayed micro-batch would land beside the compacted
+    leaf instead of overwriting its original one.
+
+    Returns {side: files_after}. Rewrite is write-new-then-swap: the
+    compacted copy is fully written to ``<side>__compacting`` before
+    the old directory is removed, so a crash mid-compaction leaves
+    the original store intact."""
+    import math
+    import os
+    import shutil
+
+    from ..operators.writers import BATCH_COL
+
+    done: dict[str, int] = {}
+    for side in ("sets", "banded"):
+        src = os.path.join(root, side)
+        if not os.path.isdir(src):
+            continue
+        files = [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(src).drop(BATCH_COL)
+        tmp = os.path.join(root, f"{side}__compacting")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # leftover from a crashed run
+        leaf = os.path.join(tmp, f"{BATCH_COL}=-1")
+        if side == "banded" and BUCKET_PART_COL in df.columns:
+            (
+                df.repartition(n_files, BUCKET_PART_COL)
+                .write.partitionBy(BUCKET_PART_COL)
+                .parquet(leaf)
+            )
+        else:
+            df.repartition(n_files).write.parquet(leaf)
+        shutil.rmtree(src)
+        os.rename(tmp, src)
+        done[side] = sum(
+            1
+            for d, _, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    return done

@@ -81,12 +81,15 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
-def _append_batch_keyed(df: DataFrame, path: str, batch_id: int) -> None:
+def _append_batch_keyed(
+    df: DataFrame, path: str, batch_id: int,
+    extra_partition_cols: list[str] | None = None,
+) -> None:
     (
         df.withColumn(BATCH_COL, F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BATCH_COL)
+        .partitionBy(BATCH_COL, *(extra_partition_cols or []))
         .parquet(path)
     )
 
@@ -120,10 +123,20 @@ def run_dedup_stream(
     if quarantine_dir is None:
         quarantine_dir = f"{out_dir}/_quarantine"
 
-    from ..llm_ops.incremental_dedup import check_sketch_meta
+    from ..llm_ops.incremental_dedup import (
+        BUCKET_PART_COL,
+        bucket_part_expr,
+        check_sketch_meta,
+        read_sketch_meta,
+    )
 
     check_sketch_meta(store_root, num_hashes, bands, shingle_k)
     _ensure_sketch_meta(store_root, num_hashes, bands, shingle_k)
+    meta = read_sketch_meta(store_root) or {}
+    # a bucket-partitioned store (write_sketch_store bucket_partitions=N)
+    # must be appended to in the same layout, and lets the per-batch
+    # store scan prune untouched BKT_PART directories at planning time
+    bkt_n = meta.get("bucket_partitions")
 
     src = read_jsonl_stream(spark, input_dir, schema)
 
@@ -151,6 +164,7 @@ def run_dedup_stream(
                 new, old_sets, old_banded, text_col, id_col,
                 threshold=threshold, num_hashes=num_hashes, bands=bands,
                 shingle_k=shingle_k, sets_df=new_sets, banded_df=new_banded,
+                bucket_partitions=bkt_n,
             )
             # Survivorship: stored docs are never retroactively removed
             # (append-only corpus contract), so a new doc dies when it
@@ -212,9 +226,14 @@ def run_dedup_stream(
                 new_sets.join(surv_ids, "id", "left_semi"),
                 f"{store_root}/sets", batch_id,
             )
+            banded_out = new_banded.join(surv_ids, "id", "left_semi")
+            if bkt_n:
+                banded_out = banded_out.withColumn(
+                    BUCKET_PART_COL, bucket_part_expr(bkt_n)
+                )
             _append_batch_keyed(
-                new_banded.join(surv_ids, "id", "left_semi"),
-                f"{store_root}/banded", batch_id,
+                banded_out, f"{store_root}/banded", batch_id,
+                extra_partition_cols=[BUCKET_PART_COL] if bkt_n else None,
             )
             new_sets.unpersist()
             new_banded.unpersist()

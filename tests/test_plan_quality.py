@@ -399,3 +399,72 @@ def test_incremental_candidates_prunes_store_before_shuffle(spark):
     # not counted by this pattern — the corpus-sized store side never
     # feeds a plain Exchange before its semi-join prune
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_bucket_partitioned_store_prunes_at_planning_time(spark, tmp_path):
+    """A BKT_PART-hash-partitioned banded store restricts the
+    incremental scan to TOUCHED partition directories at planning
+    time: the scan's PartitionFilters carry the BKT_PART predicate and
+    untouched leaves never enter the plan (inputFiles shrinks). The
+    pruned run returns the identical duplicate pairs as a flat
+    store."""
+    from chill_spark.llm_ops.incremental_dedup import (
+        BUCKET_PART_COL,
+        incremental_minhash_dups,
+        read_sketch_meta,
+        read_sketch_store,
+        write_sketch_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"totally unique document number {i} " * 6) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    flat_root = str(tmp_path / "flat")
+    part_root = str(tmp_path / "parted")
+    write_sketch_store(docs, "text", "doc_id", flat_root, num_hashes=16, bands=8)
+    write_sketch_store(
+        docs, "text", "doc_id", part_root, num_hashes=16, bands=8,
+        bucket_partitions=64,
+    )
+    assert read_sketch_meta(part_root)["bucket_partitions"] == 64
+
+    # ONE new doc -> at most 8 touched (band, bucket) keys -> at most
+    # 8 of the 64 hash partitions enter the plan
+    new = spark.createDataFrame(
+        [(100, "totally unique document number 7 " * 6)],
+        ["doc_id", "text"],
+    )
+    kw = dict(threshold=0.5, num_hashes=16, bands=8)
+    _, flat_banded = read_sketch_store(spark, flat_root)
+    psets, pbanded = read_sketch_store(spark, part_root)
+    assert BUCKET_PART_COL in pbanded.columns
+
+    flat_sets, _ = read_sketch_store(spark, flat_root)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_minhash_dups(
+            new, flat_sets, flat_banded, "text", "doc_id", **kw
+        ).collect()
+    }
+    got_df = incremental_minhash_dups(
+        new, psets, pbanded, "text", "doc_id", bucket_partitions=64, **kw
+    )
+    got = {(r["id_a"], r["id_b"]) for r in got_df.collect()}
+    assert got == want and (100 in {a for a, _ in want} or 100 in {b for _, b in want})
+
+    # planning-time pruning: the optimized plan carries a BKT_PART
+    # partition filter listing only the touched hash partitions
+    # (inputFiles() would not show this — it lists the unpruned
+    # relation), and the store on disk holds far more
+    import os
+    import re
+
+    plan = plan_of(got_df)
+    m = re.search(rf"PartitionFilters: \[{BUCKET_PART_COL}#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    touched = [x for x in m.group(1).split(",") if x.strip()]
+    assert 0 < len(touched) <= 8, touched  # 1 doc x 8 bands
+    leaf = os.path.join(part_root, "banded", "BATCH_PART=-1")
+    all_parts = [d for d in os.listdir(leaf) if d.startswith(BUCKET_PART_COL)]
+    assert len(all_parts) >= 30  # 64-way hash layout actually materialized

@@ -1067,3 +1067,110 @@ def test_dedup_stream_bootstraps_meta(spark, stream_dirs):
     check_sketch_meta(store, 16, 8, 5)  # matching params: fine
     with pytest.raises(ValueError, match="zero dedup recall"):
         check_sketch_meta(store, 32, 8, 5)
+
+
+def test_compact_sketch_store_collapses_leaves(spark, stream_dirs):
+    """After N micro-batches the store has one BATCH_PART leaf per
+    batch per side (small-file pathology at 10^4 batches).
+    compact_sketch_store collapses each side to a single BATCH_PART=-1
+    leaf, dedup results are unchanged, and the stream keeps appending
+    on top of the compacted store."""
+    import json
+
+    from chill_spark.llm_ops.incremental_dedup import compact_sketch_store
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "cp_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "cp_out")
+    store = os.path.join(base, "cp_store")
+    ckpt = os.path.join(base, "cp_ckpt")
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out,
+        store_root=store, checkpoint_dir=ckpt,
+        threshold=0.5, num_hashes=16, bands=8, available_now=True,
+    )
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": body}) + "\n")
+    drain(run_dedup_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "some different second wave content"}) + "\n")
+    drain(run_dedup_stream(spark, ind, **kw))
+
+    def leaves(side):
+        return sorted(
+            d for d in os.listdir(os.path.join(store, side))
+            if d.startswith("BATCH_PART=")
+        )
+
+    assert len(leaves("sets")) >= 2 and len(leaves("banded")) >= 2
+    before = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+
+    done = compact_sketch_store(spark, store)
+    assert set(done) == {"sets", "banded"}
+    assert leaves("sets") == ["BATCH_PART=-1"]
+    assert leaves("banded") == ["BATCH_PART=-1"]
+    after = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert after == before == {1, 2}
+
+    # wave 3 against the compacted store: near-dup of doc 1 dies, a
+    # fresh doc survives and appends beside the compacted leaf
+    near = " ".join(body.split()[:-2])
+    with open(os.path.join(ind, "w3.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 30, "text": near}) + "\n")
+        f.write(json.dumps({"doc_id": 31, "text": "wave three entirely novel material"}) + "\n")
+    drain(run_dedup_stream(spark, ind, **kw))
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 31}, got
+    ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert ids == {1, 2, 31}
+
+
+def test_dedup_stream_bucket_partitioned_store(spark, stream_dirs):
+    """A stream maintaining a BKT_PART-partitioned store appends in
+    the same layout (mixed flat/partitioned trees would break
+    discovery) and still dedups correctly across batches."""
+    import json
+
+    from chill_spark.llm_ops.incremental_dedup import (
+        BUCKET_PART_COL,
+        write_sketch_store,
+    )
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "bp_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "bp_out")
+    store = os.path.join(base, "bp_store")
+    ckpt = os.path.join(base, "bp_ckpt")
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    seed = spark.createDataFrame([(1, body)], ["doc_id", "text"])
+    write_sketch_store(
+        seed, "text", "doc_id", store, num_hashes=16, bands=8,
+        bucket_partitions=16,
+    )
+
+    near = " ".join(body.split()[:-2])
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": near}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": "novel content for the partitioned store"}) + "\n")
+    drain(run_dedup_stream(
+        spark, ind, schema="doc_id BIGINT, text STRING", out_dir=out,
+        store_root=store, checkpoint_dir=ckpt,
+        threshold=0.5, num_hashes=16, bands=8, available_now=True,
+    ))
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {11}
+    banded = spark.read.parquet(os.path.join(store, "banded"))
+    assert BUCKET_PART_COL in banded.columns
+    assert {r["id"] for r in banded.select("id").distinct().collect()} == {1, 11}
+    # the appended batch leaf nests BKT_PART dirs like the bootstrap
+    leaf = [
+        d for d in os.listdir(os.path.join(store, "banded"))
+        if d.startswith("BATCH_PART=") and not d.endswith("=-1")
+    ]
+    assert leaf
+    sub = os.listdir(os.path.join(store, "banded", leaf[0]))
+    assert any(d.startswith(BUCKET_PART_COL) for d in sub), sub
