@@ -76,14 +76,21 @@ def bpe_train(
     text_col: str,
     n_merges: int = 50,
     lowercase: bool = True,
+    checkpoint_every: int = 10,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, pair_freq)]
-    in merge order. Deterministic: ties broken lexicographically."""
+    in merge order. Deterministic: ties broken lexicographically.
+
+    Every ``checkpoint_every`` merges the vocab state is
+    ``localCheckpoint``ed (same discipline as components.py's label
+    propagation): each merge adds one fold to the logical plan, and
+    without truncation a multi-hundred-merge run spends its time in
+    plan analysis, not work."""
     spark = df.sparkSession
     state = _init_state(word_freqs(df, text_col, lowercase)).cache()
     state.count()  # materialize once
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for it in range(n_merges):
         pairs = (
             state.select(
                 "freq",
@@ -106,8 +113,12 @@ def bpe_train(
         merges.append((a, b, n))
         new_state = state.select(
             "freq", _merge_fold(a, b)(F.col("syms")).alias("syms")
-        ).cache()
-        new_state.count()
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_state = new_state.localCheckpoint(eager=True)
+        else:
+            new_state = new_state.cache()
+            new_state.count()
         state.unpersist()
         state = new_state
     state.unpersist()
@@ -124,11 +135,30 @@ def bpe_segment(col, merges: list[tuple[str, str, int]]):
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Plain-Python mirror of ``bpe_segment``: apply merges in
-    training-rank order, greedy left-to-right non-overlapping within
-    each pass."""
+    """Rank-priority merge application (the production-vocab shape):
+    repeatedly merge the LOWEST-rank adjacent pair present in the
+    word, greedy left-to-right non-overlapping per pass.
+
+    Equivalent to ``bpe_segment``'s one-pass-per-merge fold
+    (differential-tested): a merge at rank r only creates pairs
+    containing the new symbol a+b, and any rule involving a+b was
+    necessarily learned AFTER r — so picking the present minimum-rank
+    pair each round visits rules in the same order the fold does,
+    skipping absent ones. Cost is O(passes x len) with passes bounded
+    by the word length, independent of vocab size — a 32k-merge vocab
+    costs the same per word as a 50-merge one, where the per-merge
+    pass was O(n_merges x len)."""
     syms = list(word) + [END_OF_WORD]
-    for (a, b), _rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+    while len(syms) > 1:
+        best: tuple[str, str] | None = None
+        best_rank: int | None = None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = p, r
+        if best is None:
+            break
+        a, b = best
         out: list[str] = []
         i = 0
         while i < len(syms):

@@ -1122,3 +1122,85 @@ def test_banded_lsh_beats_single_band_on_corpus(spark, sf_dir):
     r_banded = len(banded) / len(exact)
     assert r_banded >= 0.3, f"banded recall {r_banded:.3f}"
     assert r_banded > 2 * r_single, (r_banded, r_single)
+
+
+def test_bpe_encode_production_vocab_scale(spark):
+    """Encode with a 1000+-merge vocab — far beyond expression-tree
+    size (bpe_segment chains one fold per merge; the pandas encoder's
+    plan is constant-size). The rank-priority encoder must agree with
+    the literal pass-per-merge reference at this scale, and the
+    round-trip contract must hold."""
+    import random
+    import re as _re
+
+    from chill_spark.llm_ops.bpe import (
+        END_OF_WORD,
+        _encode_word,
+        bpe_encode_docs,
+        decode_tokens,
+    )
+
+    # pure-Python BPE trainer (mirror of bpe_train semantics) — fast
+    # enough off-Spark to reach 1k merges
+    rng = random.Random(0)
+    words = ["".join(rng.choice("abcdefghijklmnop") for _ in range(10))
+             for _ in range(700)]
+    words = words * 2  # every word twice -> pair freqs >= 2 everywhere
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    state = [(list(w) + [END_OF_WORD], f) for w, f in freqs.items()]
+    merges = []
+    while len(merges) < 1200:
+        pc: dict[tuple[str, str], int] = {}
+        for syms, f in state:
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + f
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        ns = []
+        for syms, f in state:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            ns.append((out, f))
+        state = ns
+    assert len(merges) >= 1000, len(merges)
+
+    # rank-priority == literal pass-per-merge application
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    def reference(word):
+        syms = list(word) + [END_OF_WORD]
+        for a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+    sample = rng.sample(sorted(freqs), 50) + ["zzz", "", "abab"]
+    for w in sample:
+        if w:
+            assert _encode_word(w, ranks) == reference(w), w
+
+    # corpus round-trip through the Arrow encoder with the big vocab
+    docs = [(i, " ".join(rng.sample(sorted(freqs), 20))) for i in range(10)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    enc = bpe_encode_docs(df, "text", "doc_id", merges)
+    back = enc.select(
+        "id", decode_tokens(F.col("tokens")).alias("rt"), "n_tokens"
+    ).collect()
+    norm = {i: _re.sub(r"\s+", " ", t.lower()).strip() for i, t in docs}
+    for r in back:
+        assert r["rt"] == norm[r["id"]]
+        # merges actually applied: far fewer tokens than characters
+        assert r["n_tokens"] < len(norm[r["id"]]) / 2
