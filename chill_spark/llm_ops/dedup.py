@@ -10,6 +10,8 @@ the bucket key (AQE handles skewed buckets).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -647,6 +649,56 @@ def embedding_near_dups(
     )
 
 
+def _banded_bucket_udf(allv: list[list[list[float]]]):
+    """All band buckets in ONE Arrow-batched matmul: (batch x dim) @
+    (dim x bands*planes) -> sign bits -> per-band bucket ids. The
+    Column-expression route (bands x planes chained zip_with/aggregate
+    higher-order functions) is interpreted per element — measured
+    ~50x slower at 48 plane-dots per row — and the flat
+    element_at-sum expansion overflows janino codegen at 3000+ terms.
+    Dense linear algebra over embeddings is exactly the vectorized-
+    pandas case; fp64 matmul keeps sign decisions identical to the
+    SQL oracle's per-plane dot products."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        [p for band in allv for p in band], dtype=np.float64
+    )  # (bands*planes, dim)
+    n_bands, n_planes = len(allv), len(allv[0])
+    w = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def f(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        bits = (x @ P.T >= 0).astype(np.int64).reshape(len(x), n_bands, n_planes)
+        return pd.Series(list(bits @ w))
+
+    return f
+
+
+def cosine_pairs_arrow(v_a, v_b):
+    """Row-wise cosine of two array columns as one Arrow batch
+    (einsum + vectorized norms). Same math as ``cosine_sim`` —
+    used on the pair-verify hot path where the interpreted
+    zip_with/aggregate tree costs ~100x per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype=float)
+        x = np.stack(a.to_numpy()).astype(np.float64)
+        y = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", x, y)
+        return pd.Series(
+            dots / (np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1))
+        )
+
+    return f(v_a, v_b)
+
+
 def embedding_near_dups_banded(
     df: DataFrame,
     vec_col: str,
@@ -671,28 +723,31 @@ def embedding_near_dups_banded(
     dim = first["d"] if first else 0
     allv = hyperplane_vectors(dim, planes, bands, seed)
     v = F.col(vec_col).cast("array<double>")
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"), _hyperplane_bucket(v, allv[b]).alias("bkt")
-        )
-        for b in range(bands)
-    ]
+    # ids ONLY through expansion + cross-band dedup: multi-band
+    # candidate volume is bands x the single-band count and mostly
+    # random collisions, so dragging two dim-sized vectors per
+    # candidate through the bucket shuffle and the dedup shuffle
+    # multiplies bytes moved by ~1000x (measured 9.3s vs 1.3s at
+    # sf0.1). Vectors join back per UNIQUE pair for the verify.
+    bucket_f = _banded_bucket_udf(allv)
     h = df.select(
         F.col(id_col).alias("id"),
-        v.alias("v"),
-        F.explode(F.array(*band_structs)).alias("bb"),
-    ).select(
-        "id", "v", F.col("bb.band").alias("band"), F.col("bb.bkt").alias("bkt")
+        F.posexplode(bucket_f(v)).alias("band", "bkt"),
     )
     pairs = pairs_within_buckets(
-        h, ["band", "bkt"], "id", payload_cols=["v"], dedup_pairs=True,
+        h, ["band", "bkt"], "id", dedup_pairs=True,
         max_bucket_size=max_bucket_size, observation=observation,
     )
+    vecs = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
-        pairs.select(
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
             "id_a",
             "id_b",
-            cosine_sim(F.col("v_a"), F.col("v_b")).alias("cosine"),
+            cosine_pairs_arrow(F.col("v_a"), F.col("v_b")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
