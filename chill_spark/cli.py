@@ -20,7 +20,9 @@ formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
                                      [--threshold 0.7] [--bands 8]
     python -m chill_spark dedup-stream --in DIR --out DIR --store DIR \
                                      --checkpoint DIR [--drain]
-    python -m chill_spark sketch     --in DIR --store DIR
+    python -m chill_spark sketch     --in DIR --store DIR \
+                                     [--bucket-partitions N]
+    python -m chill_spark sketch-compact --store DIR
     python -m chill_spark ladder-audit --catalog cat.json --table T \
                                      --base DIR --out LADDER_DIR
     python -m chill_spark sql        "SELECT ..." --tables DIR [--out DIR]
@@ -387,9 +389,26 @@ def cmd_sketch(args) -> int:
     write_sketch_store(
         df, args.text_col, args.id_col, args.store,
         num_hashes=args.num_hashes, bands=args.bands,
+        bucket_partitions=args.bucket_partitions,
     )
     n = spark.read.parquet(f"{args.store}/sets").count()
     print(f"sketch store at {args.store}: {n} doc(s)")
+    return 0
+
+
+def cmd_sketch_compact(args) -> int:
+    """Collapse a multi-batch sketch store (one BATCH_PART leaf per
+    micro-batch after long dedup-stream runs) to one leaf per side.
+    Run only while no stream is writing the store."""
+    from .llm_ops.incremental_dedup import compact_sketch_store
+    from .session import get_spark
+
+    spark = get_spark("chill-sketch-compact")
+    done = compact_sketch_store(
+        spark, args.store, target_file_bytes=args.target_file_bytes
+    )
+    for side, n in sorted(done.items()):
+        print(f"compacted {args.store}/{side}: {n} file(s)")
     return 0
 
 
@@ -651,7 +670,25 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--id-col", dest="id_col", default="doc_id")
     sk.add_argument("--num-hashes", type=int, default=32)
     sk.add_argument("--bands", type=int, default=8)
+    sk.add_argument(
+        "--bucket-partitions", dest="bucket_partitions", type=int,
+        default=None,
+        help="hash-partition the banded side by pmod(xxhash64(bucket), N)"
+        " for planning-time pruning of incremental runs",
+    )
     sk.set_defaults(fn=cmd_sketch)
+
+    skc = sub.add_parser(
+        "sketch-compact",
+        help="collapse a multi-batch sketch store to one leaf per side "
+        "(run only while no stream writes the store)",
+    )
+    skc.add_argument("--store", required=True)
+    skc.add_argument(
+        "--target-file-bytes", dest="target_file_bytes", type=int,
+        default=128 * 1024 * 1024,
+    )
+    skc.set_defaults(fn=cmd_sketch_compact)
 
     la = sub.add_parser(
         "ladder-audit",

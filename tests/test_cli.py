@@ -526,3 +526,51 @@ def test_cli_ladder_audit_validates_levels(cli_dirs, capsys):
     ])
     assert rc == 2
     assert "unknown ladder level" in capsys.readouterr().err
+
+
+def test_cli_sketch_compact_lifecycle(cli_dirs, spark, capsys):
+    """sketch --bucket-partitions builds a hash-partitioned banded
+    side; after a stream appends batch leaves, sketch-compact
+    collapses each side to one leaf, preserving the layout and the
+    dedup behavior."""
+    import json
+
+    from chill_spark.llm_ops.incremental_dedup import BUCKET_PART_COL
+
+    corpus = os.path.join(cli_dirs["base"], "skc_corpus")
+    store = os.path.join(cli_dirs["base"], "skc_store")
+    body = "the quick brown fox jumps over the lazy dog again and again " * 3
+    spark.createDataFrame([(1, body)], ["doc_id", "text"]).write.parquet(corpus)
+    rc = main(["sketch", "--in", corpus, "--store", store,
+               "--num-hashes", "16", "--bands", "8",
+               "--bucket-partitions", "16"])
+    assert rc == 0
+    capsys.readouterr()
+
+    ind = os.path.join(cli_dirs["base"], "skc_in"); os.makedirs(ind)
+    out = os.path.join(cli_dirs["base"], "skc_out")
+    ckpt = os.path.join(cli_dirs["base"], "skc_ckpt")
+    with open(os.path.join(ind, "a.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 5, "text": "fresh unrelated content entirely"}) + "\n")
+    rc = main([
+        "dedup-stream", "--in", ind, "--out", out, "--store", store,
+        "--checkpoint", ckpt, "--threshold", "0.5", "--drain",
+        "--num-hashes", "16", "--bands", "8",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    leaves = [d for d in os.listdir(os.path.join(store, "banded"))
+              if d.startswith("BATCH_PART=")]
+    assert len(leaves) >= 2
+
+    rc = main(["sketch-compact", "--store", store])
+    outtxt = capsys.readouterr().out
+    assert rc == 0 and "compacted" in outtxt
+    for side in ("sets", "banded"):
+        assert sorted(
+            d for d in os.listdir(os.path.join(store, side))
+            if d.startswith("BATCH_PART=")
+        ) == ["BATCH_PART=-1"]
+    banded = spark.read.parquet(os.path.join(store, "banded"))
+    assert BUCKET_PART_COL in banded.columns
+    assert {r["id"] for r in banded.select("id").distinct().collect()} == {1, 5}
