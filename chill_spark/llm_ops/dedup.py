@@ -667,13 +667,23 @@ def _banded_bucket_udf(allv: list[list[list[float]]]):
     n_bands, n_planes = len(allv), len(allv[0])
     w = (2 ** np.arange(n_planes)).astype(np.int64)
 
+    dim = P.shape[1]
+
     @pandas_udf("array<long>")
     def f(vs: pd.Series) -> pd.Series:
-        if not len(vs):
-            return pd.Series([], dtype=object)
-        x = np.stack(vs.to_numpy()).astype(np.float64)
-        bits = (x @ P.T >= 0).astype(np.int64).reshape(len(x), n_bands, n_planes)
-        return pd.Series(list(bits @ w))
+        vals = vs.to_numpy()
+        # null / wrong-dim vectors get a null bucket array (posexplode
+        # then drops them from candidates — the graceful degradation
+        # the Column path had) instead of crashing np.stack
+        ok = np.array([v is not None and len(v) == dim for v in vals])
+        out = np.full(len(vals), None, dtype=object)
+        if ok.any():
+            x = np.stack(vals[ok]).astype(np.float64)
+            bits = (x @ P.T >= 0).astype(np.int64)
+            bkts = bits.reshape(len(x), n_bands, n_planes) @ w
+            for j, row in zip(np.nonzero(ok)[0], bkts):
+                out[j] = row
+        return pd.Series(out)
 
     return f
 
@@ -687,14 +697,20 @@ def cosine_pairs_arrow(v_a, v_b):
 
     @pandas_udf("double")
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
-        if not len(a):
-            return pd.Series([], dtype=float)
-        x = np.stack(a.to_numpy()).astype(np.float64)
-        y = np.stack(b.to_numpy()).astype(np.float64)
-        dots = np.einsum("ij,ij->i", x, y)
-        return pd.Series(
-            dots / (np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1))
-        )
+        av, bv = a.to_numpy(), b.to_numpy()
+        ok = np.array([
+            x is not None and y is not None and len(x) == len(y)
+            for x, y in zip(av, bv)
+        ])
+        out = np.full(len(av), np.nan)
+        if ok.any():
+            x = np.stack(av[ok]).astype(np.float64)
+            y = np.stack(bv[ok]).astype(np.float64)
+            dots = np.einsum("ij,ij->i", x, y)
+            out[ok] = dots / (
+                np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+            )
+        return pd.Series(out)
 
     return f(v_a, v_b)
 

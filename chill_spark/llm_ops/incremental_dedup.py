@@ -123,19 +123,33 @@ def read_sketch_meta(root: str) -> dict | None:
         return json.load(f)
 
 
+def store_bucket_partitions(root: str) -> int | None:
+    """The N the store's banded side was hash-partitioned with (None =
+    flat layout). ALWAYS source ``bucket_partitions`` for
+    incremental_candidates/incremental_minhash_dups from here — a
+    hand-passed N that disagrees with the writer's prunes the WRONG
+    partitions and silently drops stored duplicates."""
+    meta = read_sketch_meta(root) or {}
+    return meta.get("bucket_partitions")
+
+
 def check_sketch_meta(
     root: str,
     num_hashes: int,
     bands: int,
     shingle_k: int,
     portable: bool = False,
+    bucket_partitions: int | None = ...,
 ) -> None:
     """Fail fast when a sketch store was built with different
     parameters than the consumer is about to use (bucket keys would
-    never collide -> silent zero recall). Only the signature-shaping
-    keys are compared — layout keys like bucket_partitions affect
-    where rows live, not what they hash to. No-op when the store has
-    no meta file (pre-meta stores / empty roots)."""
+    never collide -> silent zero recall). The signature-shaping keys
+    are always compared; pass ``bucket_partitions`` to additionally
+    pin the banded layout (a consumer pruning with the wrong N reads
+    the wrong partition directories — the same silent-recall-loss
+    class). The ellipsis default means "don't check the layout".
+    No-op when the store has no meta file (pre-meta stores / empty
+    roots)."""
     meta = read_sketch_meta(root)
     if meta is None:
         return
@@ -149,6 +163,16 @@ def check_sketch_meta(
             "match (zero dedup recall); rebuild the store or align "
             "the parameters"
         )
+    if bucket_partitions is not ... and "bucket_partitions" in meta:
+        theirs = meta["bucket_partitions"]
+        if theirs != bucket_partitions:
+            raise ValueError(
+                f"sketch store at {root} is hash-partitioned with "
+                f"bucket_partitions={theirs}, but this run would prune "
+                f"with {bucket_partitions} — the wrong partition "
+                "directories would be read (silently dropped "
+                "duplicates); use store_bucket_partitions(root)"
+            )
 
 
 def read_sketch_store(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
@@ -345,21 +369,43 @@ def compact_sketch_store(
     collapse a replayed micro-batch would land beside the compacted
     leaf instead of overwriting its original one.
 
-    Returns {side: files_after}. Rewrite is write-new-then-swap: the
-    compacted copy is fully written to ``<side>__compacting`` before
-    the old directory is removed, so a crash mid-compaction leaves
-    the original store intact."""
+    Returns {side: files_after}. Swap protocol is crash-recoverable at
+    every window: the compacted copy is fully written to
+    ``<side>__compacting``, the live side is renamed aside to
+    ``<side>__old``, the copy renamed in, then the aside removed; on
+    entry any interrupted state (aside without a live side, stale
+    temp, stale aside) is healed before recompacting.
+
+    Local-filesystem only (same assumption as compact_partitions'
+    directory walk); a remote store root (s3a://, hdfs://) raises
+    instead of silently reporting success."""
     import math
     import os
     import shutil
 
     from ..operators.writers import BATCH_COL
 
+    if "://" in root:
+        raise NotImplementedError(
+            "compact_sketch_store requires a local-filesystem store root "
+            f"(got {root}); remote stores need an FS-native rewrite"
+        )
     done: dict[str, int] = {}
+    seen_any = False
     for side in ("sets", "banded"):
         src = os.path.join(root, side)
+        tmp = os.path.join(root, f"{side}__compacting")
+        aside = os.path.join(root, f"{side}__old")
+        # heal an interrupted previous run, in crash-window order:
+        if not os.path.isdir(src) and os.path.isdir(aside):
+            os.rename(aside, src)  # died between rename-aside and rename-in
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # temp from a crashed run (src is live)
+        if os.path.isdir(aside):
+            shutil.rmtree(aside)  # died before removing the aside copy
         if not os.path.isdir(src):
             continue
+        seen_any = True
         files = [
             os.path.join(d, f)
             for d, _, fs in os.walk(src)
@@ -369,24 +415,33 @@ def compact_sketch_store(
         total = sum(os.path.getsize(f) for f in files)
         n_files = max(1, math.ceil(total / target_file_bytes))
         df = spark.read.parquet(src).drop(BATCH_COL)
-        tmp = os.path.join(root, f"{side}__compacting")
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)  # leftover from a crashed run
         leaf = os.path.join(tmp, f"{BATCH_COL}=-1")
         if side == "banded" and BUCKET_PART_COL in df.columns:
+            # one shuffle partition per BKT_PART value keeps each hash
+            # partition's rows together; maxRecordsPerFile splits the
+            # big ones so target_file_bytes is still honored (a plain
+            # repartition(n, BKT_PART) caps at ONE file per value)
+            n_rows = df.count()
+            per_file = max(
+                1, int(n_rows * target_file_bytes / max(total, 1))
+            )
             (
-                df.repartition(n_files, BUCKET_PART_COL)
-                .write.partitionBy(BUCKET_PART_COL)
+                df.repartition(BUCKET_PART_COL)
+                .write.option("maxRecordsPerFile", per_file)
+                .partitionBy(BUCKET_PART_COL)
                 .parquet(leaf)
             )
         else:
             df.repartition(n_files).write.parquet(leaf)
-        shutil.rmtree(src)
+        os.rename(src, aside)
         os.rename(tmp, src)
+        shutil.rmtree(aside)
         done[side] = sum(
             1
             for d, _, fs in os.walk(src)
             for f in fs
             if f.endswith(".parquet")
         )
+    if not seen_any:
+        raise ValueError(f"no sketch store sides found under {root}")
     return done

@@ -204,6 +204,7 @@ def kmeans_fit(
     k: int = 16,
     iters: int = 5,
     init_centroids: np.ndarray | None = None,
+    round_means: int | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd's iterations: assignment runs on executors as
     a Column expression (``assign_centroid``), and each round reduces
@@ -221,10 +222,17 @@ def kmeans_fit(
 
     ``init_centroids`` overrides the farthest-point init with explicit
     seeds (e.g. ``hash_seed_centroids`` for an engine-portable,
-    SQL-replayable run)."""
+    SQL-replayable run). ``round_means`` rounds each update's means to
+    that many decimals — for cross-engine replay: unrounded means
+    differ across engines by summation order (~1e-14) and feed the
+    NEXT iteration's argmin, where a near-boundary point could flip
+    clusters and cascade into integer count mismatches; rounding at
+    each iteration boundary pins the argmin inputs identical on both
+    sides (9 decimals is ~1e5 x the drift, far below any real
+    centroid separation)."""
     if init_centroids is not None:
         cents = np.asarray(init_centroids, dtype=np.float64).copy()
-        return _lloyd_iterate(df, vec_col, cents, iters)
+        return _lloyd_iterate(df, vec_col, cents, iters, round_means)
     v0 = F.col(vec_col).cast("array<double>")
     sample_n = max(64, 8 * k)
     samp = np.array(
@@ -252,11 +260,15 @@ def kmeans_fit(
         chosen.append(nxt)
         d2 = np.minimum(d2, ((samp - samp[nxt]) ** 2).sum(1))
     cents = samp[chosen].copy()
-    return _lloyd_iterate(df, vec_col, cents, iters)
+    return _lloyd_iterate(df, vec_col, cents, iters, round_means)
 
 
 def _lloyd_iterate(
-    df: DataFrame, vec_col: str, cents: np.ndarray, iters: int
+    df: DataFrame,
+    vec_col: str,
+    cents: np.ndarray,
+    iters: int,
+    round_means: int | None = None,
 ) -> np.ndarray:
     """The distributed Lloyd loop shared by both init modes: executor-
     side assignment, k*dim partial sums to the driver, empty clusters
@@ -280,6 +292,8 @@ def _lloyd_iterate(
             ns[r["__c"]] = r["n"]
         nonzero = ns > 0
         cents[nonzero] = sums[nonzero] / ns[nonzero, None]
+        if round_means is not None:
+            cents = np.round(cents, round_means)
     return cents
 
 

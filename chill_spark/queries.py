@@ -3152,8 +3152,13 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
     previous means -> per-dim avg, empty clusters keep their
     centroid), then a final assignment under the trained centroids.
     Discrete decisions (seed choice, argmin assignment) are exact
-    across engines; the float means differ only by summation order
-    (~1e-14), absorbed by round(..., 6)."""
+    across engines because each iteration's means are rounded to 9
+    decimals on BOTH sides before feeding the next argmin — without
+    that, ~1e-14 summation-order drift in the unrounded means could
+    flip a near-boundary assignment and cascade into integer
+    count mismatches. 9 decimals is ~1e5 x the drift and far below
+    real centroid separation; the output floats are further rounded
+    to 6."""
     ctes = [
         f"""seeds AS (
   SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cid, c
@@ -3187,7 +3192,7 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
 )""")
         if i <= iters:
             ctes.append(f"""u{i} AS (
-  SELECT a.cid, p.pos, avg(p.x) AS m
+  SELECT a.cid, p.pos, round(avg(p.x), 9) AS m
   FROM a{i} a JOIN pts p USING (vec_id)
   GROUP BY a.cid, p.pos
 )""")
@@ -3233,7 +3238,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     seeds = hash_seed_centroids(emb, k=8)
-    cents = kmeans_fit(emb, "embedding", k=8, iters=3, init_centroids=seeds)
+    cents = kmeans_fit(
+        emb, "embedding", k=8, iters=3, init_centroids=seeds,
+        round_means=9,
+    )
     near = nearest_centroid(F.col("embedding"), cents)
     norms = [float(np.sqrt((c * c).sum())) for c in cents]
     return (

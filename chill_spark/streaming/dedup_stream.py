@@ -58,13 +58,23 @@ def _ensure_sketch_meta(
 ) -> None:
     """Stores this stream bootstraps itself (no prior write_sketch_store)
     need a ``_meta.json`` too, or the parameter-mismatch fail-fast in
-    check_sketch_meta silently no-ops for later consumers."""
+    check_sketch_meta silently no-ops for later consumers.
+
+    Only a store with NO existing data gets stamped: a pre-meta store
+    that already holds sketches was built with unknown parameters, and
+    recording this stream's would be false provenance — a later
+    consumer matching the wrong stamp would pass the check and get
+    silent zero recall."""
     import json
     import os
 
     path = os.path.join(root, "_meta.json")
     if os.path.exists(path):
         return
+    if os.path.isdir(os.path.join(root, "sets")) or os.path.isdir(
+        os.path.join(root, "banded")
+    ):
+        return  # legacy store, unknown provenance — leave meta absent
     os.makedirs(root, exist_ok=True)
     with open(path, "w") as f:
         json.dump(
@@ -147,6 +157,7 @@ def run_dedup_stream(
         _append_batch_keyed(bad, quarantine_dir, batch_id)
         new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         new = new.persist()
+        new_sets = new_banded = None
         try:
             if not new.head(1):
                 return
@@ -209,8 +220,6 @@ def run_dedup_stream(
                 # every new doc was a duplicate: the partitioned write
                 # of an empty frame creates no leaf, so there's nothing
                 # to re-read and nothing to append to the store.
-                new_sets.unpersist()
-                new_banded.unpersist()
                 return
             # derive the store writes from the survivors JUST WRITTEN
             # to disk, not from the survivors plan: that plan reads the
@@ -235,9 +244,13 @@ def run_dedup_stream(
                 banded_out, f"{store_root}/banded", batch_id,
                 extra_partition_cols=[BUCKET_PART_COL] if bkt_n else None,
             )
-            new_sets.unpersist()
-            new_banded.unpersist()
         finally:
+            # unpersist in finally: a transient mid-batch failure is
+            # retried by Structured Streaming, and leaked cached RDDs
+            # would accumulate per attempt for the stream's lifetime
+            for cached in (new_sets, new_banded):
+                if cached is not None:
+                    cached.unpersist()
             new.unpersist()
 
     writer = src.writeStream.foreachBatch(handle).option(

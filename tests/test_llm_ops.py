@@ -1204,3 +1204,34 @@ def test_bpe_encode_production_vocab_scale(spark):
         assert r["rt"] == norm[r["id"]]
         # merges actually applied: far fewer tokens than characters
         assert r["n_tokens"] < len(norm[r["id"]]) / 2
+
+
+def test_banded_lsh_tolerates_null_embeddings(spark):
+    """Null or wrong-dim vectors must not crash the Arrow kernels
+    (the Column path degraded gracefully; r3 review): they simply
+    don't participate in candidates, and valid pairs still verify."""
+    import numpy as np
+
+    from chill_spark.llm_ops.dedup import embedding_near_dups_banded
+
+    rng = np.random.RandomState(3)
+    v = [float(x) for x in rng.normal(size=16)]
+    near = [float(x + 0.01) for x in v]
+    rows = [
+        (1, v),
+        (2, near),
+        (3, None),                       # null embedding
+        (4, [1.0, 2.0]),                 # wrong dimension
+        (5, [float(x) for x in rng.normal(size=16)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_banded(
+            df, "embedding", "vec_id", threshold=0.9, planes=4, bands=6
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)

@@ -1174,3 +1174,73 @@ def test_dedup_stream_bucket_partitioned_store(spark, stream_dirs):
     assert leaf
     sub = os.listdir(os.path.join(store, "banded", leaf[0]))
     assert any(d.startswith(BUCKET_PART_COL) for d in sub), sub
+
+
+def test_compact_sketch_store_heals_interrupted_swap(spark, stream_dirs):
+    """Crash windows of the swap protocol are recoverable (r3 review):
+    a store left with the side renamed aside (died between rename-out
+    and rename-in) is restored and recompacted; stale temp/aside dirs
+    are cleared."""
+    import shutil
+
+    from chill_spark.llm_ops.incremental_dedup import (
+        compact_sketch_store,
+        write_sketch_store,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    store = os.path.join(base, "heal_store")
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with plenty of words inside") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    write_sketch_store(docs, "text", "doc_id", store, num_hashes=16, bands=8)
+    want = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+
+    # simulate dying between rename(src, aside) and rename(tmp, src):
+    # sets/ is gone, sets__old holds the data, sets__compacting is stale
+    os.rename(os.path.join(store, "sets"), os.path.join(store, "sets__old"))
+    os.makedirs(os.path.join(store, "sets__compacting", "BATCH_PART=-1"))
+
+    done = compact_sketch_store(spark, store)
+    assert set(done) == {"sets", "banded"}
+    assert not os.path.exists(os.path.join(store, "sets__old"))
+    assert not os.path.exists(os.path.join(store, "sets__compacting"))
+    got = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert got == want
+
+    # remote roots raise instead of silently succeeding
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        compact_sketch_store(spark, "s3a://bucket/store")
+    with pytest.raises(ValueError, match="no sketch store"):
+        compact_sketch_store(spark, os.path.join(base, "nonexistent_store"))
+
+
+def test_sketch_meta_pins_bucket_partitions(spark, stream_dirs):
+    """Pruning a hash-partitioned store with the wrong N would read the
+    wrong partition directories (silent dropped duplicates) — the meta
+    check rejects it when asked (r3 review)."""
+    import pytest
+
+    from chill_spark.llm_ops.incremental_dedup import (
+        check_sketch_meta,
+        store_bucket_partitions,
+        write_sketch_store,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    store = os.path.join(base, "pin_store")
+    docs = spark.createDataFrame(
+        [(1, "hello world of partitioned sketch stores")], ["doc_id", "text"]
+    )
+    write_sketch_store(
+        docs, "text", "doc_id", store, num_hashes=16, bands=8,
+        bucket_partitions=32,
+    )
+    assert store_bucket_partitions(store) == 32
+    check_sketch_meta(store, 16, 8, 5)  # layout not pinned: ok
+    check_sketch_meta(store, 16, 8, 5, bucket_partitions=32)
+    with pytest.raises(ValueError, match="wrong partition"):
+        check_sketch_meta(store, 16, 8, 5, bucket_partitions=16)
