@@ -57,6 +57,7 @@ HEADLINE = [
     "q_lang_id",
     "q_ann_topk",
     "q_embedding_near_dups_lsh",
+    "q_embedding_incremental",
     "q_media_image_meta",
     "q_quality_rules",
     "q_span_dedup",

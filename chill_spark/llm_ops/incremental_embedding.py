@@ -1,0 +1,172 @@
+"""Incremental embedding near-dedup against a persisted bucket store.
+
+The embedding-modality twin of ``incremental_dedup``: at 100 TB you
+never re-bucket the whole corpus when a new crawl lands. The
+hyperplane LSH layer (multi-band sign-bit buckets + the vectors
+themselves) is materialized once per document; deduplicating an
+increment costs bucket(new) (one Arrow matmul, map-only), one
+bucket-join touching only the store rows in buckets the batch hits
+(``incremental_candidates`` — the same broadcast-semi-prune +
+single-shuffle machinery as the text path), and a pair-sized cosine
+verify.
+
+Store layout (``write_embedding_store`` / ``read_embedding_store``):
+  <root>/vectors/  (id, v array<double>)   — cosine verify side
+  <root>/banded/   (id, band, bucket)      — candidate generation side
+``_meta.json`` records (planes, bands, seed, dim): buckets from a
+different plane family never collide, so a mismatched consumer would
+silently find ZERO candidates — the same fail-fast contract as the
+text sketch store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
+    _banded_bucket_udf,
+    cosine_pairs_arrow,
+    hyperplane_vectors,
+)
+from .incremental_dedup import incremental_candidates
+
+
+def banded_embedding_buckets(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: int = 6,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, band, bucket) rows for every vector — the store's candidate
+    side and the per-increment sketch. One Arrow matmul per batch."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first else 0
+    allv = hyperplane_vectors(dim, planes, bands, seed)
+    bucket_f = _banded_bucket_udf(allv)
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bucket_f(v)).alias("band", "bucket"),
+    )
+
+
+def write_embedding_store(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    root: str,
+    planes: int = 6,
+    bands: int = 8,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the embedding LSH layer for ``df``."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    vecs.write.mode(mode).parquet(f"{root}/vectors")
+    banded_embedding_buckets(
+        df, vec_col, id_col, planes, bands, seed, dim=dim
+    ).write.mode(mode).parquet(f"{root}/banded")
+    with open(os.path.join(root, "_meta.json"), "w") as f:
+        json.dump(
+            {"planes": planes, "bands": bands, "seed": seed, "dim": dim}, f
+        )
+
+
+def check_embedding_meta(
+    root: str, planes: int, bands: int, seed: int
+) -> None:
+    """Fail fast on plane-family mismatch (silent zero recall
+    otherwise). No-op when the store has no meta."""
+    path = os.path.join(root, "_meta.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        meta = json.load(f)
+    mine = {"planes": planes, "bands": bands, "seed": seed}
+    theirs = {k: meta.get(k) for k in mine}
+    if theirs != mine:
+        raise ValueError(
+            f"embedding store at {root} was built with {theirs}, but "
+            f"this run uses {mine} — hyperplane buckets would never "
+            "match (zero dedup recall); rebuild the store or align "
+            "the parameters"
+        )
+
+
+def read_embedding_store(
+    spark: SparkSession, root: str
+) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{root}/vectors"),
+        spark.read.parquet(f"{root}/banded"),
+    )
+
+
+def incremental_embedding_dups(
+    new_df: DataFrame,
+    old_vectors: DataFrame,
+    old_banded: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    planes: int = 6,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """Verified duplicate pairs (id_a < id_b, cosine) between the new
+    batch and (itself ∪ the stored corpus) — the banded batch
+    pipeline's verified pairs restricted to pairs touching a new doc,
+    which is exactly what queries.q_embedding_incremental hash-checks.
+
+    Candidate generation reuses ``incremental_candidates`` verbatim:
+    new×new and new×old inside shared (band, bucket) keys, old×old
+    never expanded, store side broadcast-semi-pruned to touched
+    buckets before the single shuffle. The store's plane dimension
+    must match the batch's (meta-checked by callers going through a
+    store root)."""
+    dim_row = new_df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    new_banded = banded_embedding_buckets(
+        new_df, vec_col, id_col, planes, bands, seed, dim=dim
+    )
+    cands = incremental_candidates(
+        new_banded, old_banded, max_bucket_size=max_bucket_size,
+        broadcast_touched=broadcast_touched,
+    )
+    new_vecs = new_df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # replayed ids exist on both sides; the NEW vector wins (re-sent id
+    # may carry changed content) — same contract as the text path
+    all_vecs = old_vectors.join(
+        new_vecs.select("id"), "id", "left_anti"
+    ).unionByName(new_vecs)
+    a = all_vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = all_vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_pairs_arrow(F.col("v_a"), F.col("v_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

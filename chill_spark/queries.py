@@ -1267,11 +1267,17 @@ def _lsh_bucket_sql(plane_vecs: list[list[float]]) -> str:
 
 def _lsh_banded_oracle_sql(
     planes: int = 6, bands: int = 8, dim: int = 64, seed: int = 42,
-    threshold: float = 0.4, cap: int = 1000,
+    threshold: float = 0.4, cap: int = 1000, new_only: bool = False,
 ) -> str:
     """Multi-band replay: per-band bucket assignment (same seeded RNG
     stream as hyperplane_vectors), per-(band,bucket) cap, candidate
-    union with cross-band DISTINCT, exact cosine verify."""
+    union with cross-band DISTINCT, exact cosine verify.
+
+    ``new_only`` restricts verified pairs to those touching a "new"
+    doc (vec_id >= floor(0.8 * max(vec_id))) — the incremental
+    contract: the increment's result must equal the batch pipeline's
+    pairs restricted to pairs touching a new doc (old x old pairs were
+    handled when those docs were ingested)."""
     from .llm_ops.dedup import hyperplane_vectors
 
     allv = hyperplane_vectors(dim, planes, bands, seed)
@@ -1280,8 +1286,20 @@ def _lsh_banded_oracle_sql(
         "FROM embeddings"
         for b in range(bands)
     )
+    new_pred = (
+        "AND (a.vec_id >= (SELECT k FROM cut) "
+        "OR c.vec_id >= (SELECT k FROM cut))"
+        if new_only
+        else ""
+    )
+    cut_cte = (
+        "cut AS (SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS k "
+        "FROM embeddings),\n    "
+        if new_only
+        else ""
+    )
     return f"""
-    WITH b AS MATERIALIZED (
+    WITH {cut_cte}b AS MATERIALIZED (
         {band_sel}
     ),
     ok AS (
@@ -1293,6 +1311,7 @@ def _lsh_banded_oracle_sql(
         FROM b a
         JOIN b c ON a.band = c.band AND a.bkt = c.bkt AND a.vec_id < c.vec_id
         JOIN ok ON ok.band = a.band AND ok.bkt = a.bkt
+        {new_pred}
     )
     SELECT id_a, id_b,
            round(list_cosine_similarity(
@@ -1324,6 +1343,51 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         embedding_near_dups_banded(
             emb, "embedding", "vec_id", threshold=0.4, planes=6, bands=8
+        )
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q_embedding_incremental",
+    oracle=_lsh_banded_oracle_sql(new_only=True),
+)
+def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dedup against a persisted hyperplane
+    bucket store — the embedding twin of q_dedup_incremental. Docs
+    with vec_id < floor(0.8*max) play the already-ingested corpus
+    (bucketed ONCE into the store); the rest arrive as the increment.
+    The increment is bucketed (one Arrow matmul), bucket-joined
+    against only the store rows in touched buckets (broadcast semi
+    prune, shared incremental_candidates machinery), and
+    cosine-verified. The oracle replays the BATCH banded pipeline
+    restricted to pairs touching a new doc — hash-equality enforces
+    incremental ≡ batch, the correctness contract that makes the
+    store safe to trust at 100 TB."""
+    from .llm_ops.incremental_embedding import (
+        banded_embedding_buckets,
+        incremental_embedding_dups,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    max_id = emb.agg(F.max("vec_id")).first()[0] or 0
+    import math
+
+    k = int(math.floor(max_id * 0.8))
+    old = emb.filter(F.col("vec_id") < k)
+    new = emb.filter(F.col("vec_id") >= k)
+    old_vecs = old.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    old_banded = banded_embedding_buckets(
+        old, "embedding", "vec_id", planes=6, bands=8, dim=64
+    )
+    return (
+        incremental_embedding_dups(
+            new, old_vecs, old_banded, "embedding", "vec_id",
+            threshold=0.4, planes=6, bands=8,
         )
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")

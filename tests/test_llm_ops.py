@@ -1235,3 +1235,81 @@ def test_banded_lsh_tolerates_null_embeddings(spark):
     }
     assert (1, 2) in got
     assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_incremental_embedding_equals_batch(spark, tmp_path):
+    """The incremental embedding path must produce exactly the batch
+    banded pipeline's pairs restricted to pairs touching a new doc —
+    the same contract the driver hash-checks for the text path."""
+    import numpy as np
+
+    from chill_spark.llm_ops.dedup import embedding_near_dups_banded
+    from chill_spark.llm_ops.incremental_embedding import (
+        check_embedding_meta,
+        incremental_embedding_dups,
+        read_embedding_store,
+        write_embedding_store,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(30):
+        v = rng.normal(size=24)
+        rows.append((i, [float(x) for x in v]))
+        if i % 5 == 0:  # plant near-dups: some old-old, some new-old
+            rows.append((100 + i, [float(x + 0.02) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    old = df.filter(F.col("vec_id") < 100)      # base corpus
+    new = df.filter(F.col("vec_id") >= 100)     # increment (near-dups)
+    kw = dict(threshold=0.9, planes=4, bands=6)
+
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_banded(
+            df, "embedding", "vec_id", **kw
+        ).collect()
+    }
+    want = {(a, b) for a, b in batch if a >= 100 or b >= 100}
+    assert want  # the plant produced cross-boundary pairs
+
+    root = str(tmp_path / "emb_store")
+    write_embedding_store(old, "embedding", "vec_id", root, planes=4, bands=6)
+    check_embedding_meta(root, 4, 6, 42)
+    import pytest
+
+    with pytest.raises(ValueError, match="zero dedup recall"):
+        check_embedding_meta(root, 8, 6, 42)
+    old_vecs, old_banded = read_embedding_store(spark, root)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_embedding_dups(
+            new, old_vecs, old_banded, "embedding", "vec_id", **kw
+        ).collect()
+    }
+    assert got == want, (sorted(got), sorted(want))
+
+
+def test_incremental_embedding_replay_self_guard(spark, tmp_path):
+    """A replayed increment whose ids already live in the store must
+    not doom its own docs (self-pair at cosine 1.0) and the NEW vector
+    wins the verify join."""
+    from chill_spark.llm_ops.incremental_embedding import (
+        incremental_embedding_dups,
+        read_embedding_store,
+        write_embedding_store,
+    )
+
+    base = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    root = str(tmp_path / "rp_store")
+    write_embedding_store(df, "embedding", "vec_id", root, planes=3, bands=4)
+    old_vecs, old_banded = read_embedding_store(spark, root)
+    # replay doc 1 (same id, slightly moved vector) — no pair with itself
+    new = spark.createDataFrame(
+        [(1, [0.999, 0.01, 0.0])], ["vec_id", "embedding"]
+    )
+    got = incremental_embedding_dups(
+        new, old_vecs, old_banded, "embedding", "vec_id",
+        threshold=0.9, planes=3, bands=4,
+    ).collect()
+    assert not [r for r in got if r["id_a"] == r["id_b"]]
