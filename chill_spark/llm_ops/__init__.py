@@ -2,12 +2,25 @@ from .dedup import (
     dedup_exact,
     dedup_minhash,
     embedding_near_dups,
+    embedding_near_dups_banded,
     exact_dup_groups,
     jaccard_pairs,
     minhash_candidates,
     minhash_signature,
     simhash,
     simhash_near_dups,
+)
+from .incremental_dedup import (
+    compact_sketch_store,
+    incremental_minhash_dups,
+    read_sketch_store,
+    store_bucket_partitions,
+    write_sketch_store,
+)
+from .incremental_embedding import (
+    incremental_embedding_dups,
+    read_embedding_store,
+    write_embedding_store,
 )
 from .chunking import chunk_documents, pack_sequences
 from .components import component_survivors, connected_components
@@ -23,8 +36,14 @@ from .text import (
 
 __all__ = [
     "dedup_exact", "dedup_minhash", "embedding_near_dups",
+    "embedding_near_dups_banded",
     "exact_dup_groups", "jaccard_pairs", "minhash_candidates",
     "minhash_signature", "simhash", "simhash_near_dups",
+    "compact_sketch_store", "incremental_minhash_dups",
+    "read_sketch_store", "store_bucket_partitions",
+    "write_sketch_store",
+    "incremental_embedding_dups", "read_embedding_store",
+    "write_embedding_store",
     "brute_force_topk", "build_ivf", "ivf_topk", "topk_join",
     "bpe_ish_token_count", "doc_fingerprint", "lang_id",
     "quality_score", "whitespace_token_count",
