@@ -574,6 +574,14 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _mode_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimension as the MODE of row sizes — robust to a null or
+    wrong-dim vector being the first row returned (a bare first()
+    would crash on null or silently null out every valid row)."""
+    row = df.select(F.mode(F.size(F.col(vec_col))).alias("d")).first()
+    return int(row["d"]) if row and row["d"] is not None else 0
+
+
 def hyperplane_vectors(
     dim: int, planes: int, bands: int = 1, seed: int = 42
 ) -> list[list[list[float]]]:
@@ -624,8 +632,7 @@ def embedding_near_dups(
     as (1 - angle/pi)^planes. Use ``embedding_near_dups_banded`` when
     recall matters — this variant remains for the cheapest
     one-shuffle screen."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first else 0
+    dim = _mode_dim(df, vec_col)
     v = F.col(vec_col)
     bucket = _hyperplane_bucket(
         v.cast("array<double>"), hyperplane_vectors(dim, planes, 1, seed)[0]
@@ -735,8 +742,7 @@ def embedding_near_dups_banded(
     verify. Verified pairs are exact cosines, so banding only ever
     ADDS true pairs; the recall floor vs the all-pairs baseline is
     pinned in tests/test_llm_ops.py."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first else 0
+    dim = _mode_dim(df, vec_col)
     allv = hyperplane_vectors(dim, planes, bands, seed)
     v = F.col(vec_col).cast("array<double>")
     # ids ONLY through expansion + cross-band dedup: multi-band

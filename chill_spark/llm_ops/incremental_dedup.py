@@ -82,6 +82,15 @@ def write_sketch_store(
 
     from ..operators.writers import BATCH_COL
 
+    if mode == "append":
+        # appending sketches built with different parameters (or a
+        # different banded layout) would silently never collide /
+        # write a conflicting partition tree — and the unconditional
+        # meta rewrite below would falsify provenance
+        check_sketch_meta(
+            root, num_hashes, bands, shingle_k, portable,
+            bucket_partitions=bucket_partitions,
+        )
     sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable)
     sets_df.write.mode(mode).parquet(f"{root}/sets/{BATCH_COL}=-1")
     banded = banded_signatures(
@@ -225,6 +234,11 @@ def incremental_candidates(
     partition column, so the store scan prunes at PLANNING time:
     untouched partition directories are never even listed."""
     if bucket_partitions and BUCKET_PART_COL in old_banded.columns:
+        # the mods collect below executes new_banded's plan; persist it
+        # first or the full increment sketch (shingle + minhash) runs
+        # TWICE — once for <=N ints, again in the candidate job
+        if getattr(new_banded.storageLevel, "useMemory", False) is False:
+            new_banded = new_banded.persist()
         mods = [
             r["m"]
             for r in new_banded.select(

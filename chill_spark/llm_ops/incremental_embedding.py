@@ -36,6 +36,15 @@ from .dedup import (
 from .incremental_dedup import incremental_candidates
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimension as the MODE of row sizes — robust to a null or
+    wrong-dim vector happening to be the first row returned (a bare
+    first() would then either crash or silently null out every valid
+    row's buckets)."""
+    row = df.select(F.mode(F.size(F.col(vec_col))).alias("d")).first()
+    return int(row["d"]) if row and row["d"] is not None else 0
+
+
 def banded_embedding_buckets(
     df: DataFrame,
     vec_col: str,
@@ -48,8 +57,7 @@ def banded_embedding_buckets(
     """(id, band, bucket) rows for every vector — the store's candidate
     side and the per-increment sketch. One Arrow matmul per batch."""
     if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = first["d"] if first else 0
+        dim = _infer_dim(df, vec_col)
     allv = hyperplane_vectors(dim, planes, bands, seed)
     bucket_f = _banded_bucket_udf(allv)
     v = F.col(vec_col).cast("array<double>")
@@ -69,9 +77,13 @@ def write_embedding_store(
     seed: int = 42,
     mode: str = "overwrite",
 ) -> None:
-    """Materialize the embedding LSH layer for ``df``."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first else 0
+    """Materialize the embedding LSH layer for ``df``. With
+    ``mode="append"`` the existing meta must match (appending sketches
+    from a different plane family or dimension would silently never
+    collide)."""
+    dim = _infer_dim(df, vec_col)
+    if mode == "append":
+        check_embedding_meta(root, planes, bands, seed, dim=dim)
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -87,16 +99,20 @@ def write_embedding_store(
 
 
 def check_embedding_meta(
-    root: str, planes: int, bands: int, seed: int
+    root: str, planes: int, bands: int, seed: int, dim: int | None = None
 ) -> None:
-    """Fail fast on plane-family mismatch (silent zero recall
-    otherwise). No-op when the store has no meta."""
+    """Fail fast on plane-family OR dimension mismatch (silent zero
+    recall otherwise: buckets from a different family/dim never
+    collide, and cross-dim pairs fail the verify's length check).
+    No-op when the store has no meta."""
     path = os.path.join(root, "_meta.json")
     if not os.path.exists(path):
         return
     with open(path) as f:
         meta = json.load(f)
     mine = {"planes": planes, "bands": bands, "seed": seed}
+    if dim is not None:
+        mine["dim"] = dim
     theirs = {k: meta.get(k) for k in mine}
     if theirs != mine:
         raise ValueError(
@@ -140,8 +156,17 @@ def incremental_embedding_dups(
     buckets before the single shuffle. The store's plane dimension
     must match the batch's (meta-checked by callers going through a
     store root)."""
-    dim_row = new_df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = dim_row["d"] if dim_row else 0
+    dim = _infer_dim(new_df, vec_col)
+    old_first = old_vectors.select(F.size(F.col("v")).alias("d")).filter(
+        F.col("d").isNotNull()
+    ).first()
+    if old_first is not None and dim and int(old_first["d"]) != dim:
+        raise ValueError(
+            f"increment vectors are {dim}-dim but the store holds "
+            f"{int(old_first['d'])}-dim vectors — buckets would never "
+            "collide (silent zero dedup recall); re-embed or rebuild "
+            "the store"
+        )
     new_banded = banded_embedding_buckets(
         new_df, vec_col, id_col, planes, bands, seed, dim=dim
     )

@@ -293,7 +293,12 @@ def _lloyd_iterate(
         nonzero = ns > 0
         cents[nonzero] = sums[nonzero] / ns[nonzero, None]
         if round_means is not None:
-            cents = np.round(cents, round_means)
+            # round ONLY the updated rows: the SQL oracle's
+            # coalesce(round(avg), prev) keeps an empty cluster's
+            # previous centroid untouched, so rounding it here would
+            # reintroduce cross-engine argmin drift (at 5e-10, worse
+            # than the 1e-14 the rounding exists to absorb)
+            cents[nonzero] = np.round(cents[nonzero], round_means)
     return cents
 
 
