@@ -60,6 +60,7 @@ HEADLINE = [
     "q_embedding_incremental",
     "q_media_image_meta",
     "q_quality_rules",
+    "q_lm_perplexity",
     "q_span_dedup",
     "q_gapfill_hourly",
     "q_cohort_retention",

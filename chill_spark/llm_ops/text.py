@@ -320,3 +320,85 @@ def with_repetition_stats(df, text_col: str, n: int = 3):
         )
         .drop("__t", "__g")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (CCNet-style quality filtering)
+# ---------------------------------------------------------------------------
+
+def unigram_lm(
+    ref_df: DataFrame,
+    text_col: str,
+    k_smoothing: float = 0.5,
+) -> tuple[DataFrame, Column]:
+    """Train an add-k-smoothed unigram language model on a reference
+    corpus: one pass building (token, logp), the CCNet recipe's cheap
+    stand-in for KenLM (public pipeline: score every crawled doc by
+    LM cross-entropy against an in-domain reference, keep the
+    low-perplexity head).
+
+    Returns ``(lm_df, oov_logp)``: lm_df has columns (tok, logp);
+    oov_logp is the literal Column for unseen tokens,
+    ln(k / (N + k*(V+1))). At 100 TB the LM is vocab-sized (a few
+    hundred MB at web scale) — broadcast it or let AQE pick; the
+    reference pass is one explode + one hash aggregate."""
+    toks = F.explode(
+        F.split(normalize_text(text_col), " ")
+    ).alias("tok")
+    counts = (
+        ref_df.select(toks)
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    n_tok, vocab = (
+        (int(totals["n"] or 0), int(totals["v"] or 0))
+        if totals is not None
+        else (0, 0)
+    )
+    denom = float(n_tok) + k_smoothing * (vocab + 1)
+    lm = counts.select(
+        "tok",
+        F.log((F.col("c") + F.lit(k_smoothing)) / F.lit(denom)).alias("logp"),
+    )
+    import math
+
+    oov = F.lit(math.log(k_smoothing / denom))
+    return lm, oov
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    lm_df: DataFrame,
+    oov_logp: Column,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-document cross-entropy (and perplexity) under a unigram LM:
+    explode tokens, left-join the vocab-sized LM (broadcast-eligible),
+    -avg(logp) per doc. Two shuffles total (LM join + doc re-agg);
+    empty docs get null scores rather than vanishing."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(normalize_text(text_col), " ")
+        ).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    scored = toks.join(F.broadcast(lm_df), "tok", "left").select(
+        "__id", F.coalesce(F.col("logp"), oov_logp).alias("lp")
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg("lp")).alias("cross_entropy"),
+    )
+    return df.select(F.col(id_col)).join(
+        per_doc, df[id_col] == per_doc["__id"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.col("cross_entropy"),
+        F.exp("cross_entropy").alias("perplexity"),
+    )

@@ -4226,6 +4226,72 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "q_lm_perplexity",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    tt AS (
+        SELECT doc_id, source, tok FROM (
+            SELECT doc_id, source, unnest(string_split(t, ' ')) AS tok
+            FROM norm
+        ) WHERE length(tok) > 0
+    ),
+    ref AS (
+        SELECT tok, count(*)::DOUBLE AS c FROM tt
+        WHERE source = 'src0' GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM ref),
+    lm AS (
+        SELECT tok,
+               ln((c + 0.5) / (SELECT n + 0.5 * (v + 1) FROM tot)) AS logp
+        FROM ref
+    ),
+    sc AS (
+        SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+               -avg(coalesce(
+                   l.logp,
+                   (SELECT ln(0.5 / (n + 0.5 * (v + 1))) FROM tot)
+               )) AS ce
+        FROM tt t LEFT JOIN lm l USING (tok)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+           round(s.ce, 6) AS cross_entropy,
+           round(exp(s.ce), 6) AS perplexity
+    FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (public recipe: score every doc
+    by cross-entropy under a language model trained on an in-domain
+    reference; keep the low-perplexity head). Here the reference slice
+    is source='src0' and the model is an add-0.5-smoothed unigram LM —
+    the whole pipeline is two shuffles (vocab aggregate; broadcast LM
+    join + per-doc re-agg) and fully SQL-replayable: the oracle
+    retrains the LM and re-scores every document, so the smoothing
+    math, OOV handling, and per-doc averages are all value-hashed."""
+    from .llm_ops.text import lm_cross_entropy, unigram_lm
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    lm, oov = unigram_lm(d.filter(F.col("source") == "src0"), "text")
+    return (
+        lm_cross_entropy(d, lm, oov, "text", "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("cross_entropy", 6).alias("cross_entropy"),
+            F.round("perplexity", 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q_histogram_prices",
     oracle="""

@@ -1313,3 +1313,31 @@ def test_incremental_embedding_replay_self_guard(spark, tmp_path):
         threshold=0.9, planes=3, bands=4,
     ).collect()
     assert not [r for r in got if r["id_a"] == r["id_b"]]
+
+
+def test_lm_perplexity_ranks_in_domain_text_lower(spark):
+    """The unigram LM must score in-distribution text lower-perplexity
+    than OOV gibberish, and the OOV path must engage (unseen tokens
+    get the smoothed floor, not a crash or zero)."""
+    from chill_spark.llm_ops.text import lm_cross_entropy, unigram_lm
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    lm, oov = unigram_lm(ref, "text")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),          # in-distribution
+            (2, "zxqv wvut kjhg plmn"),          # all-OOV gibberish
+            (3, ""),                              # empty -> null score
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy(docs, lm, oov, "text", "doc_id").collect()
+    }
+    assert got[1]["perplexity"] < got[2]["perplexity"]
+    assert got[2]["n_tokens"] == 4 and got[2]["cross_entropy"] > 0
+    assert got[3]["n_tokens"] == 0 and got[3]["cross_entropy"] is None
