@@ -80,7 +80,14 @@ def write_embedding_store(
     """Materialize the embedding LSH layer for ``df``. With
     ``mode="append"`` the existing meta must match (appending sketches
     from a different plane family or dimension would silently never
-    collide)."""
+    collide).
+
+    Written under ``BATCH_PART=-1`` leaves, identical to what the
+    streaming maintainer (run_embedding_dedup_stream) appends —
+    partition discovery rejects mixed flat/nested trees, so a
+    bootstrap store must match the stream's batch-keyed shape."""
+    from ..operators.writers import BATCH_COL
+
     dim = _infer_dim(df, vec_col)
     if mode == "append":
         check_embedding_meta(root, planes, bands, seed, dim=dim)
@@ -88,10 +95,10 @@ def write_embedding_store(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    vecs.write.mode(mode).parquet(f"{root}/vectors")
+    vecs.write.mode(mode).parquet(f"{root}/vectors/{BATCH_COL}=-1")
     banded_embedding_buckets(
         df, vec_col, id_col, planes, bands, seed, dim=dim
-    ).write.mode(mode).parquet(f"{root}/banded")
+    ).write.mode(mode).parquet(f"{root}/banded/{BATCH_COL}=-1")
     with open(os.path.join(root, "_meta.json"), "w") as f:
         json.dump(
             {"planes": planes, "bands": bands, "seed": seed, "dim": dim}, f
@@ -126,9 +133,13 @@ def check_embedding_meta(
 def read_embedding_store(
     spark: SparkSession, root: str
 ) -> tuple[DataFrame, DataFrame]:
+    """Read both store sides, dropping the BATCH_PART partition column
+    the batch-keyed layout adds."""
+    from ..operators.writers import BATCH_COL
+
     return (
-        spark.read.parquet(f"{root}/vectors"),
-        spark.read.parquet(f"{root}/banded"),
+        spark.read.parquet(f"{root}/vectors").drop(BATCH_COL),
+        spark.read.parquet(f"{root}/banded").drop(BATCH_COL),
     )
 
 
@@ -144,6 +155,7 @@ def incremental_embedding_dups(
     seed: int = 42,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     broadcast_touched: bool = True,
+    banded_df: DataFrame | None = None,
 ) -> DataFrame:
     """Verified duplicate pairs (id_a < id_b, cosine) between the new
     batch and (itself ∪ the stored corpus) — the banded batch
@@ -167,9 +179,11 @@ def incremental_embedding_dups(
             "collide (silent zero dedup recall); re-embed or rebuild "
             "the store"
         )
-    new_banded = banded_embedding_buckets(
-        new_df, vec_col, id_col, planes, bands, seed, dim=dim
-    )
+    new_banded = banded_df
+    if new_banded is None:
+        new_banded = banded_embedding_buckets(
+            new_df, vec_col, id_col, planes, bands, seed, dim=dim
+        )
     cands = incremental_candidates(
         new_banded, old_banded, max_bucket_size=max_bucket_size,
         broadcast_touched=broadcast_touched,

@@ -4292,6 +4292,51 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "q_source_caps",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rnk,
+               count(*) OVER (PARTITION BY source) AS source_total
+        FROM documents
+    )
+    SELECT doc_id, source, rnk AS source_rank, source_total
+    FROM ranked WHERE rnk <= 40
+    ORDER BY doc_id
+    """,
+)
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution caps (the web-pipeline domain-diversity
+    policy: no single domain may dominate the training mix). Keep the
+    top-K docs per source by a quality proxy (n_chars, ties by id) and
+    surface each source's pre-cap volume. One shuffle on source; at
+    100 TB the window never materializes the corpus — rank + running
+    count stream within each source partition, and a skewed megasource
+    is bounded by the cap itself."""
+    from pyspark.sql.window import Window
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("source_rank"),
+            F.count(F.lit(1)).over(wc).alias("source_total"),
+        )
+        .filter(F.col("source_rank") <= 40)
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q_histogram_prices",
     oracle="""

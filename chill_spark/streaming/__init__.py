@@ -20,6 +20,9 @@ from .stateful import SESSION_SCHEMA, sessionize_stream  # noqa: E402
 
 __all__ += ["SESSION_SCHEMA", "sessionize_stream"]
 
-from .dedup_stream import run_dedup_stream  # noqa: E402
+from .dedup_stream import (  # noqa: E402
+    run_dedup_stream,
+    run_embedding_dedup_stream,
+)
 
-__all__ += ["run_dedup_stream"]
+__all__ += ["run_dedup_stream", "run_embedding_dedup_stream"]

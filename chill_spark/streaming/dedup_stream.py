@@ -104,6 +104,37 @@ def _append_batch_keyed(
     )
 
 
+def _doomed_new_ids(dups: DataFrame, new: DataFrame, id_col: str) -> DataFrame:
+    """Which NEW docs die, given verified duplicate pairs (id_a < id_b).
+    Stored docs are never retroactively removed (append-only corpus
+    contract), so a new doc dies when it duplicates ANY stored doc —
+    regardless of id order; ids need not be monotonic across batches
+    (hash/uuid ids). For in-batch pairs the larger id dies."""
+    mark_a = F.broadcast(
+        new.select(F.col(id_col).alias("id_a"), F.lit(True).alias("__a_new"))
+    )
+    mark_b = F.broadcast(
+        new.select(F.col(id_col).alias("id_b"), F.lit(True).alias("__b_new"))
+    )
+    tagged = (
+        dups.select("id_a", "id_b")
+        .join(mark_a, "id_a", "left")
+        .join(mark_b, "id_b", "left")
+        .withColumn("a_new", F.coalesce("__a_new", F.lit(False)))
+        .withColumn("b_new", F.coalesce("__b_new", F.lit(False)))
+    )
+    return (
+        tagged.select(
+            F.when(F.col("a_new") & F.col("b_new"), F.col("id_b"))
+            .when(F.col("a_new"), F.col("id_a"))
+            .when(F.col("b_new"), F.col("id_b"))
+            .alias(id_col)
+        )
+        .filter(F.col(id_col).isNotNull())
+        .distinct()
+    )
+
+
 def run_dedup_stream(
     spark: SparkSession,
     input_dir: str,
@@ -177,42 +208,7 @@ def run_dedup_stream(
                 shingle_k=shingle_k, sets_df=new_sets, banded_df=new_banded,
                 bucket_partitions=bkt_n,
             )
-            # Survivorship: stored docs are never retroactively removed
-            # (append-only corpus contract), so a new doc dies when it
-            # duplicates ANY stored doc — regardless of id order; ids
-            # need not be monotonic across batches (hash/uuid ids). For
-            # in-batch pairs the larger id dies (pairs are id_a < id_b).
-            mark_a = F.broadcast(
-                new.select(
-                    F.col(id_col).alias("id_a"),
-                    F.lit(True).alias("__a_new"),
-                )
-            )
-            mark_b = F.broadcast(
-                new.select(
-                    F.col(id_col).alias("id_b"),
-                    F.lit(True).alias("__b_new"),
-                )
-            )
-            tagged = (
-                dups.select("id_a", "id_b")
-                .join(mark_a, "id_a", "left")
-                .join(mark_b, "id_b", "left")
-                .withColumn("a_new", F.coalesce("__a_new", F.lit(False)))
-                .withColumn("b_new", F.coalesce("__b_new", F.lit(False)))
-            )
-            doomed = (
-                tagged.select(
-                    F.when(
-                        F.col("a_new") & F.col("b_new"), F.col("id_b")
-                    )
-                    .when(F.col("a_new"), F.col("id_a"))
-                    .when(F.col("b_new"), F.col("id_b"))
-                    .alias(id_col)
-                )
-                .filter(F.col(id_col).isNotNull())
-                .distinct()
-            )
+            doomed = _doomed_new_ids(dups, new, id_col)
             survivors = new.join(doomed, id_col, "left_anti")
             _append_batch_keyed(survivors, out_dir, batch_id)
             leaf = f"{out_dir}/{BATCH_COL}={batch_id}"
@@ -251,6 +247,136 @@ def run_dedup_stream(
             for cached in (new_sets, new_banded):
                 if cached is not None:
                     cached.unpersist()
+            new.unpersist()
+
+    writer = src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def _ensure_embedding_meta(
+    root: str, planes: int, bands: int, seed: int, dim: int
+) -> None:
+    """First-batch bootstrap of an embedding store's _meta.json (dim is
+    only known once data arrives). Same no-false-provenance rule as the
+    text stream: never stamp a store that already holds data."""
+    import json
+    import os
+
+    path = os.path.join(root, "_meta.json")
+    if os.path.exists(path):
+        return
+    if os.path.isdir(os.path.join(root, "vectors")) or os.path.isdir(
+        os.path.join(root, "banded")
+    ):
+        return
+    os.makedirs(root, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {"planes": planes, "bands": bands, "seed": seed, "dim": dim}, f
+        )
+
+
+def run_embedding_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    out_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    planes: int = 6,
+    bands: int = 8,
+    seed: int = 42,
+    available_now: bool = False,
+    trigger_seconds: int = 5,
+    quarantine_dir: str | None = None,
+) -> StreamingQuery:
+    """Continuously-deduplicating EMBEDDING intake — the vector twin of
+    run_dedup_stream: JSONL rows carrying an embedding array land in a
+    watched directory; each micro-batch is bucketed (one Arrow
+    matmul), joined against the persisted hyperplane store, cosine-
+    verified, and only survivors append — to the corpus AND the store
+    (vectors + banded), batch-keyed for exactly-once replay. Same
+    survivorship, all-duplicate-batch, and meta-provenance semantics
+    as the text stream."""
+    if quarantine_dir is None:
+        quarantine_dir = f"{out_dir}/_quarantine"
+
+    from ..llm_ops.incremental_embedding import (
+        banded_embedding_buckets,
+        check_embedding_meta,
+        incremental_embedding_dups,
+    )
+
+    check_embedding_meta(store_root, planes, bands, seed)
+    _VEC_SCHEMA = "id BIGINT, v ARRAY<DOUBLE>"
+    _EB_SCHEMA = "id BIGINT, band INT, bucket BIGINT"
+
+    src = read_jsonl_stream(spark, input_dir, schema)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bad = batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("rejected_line")
+        )
+        _append_batch_keyed(bad, quarantine_dir, batch_id)
+        new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        new = new.persist()
+        new_banded = None
+        try:
+            if not new.head(1):
+                return
+            dim_row = new.select(
+                F.mode(F.size(F.col(vec_col))).alias("d")
+            ).first()
+            dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
+            _ensure_embedding_meta(store_root, planes, bands, seed, dim)
+            check_embedding_meta(store_root, planes, bands, seed, dim=dim)
+            old_vecs = _read_store_side(
+                spark, f"{store_root}/vectors", _VEC_SCHEMA
+            )
+            old_banded = _read_store_side(
+                spark, f"{store_root}/banded", _EB_SCHEMA
+            )
+            new_banded = banded_embedding_buckets(
+                new, vec_col, id_col, planes, bands, seed, dim=dim
+            ).persist()
+            dups = incremental_embedding_dups(
+                new, old_vecs, old_banded, vec_col, id_col,
+                threshold=threshold, planes=planes, bands=bands, seed=seed,
+                banded_df=new_banded,
+            )
+            doomed = _doomed_new_ids(dups, new, id_col)
+            survivors = new.join(doomed, id_col, "left_anti")
+            _append_batch_keyed(survivors, out_dir, batch_id)
+            leaf = f"{out_dir}/{BATCH_COL}={batch_id}"
+            if not _path_exists(spark, leaf):
+                return  # all-duplicate batch: nothing to append
+            surv_ids = spark.read.parquet(leaf).select(
+                F.col(id_col).alias("id")
+            )
+            new_vecs = new.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            _append_batch_keyed(
+                new_vecs.join(surv_ids, "id", "left_semi"),
+                f"{store_root}/vectors", batch_id,
+            )
+            _append_batch_keyed(
+                new_banded.join(surv_ids, "id", "left_semi"),
+                f"{store_root}/banded", batch_id,
+            )
+        finally:
+            if new_banded is not None:
+                new_banded.unpersist()
             new.unpersist()
 
     writer = src.writeStream.foreachBatch(handle).option(

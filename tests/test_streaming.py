@@ -1244,3 +1244,95 @@ def test_sketch_meta_pins_bucket_partitions(spark, stream_dirs):
     check_sketch_meta(store, 16, 8, 5, bucket_partitions=32)
     with pytest.raises(ValueError, match="wrong partition"):
         check_sketch_meta(store, 16, 8, 5, bucket_partitions=16)
+
+
+def test_embedding_dedup_stream_across_batches(spark, stream_dirs):
+    """Continuously-deduplicating embedding intake: batch 2's
+    near-duplicate vector of a batch-1 doc is dropped against the
+    persisted hyperplane store; genuinely new vectors survive; an
+    all-duplicate batch is a no-op; the store grows with survivors
+    only."""
+    import json
+
+    from chill_spark.llm_ops.incremental_embedding import (
+        check_embedding_meta,
+    )
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_embedding_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "ev_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "ev_out")
+    store = os.path.join(base, "ev_store")
+    ckpt = os.path.join(base, "ev_ckpt")
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    v1 = [float(x) for x in rng.normal(size=16)]
+    v2 = [float(x) for x in rng.normal(size=16)]
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 1, "embedding": v1}) + "\n")
+        f.write(json.dumps({"vec_id": 2, "embedding": v2}) + "\n")
+
+    kw = dict(
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>", out_dir=out,
+        store_root=store, checkpoint_dir=ckpt,
+        threshold=0.9, planes=4, bands=6, available_now=True,
+    )
+    drain(run_embedding_dedup_stream(spark, ind, **kw))
+    assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+    check_embedding_meta(store, 4, 6, 42, dim=16)  # meta bootstrapped
+
+    # wave 2: near-dup of 1 (smaller id — stored side must win) + new
+    near = [float(x + 0.01) for x in v1]
+    v3 = [float(x) for x in rng.normal(size=16)]
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 0, "embedding": near}) + "\n")
+        f.write(json.dumps({"vec_id": 30, "embedding": v3}) + "\n")
+    drain(run_embedding_dedup_stream(spark, ind, **kw))
+    assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 30}
+
+    # wave 3: ALL duplicates -> no survivors, stream stays alive
+    with open(os.path.join(ind, "w3.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 40, "embedding": v2}) + "\n")
+    drain(run_embedding_dedup_stream(spark, ind, **kw))
+    got = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 30}
+    ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "vectors")).collect()}
+    assert ids == {1, 2, 30}
+
+    # wave 4: still ingesting after the all-dup batch
+    v5 = [float(x) for x in rng.normal(size=16)]
+    with open(os.path.join(ind, "w4.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 50, "embedding": v5}) + "\n")
+    drain(run_embedding_dedup_stream(spark, ind, **kw))
+    assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 30, 50}
+
+
+def test_embedding_dedup_stream_rejects_dim_drift(spark, stream_dirs):
+    """An increment whose vectors changed dimension (embedding model
+    swap) must fail fast, not silently admit every duplicate."""
+    import json
+
+    import pytest
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_embedding_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "dd2_in"); os.makedirs(ind, exist_ok=True)
+    kw = dict(
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        out_dir=os.path.join(base, "dd2_out"),
+        store_root=os.path.join(base, "dd2_store"),
+        checkpoint_dir=os.path.join(base, "dd2_ckpt"),
+        threshold=0.9, planes=4, bands=6, available_now=True,
+    )
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 1, "embedding": [1.0] * 8}) + "\n")
+    drain(run_embedding_dedup_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 2, "embedding": [1.0] * 16}) + "\n")
+    with pytest.raises(Exception, match="dim|zero dedup recall"):
+        drain(run_embedding_dedup_stream(spark, ind, **kw))
