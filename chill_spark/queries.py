@@ -4312,27 +4312,42 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source contribution caps (the web-pipeline domain-diversity
-    policy: no single domain may dominate the training mix). Keep the
+    policy: no single domain may dominate the training mix): keep the
     top-K docs per source by a quality proxy (n_chars, ties by id) and
-    surface each source's pre-cap volume. One shuffle on source; at
-    100 TB the window never materializes the corpus — rank + running
-    count stream within each source partition, and a skewed megasource
-    is bounded by the cap itself."""
+    surface each source's pre-cap volume.
+
+    Two-phase salted top-K, NOT one window over source: source is a
+    low-cardinality key, so a single Window.partitionBy(source) would
+    rank a megasource's entire partition on one task at 100 TB. Phase
+    1 ranks within (source, salt-of-id) — 16x the parallelism — and
+    keeps each salted group's top K (any global top-K doc is top-K in
+    its own salt group, so this is lossless); phase 2 re-ranks the
+    <= 16*K survivors per source. The pre-cap totals come from a plain
+    hash aggregate (map-side combine, no skew), broadcast back."""
     from pyspark.sql.window import Window
 
+    K = 40
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    w = Window.partitionBy("source").orderBy(
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16))
+    w1 = Window.partitionBy("source", "__salt").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
-    wc = Window.partitionBy("source")
+    pre = (
+        d.select("doc_id", "source", "n_chars", salt.alias("__salt"))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= K)
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    totals = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("source_total")
+    )
     return (
-        d.select(
-            "doc_id",
-            "source",
-            F.row_number().over(w).alias("source_rank"),
-            F.count(F.lit(1)).over(wc).alias("source_total"),
-        )
-        .filter(F.col("source_rank") <= 40)
+        pre.withColumn("source_rank", F.row_number().over(w2))
+        .filter(F.col("source_rank") <= K)
+        .join(F.broadcast(totals), "source")
+        .select("doc_id", "source", "source_rank", "source_total")
         .orderBy("doc_id")
     )
 
