@@ -91,6 +91,16 @@ def write_sketch_store(
             root, num_hashes, bands, shingle_k, portable,
             bucket_partitions=bucket_partitions,
         )
+    elif mode == "overwrite":
+        # a rebuild must clear EVERYTHING, including stream-appended
+        # BATCH_PART leaves — overwriting only the -1 leaf would leave
+        # stale old-family sketches mixed under the restamped meta
+        import shutil
+
+        for side in ("sets", "banded"):
+            p = os.path.join(root, side)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
     sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable)
     sets_df.write.mode(mode).parquet(f"{root}/sets/{BATCH_COL}=-1")
     banded = banded_signatures(

@@ -86,11 +86,21 @@ def write_embedding_store(
     streaming maintainer (run_embedding_dedup_stream) appends —
     partition discovery rejects mixed flat/nested trees, so a
     bootstrap store must match the stream's batch-keyed shape."""
+    import shutil
+
     from ..operators.writers import BATCH_COL
 
     dim = _infer_dim(df, vec_col)
     if mode == "append":
         check_embedding_meta(root, planes, bands, seed, dim=dim)
+    elif mode == "overwrite":
+        # a rebuild must clear EVERYTHING, including stream-appended
+        # BATCH_PART leaves — overwriting only the -1 leaf would leave
+        # stale old-family sketches mixed under the restamped meta
+        for side in ("vectors", "banded"):
+            p = os.path.join(root, side)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -156,6 +166,7 @@ def incremental_embedding_dups(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     broadcast_touched: bool = True,
     banded_df: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Verified duplicate pairs (id_a < id_b, cosine) between the new
     batch and (itself ∪ the stored corpus) — the banded batch
@@ -167,8 +178,10 @@ def incremental_embedding_dups(
     never expanded, store side broadcast-semi-pruned to touched
     buckets before the single shuffle. The store's plane dimension
     must match the batch's (meta-checked by callers going through a
-    store root)."""
-    dim = _infer_dim(new_df, vec_col)
+    store root). Pass ``dim`` when the caller already inferred it (the
+    streaming path does) to skip the mode-of-sizes job."""
+    if dim is None:
+        dim = _infer_dim(new_df, vec_col)
     old_first = old_vectors.select(F.size(F.col("v")).alias("d")).filter(
         F.col("d").isNotNull()
     ).first()

@@ -350,7 +350,9 @@ def unigram_lm(
         .filter(F.length("tok") > 0)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).persist()  # the totals action below would otherwise re-run the
+    # reference explode+aggregate when the returned lm is consumed;
+    # unpersist after scoring if the session is long-lived
     totals = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).first()
@@ -359,6 +361,12 @@ def unigram_lm(
         if totals is not None
         else (0, 0)
     )
+    if n_tok == 0:
+        raise ValueError(
+            "unigram_lm: empty reference corpus — every doc would "
+            "score a degenerate cross-entropy of 0; pick a non-empty "
+            "reference slice"
+        )
     denom = float(n_tok) + k_smoothing * (vocab + 1)
     lm = counts.select(
         "tok",

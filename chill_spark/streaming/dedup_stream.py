@@ -311,6 +311,7 @@ def run_embedding_dedup_stream(
         quarantine_dir = f"{out_dir}/_quarantine"
 
     from ..llm_ops.incremental_embedding import (
+        _infer_dim,
         banded_embedding_buckets,
         check_embedding_meta,
         incremental_embedding_dups,
@@ -326,17 +327,42 @@ def run_embedding_dedup_stream(
         bad = batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("rejected_line")
         )
-        _append_batch_keyed(bad, quarantine_dir, batch_id)
-        new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        new = new.persist()
+        parsed = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        parsed = parsed.persist()
+        new = None
         new_banded = None
         try:
+            # batch hygiene: a vector row the sketch can't handle is a
+            # REJECT, not a crash and not a silent survivor —
+            #  - null/empty embeddings (valid JSON, so the corrupt
+            #    channel missed them) can't be deduplicated at all;
+            #  - minority wrong-dim rows (mid-feed model drift) would
+            #    get null buckets, survive unverified, and poison the
+            #    store's dimension.
+            # A WHOLESALE dimension change still fails fast below via
+            # the meta check (the batch mode itself shifts). ONE
+            # quarantine write per batch: a second batch-keyed write
+            # would dynamic-overwrite the first leaf.
+            dim = _infer_dim(parsed, vec_col)
+            usable = (
+                F.coalesce(
+                    F.col(vec_col).isNotNull() & (F.size(vec_col) == dim),
+                    F.lit(False),
+                )
+                if dim
+                else F.lit(False)
+            )
+            rejects = parsed.filter(~usable).select(
+                F.to_json(F.struct("*")).alias("rejected_line")
+            )
+            _append_batch_keyed(
+                bad.unionByName(rejects), quarantine_dir, batch_id
+            )
+            if not dim:
+                return
+            new = parsed.filter(usable).persist()
             if not new.head(1):
                 return
-            dim_row = new.select(
-                F.mode(F.size(F.col(vec_col))).alias("d")
-            ).first()
-            dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
             _ensure_embedding_meta(store_root, planes, bands, seed, dim)
             check_embedding_meta(store_root, planes, bands, seed, dim=dim)
             old_vecs = _read_store_side(
@@ -351,7 +377,7 @@ def run_embedding_dedup_stream(
             dups = incremental_embedding_dups(
                 new, old_vecs, old_banded, vec_col, id_col,
                 threshold=threshold, planes=planes, bands=bands, seed=seed,
-                banded_df=new_banded,
+                banded_df=new_banded, dim=dim,
             )
             doomed = _doomed_new_ids(dups, new, id_col)
             survivors = new.join(doomed, id_col, "left_anti")
@@ -375,9 +401,10 @@ def run_embedding_dedup_stream(
                 f"{store_root}/banded", batch_id,
             )
         finally:
-            if new_banded is not None:
-                new_banded.unpersist()
-            new.unpersist()
+            for cached in (new_banded, new):
+                if cached is not None:
+                    cached.unpersist()
+            parsed.unpersist()
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -1336,3 +1336,37 @@ def test_embedding_dedup_stream_rejects_dim_drift(spark, stream_dirs):
         f.write(json.dumps({"vec_id": 2, "embedding": [1.0] * 16}) + "\n")
     with pytest.raises(Exception, match="dim|zero dedup recall"):
         drain(run_embedding_dedup_stream(spark, ind, **kw))
+
+
+def test_embedding_dedup_stream_quarantines_bad_vectors(spark, stream_dirs):
+    """Null-embedding and minority wrong-dim rows are routed to the
+    reject channel in the SAME batch-keyed write as corrupt lines (a
+    second write would dynamic-overwrite the first leaf); the valid
+    rows of the batch still flow."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_embedding_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "qb_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "qb_out")
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 1, "embedding": [1.0, 0.0, 0.0, 0.5]}) + "\n")
+        f.write(json.dumps({"vec_id": 2, "embedding": None}) + "\n")
+        f.write(json.dumps({"vec_id": 3, "embedding": [1.0, 2.0]}) + "\n")
+        f.write("{not json at all\n")
+        f.write(json.dumps({"vec_id": 4, "embedding": [0.0, 1.0, 0.0, 0.5]}) + "\n")
+    drain(run_embedding_dedup_stream(
+        spark, ind, schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        out_dir=out, store_root=os.path.join(base, "qb_store"),
+        checkpoint_dir=os.path.join(base, "qb_ckpt"),
+        threshold=0.95, planes=3, bands=4, available_now=True,
+    ))
+    assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {1, 4}
+    q = spark.read.parquet(os.path.join(out, "_quarantine")).collect()
+    lines = [r["rejected_line"] for r in q]
+    assert len(lines) == 3  # corrupt + null-embedding + wrong-dim
+    assert any("not json" in (l or "") for l in lines)
+    assert any('"vec_id":2' in (l or "") or '"vec_id": 2' in (l or "") for l in lines)
+    assert any('"vec_id":3' in (l or "") or '"vec_id": 3' in (l or "") for l in lines)
