@@ -23,6 +23,9 @@ formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
     python -m chill_spark sketch     --in DIR --store DIR \
                                      [--bucket-partitions N]
     python -m chill_spark sketch-compact --store DIR
+    python -m chill_spark emb-sketch  --in DIR --store DIR
+    python -m chill_spark emb-dedup-stream --in DIR --out DIR --store DIR \
+                                     --checkpoint DIR [--drain]
     python -m chill_spark ladder-audit --catalog cat.json --table T \
                                      --base DIR --out LADDER_DIR
     python -m chill_spark sql        "SELECT ..." --tables DIR [--out DIR]
@@ -396,6 +399,46 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def cmd_emb_sketch(args) -> int:
+    """Bootstrap/refresh the hyperplane-bucket embedding store from an
+    existing corpus — the precursor to emb-dedup-stream or offline
+    incremental embedding dedup."""
+    from .llm_ops.incremental_embedding import write_embedding_store
+    from .session import get_spark
+
+    spark = get_spark("chill-emb-sketch")
+    df = spark.read.parquet(args.input)
+    write_embedding_store(
+        df, args.vec_col, args.id_col, args.store,
+        planes=args.planes, bands=args.bands,
+    )
+    n = spark.read.parquet(f"{args.store}/vectors").count()
+    print(f"embedding store at {args.store}: {n} vector(s)")
+    return 0
+
+
+def cmd_emb_dedup_stream(args) -> int:
+    from .session import get_spark
+    from .streaming import drain
+    from .streaming.dedup_stream import run_embedding_dedup_stream
+
+    spark = get_spark("chill-emb-dedup-stream")
+    q = run_embedding_dedup_stream(
+        spark, args.input, args.schema,
+        out_dir=args.out, store_root=args.store,
+        checkpoint_dir=args.checkpoint,
+        vec_col=args.vec_col, id_col=args.id_col,
+        threshold=args.threshold, planes=args.planes, bands=args.bands,
+        available_now=args.drain, trigger_seconds=args.trigger,
+        quarantine_dir=args.quarantine,
+    )
+    if args.drain:
+        drain(q)
+    else:
+        q.awaitTermination()
+    return 0
+
+
 def cmd_sketch_compact(args) -> int:
     """Collapse a multi-batch sketch store (one BATCH_PART leaf per
     micro-batch after long dedup-stream runs) to one leaf per side.
@@ -689,6 +732,42 @@ def main(argv: list[str] | None = None) -> int:
         default=128 * 1024 * 1024,
     )
     skc.set_defaults(fn=cmd_sketch_compact)
+
+    es = sub.add_parser(
+        "emb-sketch",
+        help="materialize the hyperplane-bucket embedding store for a "
+        "corpus (feeds emb-dedup-stream / offline incremental dedup)",
+    )
+    es.add_argument("--in", dest="input", required=True)
+    es.add_argument("--store", required=True)
+    es.add_argument("--vec-col", dest="vec_col", default="embedding")
+    es.add_argument("--id-col", dest="id_col", default="vec_id")
+    es.add_argument("--planes", type=int, default=6)
+    es.add_argument("--bands", type=int, default=8)
+    es.set_defaults(fn=cmd_emb_sketch)
+
+    eds = sub.add_parser(
+        "emb-dedup-stream",
+        help="continuously-deduplicating embedding intake: near-dup "
+        "vectors dropped against the store; survivors appended",
+    )
+    eds.add_argument("--in", dest="input", required=True)
+    eds.add_argument(
+        "--schema", default="vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    eds.add_argument("--out", required=True)
+    eds.add_argument("--store", required=True, help="embedding store root")
+    eds.add_argument("--checkpoint", required=True)
+    eds.add_argument("--vec-col", dest="vec_col", default="embedding")
+    eds.add_argument("--id-col", dest="id_col", default="vec_id")
+    eds.add_argument("--threshold", type=float, default=0.9)
+    eds.add_argument("--planes", type=int, default=6)
+    eds.add_argument("--bands", type=int, default=8)
+    eds.add_argument("--trigger", type=int, default=5)
+    eds.add_argument("--quarantine", default=None)
+    eds.add_argument("--drain", action="store_true",
+                     help="process available files then exit (availableNow)")
+    eds.set_defaults(fn=cmd_emb_dedup_stream)
 
     la = sub.add_parser(
         "ladder-audit",

@@ -574,3 +574,40 @@ def test_cli_sketch_compact_lifecycle(cli_dirs, spark, capsys):
     banded = spark.read.parquet(os.path.join(store, "banded"))
     assert BUCKET_PART_COL in banded.columns
     assert {r["id"] for r in banded.select("id").distinct().collect()} == {1, 5}
+
+
+def test_cli_emb_sketch_then_stream(cli_dirs, spark, capsys):
+    """emb-sketch bootstraps the embedding store from a batch corpus;
+    emb-dedup-stream then drops near-dup vectors of the pre-sketched
+    docs and admits fresh ones."""
+    import json
+
+    import numpy as np
+
+    corpus = os.path.join(cli_dirs["base"], "es_corpus")
+    store = os.path.join(cli_dirs["base"], "es_store")
+    rng = np.random.RandomState(9)
+    v1 = [float(x) for x in rng.normal(size=12)]
+    spark.createDataFrame(
+        [(1, v1)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.parquet(corpus)
+    rc = main(["emb-sketch", "--in", corpus, "--store", store,
+               "--planes", "4", "--bands", "6"])
+    assert rc == 0 and "1 vector(s)" in capsys.readouterr().out
+
+    ind = os.path.join(cli_dirs["base"], "es_in"); os.makedirs(ind)
+    out = os.path.join(cli_dirs["base"], "es_out")
+    near = [float(x + 0.005) for x in v1]
+    fresh = [float(x) for x in rng.normal(size=12)]
+    with open(os.path.join(ind, "a.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 10, "embedding": near}) + "\n")
+        f.write(json.dumps({"vec_id": 11, "embedding": fresh}) + "\n")
+    rc = main([
+        "emb-dedup-stream", "--in", ind, "--out", out, "--store", store,
+        "--checkpoint", os.path.join(cli_dirs["base"], "es_ckpt"),
+        "--threshold", "0.95", "--planes", "4", "--bands", "6", "--drain",
+    ])
+    assert rc == 0
+    assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {11}
+    ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "vectors")).collect()}
+    assert ids == {1, 11}
