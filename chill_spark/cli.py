@@ -447,8 +447,13 @@ def cmd_sketch_compact(args) -> int:
     from .session import get_spark
 
     spark = get_spark("chill-sketch-compact")
+    sides = (
+        ("vectors", "banded") if args.kind == "embedding"
+        else ("sets", "banded")
+    )
     done = compact_sketch_store(
-        spark, args.store, target_file_bytes=args.target_file_bytes
+        spark, args.store, target_file_bytes=args.target_file_bytes,
+        sides=sides,
     )
     for side, n in sorted(done.items()):
         print(f"compacted {args.store}/{side}: {n} file(s)")
@@ -730,6 +735,10 @@ def main(argv: list[str] | None = None) -> int:
     skc.add_argument(
         "--target-file-bytes", dest="target_file_bytes", type=int,
         default=128 * 1024 * 1024,
+    )
+    skc.add_argument(
+        "--kind", choices=("text", "embedding"), default="text",
+        help="text store (sets/banded) or embedding store (vectors/banded)",
     )
     skc.set_defaults(fn=cmd_sketch_compact)
 

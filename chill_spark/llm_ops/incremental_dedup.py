@@ -377,6 +377,7 @@ def compact_sketch_store(
     spark: SparkSession,
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    sides: tuple[str, ...] = ("sets", "banded"),
 ) -> dict[str, int]:
     """Collapse a multi-batch sketch store to one ``BATCH_PART=-1``
     leaf per side.
@@ -416,7 +417,7 @@ def compact_sketch_store(
         )
     done: dict[str, int] = {}
     seen_any = False
-    for side in ("sets", "banded"):
+    for side in sides:
         src = os.path.join(root, side)
         tmp = os.path.join(root, f"{side}__compacting")
         aside = os.path.join(root, f"{side}__old")

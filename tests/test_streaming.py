@@ -1370,3 +1370,56 @@ def test_embedding_dedup_stream_quarantines_bad_vectors(spark, stream_dirs):
     assert any("not json" in (l or "") for l in lines)
     assert any('"vec_id":2' in (l or "") or '"vec_id": 2' in (l or "") for l in lines)
     assert any('"vec_id":3' in (l or "") or '"vec_id": 3' in (l or "") for l in lines)
+
+
+def test_compact_embedding_store(spark, stream_dirs):
+    """The embedding store's per-batch leaves compact to one leaf per
+    side, and the stream keeps deduplicating on top."""
+    import json
+
+    import numpy as np
+
+    from chill_spark.llm_ops.incremental_embedding import (
+        compact_embedding_store,
+    )
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import run_embedding_dedup_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "ce_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "ce_out")
+    store = os.path.join(base, "ce_store")
+    rng = np.random.RandomState(21)
+    v1 = [float(x) for x in rng.normal(size=12)]
+    v2 = [float(x) for x in rng.normal(size=12)]
+    kw = dict(
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>", out_dir=out,
+        store_root=store, checkpoint_dir=os.path.join(base, "ce_ckpt"),
+        threshold=0.95, planes=4, bands=6, available_now=True,
+    )
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 1, "embedding": v1}) + "\n")
+    drain(run_embedding_dedup_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 2, "embedding": v2}) + "\n")
+    drain(run_embedding_dedup_stream(spark, ind, **kw))
+
+    def leaves(side):
+        return sorted(
+            d for d in os.listdir(os.path.join(store, side))
+            if d.startswith("BATCH_PART=")
+        )
+
+    assert len(leaves("vectors")) >= 2
+    done = compact_embedding_store(spark, store)
+    assert set(done) == {"vectors", "banded"}
+    assert leaves("vectors") == ["BATCH_PART=-1"]
+    assert leaves("banded") == ["BATCH_PART=-1"]
+
+    near = [float(x + 0.004) for x in v1]
+    v3 = [float(x) for x in rng.normal(size=12)]
+    with open(os.path.join(ind, "w3.jsonl"), "w") as f:
+        f.write(json.dumps({"vec_id": 30, "embedding": near}) + "\n")
+        f.write(json.dumps({"vec_id": 31, "embedding": v3}) + "\n")
+    drain(run_embedding_dedup_stream(spark, ind, **kw))
+    assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 31}
