@@ -468,3 +468,35 @@ def test_bucket_partitioned_store_prunes_at_planning_time(spark, tmp_path):
     leaf = os.path.join(part_root, "banded", "BATCH_PART=-1")
     all_parts = [d for d in os.listdir(leaf) if d.startswith(BUCKET_PART_COL)]
     assert len(all_parts) >= 30  # 64-way hash layout actually materialized
+
+
+def test_source_caps_salted_two_phase_plan(spark):
+    """q_source_caps must keep the salted two-phase shape: phase-1
+    window partitioned by (source, salt) — 16x the parallelism of the
+    naive single window over the low-cardinality source key — and the
+    pre-cap totals joined back by BROADCAST, never a shuffle join."""
+    import chill_spark.queries as Q
+
+    plan = plan_of(Q.q_source_caps(spark, SF))
+    assert plan.count("Window") >= 2  # salted pre-rank + final re-rank
+    assert "__salt" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_perplexity_broadcasts_the_lm(spark):
+    """q_lm_perplexity's scoring join must broadcast the vocab-sized
+    LM (the corpus side is 100 TB; shuffling it on token would be the
+    classic join-the-big-side mistake), and the whole pipeline stays
+    JVM-side."""
+    import re
+
+    import chill_spark.queries as Q
+
+    plan = plan_of(Q.q_lm_perplexity(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # corpus-side token explode never feeds a plain Exchange before
+    # the broadcast join: only the per-doc re-agg and final sort
+    # shuffle the scored rows
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
