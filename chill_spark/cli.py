@@ -441,20 +441,28 @@ def cmd_emb_dedup_stream(args) -> int:
 
 def cmd_sketch_compact(args) -> int:
     """Collapse a multi-batch sketch store (one BATCH_PART leaf per
-    micro-batch after long dedup-stream runs) to one leaf per side.
+    micro-batch after long dedup-stream runs) to one leaf per side;
+    the text vs embedding layout is detected from the store itself.
     Run only while no stream is writing the store."""
     from .llm_ops.incremental_dedup import compact_sketch_store
     from .session import get_spark
 
+    import os
+
     spark = get_spark("chill-sketch-compact")
-    sides = (
-        ("vectors", "banded") if args.kind == "embedding"
-        else ("sets", "banded")
-    )
-    done = compact_sketch_store(
-        spark, args.store, target_file_bytes=args.target_file_bytes,
-        sides=sides,
-    )
+    # detect the layout from disk instead of trusting a flag: both
+    # store kinds share a "banded" side, so a mis-declared kind would
+    # half-compact and report success
+    if os.path.isdir(os.path.join(args.store, "vectors")):
+        from .llm_ops.incremental_embedding import compact_embedding_store
+
+        done = compact_embedding_store(
+            spark, args.store, target_file_bytes=args.target_file_bytes
+        )
+    else:
+        done = compact_sketch_store(
+            spark, args.store, target_file_bytes=args.target_file_bytes
+        )
     for side, n in sorted(done.items()):
         print(f"compacted {args.store}/{side}: {n} file(s)")
     return 0
@@ -735,10 +743,6 @@ def main(argv: list[str] | None = None) -> int:
     skc.add_argument(
         "--target-file-bytes", dest="target_file_bytes", type=int,
         default=128 * 1024 * 1024,
-    )
-    skc.add_argument(
-        "--kind", choices=("text", "embedding"), default="text",
-        help="text store (sets/banded) or embedding store (vectors/banded)",
     )
     skc.set_defaults(fn=cmd_sketch_compact)
 

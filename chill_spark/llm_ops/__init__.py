@@ -18,6 +18,7 @@ from .incremental_dedup import (
     write_sketch_store,
 )
 from .incremental_embedding import (
+    compact_embedding_store,
     incremental_embedding_dups,
     read_embedding_store,
     write_embedding_store,
@@ -42,6 +43,7 @@ __all__ = [
     "compact_sketch_store", "incremental_minhash_dups",
     "read_sketch_store", "store_bucket_partitions",
     "write_sketch_store",
+    "compact_embedding_store",
     "incremental_embedding_dups", "read_embedding_store",
     "write_embedding_store",
     "brute_force_topk", "build_ivf", "ivf_topk", "topk_join",

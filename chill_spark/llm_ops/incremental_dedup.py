@@ -416,18 +416,32 @@ def compact_sketch_store(
             f"(got {root}); remote stores need an FS-native rewrite"
         )
     done: dict[str, int] = {}
-    seen_any = False
     for side in sides:
+        # heal an interrupted previous run FIRST, in crash-window
+        # order (so the layout check below sees the true side set)
         src = os.path.join(root, side)
         tmp = os.path.join(root, f"{side}__compacting")
         aside = os.path.join(root, f"{side}__old")
-        # heal an interrupted previous run, in crash-window order:
         if not os.path.isdir(src) and os.path.isdir(aside):
             os.rename(aside, src)  # died between rename-aside and rename-in
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)  # temp from a crashed run (src is live)
         if os.path.isdir(aside):
             shutil.rmtree(aside)  # died before removing the aside copy
+    present = [s for s in sides if os.path.isdir(os.path.join(root, s))]
+    # a store always writes its sides together, so a partial match
+    # means the caller named the WRONG layout (e.g. text sides against
+    # an embedding store, which shares "banded") — half-compacting and
+    # reporting success would leave the primary side pathological
+    if present and set(present) != set(sides):
+        raise ValueError(
+            f"store at {root} has sides {present} but {sides} were "
+            "requested — wrong store kind?"
+        )
+    seen_any = False
+    for side in sides:
+        src = os.path.join(root, side)
+        tmp = os.path.join(root, f"{side}__compacting")
         if not os.path.isdir(src):
             continue
         seen_any = True

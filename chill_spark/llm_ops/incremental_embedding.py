@@ -91,6 +91,12 @@ def write_embedding_store(
     from ..operators.writers import BATCH_COL
 
     dim = _infer_dim(df, vec_col)
+    if dim == 0:
+        raise ValueError(
+            "write_embedding_store: corpus has no usable vectors "
+            "(empty or all-null embedding column) — writing dim=0 meta "
+            "would brick every later consumer's dimension check"
+        )
     if mode == "append":
         check_embedding_meta(root, planes, bands, seed, dim=dim)
     elif mode == "overwrite":

@@ -1423,3 +1423,34 @@ def test_compact_embedding_store(spark, stream_dirs):
         f.write(json.dumps({"vec_id": 31, "embedding": v3}) + "\n")
     drain(run_embedding_dedup_stream(spark, ind, **kw))
     assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 31}
+
+
+def test_compact_detects_wrong_sides(spark, stream_dirs):
+    """Requesting the text layout against an embedding store (they
+    share a 'banded' side) must raise, not half-compact and report
+    success (r3 review)."""
+    import numpy as np
+    import pytest
+
+    from chill_spark.llm_ops.incremental_dedup import compact_sketch_store
+    from chill_spark.llm_ops.incremental_embedding import (
+        write_embedding_store,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    store = os.path.join(base, "wk_store")
+    rng = np.random.RandomState(2)
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in rng.normal(size=8)])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    write_embedding_store(df, "embedding", "vec_id", store, planes=3, bands=4)
+    with pytest.raises(ValueError, match="wrong store kind"):
+        compact_sketch_store(spark, store)  # text sides vs emb store
+
+    # empty/all-null corpora must not brick the store with dim=0 meta
+    bad = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="no usable vectors"):
+        write_embedding_store(
+            bad, "embedding", "vec_id", os.path.join(base, "wk2"),
+        )
