@@ -3210,7 +3210,7 @@ def q_token_budget_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
+def _kmeans_ctes(k: int, iters: int) -> tuple[list, str, str]:
     """DuckDB replay of the full distributed Lloyd run: the same
     md5-hash seeding, then each iteration unrolled as (assign under
     previous means -> per-dim avg, empty clusters keep their
@@ -3264,7 +3264,11 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
   SELECT prev.cid, prev.pos, coalesce(u.m, prev.m) AS m
   FROM {prev} prev LEFT JOIN u{i} u ON u.cid = prev.cid AND u.pos = prev.pos
 )""")
-    last_a, last_m = f"a{iters + 1}", f"m{iters}"
+    return ctes, f"a{iters + 1}", f"m{iters}"
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    ctes, last_a, last_m = _kmeans_ctes(k, iters)
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT a.cid AS cluster, count(*)::BIGINT AS n_points,
@@ -3325,6 +3329,64 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cluster")
+    )
+
+
+
+def _cluster_sample_oracle_sql(
+    k: int = 8, iters: int = 2, per_cluster: int = 25
+) -> str:
+    ctes, last_a, _ = _kmeans_ctes(k, iters)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT cluster, vec_id FROM (
+    SELECT a.cid AS cluster, a.vec_id,
+           row_number() OVER (
+               PARTITION BY a.cid
+               ORDER BY ('0x' || substring(
+                   md5('sample:' || CAST(a.vec_id AS VARCHAR)), 1, 8
+               ))::BIGINT % 10000, a.vec_id
+           ) AS rn
+    FROM {last_a} a
+) WHERE rn <= {per_cluster}
+ORDER BY cluster, vec_id
+"""
+    )
+
+
+@query(
+    "q_cluster_balanced_sample",
+    oracle=_cluster_sample_oracle_sql(),
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced training-mix sampling: train k-means on the
+    embeddings (portable md5 seeding), assign every vector to its
+    cluster, then draw an exact-count, content-hash-ranked sample per
+    cluster — so no semantic region dominates the mix regardless of
+    raw cluster sizes. A composition of two already-verified pieces
+    (the Lloyd trainer and the exact-count stratified sampler); the
+    oracle replays training, assignment, AND the per-cluster hash
+    ranking, value-hashing the exact selected rows."""
+    from .llm_ops.sampling import stratified_sample_exact
+    from .llm_ops.similarity import (
+        assign_centroid,
+        hash_seed_centroids,
+        kmeans_fit,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    seeds = hash_seed_centroids(emb, k=8)
+    cents = kmeans_fit(
+        emb, "embedding", k=8, iters=2, init_centroids=seeds,
+        round_means=9,
+    )
+    with_c = emb.select(
+        "vec_id", assign_centroid(F.col("embedding"), cents).alias("cluster")
+    )
+    return (
+        stratified_sample_exact(with_c, "vec_id", "cluster", 25)
+        .select("cluster", "vec_id")
+        .orderBy("cluster", "vec_id")
     )
 
 
