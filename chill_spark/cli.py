@@ -452,8 +452,14 @@ def cmd_sketch_compact(args) -> int:
     spark = get_spark("chill-sketch-compact")
     # detect the layout from disk instead of trusting a flag: both
     # store kinds share a "banded" side, so a mis-declared kind would
-    # half-compact and report success
-    if os.path.isdir(os.path.join(args.store, "vectors")):
+    # half-compact and report success. Check the aside/temp markers
+    # too — a compaction that died mid-swap leaves the primary side
+    # renamed, and misrouting the retry would defeat the healing.
+    is_embedding = any(
+        os.path.isdir(os.path.join(args.store, d))
+        for d in ("vectors", "vectors__old", "vectors__compacting")
+    )
+    if is_embedding:
         from .llm_ops.incremental_embedding import compact_embedding_store
 
         done = compact_embedding_store(

@@ -442,6 +442,7 @@ def compact_sketch_store(
     for side in sides:
         src = os.path.join(root, side)
         tmp = os.path.join(root, f"{side}__compacting")
+        aside = os.path.join(root, f"{side}__old")
         if not os.path.isdir(src):
             continue
         seen_any = True

@@ -611,3 +611,31 @@ def test_cli_emb_sketch_then_stream(cli_dirs, spark, capsys):
     assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {11}
     ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "vectors")).collect()}
     assert ids == {1, 11}
+
+
+def test_cli_sketch_compact_detects_mid_swap_embedding_store(cli_dirs, spark, capsys):
+    """An embedding store whose previous compaction died with vectors/
+    renamed aside must still route to the embedding compactor (the
+    bare isdir(vectors) check would misroute it to the text path and
+    wedge the store)."""
+    import numpy as np
+
+    from chill_spark.llm_ops.incremental_embedding import (
+        write_embedding_store,
+    )
+
+    store = os.path.join(cli_dirs["base"], "ms_store")
+    rng = np.random.RandomState(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(4)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    write_embedding_store(df, "embedding", "vec_id", store, planes=3, bands=4)
+    os.rename(os.path.join(store, "vectors"), os.path.join(store, "vectors__old"))
+    os.makedirs(os.path.join(store, "vectors__compacting", "BATCH_PART=-1"))
+
+    rc = main(["sketch-compact", "--store", store])
+    out = capsys.readouterr().out
+    assert rc == 0 and "vectors" in out
+    ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "vectors")).collect()}
+    assert ids == {0, 1, 2, 3}

@@ -1454,3 +1454,36 @@ def test_compact_detects_wrong_sides(spark, stream_dirs):
         write_embedding_store(
             bad, "embedding", "vec_id", os.path.join(base, "wk2"),
         )
+
+
+def test_compact_heals_first_side_swap_crash(spark, stream_dirs):
+    """Crash EXACTLY between rename(src, aside) and rename(tmp, src)
+    while compacting the FIRST side (the r3 review's stale-aside bug
+    left that state unhealable and a rerun deleted the data): the
+    rerun must restore the side and recompact losslessly."""
+    from chill_spark.llm_ops.incremental_dedup import (
+        compact_sketch_store,
+        write_sketch_store,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    store = os.path.join(base, "fs_store")
+    docs = spark.createDataFrame(
+        [(i, f"first side swap corpus doc {i} with several words") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    write_sketch_store(docs, "text", "doc_id", store, num_hashes=16, bands=8)
+    want = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+
+    # simulate the mid-swap crash on the FIRST side: sets renamed
+    # aside, compacted copy present, sets/ gone, banded untouched
+    os.rename(os.path.join(store, "sets"), os.path.join(store, "sets__old"))
+    os.makedirs(os.path.join(store, "sets__compacting", "BATCH_PART=-1"))
+
+    done = compact_sketch_store(spark, store)
+    assert set(done) == {"sets", "banded"}
+    got = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert got == want
+    for leftover in ("sets__old", "sets__compacting", "banded__old"):
+        assert not os.path.exists(os.path.join(store, leftover))
+
