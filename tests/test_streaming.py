@@ -1487,3 +1487,28 @@ def test_compact_heals_first_side_swap_crash(spark, stream_dirs):
     for leftover in ("sets__old", "sets__compacting", "banded__old"):
         assert not os.path.exists(os.path.join(store, leftover))
 
+
+
+def test_doomed_new_ids_properties(spark):
+    """Invariants of the shared survivorship rule (both intake
+    streams): only NEW docs are ever doomed; a new doc paired with any
+    stored doc dies regardless of id order; for new-new pairs exactly
+    the larger id dies; docs in no pair survive."""
+    from chill_spark.streaming.dedup_stream import _doomed_new_ids
+
+    new_ids = [5, 10, 40, 100, 7]
+    new = spark.createDataFrame([(i,) for i in new_ids], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [
+            (5, 900),    # new(5) vs stored(900): new dies (a-side)
+            (3, 10),     # stored(3) vs new(10): new dies (b-side)
+            (40, 100),   # new-new: larger (100) dies
+            (1, 2),      # stored-stored (shouldn't occur): no doom
+        ],
+        ["id_a", "id_b"],
+    )
+    doomed = {r["doc_id"] for r in _doomed_new_ids(pairs, new, "doc_id").collect()}
+    assert doomed == {5, 10, 100}
+    assert doomed <= set(new_ids)        # never dooms a stored id
+    # 7 appears in no pair and survives implicitly (not doomed)
+    assert 7 not in doomed and 40 not in doomed
