@@ -65,10 +65,26 @@ def duckdb_run(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def _driver_sortable(cols: list[str], rows: list[tuple]) -> None:
+    """Replicate the driver's canonicalization step: it sorts the RAW
+    pandas result frame by every column, which raises ``TypeError:
+    unhashable type`` on list/struct cells (r3's only red row). Run
+    the same sort here so complex-typed output columns fail the local
+    gate before the driver ever sees them."""
+    import pandas as pd
+
+    if not rows:
+        return
+    df = pd.DataFrame(rows, columns=cols)
+    df.sort_values(by=sorted(cols), kind="stable")
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     d_cols, d_rows = duckdb_run(oracle_sql, sf_dir)
+    _driver_sortable(s_cols, [tuple(r) for r in s_rows])
+    _driver_sortable(d_cols, d_rows)
     res = {
         "rows_spark": len(s_rows),
         "rows_oracle": len(d_rows),

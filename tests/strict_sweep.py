@@ -52,6 +52,19 @@ def _norm_cell(v) -> str:
     return "s:" + str(v)
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's canonicalization EXACTLY: sort the RAW
+    pandas frame by every column before any value normalization. The
+    driver does this (``sort_values`` → ``Categorical`` →
+    ``factorize``), so a list/struct-typed output cell raises
+    ``TypeError: unhashable type`` there — r3's only red row
+    (q_winnowing_fingerprints) was exactly this, invisible to a local
+    gate that stringified list cells before sorting. Running the same
+    sort here makes that class of breakage fail locally first."""
+    cols = sorted(df.columns)
+    return df[cols].sort_values(by=cols, kind="stable").reset_index(drop=True)
+
+
 def frame_lines(df: pd.DataFrame) -> list[str]:
     cols = sorted(df.columns)
     df = df[cols]
@@ -116,6 +129,8 @@ def main() -> int:
                 )
                 n_bad += 1
                 continue
+            # driver-parity step: must not raise (unhashable cells)
+            sdf, ddf = driver_canon(sdf), driver_canon(ddf)
             kind = diff_kind(frame_lines(sdf), frame_lines(ddf))
             if kind:
                 print(f"{name}: MISMATCH({kind})")
