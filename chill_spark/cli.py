@@ -445,18 +445,19 @@ def cmd_sketch_compact(args) -> int:
     the text vs embedding layout is detected from the store itself.
     Run only while no stream is writing the store."""
     from .llm_ops.incremental_dedup import compact_sketch_store
+    from .llm_ops.storefs import StoreFS
     from .session import get_spark
 
-    import os
-
     spark = get_spark("chill-sketch-compact")
-    # detect the layout from disk instead of trusting a flag: both
-    # store kinds share a "banded" side, so a mis-declared kind would
-    # half-compact and report success. Check the aside/temp markers
-    # too — a compaction that died mid-swap leaves the primary side
-    # renamed, and misrouting the retry would defeat the healing.
+    # detect the layout from the store instead of trusting a flag:
+    # both store kinds share a "banded" side, so a mis-declared kind
+    # would half-compact and report success. Check the aside/temp
+    # markers too — a compaction that died mid-swap leaves the primary
+    # side renamed, and misrouting the retry would defeat the healing.
+    # Probing goes through the Hadoop FS so remote roots detect too.
+    fs = StoreFS(args.store, spark)
     is_embedding = any(
-        os.path.isdir(os.path.join(args.store, d))
+        fs.is_dir(f"{args.store}/{d}")
         for d in ("vectors", "vectors__old", "vectors__compacting")
     )
     if is_embedding:

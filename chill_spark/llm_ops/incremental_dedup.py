@@ -76,11 +76,13 @@ def write_sketch_store(
     ``BKT_PART = pmod(xxhash64(bucket), N)``: an incremental consumer
     then lists/reads only the partitions its batch touches (planning-
     time pruning) instead of filtering a full scan. Recorded in
-    ``_meta.json`` so every later writer/reader agrees on N."""
-    import json
-    import os
+    ``_meta.json`` so every later writer/reader agrees on N.
 
+    The store root may live on ANY Hadoop-readable filesystem
+    (``file://``, ``hdfs://``, ``s3a://`` ...) — cleanup and meta I/O
+    route through the Hadoop FileSystem API (storefs), not ``os``."""
     from ..operators.writers import BATCH_COL
+    from .storefs import StoreFS, write_store_json
 
     if mode == "append":
         # appending sketches built with different parameters (or a
@@ -95,12 +97,9 @@ def write_sketch_store(
         # a rebuild must clear EVERYTHING, including stream-appended
         # BATCH_PART leaves — overwriting only the -1 leaf would leave
         # stale old-family sketches mixed under the restamped meta
-        import shutil
-
+        fs = StoreFS(root, df.sparkSession)
         for side in ("sets", "banded"):
-            p = os.path.join(root, side)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+            fs.delete(f"{root}/{side}")
     sets_df = shingle_sets(df, text_col, id_col, shingle_k, portable=portable)
     sets_df.write.mode(mode).parquet(f"{root}/sets/{BATCH_COL}=-1")
     banded = banded_signatures(
@@ -119,12 +118,13 @@ def write_sketch_store(
     # num_hashes/bands/shingle_k produce disjoint band buckets, so a
     # mismatched consumer would silently find ZERO candidates — make
     # that a hard error instead (check_sketch_meta)
-    with open(os.path.join(root, "_meta.json"), "w") as f:
-        json.dump(
-            {"num_hashes": num_hashes, "bands": bands,
-             "shingle_k": shingle_k, "portable": portable,
-             "bucket_partitions": bucket_partitions}, f,
-        )
+    write_store_json(
+        root,
+        {"num_hashes": num_hashes, "bands": bands,
+         "shingle_k": shingle_k, "portable": portable,
+         "bucket_partitions": bucket_partitions},
+        spark=df.sparkSession,
+    )
 
 
 #: the parameters that decide whether two sketch runs can match at all
@@ -132,14 +132,9 @@ _CORE_META = ("num_hashes", "bands", "shingle_k", "portable")
 
 
 def read_sketch_meta(root: str) -> dict | None:
-    import json
-    import os
+    from .storefs import read_store_json
 
-    path = os.path.join(root, "_meta.json")
-    if not os.path.exists(path):
-        return None
-    with open(path) as f:
-        return json.load(f)
+    return read_store_json(root)
 
 
 def store_bucket_partitions(root: str) -> int | None:
@@ -182,8 +177,14 @@ def check_sketch_meta(
             "match (zero dedup recall); rebuild the store or align "
             "the parameters"
         )
-    if bucket_partitions is not ... and "bucket_partitions" in meta:
-        theirs = meta["bucket_partitions"]
+    if bucket_partitions is not ...:
+        # a meta file without the key is a store written before the
+        # layout was recorded — its banded side is FLAT. Treat absent
+        # as None rather than skipping the check: appending a
+        # BKT_PART-partitioned tree into a flat leaf would produce a
+        # mixed partitioned/flat directory Spark refuses to read, and
+        # then restamp meta claiming the partitioned layout.
+        theirs = meta.get("bucket_partitions")
         if theirs != bucket_partitions:
             raise ValueError(
                 f"sketch store at {root} is hash-partitioned with "
@@ -243,12 +244,18 @@ def incremental_candidates(
     the new batch (<= N ints) and applied as an isin filter on the
     partition column, so the store scan prunes at PLANNING time:
     untouched partition directories are never even listed."""
+    did_persist = False
     if bucket_partitions and BUCKET_PART_COL in old_banded.columns:
         # the mods collect below executes new_banded's plan; persist it
         # first or the full increment sketch (shingle + minhash) runs
-        # TWICE — once for <=N ints, again in the candidate job
+        # TWICE — once for <=N ints, again in the candidate job.
+        # Callers that already persisted (the streaming path) keep
+        # ownership; when WE persist, we also unpersist before
+        # returning (see the localCheckpoint at the end) so offline
+        # callers don't leak one cached sketch frame per run.
         if getattr(new_banded.storageLevel, "useMemory", False) is False:
             new_banded = new_banded.persist()
+            did_persist = True
         mods = [
             r["m"]
             for r in new_banded.select(
@@ -309,7 +316,22 @@ def incremental_candidates(
         # sort still guarantees id_a <= id_b).
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    if did_persist:
+        # we own the persist — close its lifecycle here instead of
+        # leaking one cached DataFrame per incremental run for the
+        # session lifetime. The candidate pairs are materialized
+        # eagerly (they're pair-sized: bounded by the bucket cap, not
+        # the corpus) via localCheckpoint, after which the sketch
+        # cache is droppable; downstream verify then reads the
+        # checkpointed pairs instead of re-running candidate
+        # generation inside the jaccard join. Streaming / long-lived
+        # cluster callers should pass a pre-persisted new_banded and
+        # manage its lifecycle themselves (run_dedup_stream does),
+        # which also avoids localCheckpoint's executor-loss caveat.
+        pairs = pairs.localCheckpoint(eager=True)
+        new_banded.unpersist()
+    return pairs
 
 
 def incremental_minhash_dups(
@@ -401,34 +423,31 @@ def compact_sketch_store(
     entry any interrupted state (aside without a live side, stale
     temp, stale aside) is healed before recompacting.
 
-    Local-filesystem only (same assumption as compact_partitions'
-    directory walk); a remote store root (s3a://, hdfs://) raises
-    instead of silently reporting success."""
+    All directory operations route through the Hadoop FileSystem API
+    (storefs.StoreFS), so the store root may live on any Hadoop-
+    readable filesystem — local paths, ``file://``, ``hdfs://``,
+    ``s3a://``. Note rename is atomic on HDFS/local but COPY+DELETE
+    on S3A: the swap's crash windows are wider there (heal-on-entry
+    still covers every window), and the sealed-store contract — never
+    compact while a stream writes — is load-bearing, not advisory."""
     import math
-    import os
-    import shutil
 
     from ..operators.writers import BATCH_COL
+    from .storefs import StoreFS
 
-    if "://" in root:
-        raise NotImplementedError(
-            "compact_sketch_store requires a local-filesystem store root "
-            f"(got {root}); remote stores need an FS-native rewrite"
-        )
+    fs = StoreFS(root, spark)
     done: dict[str, int] = {}
     for side in sides:
         # heal an interrupted previous run FIRST, in crash-window
         # order (so the layout check below sees the true side set)
-        src = os.path.join(root, side)
-        tmp = os.path.join(root, f"{side}__compacting")
-        aside = os.path.join(root, f"{side}__old")
-        if not os.path.isdir(src) and os.path.isdir(aside):
-            os.rename(aside, src)  # died between rename-aside and rename-in
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)  # temp from a crashed run (src is live)
-        if os.path.isdir(aside):
-            shutil.rmtree(aside)  # died before removing the aside copy
-    present = [s for s in sides if os.path.isdir(os.path.join(root, s))]
+        src = f"{root}/{side}"
+        tmp = f"{root}/{side}__compacting"
+        aside = f"{root}/{side}__old"
+        if not fs.is_dir(src) and fs.is_dir(aside):
+            fs.rename(aside, src)  # died between rename-aside and rename-in
+        fs.delete(tmp)    # temp from a crashed run (src is live)
+        fs.delete(aside)  # died before removing the aside copy
+    present = [s for s in sides if fs.is_dir(f"{root}/{s}")]
     # a store always writes its sides together, so a partial match
     # means the caller named the WRONG layout (e.g. text sides against
     # an embedding store, which shares "banded") — half-compacting and
@@ -440,22 +459,16 @@ def compact_sketch_store(
         )
     seen_any = False
     for side in sides:
-        src = os.path.join(root, side)
-        tmp = os.path.join(root, f"{side}__compacting")
-        aside = os.path.join(root, f"{side}__old")
-        if not os.path.isdir(src):
+        src = f"{root}/{side}"
+        tmp = f"{root}/{side}__compacting"
+        aside = f"{root}/{side}__old"
+        if not fs.is_dir(src):
             continue
         seen_any = True
-        files = [
-            os.path.join(d, f)
-            for d, _, fs in os.walk(src)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
-        total = sum(os.path.getsize(f) for f in files)
+        total = sum(sz for _, sz in fs.list_files(src, ".parquet"))
         n_files = max(1, math.ceil(total / target_file_bytes))
         df = spark.read.parquet(src).drop(BATCH_COL)
-        leaf = os.path.join(tmp, f"{BATCH_COL}=-1")
+        leaf = f"{tmp}/{BATCH_COL}=-1"
         if side == "banded" and BUCKET_PART_COL in df.columns:
             # one shuffle partition per BKT_PART value keeps each hash
             # partition's rows together; maxRecordsPerFile splits the
@@ -473,15 +486,10 @@ def compact_sketch_store(
             )
         else:
             df.repartition(n_files).write.parquet(leaf)
-        os.rename(src, aside)
-        os.rename(tmp, src)
-        shutil.rmtree(aside)
-        done[side] = sum(
-            1
-            for d, _, fs in os.walk(src)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        fs.rename(src, aside)
+        fs.rename(tmp, src)
+        fs.delete(aside)
+        done[side] = len(fs.list_files(src, ".parquet"))
     if not seen_any:
         raise ValueError(f"no sketch store sides found under {root}")
     return done

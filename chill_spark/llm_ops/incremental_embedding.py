@@ -21,8 +21,6 @@ text sketch store.
 
 from __future__ import annotations
 
-import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,10 +83,13 @@ def write_embedding_store(
     Written under ``BATCH_PART=-1`` leaves, identical to what the
     streaming maintainer (run_embedding_dedup_stream) appends —
     partition discovery rejects mixed flat/nested trees, so a
-    bootstrap store must match the stream's batch-keyed shape."""
-    import shutil
+    bootstrap store must match the stream's batch-keyed shape.
 
+    The store root may live on any Hadoop-readable filesystem —
+    cleanup and meta I/O route through storefs, same as the text
+    sketch store."""
     from ..operators.writers import BATCH_COL
+    from .storefs import StoreFS, write_store_json
 
     dim = _infer_dim(df, vec_col)
     if dim == 0:
@@ -103,10 +104,9 @@ def write_embedding_store(
         # a rebuild must clear EVERYTHING, including stream-appended
         # BATCH_PART leaves — overwriting only the -1 leaf would leave
         # stale old-family sketches mixed under the restamped meta
+        fs = StoreFS(root, df.sparkSession)
         for side in ("vectors", "banded"):
-            p = os.path.join(root, side)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+            fs.delete(f"{root}/{side}")
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -115,10 +115,11 @@ def write_embedding_store(
     banded_embedding_buckets(
         df, vec_col, id_col, planes, bands, seed, dim=dim
     ).write.mode(mode).parquet(f"{root}/banded/{BATCH_COL}=-1")
-    with open(os.path.join(root, "_meta.json"), "w") as f:
-        json.dump(
-            {"planes": planes, "bands": bands, "seed": seed, "dim": dim}, f
-        )
+    write_store_json(
+        root,
+        {"planes": planes, "bands": bands, "seed": seed, "dim": dim},
+        spark=df.sparkSession,
+    )
 
 
 def check_embedding_meta(
@@ -128,11 +129,11 @@ def check_embedding_meta(
     recall otherwise: buckets from a different family/dim never
     collide, and cross-dim pairs fail the verify's length check).
     No-op when the store has no meta."""
-    path = os.path.join(root, "_meta.json")
-    if not os.path.exists(path):
+    from .storefs import read_store_json
+
+    meta = read_store_json(root)
+    if meta is None:
         return
-    with open(path) as f:
-        meta = json.load(f)
     mine = {"planes": planes, "bands": bands, "seed": seed}
     if dim is not None:
         mine["dim"] = dim

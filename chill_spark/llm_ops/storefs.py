@@ -1,0 +1,150 @@
+"""Filesystem primitives for the sketch / embedding store lifecycle.
+
+The store lifecycle — meta read/write, overwrite cleanup, the
+compaction swap — needs directory-level operations (exists, recursive
+delete, rename, recursive file listing with sizes, small-file
+read/write) that ``os``/``shutil`` only provide for the local
+filesystem. At the 100 TB scale the store lives on object storage or
+HDFS, so everything here routes through Hadoop's ``FileSystem`` API
+via the JVM gateway: one code path serves ``file://``, ``hdfs://``,
+``s3a://`` — any scheme with a Hadoop connector on the classpath, and
+plain local paths resolve to the local FS exactly as before.
+
+Semantics callers must know:
+
+- ``rename`` is atomic on HDFS and POSIX local filesystems; on S3A it
+  is a server-side COPY + DELETE (non-atomic, O(bytes)). The
+  compaction swap's crash windows are therefore wider on S3 — the
+  heal-on-entry pass covers every window, but the sealed-store
+  contract (compact only while no stream writes) matters even more
+  there.
+- Paths are passed around as plain strings (scheme-qualified or not);
+  joins are string joins — Hadoop ``Path`` normalizes.
+
+Reference parity note: the reference engine keeps all state on the
+local filesystem of one node (Chill's loader writes beside its input
+files); the remote-capable store is this engine's own addition for
+the cluster deployment story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _active_spark(spark: SparkSession | None) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError(
+            "store filesystem operations need a SparkSession (Hadoop "
+            "FileSystem API rides the JVM gateway) — none is active"
+        )
+    return s
+
+
+class StoreFS:
+    """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` for the
+    filesystem that owns ``root``. One instance per store root; all
+    methods take/return plain string paths."""
+
+    def __init__(self, root: str, spark: SparkSession | None = None):
+        spark = _active_spark(spark)
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._conf = spark._jsc.hadoopConfiguration()
+        self.root = root
+        self._fs = self._Path(root).getFileSystem(self._conf)
+
+    # -- predicates ---------------------------------------------------
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._Path(path)))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._Path(path)
+        return bool(self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory())
+
+    # -- mutations ----------------------------------------------------
+    def delete(self, path: str) -> None:
+        """Recursive delete; no-op when absent."""
+        p = self._Path(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Directory/file rename. Hadoop's rename returns False instead
+        of raising on most failure modes (missing source, existing
+        destination on some FSes) — surface that as an error, a swap
+        protocol must never half-succeed silently."""
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    # -- small control files (e.g. _meta.json) ------------------------
+    def read_text(self, path: str) -> str:
+        # py4j copies a Python bytearray into a fresh byte[], so
+        # Java-side writes into a passed buffer never reach Python —
+        # read through commons-io (on Spark's classpath), which
+        # RETURNS the bytes instead of mutating a caller buffer
+        stream = self._fs.open(self._Path(path))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    # -- listings -----------------------------------------------------
+    def list_files(self, path: str, suffix: str = "") -> list[tuple[str, int]]:
+        """Recursive (path, size) listing under ``path`` filtered by
+        suffix. One round-trip iterator — on object stores this is the
+        flat LIST call, not a directory walk."""
+        out: list[tuple[str, int]] = []
+        if not self.exists(path):
+            return out
+        it = self._fs.listFiles(self._Path(path), True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(suffix):
+                out.append((p, int(st.getLen())))
+        return out
+
+
+def read_store_json(root: str, name: str = "_meta.json",
+                    spark: SparkSession | None = None) -> dict | None:
+    """Load a store-level JSON control file, or None when absent.
+    Local bare paths short-circuit to plain ``open`` so meta reads
+    stay JVM-free in tests and CLI fast paths."""
+    import json
+    import os
+
+    if "://" not in root:
+        path = os.path.join(root, name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+    fs = StoreFS(root, spark)
+    path = f"{root}/{name}"
+    if not fs.exists(path):
+        return None
+    return json.loads(fs.read_text(path))
+
+
+def write_store_json(root: str, payload: dict, name: str = "_meta.json",
+                     spark: SparkSession | None = None) -> None:
+    import json
+    import os
+
+    if "://" not in root:
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, name), "w") as f:
+            json.dump(payload, f)
+        return
+    StoreFS(root, spark).write_text(f"{root}/{name}", json.dumps(payload))

@@ -64,23 +64,20 @@ def _ensure_sketch_meta(
     that already holds sketches was built with unknown parameters, and
     recording this stream's would be false provenance — a later
     consumer matching the wrong stamp would pass the check and get
-    silent zero recall."""
-    import json
-    import os
+    silent zero recall. Routed through storefs so a remote store root
+    bootstraps identically."""
+    from ..llm_ops.storefs import StoreFS, read_store_json, write_store_json
 
-    path = os.path.join(root, "_meta.json")
-    if os.path.exists(path):
+    if read_store_json(root) is not None:
         return
-    if os.path.isdir(os.path.join(root, "sets")) or os.path.isdir(
-        os.path.join(root, "banded")
-    ):
+    fs = StoreFS(root)
+    if fs.is_dir(f"{root}/sets") or fs.is_dir(f"{root}/banded"):
         return  # legacy store, unknown provenance — leave meta absent
-    os.makedirs(root, exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(
-            {"num_hashes": num_hashes, "bands": bands,
-             "shingle_k": shingle_k, "portable": False}, f,
-        )
+    write_store_json(
+        root,
+        {"num_hashes": num_hashes, "bands": bands,
+         "shingle_k": shingle_k, "portable": False},
+    )
 
 
 def _path_exists(spark: SparkSession, path: str) -> bool:
@@ -265,21 +262,16 @@ def _ensure_embedding_meta(
     """First-batch bootstrap of an embedding store's _meta.json (dim is
     only known once data arrives). Same no-false-provenance rule as the
     text stream: never stamp a store that already holds data."""
-    import json
-    import os
+    from ..llm_ops.storefs import StoreFS, read_store_json, write_store_json
 
-    path = os.path.join(root, "_meta.json")
-    if os.path.exists(path):
+    if read_store_json(root) is not None:
         return
-    if os.path.isdir(os.path.join(root, "vectors")) or os.path.isdir(
-        os.path.join(root, "banded")
-    ):
+    fs = StoreFS(root)
+    if fs.is_dir(f"{root}/vectors") or fs.is_dir(f"{root}/banded"):
         return
-    os.makedirs(root, exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(
-            {"planes": planes, "bands": bands, "seed": seed, "dim": dim}, f
-        )
+    write_store_json(
+        root, {"planes": planes, "bands": bands, "seed": seed, "dim": dim}
+    )
 
 
 def run_embedding_dedup_stream(

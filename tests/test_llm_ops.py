@@ -932,6 +932,44 @@ def test_read_sketch_store_tolerates_stream_layout(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in dups.collect()} == {(1, 2)}
 
 
+def test_sketch_append_rejects_layout_drift_on_prelayout_meta(spark, tmp_path):
+    """Appending with bucket_partitions=N to a store whose meta
+    predates the layout key (e.g. a stream-bootstrapped r1/r2 store)
+    must raise: the store's banded side is FLAT, and a partitioned
+    append would write BKT_PART subdirectories into the same leaf —
+    a mixed tree Spark refuses to read — then restamp meta claiming
+    the partitioned layout (r3 advice)."""
+    import json
+    import os
+
+    import pytest
+
+    from chill_spark.llm_ops.incremental_dedup import write_sketch_store
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " * 3)],
+        ["doc_id", "text"],
+    )
+    root = str(tmp_path / "store")
+    write_sketch_store(docs, "text", "doc_id", root, num_hashes=16, bands=8)
+    # simulate a pre-layout-key meta file
+    meta_path = os.path.join(root, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["bucket_partitions"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="bucket_partitions"):
+        write_sketch_store(
+            docs, "text", "doc_id", root, num_hashes=16, bands=8,
+            mode="append", bucket_partitions=4,
+        )
+    # flat append into the flat store is still fine
+    write_sketch_store(
+        docs, "text", "doc_id", root, num_hashes=16, bands=8, mode="append",
+    )
+
+
 def test_bpe_encode_roundtrips_unicode_whitespace(spark, sf_dir):
     """Python's default split() treats U+00A0 as whitespace while
     Spark's \\s+ does not; the encoder must follow Spark's ASCII rule

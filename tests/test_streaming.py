@@ -1209,13 +1209,88 @@ def test_compact_sketch_store_heals_interrupted_swap(spark, stream_dirs):
     got = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
     assert got == want
 
-    # remote roots raise instead of silently succeeding
+    # an empty (but accessible) root is an error, not silent success;
+    # remote roots now route through the Hadoop FS API — see
+    # test_store_lifecycle_on_hadoop_fs_root
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        compact_sketch_store(spark, "s3a://bucket/store")
     with pytest.raises(ValueError, match="no sketch store"):
         compact_sketch_store(spark, os.path.join(base, "nonexistent_store"))
+
+
+def test_store_lifecycle_on_hadoop_fs_root(spark, stream_dirs):
+    """The whole store lifecycle — overwrite cleanup, meta I/O,
+    append-mode meta check, compaction swap + crash heal — runs
+    through the Hadoop FileSystem API (storefs), exercised here via a
+    ``file://``-scheme root: the exact code path a hdfs:// or s3a://
+    store takes, with no os/shutil local shortcuts (r3 verdict: a
+    100 TB store lives on object storage)."""
+    import pytest
+
+    from chill_spark.llm_ops.incremental_dedup import (
+        check_sketch_meta,
+        compact_sketch_store,
+        read_sketch_meta,
+        write_sketch_store,
+    )
+    from chill_spark.llm_ops.incremental_embedding import (
+        compact_embedding_store,
+        write_embedding_store,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    local = os.path.join(base, "hfs_store")
+    store = f"file://{local}"
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with plenty of words inside here")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    write_sketch_store(docs, "text", "doc_id", store, num_hashes=16, bands=8)
+    # meta landed (readable through the same API), params enforced
+    assert read_sketch_meta(store)["num_hashes"] == 16
+    with pytest.raises(ValueError, match="zero dedup recall"):
+        check_sketch_meta(store, 32, 8, 5)
+    # append a second wave -> extra files; overwrite must clear ALL
+    more = spark.createDataFrame(
+        [(10 + i, f"second wave text body number {i} here") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    write_sketch_store(more, "text", "doc_id", store, num_hashes=16,
+                       bands=8, mode="append")
+    ids = {r["id"] for r in spark.read.parquet(f"{store}/sets").collect()}
+    assert ids == set(range(6)) | {10, 11, 12}
+    # simulate a crash mid-swap on the REMOTE layout, then compact
+    os.rename(os.path.join(local, "sets"), os.path.join(local, "sets__old"))
+    done = compact_sketch_store(spark, store)
+    assert set(done) == {"sets", "banded"}
+    assert not os.path.exists(os.path.join(local, "sets__old"))
+    got = {r["id"] for r in spark.read.parquet(f"{store}/sets").collect()}
+    assert got == ids
+    # one leaf per side after compaction
+    leaves = [d for d in os.listdir(os.path.join(local, "sets"))
+              if d.startswith("BATCH_PART=")]
+    assert leaves == ["BATCH_PART=-1"]
+    # overwrite clears the compacted tree completely (the r3-advice
+    # hazard: os/shutil cleanup was a no-op on remote roots, leaving
+    # stale leaves under restamped meta)
+    write_sketch_store(docs, "text", "doc_id", store, num_hashes=32, bands=8)
+    assert read_sketch_meta(store)["num_hashes"] == 32
+    got = {r["id"] for r in spark.read.parquet(f"{store}/sets").collect()}
+    assert got == set(range(6))
+
+    # embedding store twin on the same scheme
+    emb_local = os.path.join(base, "hfs_emb_store")
+    emb = f"file://{emb_local}"
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(5)],
+        ["vec_id", "embedding"],
+    )
+    write_embedding_store(vecs, "embedding", "vec_id", emb)
+    done = compact_embedding_store(spark, emb)
+    assert set(done) == {"vectors", "banded"}
+    got = {r["id"] for r in spark.read.parquet(f"{emb}/vectors").collect()}
+    assert got == set(range(5))
 
 
 def test_sketch_meta_pins_bucket_partitions(spark, stream_dirs):
