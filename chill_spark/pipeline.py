@@ -53,8 +53,15 @@ def transform(
     catalog: Catalog,
     views: dict[str, DataFrame] | None = None,
     raw: DataFrame | None = None,
+    tags_df: DataFrame | None = None,
 ) -> RunResult:
-    """Compile and run the derivation plan; no writes."""
+    """Compile and run the derivation plan; no writes.
+
+    ``tags_df``: pre-pivoted tag side table (one row per ``_file``,
+    one column per tag). Callers that already hold the file contents
+    pass it so tags come from exactly those files — the streaming
+    pre-pass does; re-scanning ``input_dir`` here would read files
+    outside the micro-batch (or already-deleted ones)."""
     path = f"{job.input_dir}/{job.input_mask}"
     if raw is None:
         # column superset = every raw name the catalog declares; files
@@ -70,7 +77,11 @@ def transform(
     # tag side table (P4): tiny, broadcast-joined on _file
     tag_names = sorted({f.tag for f in job.fields if f.source == "tag" and f.tag})
     if tag_names:
-        tags = tag_columns(extract_tags(spark, path, tag_names), tag_names)
+        tags = (
+            tags_df
+            if tags_df is not None
+            else tag_columns(extract_tags(spark, path, tag_names), tag_names)
+        )
         raw = raw.join(F.broadcast(tags), "_file", "left")
     tag_cols = {t: F.col(t) for t in tag_names}
 

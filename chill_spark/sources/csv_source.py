@@ -118,26 +118,21 @@ def infer_columns(
     return cols
 
 
-def scan_csv_preprocessed(
-    spark: SparkSession,
-    path: str,
+def preprocess_files(
+    files: DataFrame,
     job: JobSpec,
-    columns: list[str] | None = None,
+    columns: list[str],
 ) -> DataFrame:
-    """Per-file preprocessed scan: valid_lines slice + ignore_lines +
-    csv body parse, with ``_file`` attached (S2-S4).
+    """valid_lines slice + ignore_lines + csv body parse over an
+    already-loaded ``(path, content)`` frame, with ``_file`` attached.
 
-    All body columns come back as strings (the DSL is stringly-typed,
-    Partrans.py:167-171); project/conform casts to the declared schema.
-    """
-    if columns is None:
-        columns = infer_columns(spark, path, job)
-
+    Shared by the batch scan (binaryFile read) and the streaming
+    pre-pass (each foreachBatch micro-batch is exactly such a frame),
+    so stream and batch run the SAME per-file preprocessing code."""
     out_schema = StructType(
         [StructField("_file", StringType(), False)]
         + [StructField(c, StringType(), True) for c in columns]
     )
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def process(batches):
         for pdf in batches:
@@ -155,15 +150,34 @@ def scan_csv_preprocessed(
                     )
                 yield out
 
-    return files.mapInPandas(process, schema=out_schema)
+    return files.select("path", "content").mapInPandas(
+        process, schema=out_schema
+    )
 
 
-def extract_tags(
-    spark: SparkSession, path: str, tags: list[str]
+def scan_csv_preprocessed(
+    spark: SparkSession,
+    path: str,
+    job: JobSpec,
+    columns: list[str] | None = None,
 ) -> DataFrame:
-    """Per-file tag side table: first line containing each tag substring
-    (get_tag semantics, Partrans.py:113-122). Returns
-    (_file, tag, line); rows absent when a tag never matches."""
+    """Per-file preprocessed scan: valid_lines slice + ignore_lines +
+    csv body parse, with ``_file`` attached (S2-S4).
+
+    All body columns come back as strings (the DSL is stringly-typed,
+    Partrans.py:167-171); project/conform casts to the declared schema.
+    """
+    if columns is None:
+        columns = infer_columns(spark, path, job)
+    files = spark.read.format("binaryFile").load(path)
+    return preprocess_files(files, job, columns)
+
+
+def extract_tags_from_files(files: DataFrame, tags: list[str]) -> DataFrame:
+    """Per-file tag side table over an already-loaded ``(path,
+    content)`` frame — shared batch/stream core of ``extract_tags``.
+    Returns (_file, tag, line); rows absent when a tag never
+    matches."""
     out_schema = StructType(
         [
             StructField("_file", StringType(), False),
@@ -171,7 +185,7 @@ def extract_tags(
             StructField("line", StringType(), True),
         ]
     )
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    files = files.select("path", "content")
     tag_list = list(tags)
 
     def process(batches):
@@ -188,6 +202,15 @@ def extract_tags(
             yield pd.DataFrame(rows, columns=["_file", "tag", "line"])
 
     return files.mapInPandas(process, schema=out_schema)
+
+
+def extract_tags(
+    spark: SparkSession, path: str, tags: list[str]
+) -> DataFrame:
+    """Per-file tag side table: first line containing each tag substring
+    (get_tag semantics, Partrans.py:113-122)."""
+    files = spark.read.format("binaryFile").load(path)
+    return extract_tags_from_files(files, tags)
 
 
 def tag_columns(tags_df: DataFrame, tags: list[str]) -> DataFrame:

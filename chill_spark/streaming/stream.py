@@ -18,10 +18,20 @@ processing, and the DB loader flushes every ``BatchEvery`` seconds
 
 The derivation plan is the *batch* ``pipeline.transform`` applied per
 micro-batch via ``foreachBatch`` — one compiled plan, two run modes.
-Restrictions vs batch: ``valid_lines``/``tag`` preprocessing needs a
-whole-file pre-pass, which the streaming file source can't do; stream
-jobs must declare header-only CSVs (``valid_lines=None``) and no tag
-fields. (The reference's streamed files are exactly that shape.)
+
+Jobs whose pre-parse config needs a whole-file pre-pass
+(``valid_lines`` slice, ``ignore_lines``, tag fields — the reference's
+streamed files can carry header preprocessing, HlxTools.py:51-140 +
+Partrans.py:98-157) ride a ``binaryFile`` file-watch source instead of
+the native CSV one: each micro-batch is a static ``(path, content)``
+frame, so the SAME per-file preprocessor as the batch path
+(``sources.csv_source.preprocess_files`` / ``extract_tags_from_files``)
+runs inside ``foreachBatch``. Every JobSpec the batch path accepts,
+the stream path accepts. The CSV fast path (vectorized parse +
+corrupt-record quarantine) is kept for jobs that don't need the
+pre-pass; the pre-pass path parses per-file in pandas, where a
+malformed row fails the file, not a quarantine row — identical to the
+batch preprocessed scan.
 """
 
 from __future__ import annotations
@@ -36,6 +46,47 @@ from ..config.model import JobSpec
 from ..operators.writers import BATCH_COL, PARTITION_COL, with_partition_col
 
 CORRUPT_COL = "_corrupt_record"
+
+
+def needs_file_prepass(job: JobSpec) -> bool:
+    """True when the job's pre-parse config needs whole-file access
+    (line slice / exact-line drop / tag header lines) — the native
+    streaming CSV reader parses rows, never files."""
+    return (
+        job.valid_lines is not None
+        or bool(job.ignore_lines)
+        or any(f.source == "tag" for f in job.fields)
+    )
+
+
+def stream_binary_source(
+    spark: SparkSession,
+    job: JobSpec,
+    max_files_per_trigger: int | None = None,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
+    max_file_age: str | None = None,
+) -> DataFrame:
+    """File-watch whole-file stream for pre-pass jobs: each row is one
+    file's ``(path, content)``. Same source options (cleanSource /
+    maxFilesPerTrigger / maxFileAge) as the CSV fast path — they're
+    file-source options, not format options."""
+    # streaming sources require an explicit schema; binaryFile's is
+    # fixed by the format
+    reader = spark.readStream.format("binaryFile").schema(
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_file_age:
+        reader = reader.option("maxFileAge", max_file_age)
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+        if clean_source == "archive" and archive_dir:
+            reader = reader.option("sourceArchiveDir", archive_dir)
+    return reader.load(f"{job.input_dir}/{job.input_mask}").select(
+        "path", "content"
+    )
 
 
 def stream_csv_source(
@@ -55,10 +106,11 @@ def stream_csv_source(
     moves to ``archive_dir``. ``max_file_age`` mirrors the NEWEST:1m
     aging filter (HlxTools.py:98).
     """
-    if job.valid_lines is not None or any(f.source == "tag" for f in job.fields):
+    if needs_file_prepass(job):
         raise ValueError(
-            "streaming jobs can't use valid_lines/tag preprocessing "
-            "(whole-file pre-pass); use the batch path for those"
+            "this job needs the per-file pre-pass (valid_lines/"
+            "ignore_lines/tag) — route it through stream_binary_source "
+            "(run_stream does this automatically)"
         )
     schema = StructType(
         [StructField(c, StringType(), True) for c in columns]
@@ -141,12 +193,38 @@ def run_stream(
     """
     from ..operators.incremental import maintain_ladder_increment
     from ..pipeline import transform  # late import: avoid cycle
+    from ..sources.csv_source import (
+        extract_tags_from_files,
+        preprocess_files,
+        tag_columns,
+    )
 
-    src = stream_csv_source(spark, job, columns, **source_opts)
+    prepass = needs_file_prepass(job)
+    src = (
+        stream_binary_source(spark, job, **source_opts)
+        if prepass
+        else stream_csv_source(spark, job, columns, **source_opts)
+    )
+    tag_names = sorted(
+        {f.tag for f in job.fields if f.source == "tag" and f.tag}
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        good, bad = split_quarantine(batch_df)
-        if quarantine_dir is not None:
+        tags_df = None
+        if prepass:
+            # micro-batch = (path, content) files; run the batch
+            # preprocessor on exactly these files. Cache: the frame
+            # feeds the row parse and (with tags) the tag scan.
+            files = batch_df.cache()
+            good = preprocess_files(files, job, columns)
+            if tag_names:
+                tags_df = tag_columns(
+                    extract_tags_from_files(files, tag_names), tag_names
+                )
+            bad = None  # per-file parse: a malformed row fails its file
+        else:
+            good, bad = split_quarantine(batch_df)
+        if quarantine_dir is not None and bad is not None:
             (
                 bad.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -154,7 +232,9 @@ def run_stream(
                 .partitionBy("batch_id")
                 .parquet(quarantine_dir)
             )
-        res = transform(spark, job, catalog, views=views, raw=good)
+        res = transform(
+            spark, job, catalog, views=views, raw=good, tags_df=tags_df
+        )
         for table in catalog.tables.values():
             df = res.tables[table.name]
             path = f"{out_dir}/{table.name}_{table.base_granularity}"
@@ -174,6 +254,8 @@ def run_stream(
                 maintain_ladder_increment(
                     spark, path, ladder_root, table, dts, levels=ladder_levels
                 )
+        if prepass:
+            batch_df.unpersist()
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

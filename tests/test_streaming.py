@@ -225,13 +225,62 @@ def test_streaming_rollup_watermark(spark, stream_dirs):
     assert ("2024-01-01 00:15:00", "s1", 7.0) in got
 
 
-def test_stream_rejects_tag_jobs(spark, stream_dirs):
+def test_stream_csv_source_rejects_prepass_jobs(spark, stream_dirs):
+    """The CSV fast path can't do whole-file preprocessing — run_stream
+    routes such jobs to the binaryFile source; calling the CSV source
+    directly with one is a hard error, not silent mis-parsing."""
     job = make_job(stream_dirs["in"])
     job.fields.append(
         FieldSpec(name="VENDOR", source="tag", tag="#V=", function="tag")
     )
-    with pytest.raises(ValueError, match="streaming jobs"):
+    with pytest.raises(ValueError, match="pre-pass"):
         stream_csv_source(spark, job, COLUMNS)
+
+
+def test_stream_prepass_matches_batch(spark, stream_dirs):
+    """Streaming parity for valid_lines/ignore_lines/tag jobs (r3
+    verdict): the binaryFile file-watch source hands each micro-batch
+    to the SAME per-file preprocessor as the batch scan, so a
+    tagged + sliced + junk-line fixture streams to exactly the batch
+    result — including tag-derived columns joined from only the
+    micro-batch's own files."""
+    import test_pipeline_e2e as e2e
+
+    from chill_spark.pipeline import transform
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "pp_in")
+    os.makedirs(ind, exist_ok=True)
+    for name, body in e2e.FILES.items():
+        with open(os.path.join(ind, name), "w") as f:
+            f.write(body)
+    job = e2e.make_job(ind)
+    cat = e2e.make_catalog()
+    columns = ["site", "calls_raw", "drops_raw", "node", "cpu_raw"]
+    out = os.path.join(base, "pp_out")
+    drain(run_stream(
+        spark, job, cat,
+        out_dir=out,
+        checkpoint_dir=os.path.join(base, "pp_ckpt"),
+        columns=columns,
+        available_now=True,
+    ))
+    batch = transform(spark, job, cat)
+
+    def canon(df, cols):
+        return {
+            tuple(str(r[c]) for c in cols)
+            for r in df.select(*cols).collect()
+        }
+
+    cell_cols = ["SITE", "DATETIME", "VENDOR", "CALLS", "DROPS"]
+    got = canon(spark.read.parquet(f"{out}/CELL_STATS_15M"), cell_cols)
+    want = canon(batch.tables["CELL_STATS"], cell_cols)
+    assert got == want and len(got) == 4
+    node_cols = ["NODE", "DATETIME", "CPU"]
+    got = canon(spark.read.parquet(f"{out}/NODE_STATS_15M"), node_cols)
+    want = canon(batch.tables["NODE_STATS"], node_cols)
+    assert got == want and len(got) == 2
 
 
 def test_stateful_sessionize_stream(spark, stream_dirs):
