@@ -73,6 +73,9 @@ HEADLINE = [
     "q_corpus_embedding_assembly",
     "q_weighted_sample",
     "q_media_dedup",
+    "q_winnowing_fingerprints",
+    "q_source_caps",
+    "q_cluster_balanced_sample",
 ]
 
 
@@ -108,12 +111,27 @@ def main() -> int:
         )
     )
 
+    # median-of-N per query: single cold measurements conflate plan
+    # cost with VM CPU-steal (BASELINE.md documents 20-30% run-to-run
+    # inflation under load; r3's q1 "2.2x regression" was exactly this
+    # noise). The median is the recorded number; min/max spread and
+    # the 1-min load average before/after are emitted alongside so a
+    # noisy run is visible in the artifact itself.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    load_before = round(os.getloadavg()[0], 2)
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        # timing covers plan construction too — some pipelines (e.g.
-        # dedup_minhash) materialize intermediate state eagerly
-        t0 = time.perf_counter()
-        force(registry[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            # timing covers plan construction too — some pipelines
+            # (e.g. dedup_minhash) materialize intermediate state
+            # eagerly
+            t0 = time.perf_counter()
+            force(registry[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        runs.sort()
+        timings[name] = runs[len(runs) // 2]
+        spread[name] = [runs[0], runs[-1]]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -121,6 +139,9 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "reps": reps,
+        "load_avg": [load_before, round(os.getloadavg()[0], 2)],
         "sf": sf,
     }))
     return 0

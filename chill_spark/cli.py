@@ -293,6 +293,70 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_segdedup(args) -> int:
+    """Corpus-wide segment dedup (CCNet paragraph-dedup shape on token
+    windows): keep each segment's first occurrence, reassemble docs."""
+    from .llm_ops.dedup import segment_dedup
+    from .session import get_spark
+
+    spark = get_spark("chill-segdedup")
+    df = spark.read.parquet(args.input)
+    out = segment_dedup(
+        df, args.text_col, args.id_col, seg_tokens=args.seg_tokens
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    from pyspark.sql import functions as F
+
+    stats = spark.read.parquet(args.out).agg(
+        F.count("*").alias("docs"),
+        F.sum("n_segments").alias("segs"),
+        F.sum("n_kept").alias("kept"),
+    ).first()
+    print(
+        f"{stats['docs']} docs: {stats['kept']}/{stats['segs']} "
+        "segments kept"
+    )
+    return 0
+
+
+def cmd_mix(args) -> int:
+    """Temperature-scaled source-mixture weights + optional budget
+    selection: print per-source target shares and multipliers; with
+    --budget-frac also write the per-source quality-budget selection."""
+    from pyspark.sql import functions as F
+
+    from .llm_ops.chunking import tokenize_ws
+    from .llm_ops.sampling import budget_filter, temperature_mixture_weights
+    from .llm_ops.text import normalize_text
+    from .session import get_spark
+
+    spark = get_spark("chill-mix")
+    df = spark.read.parquet(args.input)
+    toks = F.size(tokenize_ws(normalize_text(args.text_col)))
+    weights = temperature_mixture_weights(
+        df.select(args.group_col, toks.alias("__tok")),
+        args.group_col, "__tok", alpha=args.alpha,
+    ).orderBy(args.group_col)
+    for r in weights.collect():  # model-sized: one row per source
+        print(
+            f"{r[args.group_col]}: tokens={r['tokens']} "
+            f"p_target={r['p_target']} multiplier={r['multiplier']}"
+        )
+    if args.out and args.budget_frac:
+        tk = tokenize_ws(normalize_text(args.text_col))
+        base = df.withColumn(
+            "__score",
+            F.size(F.array_distinct(tk)).cast("double") / F.size(tk),
+        ).withColumn("__toks", F.size(tk))
+        kept = budget_filter(
+            base, args.id_col, args.group_col, "__score", "__toks",
+            args.budget_frac,
+        ).drop("__score", "__toks")
+        kept.write.mode("overwrite").parquet(args.out)
+        print(f"budget selection written to {args.out}")
+    return 0
+
+
 def cmd_ladder_audit(args) -> int:
     """Audit a materialized rollup ladder: re-aggregate each level from
     the base table and count disagreeing rows. Exit 0 iff consistent —
@@ -815,6 +879,31 @@ def main(argv: list[str] | None = None) -> int:
     qc.add_argument("--out", required=True)
     qc.add_argument("--text-col", default="text")
     qc.set_defaults(fn=cmd_quality)
+
+    sg = sub.add_parser(
+        "segdedup",
+        help="corpus-wide segment dedup (CCNet paragraph shape)",
+    )
+    sg.add_argument("--input", required=True)
+    sg.add_argument("--out", required=True)
+    sg.add_argument("--text-col", default="text")
+    sg.add_argument("--id-col", default="doc_id")
+    sg.add_argument("--seg-tokens", type=int, default=16)
+    sg.set_defaults(fn=cmd_segdedup)
+
+    mx = sub.add_parser(
+        "mix",
+        help="temperature mixture weights (+ optional quality-budget "
+             "selection with --out/--budget-frac)",
+    )
+    mx.add_argument("--input", required=True)
+    mx.add_argument("--out")
+    mx.add_argument("--text-col", default="text")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--group-col", default="source")
+    mx.add_argument("--alpha", type=float, default=0.5)
+    mx.add_argument("--budget-frac", type=float)
+    mx.set_defaults(fn=cmd_mix)
 
     lr = sub.add_parser(
         "ladder-repair",

@@ -722,6 +722,185 @@ def cosine_pairs_arrow(v_a, v_b):
     return f(v_a, v_b)
 
 
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-wide exact segment dedup — the CCNet/C4 paragraph-dedup
+    shape applied to fixed token windows (the corpus has no paragraph
+    breaks): every document is cut into ``seg_tokens``-token segments;
+    a segment occurring at multiple positions across the corpus
+    survives only at its FIRST occurrence (min (doc_id, seg_idx)) and
+    is dropped everywhere else; documents are reassembled from their
+    surviving segments. Documents reduced to nothing disappear.
+
+    Output: (id, n_segments, n_kept, text_kept), one row per doc with
+    at least one surviving segment.
+
+    Shape: one explode -> ONE window shuffle keyed by the segment text
+    (row_number picks the first occurrence) -> one per-doc regroup.
+    Never a self-join, and the segment key carries no payload beyond
+    its position; a corpus-scale boilerplate segment is window-key
+    skew, which AQE splits. Reference analog: none (the reference has
+    no corpus-level dedup); the operator mirrors CCNet's shard-level
+    paragraph dedup.
+    """
+    from pyspark.sql import Window
+
+    from .chunking import tokenize_ws
+    from .text import normalize_text
+
+    toks = tokenize_ws(normalize_text(text_col))
+    d = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__t"),
+        F.size(toks).alias("__n"),
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(seg_tokens)
+    )
+    segs = d.select(
+        "id",
+        F.size(starts).alias("n_segments"),
+        F.explode(starts).alias("seg_idx"),
+        F.col("__t"),
+    ).select(
+        "id",
+        "n_segments",
+        "seg_idx",
+        F.array_join(
+            F.slice(F.col("__t"), F.col("seg_idx") + 1, seg_tokens), " "
+        ).alias("seg_text"),
+    )
+    w = Window.partitionBy("seg_text").orderBy("id", "seg_idx")
+    kept = segs.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    member = F.struct(F.col("seg_idx"), F.col("seg_text"))
+    return (
+        kept.groupBy("id", "n_segments")
+        .agg(F.sort_array(F.collect_list(member)).alias("__ms"))
+        .select(
+            "id",
+            "n_segments",
+            F.size("__ms").alias("n_kept"),
+            F.array_join(
+                F.transform(F.col("__ms"), lambda m: m["seg_text"]), " "
+            ).alias("text_kept"),
+        )
+    )
+
+
+def segment_dedup_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 16,
+) -> str:
+    """DuckDB SQL mirroring ``segment_dedup`` exactly (same
+    normalization, same window-of-first-occurrence rule)."""
+    return f"""
+    WITH segs AS (
+        SELECT id, n_segments, seg_idx,
+               array_to_string(t[seg_idx + 1 : seg_idx + {seg_tokens}], ' ')
+                   AS seg_text
+        FROM (
+            SELECT id, t,
+                   len(range(0, greatest(len(t) - 1, 0) + 1, {seg_tokens}))
+                       AS n_segments,
+                   unnest(range(0, greatest(len(t) - 1, 0) + 1, {seg_tokens}))
+                       AS seg_idx
+            FROM (
+                SELECT {id_col} AS id,
+                       string_split(
+                           trim(regexp_replace(lower({text_col}),
+                                               '\\s+', ' ', 'g')), ' ') AS t
+                FROM {table}
+            )
+        )
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY seg_text ORDER BY id, seg_idx) AS rn
+        FROM segs
+    )
+    SELECT id, n_segments,
+           count(*) AS n_kept,
+           string_agg(seg_text, ' ' ORDER BY seg_idx) AS text_kept
+    FROM ranked
+    WHERE rn = 1
+    GROUP BY id, n_segments
+    """
+
+
+def hyperplane_recall(threshold: float, planes: int, bands: int) -> float:
+    """Analytic recall of sign-bit banded LSH for a pair at exactly
+    ``cosine == threshold``: per-plane agreement p = 1 - theta/pi,
+    one-band collision p^planes, any-band 1-(1-p^planes)^bands.
+    Pairs above the threshold do better (p grows with cosine), so
+    this is the recall FLOOR over the supported regime."""
+    import math
+
+    t = max(-1.0, min(1.0, threshold))
+    p = 1.0 - math.acos(t) / math.pi
+    return 1.0 - (1.0 - p ** planes) ** bands
+
+
+def plan_hyperplane_lsh(
+    threshold: float,
+    target_recall: float = 0.95,
+    planes: int | None = None,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Pick (planes, bands) meeting ``target_recall`` at the declared
+    cosine ``threshold`` — the knob the r3 defaults lacked: 8 bands x
+    6 planes gives ~99% recall at cosine>=0.9 but only ~46% at the
+    laxer >=0.4 regime, and nothing failed loudly when a caller ran
+    outside the designed operating point.
+
+    ``planes`` is the precision knob (more planes -> fewer random
+    collisions per band -> smaller buckets, but more bands needed for
+    the same recall). When omitted, the largest planes count whose
+    band requirement fits ``max_bands`` is chosen — most selective
+    buckets for the band budget. Raises when even planes=1 can't meet
+    the target within ``max_bands`` (the threshold is too lax for
+    sign-bit LSH; use more bands or a different blocking)."""
+    import math
+
+    if not 0 < target_recall < 1:
+        raise ValueError("target_recall must be in (0, 1)")
+    t = max(-1.0, min(1.0, threshold))
+    p = 1.0 - math.acos(t) / math.pi
+    if p <= 0.0:
+        raise ValueError(f"threshold {threshold} gives zero plane agreement")
+
+    def bands_for(n_planes: int) -> int:
+        q = p ** n_planes
+        if q >= 1.0:
+            return 1
+        return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q)))
+
+    if planes is not None:
+        b = bands_for(planes)
+        if b > max_bands:
+            raise ValueError(
+                f"{planes} planes needs {b} bands for recall "
+                f"{target_recall} at cosine>={threshold} (max_bands="
+                f"{max_bands}) — lower planes or raise the budget"
+            )
+        return planes, b
+    for n in range(16, 0, -1):
+        b = bands_for(n)
+        if b <= max_bands:
+            return n, b
+    raise ValueError(
+        f"no (planes, bands) within {max_bands} bands reaches recall "
+        f"{target_recall} at cosine>={threshold}"
+    )
+
+
 def embedding_near_dups_banded(
     df: DataFrame,
     vec_col: str,
@@ -741,7 +920,15 @@ def embedding_near_dups_banded(
     in-bucket pair expansion -> cross-band dedup -> exact cosine
     verify. Verified pairs are exact cosines, so banding only ever
     ADDS true pairs; the recall floor vs the all-pairs baseline is
-    pinned in tests/test_llm_ops.py."""
+    pinned in tests/test_llm_ops.py.
+
+    Supported regime of the DEFAULTS (6 planes x 4 bands): designed
+    for tight thresholds — ~95% analytic recall at cosine>=0.95, ~87%
+    at >=0.9, decaying fast below (~23% at >=0.4). Callers targeting a
+    laxer threshold or a recall floor should derive (planes, bands)
+    from ``plan_hyperplane_lsh(threshold, target_recall)`` instead of
+    trusting the defaults; ``hyperplane_recall`` gives the analytic
+    floor for any setting."""
     dim = _mode_dim(df, vec_col)
     allv = hyperplane_vectors(dim, planes, bands, seed)
     v = F.col(vec_col).cast("array<double>")

@@ -215,10 +215,18 @@ def incremental_candidates(
     observation=None,
     broadcast_touched: bool = True,
     bucket_partitions: int | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Candidate pairs touching at least one NEW doc: new×new and
     new×old within shared buckets, never old×old (those were expanded
     when the old docs were ingested).
+
+    ``cleanup``: pass a list to receive any DataFrames this call
+    persisted on your behalf (the bucket_partitions path caches the
+    new batch's sketch); unpersist them once the returned pairs are
+    materialized. Without it, self-persisted frames live until
+    session end — fine for one-shot jobs, a leak in long-lived
+    sessions (r3 advice).
 
     Shape: the store side is first pruned to the buckets the new
     batch actually touches via a BROADCAST semi-join on the batch's
@@ -244,18 +252,21 @@ def incremental_candidates(
     the new batch (<= N ints) and applied as an isin filter on the
     partition column, so the store scan prunes at PLANNING time:
     untouched partition directories are never even listed."""
-    did_persist = False
     if bucket_partitions and BUCKET_PART_COL in old_banded.columns:
         # the mods collect below executes new_banded's plan; persist it
         # first or the full increment sketch (shingle + minhash) runs
         # TWICE — once for <=N ints, again in the candidate job.
-        # Callers that already persisted (the streaming path) keep
-        # ownership; when WE persist, we also unpersist before
-        # returning (see the localCheckpoint at the end) so offline
-        # callers don't leak one cached sketch frame per run.
+        # Lifecycle: the cache must outlive the returned (lazy) pairs
+        # frame, so it cannot be unpersisted here. Callers that
+        # already persisted (the streaming path) keep ownership; when
+        # WE persist, the frame is appended to ``cleanup`` so the
+        # caller can unpersist after materializing the pairs —
+        # otherwise it lives until session end (one cached sketch
+        # frame per offline run).
         if getattr(new_banded.storageLevel, "useMemory", False) is False:
             new_banded = new_banded.persist()
-            did_persist = True
+            if cleanup is not None:
+                cleanup.append(new_banded)
         mods = [
             r["m"]
             for r in new_banded.select(
@@ -316,22 +327,7 @@ def incremental_candidates(
         # sort still guarantees id_a <= id_b).
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    if did_persist:
-        # we own the persist — close its lifecycle here instead of
-        # leaking one cached DataFrame per incremental run for the
-        # session lifetime. The candidate pairs are materialized
-        # eagerly (they're pair-sized: bounded by the bucket cap, not
-        # the corpus) via localCheckpoint, after which the sketch
-        # cache is droppable; downstream verify then reads the
-        # checkpointed pairs instead of re-running candidate
-        # generation inside the jaccard join. Streaming / long-lived
-        # cluster callers should pass a pre-persisted new_banded and
-        # manage its lifecycle themselves (run_dedup_stream does),
-        # which also avoids localCheckpoint's executor-loss caveat.
-        pairs = pairs.localCheckpoint(eager=True)
-        new_banded.unpersist()
-    return pairs
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def incremental_minhash_dups(
@@ -351,6 +347,7 @@ def incremental_minhash_dups(
     observation=None,
     broadcast_touched: bool = True,
     bucket_partitions: int | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Verified duplicate pairs (id_a < id_b, jaccard) between the new
     batch and (itself ∪ the stored corpus). Equals the batch pipeline's
@@ -361,8 +358,10 @@ def incremental_minhash_dups(
     Pass the new batch's (persisted) ``sets_df``/``banded_df`` when the
     caller already computed them (run_dedup_stream does) so shingling —
     the dominant per-row cost — runs once; otherwise they're built and
-    persisted here. ``observation`` surfaces oversize-bucket skips
-    (same CollectMetrics caveat as pairs_within_buckets)."""
+    persisted here, with the persisted frames appended to ``cleanup``
+    when given (unpersist them after materializing the result).
+    ``observation`` surfaces oversize-bucket skips (same
+    CollectMetrics caveat as pairs_within_buckets)."""
     from .dedup import jaccard_pairs
 
     new_sets = sets_df
@@ -370,6 +369,8 @@ def incremental_minhash_dups(
         new_sets = shingle_sets(
             new_df, text_col, id_col, shingle_k, portable=portable
         ).persist()
+        if cleanup is not None:
+            cleanup.append(new_sets)
     new_banded = banded_df
     if new_banded is None:
         new_banded = banded_signatures(
@@ -379,7 +380,7 @@ def incremental_minhash_dups(
     cands = incremental_candidates(
         new_banded, old_banded, max_bucket_size=max_bucket_size,
         observation=observation, broadcast_touched=broadcast_touched,
-        bucket_partitions=bucket_partitions,
+        bucket_partitions=bucket_partitions, cleanup=cleanup,
     )
     # a replayed batch's ids exist on BOTH sides; keep exactly one
     # sketch per id or the verify join fans out per duplicate row. The

@@ -144,3 +144,90 @@ def weighted_sample(
         .filter(b < F.floor(p * BUCKETS).cast("bigint"))
         .drop("__mw")
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    count_col: Column | str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source-mixture reweighting — the standard
+    multilingual/multi-source sampling recipe (alpha in (0, 1] flattens
+    the natural distribution): with c_i tokens in source i,
+
+        p_i          = c_i^alpha / sum_j c_j^alpha      (target share)
+        multiplier_i = p_i * total_tokens / c_i         (epochs over
+                                                         source i under
+                                                         the target mix)
+
+    alpha=1 reproduces the natural mixture (all multipliers 1);
+    alpha->0 approaches uniform over sources, oversampling the tails.
+
+    Output: (group, tokens, p_target, multiplier), one row per source.
+    Shape: one map-side-combinable agg to source level, then a 1-row
+    total broadcast back — the per-source table is model-sized, never
+    corpus-sized, so this composes with ``weighted_sample`` (feed
+    multiplier as the weight) without another corpus pass."""
+    c = F.col(count_col) if isinstance(count_col, str) else count_col
+    agg = df.groupBy(group_col).agg(F.sum(c).alias("tokens"))
+    tot = agg.agg(
+        F.sum("tokens").alias("__total"),
+        F.sum(F.pow("tokens", F.lit(alpha))).alias("__z"),
+    )
+    p = F.pow("tokens", F.lit(alpha)) / F.col("__z")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "tokens",
+            F.round(p, 6).alias("p_target"),
+            F.round(p * F.col("__total") / F.col("tokens"), 6).alias(
+                "multiplier"
+            ),
+        )
+    )
+
+
+def budget_filter(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: Column | str,
+    count_col: Column | str,
+    budget_frac: float,
+) -> DataFrame:
+    """Per-group quality thresholding to a token budget: rank each
+    group's rows by score (descending, id ascending for determinism)
+    and keep rows while the cumulative token count BEFORE the row is
+    under ``budget_frac`` x the group's total tokens — the boundary
+    row is kept, so every non-empty group keeps at least its best row.
+
+    This is the 'fill the data budget with the highest-quality
+    documents per source' selection step of a curated pretraining
+    mix. Shape: one window shuffle per group key (rank + running sum
+    in the same window; group totals ride a partition-wide sum in the
+    same shuffle) — no global sort, no joins. The kept rows stream
+    out with ``__cum``-free schema identical to the input."""
+    from pyspark.sql import Window
+
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    c = F.col(count_col) if isinstance(count_col, str) else count_col
+    d = df.withColumn("__s", s).withColumn("__c", c)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__s").desc(), F.col(id_col)
+    )
+    cum_before = (
+        F.sum("__c").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    total = F.sum("__c").over(
+        Window.partitionBy(group_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        d.withColumn("__cum", F.coalesce(cum_before, F.lit(0)))
+        .withColumn("__budget", F.lit(budget_frac) * total)
+        .filter(F.col("__cum") < F.col("__budget"))
+        .drop("__s", "__c", "__cum", "__budget")
+    )

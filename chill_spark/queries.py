@@ -42,22 +42,24 @@ def query(name: str, oracle: str | None = None):
 # queries only. Driver-green coverage so far: r1+r2 drove 73 queries
 # green, r3 drove 44 more (its window was 49 green + 1 harness err).
 # This round's window:
-#   * the 6 queries with no driver-green row yet — the r3 harness err
+#   * the 9 queries with no driver-green row yet — the r3 harness err
 #     (q_winnowing_fingerprints, array output now serialized), the 4
-#     r3 additions that landed outside r3's window, and
+#     r3 additions that landed outside r3's window,
 #     q_embedding_near_dups_lsh whose semantics changed in r3
-#     (single-band -> 8-band) after its r2 green row;
+#     (single-band -> 8-band) after its r2 green row, and the 3 r4
+#     additions (segment dedup, mixture weights, quality budget);
 #   * 5 family sentinels (core aggregate, DSL, reconcile, sketch
 #     dedup, incremental dedup) — regression canaries;
-#   * 39 r1-green refreshers — their last driver check is 3 rounds
+#   * 36 r1-green refreshers — their last driver check is 3 rounds
 #     old, so re-verify the oldest evidence first.
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
-    # --- never driver-green (or stale-semantics) ---
+    # --- never driver-green (or stale-semantics), incl. r4 additions ---
     "q_winnowing_fingerprints", "q_embedding_incremental",
     "q_lm_perplexity", "q_source_caps", "q_cluster_balanced_sample",
     "q_embedding_near_dups_lsh",
+    "q_segment_dedup", "q_mixture_weights", "q_quality_budget",
     # --- sentinels (driver-green r1-r3; regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash", "q_dedup_incremental",
@@ -82,7 +84,6 @@ _PRIORITY: list[str] = [
     # dedup / text / media / ANN
     "q_dedup_exact", "q_dedup_exact_groups", "q_dedup_ngram_jaccard",
     "q_dedup_simhash", "q_text_stats", "q_lang_id", "q_ann_topk",
-    "q_ann_ivf_topk", "q_embedding_near_dups", "q_media_summary",
 ]
 
 
@@ -5309,4 +5310,164 @@ def q_dedup_exact_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_exact(corpus, "text", "doc_id", priority_col="p")
         .select("doc_id", "source")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_segment_dedup",
+    oracle="""
+    WITH segs AS (
+        SELECT id, n_segments, seg_idx,
+               array_to_string(t[seg_idx + 1 : seg_idx + 16], ' ')
+                   AS seg_text
+        FROM (
+            SELECT id, t,
+                   len(range(0, greatest(len(t) - 1, 0) + 1, 16))
+                       AS n_segments,
+                   unnest(range(0, greatest(len(t) - 1, 0) + 1, 16))
+                       AS seg_idx
+            FROM (
+                SELECT doc_id AS id,
+                       string_split(
+                           trim(regexp_replace(lower(text),
+                                               '\\s+', ' ', 'g')), ' ') AS t
+                FROM documents
+            )
+        )
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY seg_text ORDER BY id, seg_idx) AS rn
+        FROM segs
+    )
+    SELECT id, CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(seg_text, ' ' ORDER BY seg_idx) AS text_kept
+    FROM ranked
+    WHERE rn = 1
+    GROUP BY id, n_segments
+    ORDER BY id
+    """,
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style corpus-wide segment dedup: 16-token windows,
+    first occurrence (min doc, min position) survives, documents
+    reassembled from surviving segments. One window shuffle on the
+    segment text + one per-doc regroup — never a self-join
+    (llm_ops.dedup.segment_dedup)."""
+    from .llm_ops.dedup import segment_dedup
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = segment_dedup(d, "text", "doc_id", seg_tokens=16)
+    return out.select(
+        "id",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "text_kept",
+    ).orderBy("id")
+
+
+@query(
+    "q_mixture_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(sum(len(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(tokens) AS total, sum(pow(tokens, 0.5)) AS z FROM s)
+    SELECT source, tokens,
+           round(pow(tokens, 0.5) / z, 6) AS p_target,
+           round(pow(tokens, 0.5) / z * total / tokens, 6) AS multiplier
+    FROM s, t
+    ORDER BY source
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source-mixture weights — the
+    multilingual-sampling recipe: per-source token mass flattened to
+    p_i = c_i^a / sum c^a, with the oversampling multiplier each
+    source needs under the target mix. One map-side-combinable agg +
+    a broadcast 1-row total (llm_ops.sampling
+    .temperature_mixture_weights); the result is model-sized."""
+    from .llm_ops.chunking import tokenize_ws
+    from .llm_ops.sampling import temperature_mixture_weights
+    from .llm_ops.text import normalize_text
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.size(tokenize_ws(normalize_text("text")))
+    out = temperature_mixture_weights(
+        d.select("source", toks.alias("tok")), "source", "tok", alpha=0.5
+    )
+    return out.withColumn("tokens", F.col("tokens").cast("long")).orderBy(
+        "source"
+    )
+
+
+@query(
+    "q_quality_budget",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS score,
+               len(tk) AS toks
+        FROM (
+            SELECT doc_id, source,
+                   string_split(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' ') AS tk
+            FROM documents
+        )
+    ),
+    r AS (
+        SELECT *,
+               coalesce(sum(toks) OVER (
+                   PARTITION BY source ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum,
+               sum(toks) OVER (PARTITION BY source) AS total
+        FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(toks) AS BIGINT) AS tokens_kept,
+           round(min(score), 6) AS min_score
+    FROM r
+    WHERE cum < 0.5 * total
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-budget selection: score each doc by lexical
+    diversity (distinct/total tokens), rank within its source, keep
+    the best docs until half the source's token mass is spent
+    (boundary doc kept). The 'fill the budget with the best data'
+    step of a curated pretraining mix — one window shuffle per source
+    key, no global sort (llm_ops.sampling.budget_filter)."""
+    from .llm_ops.chunking import tokenize_ws
+    from .llm_ops.sampling import budget_filter
+    from .llm_ops.text import normalize_text
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tk = tokenize_ws(normalize_text("text"))
+    base = d.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(tk)).cast("double") / F.size(tk)).alias(
+            "score"
+        ),
+        F.size(tk).alias("toks"),
+    )
+    kept = budget_filter(base, "doc_id", "source", "score", "toks", 0.5)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("toks").cast("long").alias("tokens_kept"),
+            F.round(F.min("score"), 6).alias("min_score"),
+        )
+        .orderBy("source")
     )

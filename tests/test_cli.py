@@ -110,6 +110,45 @@ def test_cli_dedup(cli_dirs, spark, capsys):
     assert "3 -> 2 rows" in capsys.readouterr().out
 
 
+def test_cli_segdedup(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "sd_in")
+    dst = os.path.join(cli_dirs["base"], "sd_out")
+    boiler = "w" + " w".join(str(i) for i in range(16))  # one full segment
+    spark.createDataFrame(
+        [(1, boiler + " unique tail one two three four"),
+         (2, boiler + " another distinct ending here now")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    rc = main(["segdedup", "--input", src, "--out", dst])
+    assert rc == 0
+    assert "segments kept" in capsys.readouterr().out
+    rows = {r["id"]: r for r in spark.read.parquet(dst).collect()}
+    # doc 1 keeps both segments; doc 2 loses the shared boilerplate one
+    assert rows[1]["n_kept"] == 2 and rows[2]["n_kept"] == 1
+
+
+def test_cli_mix(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "mx_in")
+    dst = os.path.join(cli_dirs["base"], "mx_out")
+    spark.createDataFrame(
+        [(1, "a b c d e f g h", "big"), (2, "a b c d e f g h", "big"),
+         (3, "x y", "small")],
+        ["doc_id", "text", "source"],
+    ).write.parquet(src)
+    rc = main([
+        "mix", "--input", src, "--out", dst, "--budget-frac", "0.5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "big: tokens=16" in out and "small: tokens=2" in out
+    assert "budget selection written" in out
+    kept = spark.read.parquet(dst)
+    # per source: best docs until half the token mass (boundary kept)
+    assert kept.filter(kept.source == "big").count() == 1
+    assert kept.filter(kept.source == "small").count() == 1
+    assert set(kept.columns) == {"doc_id", "text", "source"}
+
+
 def test_cli_compact(cli_dirs, spark, capsys):
     main([
         "run", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],

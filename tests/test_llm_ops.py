@@ -932,6 +932,37 @@ def test_read_sketch_store_tolerates_stream_layout(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in dups.collect()} == {(1, 2)}
 
 
+def test_incremental_cleanup_handle_returns_owned_persists(spark):
+    """Offline callers of the bucket-partitioned incremental path can
+    reclaim the sketch caches the call persisted on their behalf (r3
+    advice: one leaked cached frame per run otherwise)."""
+    from chill_spark.llm_ops.dedup import banded_signatures, shingle_sets
+    from chill_spark.llm_ops.incremental_dedup import (
+        BUCKET_PART_COL,
+        bucket_part_expr,
+        incremental_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"one document body number {i} with plenty of words here")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    s = shingle_sets(docs, "text", "doc_id")
+    banded = banded_signatures(docs, "text", "doc_id", 16, 8, sets_df=s)
+    old = banded.withColumn(BUCKET_PART_COL, bucket_part_expr(8))
+    cleanup: list = []
+    pairs = incremental_candidates(
+        banded, old, bucket_partitions=8, cleanup=cleanup
+    )
+    pairs.count()
+    assert len(cleanup) == 1
+    assert cleanup[0].storageLevel.useMemory
+    for df in cleanup:
+        df.unpersist()
+    assert not cleanup[0].storageLevel.useMemory
+
+
 def test_sketch_append_rejects_layout_drift_on_prelayout_meta(spark, tmp_path):
     """Appending with bucket_partitions=N to a store whose meta
     predates the layout key (e.g. a stream-bootstrapped r1/r2 store)
@@ -1111,6 +1142,68 @@ def test_banded_lsh_recall_at_design_point(spark):
     assert recall >= 0.9, f"recall {recall:.3f} of {len(expected)} planted pairs"
     # every reported pair is exact-verified, so no false positives
     # below the threshold can appear by construction of the verify step
+
+
+def test_lsh_planner_meets_target_recall_at_lax_threshold(spark, sf_dir):
+    """plan_hyperplane_lsh closes r3's operating-point gap: the caller
+    declares (threshold, target recall) and gets (planes, bands) that
+    analytically meet it — including the corpus's HARD cosine>=0.4
+    regime where the defaults recover ~23%. Measured recall on the
+    real embeddings table must reach the analytic floor minus
+    sampling slack."""
+    from chill_spark.llm_ops.dedup import (
+        cosine_sim,
+        embedding_near_dups_banded,
+        hyperplane_recall,
+        plan_hyperplane_lsh,
+    )
+
+    planes, bands = plan_hyperplane_lsh(0.4, 0.8, max_bands=96)
+    assert hyperplane_recall(0.4, planes, bands) >= 0.8
+    # the planner prefers selective buckets: planes maximal for budget
+    assert planes >= 4
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    h = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a, b = h.alias("a"), h.alias("b")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    }
+    assert exact
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_banded(
+            emb, "embedding", "vec_id", 0.4, planes=planes, bands=bands
+        ).collect()
+    }
+    assert got <= exact  # exact verify: no false positives
+    recall = len(got & exact) / len(exact)
+    # analytic floor holds at cosine == threshold; most true pairs sit
+    # above it, but the planted corpus clusters near 0.4-0.6, so allow
+    # modest sampling slack under the 0.8 design point
+    assert recall >= 0.7, f"recall {recall:.3f} with {planes}x{bands}"
+
+
+def test_lsh_planner_rejects_impossible_targets():
+    import pytest
+
+    from chill_spark.llm_ops.dedup import plan_hyperplane_lsh
+
+    with pytest.raises(ValueError, match="bands"):
+        plan_hyperplane_lsh(0.4, 0.99, planes=12, max_bands=8)
+    with pytest.raises(ValueError, match="target_recall"):
+        plan_hyperplane_lsh(0.9, 1.0)
 
 
 def test_banded_lsh_beats_single_band_on_corpus(spark, sf_dir):

@@ -500,3 +500,34 @@ def test_lm_perplexity_broadcasts_the_lm(spark):
     # the broadcast join: only the per-doc re-agg and final sort
     # shuffle the scored rows
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4
+
+
+def test_segment_dedup_no_join_two_data_shuffles(spark):
+    """Segment dedup: window-on-segment-text (first occurrence) +
+    per-doc regroup + presentation sort — never a self-join; segment
+    payload through the shuffles is (id, idx, text) only."""
+    import re
+
+    plan = plan_of(Q.queries()["q_segment_dedup"](spark, SF))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_mixture_weights_broadcast_total(spark):
+    """Mixture weights: per-source agg (map-side combinable) + 1-row
+    total broadcast back — the corpus is never joined wide."""
+    plan = plan_of(Q.queries()["q_mixture_weights"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_quality_budget_windows_share_one_shuffle(spark):
+    """Budget filter: the rank/cumsum window and the per-source total
+    ride partitioning on the SAME source key; with the final agg and
+    presentation sort the plan holds at <= 3 exchanges and no join."""
+    import re
+
+    plan = plan_of(Q.queries()["q_quality_budget"](spark, SF))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
