@@ -130,7 +130,12 @@ def main() -> int:
             force(registry[name](spark, sf_dir))
             runs.append(round(time.perf_counter() - t0, 3))
         runs.sort()
-        timings[name] = runs[len(runs) // 2]
+        mid = len(runs) // 2
+        timings[name] = (
+            runs[mid]
+            if len(runs) % 2
+            else round((runs[mid - 1] + runs[mid]) / 2, 3)
+        )
         spread[name] = [runs[0], runs[-1]]
 
     total = round(sum(timings.values()), 3)

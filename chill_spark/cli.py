@@ -307,14 +307,25 @@ def cmd_segdedup(args) -> int:
     out.write.mode("overwrite").parquet(args.out)
     from pyspark.sql import functions as F
 
-    stats = spark.read.parquet(args.out).agg(
+    # totals come from the INPUT: a fully-deduplicated doc is absent
+    # from the output, and summing n_segments over survivors only
+    # would overstate retention
+    from .llm_ops.chunking import tokenize_ws
+    from .llm_ops.text import normalize_text
+
+    n = F.size(tokenize_ws(normalize_text(args.text_col)))
+    totals = df.agg(
         F.count("*").alias("docs"),
-        F.sum("n_segments").alias("segs"),
-        F.sum("n_kept").alias("kept"),
+        F.sum(
+            F.floor(F.greatest(n - 1, F.lit(0)) / args.seg_tokens) + 1
+        ).alias("segs"),
+    ).first()
+    stats = spark.read.parquet(args.out).agg(
+        F.count("*").alias("docs"), F.sum("n_kept").alias("kept")
     ).first()
     print(
-        f"{stats['docs']} docs: {stats['kept']}/{stats['segs']} "
-        "segments kept"
+        f"{totals['docs']} -> {stats['docs']} docs: "
+        f"{stats['kept']}/{totals['segs']} segments kept"
     )
     return 0
 
@@ -342,7 +353,14 @@ def cmd_mix(args) -> int:
             f"{r[args.group_col]}: tokens={r['tokens']} "
             f"p_target={r['p_target']} multiplier={r['multiplier']}"
         )
-    if args.out and args.budget_frac:
+    if (args.out is None) != (args.budget_frac is None):
+        raise SystemExit(
+            "mix: --out and --budget-frac go together (got only one); "
+            "nothing was written"
+        )
+    if args.out is not None:
+        if not 0 < args.budget_frac <= 1:
+            raise SystemExit("mix: --budget-frac must be in (0, 1]")
         tk = tokenize_ws(normalize_text(args.text_col))
         base = df.withColumn(
             "__score",
@@ -354,6 +372,27 @@ def cmd_mix(args) -> int:
         ).drop("__score", "__toks")
         kept.write.mode("overwrite").parquet(args.out)
         print(f"budget selection written to {args.out}")
+    return 0
+
+
+def cmd_upsert(args) -> int:
+    """Keyed SCD-1 merge of an updates parquet into a partitioned
+    fact — only the touched periods are rewritten."""
+    from .operators.writers import merge_upsert
+    from .session import get_spark
+
+    spark = get_spark("chill-upsert")
+    updates = spark.read.parquet(args.updates)
+    res = merge_upsert(
+        spark, args.target, updates,
+        keys=[k.strip() for k in args.keys.split(",") if k.strip()],
+        datetime_col=args.datetime_col,
+        broadcast_keys=not args.bulk,
+    )
+    print(
+        f"merged into {res['partitions']} partition(s); "
+        f"{res['rows_written']} row(s) now in touched periods"
+    )
     return 0
 
 
@@ -916,6 +955,22 @@ def main(argv: list[str] | None = None) -> int:
     lr.add_argument("--levels", help="comma list, default: full ladder")
     lr.add_argument("datetimes", nargs="+", help="ISO timestamps")
     lr.set_defaults(fn=cmd_ladder_repair)
+
+    up = sub.add_parser(
+        "upsert",
+        help="keyed SCD-1 merge into a partitioned fact "
+             "(touched periods only)",
+    )
+    up.add_argument("--target", required=True, help="fact table path")
+    up.add_argument("--updates", required=True, help="updates parquet path")
+    up.add_argument("--keys", required=True, help="comma-separated key columns")
+    up.add_argument("--datetime-col", default="DATETIME")
+    up.add_argument(
+        "--bulk", action="store_true",
+        help="bulk merge: let AQE pick the join strategy instead of "
+             "broadcasting the update key set",
+    )
+    up.set_defaults(fn=cmd_upsert)
 
     cp = sub.add_parser("compact", help="merge small files per partition")
     cp.add_argument("--in", dest="input", required=True)

@@ -800,7 +800,10 @@ def segment_dedup_oracle_sql(
     seg_tokens: int = 16,
 ) -> str:
     """DuckDB SQL mirroring ``segment_dedup`` exactly (same
-    normalization, same window-of-first-occurrence rule)."""
+    normalization, same window-of-first-occurrence rule). This is the
+    single source of truth — queries.q_segment_dedup builds its oracle
+    from it (BIGINT casts keep pandas dtypes aligned with Spark's
+    long counters)."""
     return f"""
     WITH segs AS (
         SELECT id, n_segments, seg_idx,
@@ -826,8 +829,8 @@ def segment_dedup_oracle_sql(
                    PARTITION BY seg_text ORDER BY id, seg_idx) AS rn
         FROM segs
     )
-    SELECT id, n_segments,
-           count(*) AS n_kept,
+    SELECT id, CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(count(*) AS BIGINT) AS n_kept,
            string_agg(seg_text, ' ' ORDER BY seg_idx) AS text_kept
     FROM ranked
     WHERE rn = 1

@@ -401,6 +401,7 @@ def compact_sketch_store(
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sides: tuple[str, ...] = ("sets", "banded"),
+    atomic_rename: bool | None = None,
 ) -> dict[str, int]:
     """Collapse a multi-batch sketch store to one ``BATCH_PART=-1``
     leaf per side.
@@ -417,37 +418,45 @@ def compact_sketch_store(
     collapse a replayed micro-batch would land beside the compacted
     leaf instead of overwriting its original one.
 
-    Returns {side: files_after}. Swap protocol is crash-recoverable at
-    every window: the compacted copy is fully written to
-    ``<side>__compacting``, the live side is renamed aside to
-    ``<side>__old``, the copy renamed in, then the aside removed; on
-    entry any interrupted state (aside without a live side, stale
-    temp, stale aside) is healed before recompacting.
+    Returns {side: files_after}. All directory operations route
+    through the Hadoop FileSystem API (storefs.StoreFS), so the store
+    root may live on any Hadoop-readable filesystem. Two swap
+    protocols, chosen by whether the filesystem's rename is atomic
+    (``atomic_rename=None`` infers from the scheme):
 
-    All directory operations route through the Hadoop FileSystem API
-    (storefs.StoreFS), so the store root may live on any Hadoop-
-    readable filesystem — local paths, ``file://``, ``hdfs://``,
-    ``s3a://``. Note rename is atomic on HDFS/local but COPY+DELETE
-    on S3A: the swap's crash windows are wider there (heal-on-entry
-    still covers every window), and the sealed-store contract — never
-    compact while a stream writes — is load-bearing, not advisory."""
+    - **Atomic rename** (local, file://, hdfs://): write the compacted
+      copy to ``<side>__compacting``, rename the live side aside,
+      rename the copy in, drop the aside. Heal-on-entry restores any
+      interrupted state (aside without a live side, stale temp/aside).
+    - **Non-atomic rename** (s3a:// and other object stores, where
+      rename is COPY+DELETE): the aside swap is UNSAFE — a crash
+      mid-rename strands objects across both directories, and a naive
+      heal deletes the only copy of the stragglers. Instead a staged
+      protocol with a ``<side>__COMMIT`` marker (atomic single-object
+      PUT): write tmp fully -> marker(stage=committed) -> delete live
+      -> marker(stage=renaming) -> rename tmp in -> drop marker.
+      Every crash window either rolls forward from the marker or
+      (mid-rename only, detectable as BOTH directories present at
+      stage=renaming) raises with the data intact — never a silent
+      loss.
+
+    Run only when no stream writes the store (sealed-store contract —
+    load-bearing on object stores, not advisory): after the collapse
+    a replayed micro-batch would land beside the compacted leaf
+    instead of overwriting its original one."""
     import math
 
     from ..operators.writers import BATCH_COL
-    from .storefs import StoreFS
+    from .storefs import StoreFS, rename_is_atomic
 
+    if atomic_rename is None:
+        atomic_rename = rename_is_atomic(root)
     fs = StoreFS(root, spark)
     done: dict[str, int] = {}
     for side in sides:
         # heal an interrupted previous run FIRST, in crash-window
         # order (so the layout check below sees the true side set)
-        src = f"{root}/{side}"
-        tmp = f"{root}/{side}__compacting"
-        aside = f"{root}/{side}__old"
-        if not fs.is_dir(src) and fs.is_dir(aside):
-            fs.rename(aside, src)  # died between rename-aside and rename-in
-        fs.delete(tmp)    # temp from a crashed run (src is live)
-        fs.delete(aside)  # died before removing the aside copy
+        _heal_side(fs, root, side)
     present = [s for s in sides if fs.is_dir(f"{root}/{s}")]
     # a store always writes its sides together, so a partial match
     # means the caller named the WRONG layout (e.g. text sides against
@@ -462,7 +471,6 @@ def compact_sketch_store(
     for side in sides:
         src = f"{root}/{side}"
         tmp = f"{root}/{side}__compacting"
-        aside = f"{root}/{side}__old"
         if not fs.is_dir(src):
             continue
         seen_any = True
@@ -487,10 +495,60 @@ def compact_sketch_store(
             )
         else:
             df.repartition(n_files).write.parquet(leaf)
-        fs.rename(src, aside)
-        fs.rename(tmp, src)
-        fs.delete(aside)
+        if atomic_rename:
+            aside = f"{root}/{side}__old"
+            fs.rename(src, aside)
+            fs.rename(tmp, src)
+            fs.delete(aside)
+        else:
+            marker = f"{root}/{side}__COMMIT"
+            fs.write_text(marker, '{"stage": "committed"}')
+            fs.delete(src)
+            fs.write_text(marker, '{"stage": "renaming"}')
+            fs.rename(tmp, src)
+            fs.delete(marker)
         done[side] = len(fs.list_files(src, ".parquet"))
     if not seen_any:
         raise ValueError(f"no sketch store sides found under {root}")
     return done
+
+
+def _heal_side(fs, root: str, side: str) -> None:
+    """Restore a side from any crash window of either swap protocol
+    (see compact_sketch_store). Conservative by construction: the only
+    state it cannot roll forward — a non-atomic rename caught mid-
+    flight, live and temp both present under a stage=renaming marker —
+    raises with everything intact instead of guessing."""
+    import json
+
+    src = f"{root}/{side}"
+    tmp = f"{root}/{side}__compacting"
+    aside = f"{root}/{side}__old"
+    marker = f"{root}/{side}__COMMIT"
+    if fs.exists(marker):
+        stage = json.loads(fs.read_text(marker)).get("stage")
+        has_src, has_tmp = fs.is_dir(src), fs.is_dir(tmp)
+        if stage == "committed":
+            # tmp was complete before the marker; the live side may be
+            # partially deleted — roll forward
+            fs.delete(src)
+            fs.rename(tmp, src)
+            fs.delete(marker)
+        elif has_src and not has_tmp:
+            fs.delete(marker)  # rename finished; only the marker is stale
+        elif has_tmp and not has_src:
+            fs.rename(tmp, src)  # rename never moved an object
+            fs.delete(marker)
+        else:
+            raise RuntimeError(
+                f"store side {src} crashed mid-rename on a non-atomic "
+                f"filesystem: objects are split between {src} and "
+                f"{tmp} (marker {marker}, stage={stage}). Nothing was "
+                "deleted — merge the two directories manually (every "
+                "object exists in at least one) and remove the marker."
+            )
+        return
+    if not fs.is_dir(src) and fs.is_dir(aside):
+        fs.rename(aside, src)  # died between rename-aside and rename-in
+    fs.delete(tmp)    # temp from a crashed run (src is live)
+    fs.delete(aside)  # died before removing the aside copy

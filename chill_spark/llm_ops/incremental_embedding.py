@@ -235,14 +235,15 @@ def compact_embedding_store(
     spark: SparkSession,
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    atomic_rename: bool | None = None,
 ) -> dict[str, int]:
     """Collapse a stream-maintained embedding store (one BATCH_PART
     leaf per micro-batch under vectors/ and banded/) to one leaf per
-    side — same swap/heal protocol and sealed-store discipline as the
-    text compactor."""
+    side — same swap/heal protocols (atomic-rename and marker-staged)
+    and sealed-store discipline as the text compactor."""
     from .incremental_dedup import compact_sketch_store
 
     return compact_sketch_store(
         spark, root, target_file_bytes=target_file_bytes,
-        sides=("vectors", "banded"),
+        sides=("vectors", "banded"), atomic_rename=atomic_rename,
     )

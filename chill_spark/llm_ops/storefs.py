@@ -116,15 +116,35 @@ class StoreFS:
         return out
 
 
+#: schemes whose directory rename is a single atomic metadata op.
+#: Object stores (s3a/s3/s3n/gs/oss/wasb/abfs/cos...) implement rename
+#: as COPY+DELETE — NOT atomic, and a crash mid-rename strands objects
+#: across both directories. Anything not listed here is treated as
+#: non-atomic (the safe assumption).
+ATOMIC_RENAME_SCHEMES = {"", "file", "hdfs", "viewfs", "ofs", "o3fs"}
+
+
+def rename_is_atomic(root: str) -> bool:
+    scheme = root.split("://", 1)[0] if "://" in root else ""
+    return scheme in ATOMIC_RENAME_SCHEMES
+
+
 def read_store_json(root: str, name: str = "_meta.json",
                     spark: SparkSession | None = None) -> dict | None:
     """Load a store-level JSON control file, or None when absent.
-    Local bare paths short-circuit to plain ``open`` so meta reads
-    stay JVM-free in tests and CLI fast paths."""
+
+    Scheme-less roots resolve against ``fs.defaultFS`` — the SAME
+    filesystem Spark's parquet writers resolve them against. Going
+    through ``os`` here instead would split-brain the store on any
+    cluster whose defaultFS isn't the local disk: data on HDFS, meta
+    on one driver's filesystem, and the meta fail-fasts silently
+    no-oping for every other node. Plain ``open`` is used only when
+    no SparkSession exists at all (pure-local helper contexts, where
+    defaultFS is necessarily the local FS)."""
     import json
     import os
 
-    if "://" not in root:
+    if SparkSession.getActiveSession() is None and "://" not in root:
         path = os.path.join(root, name)
         if not os.path.exists(path):
             return None
@@ -139,10 +159,13 @@ def read_store_json(root: str, name: str = "_meta.json",
 
 def write_store_json(root: str, payload: dict, name: str = "_meta.json",
                      spark: SparkSession | None = None) -> None:
+    """Write a store-level JSON control file (single small object —
+    an atomic PUT on object stores). Same defaultFS resolution rule
+    as ``read_store_json``."""
     import json
     import os
 
-    if "://" not in root:
+    if SparkSession.getActiveSession() is None and "://" not in root:
         os.makedirs(root, exist_ok=True)
         with open(os.path.join(root, name), "w") as f:
             json.dump(payload, f)

@@ -74,6 +74,92 @@ def read_fact(
     return df.drop(PARTITION_COL, BATCH_COL)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    datetime_col: str = "DATETIME",
+    broadcast_keys: bool = True,
+    assert_unique_keys: bool = True,
+) -> dict[str, int]:
+    """Keyed merge (SCD-1 upsert) into a ``DT_PART``-partitioned
+    parquet fact without a table format: rows in ``updates`` replace
+    existing rows with the same ``(keys, DATETIME)`` identity, new
+    keys append, and untouched rows — crucially, untouched PARTITIONS
+    — are never rewritten.
+
+    Shape: touched partition values are collected from the updates
+    (driver-small, bounded by touched periods), the target is read
+    with a planning-time partition filter on exactly those values,
+    survivors = existing rows anti-joined against the update keys,
+    and survivors + updates are written back with dynamic partition
+    overwrite. A crash before the write commits leaves the target
+    untouched (parquet commit protocol); a re-run is idempotent. At
+    100 TB the cost tracks |touched partitions|, never table size.
+
+    ``broadcast_keys=True`` broadcasts the update key set into the
+    anti-join (right for typical small upserts); pass False for bulk
+    merges and AQE picks the strategy. Row identity must include the
+    partition period: a key whose DATETIME moved between partitions
+    leaves its old-partition row in place (delete it explicitly or
+    reload that period) — same grain rule as the reference's
+    per-period reload loop (HlxTools.py:396-450), refined from
+    "rewrite the whole period" to "rewrite only the period's rows".
+
+    Requires the flat ``DT_PART`` layout; a stream-maintained
+    ``BATCH_PART`` tree must be compacted first (mixed trees would
+    read doubled rows)."""
+    upd = with_partition_col(updates, datetime_col)
+    if assert_unique_keys:
+        # two update rows with one identity make last-wins
+        # nondeterministic under shuffle — fail fast (one tiny agg
+        # over the updates; disable for pre-deduplicated bulk feeds)
+        ident = [*keys, datetime_col]
+        dup = (
+            upd.groupBy(*ident).count().filter(F.col("count") > 1).limit(1)
+        ).count()
+        if dup:
+            raise ValueError(
+                f"updates carry duplicate ({', '.join(ident)}) "
+                "identities — resolve them first (min_by/max_by a "
+                "version column) or pass assert_unique_keys=False"
+            )
+    touched = [
+        r[0] for r in upd.select(PARTITION_COL).distinct().collect()
+    ]
+    if not touched:
+        return {"partitions": 0, "rows_written": 0}
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None  # first write: nothing to merge against
+    if existing is not None and BATCH_COL in existing.columns:
+        raise ValueError(
+            f"{path} is a batch-keyed (BATCH_PART) tree — compact it "
+            "to the flat layout before keyed merges, or rows double "
+            "on read"
+        )
+    ident = [*keys, datetime_col]
+    if existing is not None:
+        scoped = existing.filter(F.col(PARTITION_COL).isin(touched))
+        upd_keys = upd.select(*ident).distinct()
+        if broadcast_keys:
+            upd_keys = F.broadcast(upd_keys)
+        merged = scoped.join(upd_keys, ident, "left_anti").unionByName(upd)
+    else:
+        merged = upd
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(PARTITION_COL).parquet(path)
+    n = (
+        spark.read.parquet(path)
+        .filter(F.col(PARTITION_COL).isin(touched))
+        .count()
+    )
+    return {"partitions": len(touched), "rows_written": n}
+
+
 def read_fact_jdbc(
     spark: SparkSession,
     url: str,

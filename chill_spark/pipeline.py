@@ -45,6 +45,19 @@ class RunResult:
     # pre-routing-filter frame (OM_GROUP derived, cached upstream) —
     # run_batch counts unmatched rows from it
     routing_df: DataFrame | None = None
+    # the cached preprocessed frame transform() created. Callers that
+    # run transform repeatedly in one session (run_stream: once per
+    # micro-batch) MUST unpersist it after consuming the result
+    # tables, or one cached frame leaks per call for the session
+    # lifetime (the heaviest frame in the job at that).
+    cached_raw: DataFrame | None = None
+
+    def release(self) -> None:
+        """Drop the cache transform() owns; call after the result
+        tables are fully materialized (written/collected)."""
+        if self.cached_raw is not None:
+            self.cached_raw.unpersist()
+            self.cached_raw = None
 
 
 def transform(
@@ -88,6 +101,7 @@ def transform(
     raw = raw.cache()  # routed once per table below
 
     res = RunResult()
+    res.cached_raw = raw
     for table in catalog.tables.values():
         fields = job.fields_for(table.name)
         derived = apply_fields(
@@ -180,4 +194,7 @@ def run_batch(
             ~F.col(job.om_group_field).isin(groups)
             | F.col(job.om_group_field).isNull()
         ).count()
+    # every result table is written and every metric collected — the
+    # preprocessed cache has served its purpose
+    res.release()
     return res

@@ -42,16 +42,19 @@ def query(name: str, oracle: str | None = None):
 # queries only. Driver-green coverage so far: r1+r2 drove 73 queries
 # green, r3 drove 44 more (its window was 49 green + 1 harness err).
 # This round's window:
-#   * the 9 queries with no driver-green row yet — the r3 harness err
+#   * the 10 queries with no driver-green row yet — the r3 harness err
 #     (q_winnowing_fingerprints, array output now serialized), the 4
 #     r3 additions that landed outside r3's window,
 #     q_embedding_near_dups_lsh whose semantics changed in r3
-#     (single-band -> 8-band) after its r2 green row, and the 3 r4
-#     additions (segment dedup, mixture weights, quality budget);
+#     (single-band -> 8-band) after its r2 green row, and the 4 r4
+#     additions (segment dedup, mixture weights, quality budget,
+#     SCD-1 merge through the real writer);
 #   * 5 family sentinels (core aggregate, DSL, reconcile, sketch
 #     dedup, incremental dedup) — regression canaries;
-#   * 36 r1-green refreshers — their last driver check is 3 rounds
-#     old, so re-verify the oldest evidence first.
+#   * 35 r1-green refreshers — their last driver check is 3 rounds
+#     old, so re-verify the oldest evidence first (q_rollup_15m
+#     yields its slot; q_rollup_hourly + q_rollup_ladder_daily keep
+#     the family covered).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
@@ -60,6 +63,7 @@ _PRIORITY: list[str] = [
     "q_lm_perplexity", "q_source_caps", "q_cluster_balanced_sample",
     "q_embedding_near_dups_lsh",
     "q_segment_dedup", "q_mixture_weights", "q_quality_budget",
+    "q_scd1_merge",
     # --- sentinels (driver-green r1-r3; regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash", "q_dedup_incremental",
@@ -75,7 +79,7 @@ _PRIORITY: list[str] = [
     # window / rollup / sessionize
     "q_window_topn_orders", "q_rollup_grouping",
     "q_pivot_daily_events", "q_json_props", "q_rollup_hourly",
-    "q_rollup_ladder_daily", "q_rollup_15m", "q_window_running_sum",
+    "q_rollup_ladder_daily", "q_window_running_sum",
     "q_window_lag_delta", "q_sessionize",
     # config / retention / reconcile / DSL
     "q_cfg_table_users", "q_retention_expired",
@@ -5313,41 +5317,14 @@ def q_dedup_exact_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .llm_ops.dedup import segment_dedup_oracle_sql  # noqa: E402
+
+
 @query(
     "q_segment_dedup",
-    oracle="""
-    WITH segs AS (
-        SELECT id, n_segments, seg_idx,
-               array_to_string(t[seg_idx + 1 : seg_idx + 16], ' ')
-                   AS seg_text
-        FROM (
-            SELECT id, t,
-                   len(range(0, greatest(len(t) - 1, 0) + 1, 16))
-                       AS n_segments,
-                   unnest(range(0, greatest(len(t) - 1, 0) + 1, 16))
-                       AS seg_idx
-            FROM (
-                SELECT doc_id AS id,
-                       string_split(
-                           trim(regexp_replace(lower(text),
-                                               '\\s+', ' ', 'g')), ' ') AS t
-                FROM documents
-            )
-        )
-    ),
-    ranked AS (
-        SELECT *, row_number() OVER (
-                   PARTITION BY seg_text ORDER BY id, seg_idx) AS rn
-        FROM segs
-    )
-    SELECT id, CAST(n_segments AS BIGINT) AS n_segments,
-           CAST(count(*) AS BIGINT) AS n_kept,
-           string_agg(seg_text, ' ' ORDER BY seg_idx) AS text_kept
-    FROM ranked
-    WHERE rn = 1
-    GROUP BY id, n_segments
-    ORDER BY id
-    """,
+    # one source of truth for the replay SQL — the helper next to the
+    # operator (drifting twin copies was an r4 review finding)
+    oracle=segment_dedup_oracle_sql(seg_tokens=16) + " ORDER BY id",
 )
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/C4-style corpus-wide segment dedup: 16-token windows,
@@ -5470,4 +5447,72 @@ def q_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("score"), 6).alias("min_score"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "q_scd1_merge",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('hour', ts) AS DATETIME, event_type,
+               round(sum(value), 4) AS value_sum,
+               count(*) AS n
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT DATETIME, event_type, value_sum, n
+    FROM base WHERE event_type <> 'click'
+    UNION ALL
+    SELECT DATETIME, event_type,
+           round(value_sum * 2, 4) AS value_sum,
+           n + 100 AS n
+    FROM base WHERE event_type = 'click'
+    ORDER BY DATETIME, event_type
+    """,
+)
+def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed SCD-1 merge through the REAL writer path
+    (operators.writers.merge_upsert): materialize an hourly fact from
+    day-1 events, merge an updates set that replaces every 'click'
+    row, and return the post-merge table. The reference reloads a
+    whole period to change any row in it (HlxTools.py:372-450 —
+    DELETE by DATETIME, reinsert); merge_upsert refines that to
+    "rewrite only the touched periods' rows": touched partition
+    values are collected from the updates (driver-small), the target
+    is read under a planning-time partition filter, survivors are
+    anti-joined against the broadcast update key set, and the result
+    lands via dynamic partition overwrite. At 100 TB the cost tracks
+    |touched partitions|, never table size. The oracle replays the
+    merge algebra (survivors UNION updates) declaratively."""
+    import os
+    import tempfile
+
+    from .operators.writers import merge_upsert, write_fact
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = (
+        ev.filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("DATETIME"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="chill_scd1_"), "fact")
+    write_fact(base, target)
+    updates = base.filter(F.col("event_type") == "click").select(
+        "DATETIME",
+        "event_type",
+        F.round(F.col("value_sum") * 2, 4).alias("value_sum"),
+        (F.col("n") + 100).alias("n"),
+    )
+    merge_upsert(spark, target, updates, keys=["event_type"])
+    return (
+        spark.read.parquet(target)
+        .select("DATETIME", "event_type", "value_sum", "n")
+        .orderBy("DATETIME", "event_type")
     )

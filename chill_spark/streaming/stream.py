@@ -210,52 +210,64 @@ def run_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        tags_df = None
-        if prepass:
-            # micro-batch = (path, content) files; run the batch
-            # preprocessor on exactly these files. Cache: the frame
-            # feeds the row parse and (with tags) the tag scan.
-            files = batch_df.cache()
-            good = preprocess_files(files, job, columns)
-            if tag_names:
-                tags_df = tag_columns(
-                    extract_tags_from_files(files, tag_names), tag_names
+        # caches are released in finally: Structured Streaming RETRIES
+        # a failed micro-batch, and a cache leaked per attempt
+        # accumulates for the stream's lifetime (same rule as the
+        # dedup streams)
+        res = None
+        try:
+            tags_df = None
+            if prepass:
+                # micro-batch = (path, content) files; run the batch
+                # preprocessor on exactly these files. Cache: the
+                # frame feeds the row parse and (with tags) the tag
+                # scan.
+                batch_df.cache()
+                good = preprocess_files(batch_df, job, columns)
+                if tag_names:
+                    tags_df = tag_columns(
+                        extract_tags_from_files(batch_df, tag_names),
+                        tag_names,
+                    )
+                bad = None  # per-file parse: a bad row fails its file
+            else:
+                good, bad = split_quarantine(batch_df)
+            if quarantine_dir is not None and bad is not None:
+                (
+                    bad.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(quarantine_dir)
                 )
-            bad = None  # per-file parse: a malformed row fails its file
-        else:
-            good, bad = split_quarantine(batch_df)
-        if quarantine_dir is not None and bad is not None:
-            (
-                bad.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(quarantine_dir)
+            res = transform(
+                spark, job, catalog, views=views, raw=good, tags_df=tags_df
             )
-        res = transform(
-            spark, job, catalog, views=views, raw=good, tags_df=tags_df
-        )
-        for table in catalog.tables.values():
-            df = res.tables[table.name]
-            path = f"{out_dir}/{table.name}_{table.base_granularity}"
-            (
-                with_partition_col(df)
-                .withColumn(BATCH_COL, F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(PARTITION_COL, BATCH_COL)
-                .parquet(path)
-            )
-            if ladder_root is not None:
-                dts = [
-                    r["DATETIME"]
-                    for r in df.select("DATETIME").distinct().collect()
-                ]
-                maintain_ladder_increment(
-                    spark, path, ladder_root, table, dts, levels=ladder_levels
+            for table in catalog.tables.values():
+                df = res.tables[table.name]
+                path = f"{out_dir}/{table.name}_{table.base_granularity}"
+                (
+                    with_partition_col(df)
+                    .withColumn(BATCH_COL, F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(PARTITION_COL, BATCH_COL)
+                    .parquet(path)
                 )
-        if prepass:
-            batch_df.unpersist()
+                if ladder_root is not None:
+                    dts = [
+                        r["DATETIME"]
+                        for r in df.select("DATETIME").distinct().collect()
+                    ]
+                    maintain_ladder_increment(
+                        spark, path, ladder_root, table, dts,
+                        levels=ladder_levels,
+                    )
+        finally:
+            if res is not None:
+                res.release()  # transform's preprocessed-frame cache
+            if prepass:
+                batch_df.unpersist()
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

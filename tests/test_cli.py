@@ -160,6 +160,28 @@ def test_cli_compact(cli_dirs, spark, capsys):
     assert "partition(s) compacted" in capsys.readouterr().out
 
 
+def test_cli_upsert(cli_dirs, spark, capsys):
+    main([
+        "run", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", cli_dirs["out"],
+    ])
+    fact = os.path.join(cli_dirs["out"], "CELL_STATS_15M")
+    upd = os.path.join(cli_dirs["base"], "upd_in")
+    spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 111.0)],
+        ["SITE", "DATETIME", "CALLS"],
+    ).selectExpr(
+        "SITE", "CAST(DATETIME AS timestamp) AS DATETIME", "CALLS"
+    ).write.parquet(upd)
+    rc = main([
+        "upsert", "--target", fact, "--updates", upd, "--keys", "SITE",
+    ])
+    assert rc == 0
+    assert "merged into 1 partition(s)" in capsys.readouterr().out
+    rows = {r["SITE"]: r["CALLS"] for r in spark.read.parquet(fact).collect()}
+    assert rows == {"s1": 111.0, "s2": 200.0}
+
+
 def test_cli_quality(cli_dirs, spark, capsys):
     src = os.path.join(cli_dirs["base"], "q_in")
     dst = os.path.join(cli_dirs["base"], "q_out")

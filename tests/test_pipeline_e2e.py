@@ -299,3 +299,72 @@ def test_run_metrics_surface_silent_skips(spark, fixture_dir, tmp_path):
     assert res.metrics["NODE_STATS"]["rows"] == 2
     assert res.metrics["NODE_STATS"]["all_null_columns"] == []
     assert res.unmatched_rows == 1  # the Z file's single row
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark):
+    """Keyed SCD-1 merge into a DT_PART fact: updated identities are
+    replaced, new keys append, new periods create partitions — and an
+    untouched partition's files are NOT rewritten (the 100 TB
+    contract: cost tracks touched periods, never table size)."""
+    import glob
+
+    from chill_spark.operators.writers import merge_upsert, write_fact
+
+    out = os.path.join(TMP, "upsert_fact")
+    shutil.rmtree(out, ignore_errors=True)
+    base = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 10.0),
+         ("s2", "2024-01-01 00:00:00", 20.0),
+         ("s1", "2024-01-01 01:00:00", 30.0)],
+        ["SITE", "DATETIME", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(base, out)
+    untouched = sorted(glob.glob(os.path.join(out, "DT_PART=202401010100", "*.parquet")))
+    assert untouched
+    before_stat = [(f, os.path.getmtime(f)) for f in untouched]
+
+    updates = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 11.0),   # replaces
+         ("s3", "2024-01-01 00:00:00", 33.0),   # new key, same period
+         ("s9", "2024-01-02 00:00:00", 99.0)],  # new period
+        ["SITE", "DATETIME", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    res = merge_upsert(spark, out, updates, keys=["SITE"])
+    assert res["partitions"] == 2 and res["rows_written"] == 4
+
+    got = {
+        (r["SITE"], str(r["DATETIME"]), r["CALLS"])
+        for r in spark.read.parquet(out).drop("DT_PART").collect()
+    }
+    assert got == {
+        ("s1", "2024-01-01 00:00:00", 11.0),
+        ("s2", "2024-01-01 00:00:00", 20.0),
+        ("s3", "2024-01-01 00:00:00", 33.0),
+        ("s1", "2024-01-01 01:00:00", 30.0),
+        ("s9", "2024-01-02 00:00:00", 99.0),
+    }
+    after_stat = [(f, os.path.getmtime(f)) for f in sorted(
+        glob.glob(os.path.join(out, "DT_PART=202401010100", "*.parquet"))
+    )]
+    assert after_stat == before_stat  # untouched period: same files
+
+    # duplicate update identities are nondeterministic -> fail fast
+    import pytest
+
+    dup = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 1.0),
+         ("s1", "2024-01-01 00:00:00", 2.0)],
+        ["SITE", "DATETIME", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_upsert(spark, out, dup, keys=["SITE"])
+
+    # batch-keyed (streamed) trees must be compacted first
+    streamed = os.path.join(TMP, "upsert_streamed")
+    shutil.rmtree(streamed, ignore_errors=True)
+    from chill_spark.operators.writers import BATCH_COL, with_partition_col
+
+    (with_partition_col(base).withColumn(BATCH_COL, F.lit(0))
+     .write.partitionBy("DT_PART", BATCH_COL).parquet(streamed))
+    with pytest.raises(ValueError, match="compact"):
+        merge_upsert(spark, streamed, updates, keys=["SITE"])

@@ -1267,6 +1267,69 @@ def test_compact_sketch_store_heals_interrupted_swap(spark, stream_dirs):
         compact_sketch_store(spark, os.path.join(base, "nonexistent_store"))
 
 
+def test_compact_staged_protocol_for_nonatomic_rename(spark, stream_dirs):
+    """Object-store compaction path (rename = COPY+DELETE, not
+    atomic): the aside swap would let a crash strand objects across
+    two directories and the old heal deleted the only copy of the
+    stragglers (r4 review). The staged protocol (tmp -> COMMIT marker
+    -> delete live -> rename in -> drop marker) must compact
+    correctly, roll forward from the committed stage, clear a stale
+    post-rename marker, and REFUSE (data intact) when caught truly
+    mid-rename."""
+    import json as _json
+
+    import pytest
+
+    from chill_spark.llm_ops.incremental_dedup import (
+        compact_sketch_store,
+        write_sketch_store,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    store = os.path.join(base, "staged_store")
+    docs = spark.createDataFrame(
+        [(i, f"staged protocol document number {i} with many words")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    write_sketch_store(docs, "text", "doc_id", store, num_hashes=16, bands=8)
+    want = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+
+    # plain staged compaction works end-to-end
+    done = compact_sketch_store(spark, store, atomic_rename=False)
+    assert set(done) == {"sets", "banded"}
+    got = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert got == want
+    assert not os.path.exists(os.path.join(store, "sets__COMMIT"))
+
+    # crash window: marker stage=committed, live side partially
+    # deleted, tmp holds the complete copy -> heal rolls forward
+    os.rename(os.path.join(store, "sets"), os.path.join(store, "sets__compacting"))
+    with open(os.path.join(store, "sets__COMMIT"), "w") as f:
+        f.write(_json.dumps({"stage": "committed"}))
+    done = compact_sketch_store(spark, store, atomic_rename=False)
+    got = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert got == want
+
+    # crash window: stage=renaming with BOTH dirs present -> refuse,
+    # nothing deleted
+    os.makedirs(os.path.join(store, "sets__compacting", "BATCH_PART=-1"))
+    with open(os.path.join(store, "sets__COMMIT"), "w") as f:
+        f.write(_json.dumps({"stage": "renaming"}))
+    with pytest.raises(RuntimeError, match="mid-rename"):
+        compact_sketch_store(spark, store, atomic_rename=False)
+    assert os.path.isdir(os.path.join(store, "sets"))
+    assert os.path.isdir(os.path.join(store, "sets__compacting"))
+
+    # crash window: stage=renaming but the rename completed (tmp gone)
+    # -> only the marker is stale
+    shutil.rmtree(os.path.join(store, "sets__compacting"))
+    done = compact_sketch_store(spark, store, atomic_rename=False)
+    got = {r["id"] for r in spark.read.parquet(os.path.join(store, "sets")).collect()}
+    assert got == want
+    assert not os.path.exists(os.path.join(store, "sets__COMMIT"))
+
+
 def test_store_lifecycle_on_hadoop_fs_root(spark, stream_dirs):
     """The whole store lifecycle — overwrite cleanup, meta I/O,
     append-mode meta check, compaction swap + crash heal — runs
