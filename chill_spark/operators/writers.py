@@ -140,15 +140,9 @@ def merge_upsert(
             "to the flat layout before keyed merges, or rows double "
             "on read"
         )
-    ident = [*keys, datetime_col]
-    if existing is not None:
-        scoped = existing.filter(F.col(PARTITION_COL).isin(touched))
-        upd_keys = upd.select(*ident).distinct()
-        if broadcast_keys:
-            upd_keys = F.broadcast(upd_keys)
-        merged = scoped.join(upd_keys, ident, "left_anti").unionByName(upd)
-    else:
-        merged = upd
+    merged = _merged_frame(
+        existing, upd, keys, datetime_col, touched, broadcast_keys
+    )
     merged.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy(PARTITION_COL).parquet(path)
@@ -158,6 +152,28 @@ def merge_upsert(
         .count()
     )
     return {"partitions": len(touched), "rows_written": n}
+
+
+def _merged_frame(
+    existing: DataFrame | None,
+    upd: DataFrame,
+    keys: list[str],
+    datetime_col: str,
+    touched: list[str],
+    broadcast_keys: bool,
+) -> DataFrame:
+    """The merge algebra, separated from the write so its physical
+    plan can be gated: scoped read = planning-time partition filter
+    on the touched values; survivors = anti-join against the
+    (optionally broadcast) update key set."""
+    if existing is None:
+        return upd
+    ident = [*keys, datetime_col]
+    scoped = existing.filter(F.col(PARTITION_COL).isin(touched))
+    upd_keys = upd.select(*ident).distinct()
+    if broadcast_keys:
+        upd_keys = F.broadcast(upd_keys)
+    return scoped.join(upd_keys, ident, "left_anti").unionByName(upd)
 
 
 def read_fact_jdbc(

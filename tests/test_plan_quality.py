@@ -531,3 +531,41 @@ def test_quality_budget_windows_share_one_shuffle(spark):
     plan = plan_of(Q.queries()["q_quality_budget"](spark, SF))
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_merge_upsert_prunes_partitions_and_broadcasts_keys(spark):
+    """The SCD-1 merge's scale contract: the target is read under a
+    planning-time partition filter on exactly the touched periods
+    (cost tracks |touched partitions|, never table size) and the
+    survivors anti-join broadcasts the update key set (the target
+    side never shuffles)."""
+    from chill_spark.operators.writers import (
+        _merged_frame,
+        with_partition_col,
+        write_fact,
+    )
+
+    path = os.path.join(TMP, "plan_upsert")
+    shutil.rmtree(path, ignore_errors=True)
+    base = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "s1", 1.0),
+         ("2024-01-01 01:00:00", "s1", 2.0)],
+        ["DATETIME", "SITE", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(base, path)
+    upd = with_partition_col(
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", "s1", 9.0)],
+            ["DATETIME", "SITE", "CALLS"],
+        ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    )
+    merged = _merged_frame(
+        spark.read.parquet(path), upd, ["SITE"], "DATETIME",
+        ["202401010000"], broadcast_keys=True,
+    )
+    plan = plan_of(merged)
+    assert "PartitionFilters: [" in plan
+    assert "202401010000" in plan          # the touched value, in the scan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan     # target side never shuffles
+    shutil.rmtree(path, ignore_errors=True)
