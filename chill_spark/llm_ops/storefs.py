@@ -80,12 +80,25 @@ class StoreFS:
             raise OSError(f"rename failed: {src} -> {dst}")
 
     # -- small control files (e.g. _meta.json) ------------------------
+    def _read_fs(self):
+        # Control files are read through the RAW filesystem when the
+        # owning FS is checksummed (Hadoop's local FS keeps sidecar
+        # .crc files): _meta.json is a human-editable control file,
+        # and an out-of-band edit (plain editor/open()) leaves the
+        # .crc stale, turning every subsequent checksummed read into
+        # a ChecksumException. Verification adds nothing for a
+        # ~100-byte JSON we fully parse anyway.
+        try:
+            return self._fs.getRawFileSystem()
+        except Exception:  # not a ChecksumFileSystem (e.g. HDFS, S3A)
+            return self._fs
+
     def read_text(self, path: str) -> str:
         # py4j copies a Python bytearray into a fresh byte[], so
         # Java-side writes into a passed buffer never reach Python —
         # read through commons-io (on Spark's classpath), which
         # RETURNS the bytes instead of mutating a caller buffer
-        stream = self._fs.open(self._Path(path))
+        stream = self._read_fs().open(self._Path(path))
         try:
             data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
             return bytes(data).decode("utf-8")
