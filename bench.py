@@ -76,7 +76,11 @@ HEADLINE = [
     "q_winnowing_fingerprints",
     "q_source_caps",
     "q_cluster_balanced_sample",
+    "q_segment_dedup",
 ]
+# q_scd1_merge is deliberately NOT here: it benchmarks a real
+# partitioned parquet write (the merge_upsert writer), not a noop-sink
+# plan — its wall time is I/O-bound and would only add variance.
 
 
 def force(df) -> None:
