@@ -447,7 +447,7 @@ def compact_sketch_store(
     import math
 
     from ..operators.writers import BATCH_COL
-    from .storefs import StoreFS, rename_is_atomic
+    from .storefs import StoreFS, rename_is_atomic, swap_dir
 
     if atomic_rename is None:
         atomic_rename = rename_is_atomic(root)
@@ -495,18 +495,12 @@ def compact_sketch_store(
             )
         else:
             df.repartition(n_files).write.parquet(leaf)
-        if atomic_rename:
-            aside = f"{root}/{side}__old"
-            fs.rename(src, aside)
-            fs.rename(tmp, src)
-            fs.delete(aside)
-        else:
-            marker = f"{root}/{side}__COMMIT"
-            fs.write_text(marker, '{"stage": "committed"}')
-            fs.delete(src)
-            fs.write_text(marker, '{"stage": "renaming"}')
-            fs.rename(tmp, src)
-            fs.delete(marker)
+        swap_dir(
+            fs, src, tmp,
+            aside=f"{root}/{side}__old",
+            marker=f"{root}/{side}__COMMIT",
+            atomic=atomic_rename,
+        )
         done[side] = len(fs.list_files(src, ".parquet"))
     if not seen_any:
         raise ValueError(f"no sketch store sides found under {root}")
@@ -515,40 +509,13 @@ def compact_sketch_store(
 
 def _heal_side(fs, root: str, side: str) -> None:
     """Restore a side from any crash window of either swap protocol
-    (see compact_sketch_store). Conservative by construction: the only
-    state it cannot roll forward — a non-atomic rename caught mid-
-    flight, live and temp both present under a stage=renaming marker —
-    raises with everything intact instead of guessing."""
-    import json
+    (storefs.swap_dir, shared with the fact-table compactor)."""
+    from .storefs import heal_swap
 
-    src = f"{root}/{side}"
-    tmp = f"{root}/{side}__compacting"
-    aside = f"{root}/{side}__old"
-    marker = f"{root}/{side}__COMMIT"
-    if fs.exists(marker):
-        stage = json.loads(fs.read_text(marker)).get("stage")
-        has_src, has_tmp = fs.is_dir(src), fs.is_dir(tmp)
-        if stage == "committed":
-            # tmp was complete before the marker; the live side may be
-            # partially deleted — roll forward
-            fs.delete(src)
-            fs.rename(tmp, src)
-            fs.delete(marker)
-        elif has_src and not has_tmp:
-            fs.delete(marker)  # rename finished; only the marker is stale
-        elif has_tmp and not has_src:
-            fs.rename(tmp, src)  # rename never moved an object
-            fs.delete(marker)
-        else:
-            raise RuntimeError(
-                f"store side {src} crashed mid-rename on a non-atomic "
-                f"filesystem: objects are split between {src} and "
-                f"{tmp} (marker {marker}, stage={stage}). Nothing was "
-                "deleted — merge the two directories manually (every "
-                "object exists in at least one) and remove the marker."
-            )
-        return
-    if not fs.is_dir(src) and fs.is_dir(aside):
-        fs.rename(aside, src)  # died between rename-aside and rename-in
-    fs.delete(tmp)    # temp from a crashed run (src is live)
-    fs.delete(aside)  # died before removing the aside copy
+    heal_swap(
+        fs,
+        live=f"{root}/{side}",
+        tmp=f"{root}/{side}__compacting",
+        aside=f"{root}/{side}__old",
+        marker=f"{root}/{side}__COMMIT",
+    )

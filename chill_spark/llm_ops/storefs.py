@@ -113,6 +113,16 @@ class StoreFS:
             out.close()
 
     # -- listings -----------------------------------------------------
+    def list_dirs(self, path: str) -> list[str]:
+        """Names (not paths) of the immediate child directories."""
+        if not self.exists(path):
+            return []
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._Path(path))
+            if st.isDirectory()
+        ]
+
     def list_files(self, path: str, suffix: str = "") -> list[tuple[str, int]]:
         """Recursive (path, size) listing under ``path`` filtered by
         suffix. One round-trip iterator — on object stores this is the
@@ -140,6 +150,90 @@ ATOMIC_RENAME_SCHEMES = {"", "file", "hdfs", "viewfs", "ofs", "o3fs"}
 def rename_is_atomic(root: str) -> bool:
     scheme = root.split("://", 1)[0] if "://" in root else ""
     return scheme in ATOMIC_RENAME_SCHEMES
+
+
+def swap_dir(
+    fs: StoreFS,
+    live: str,
+    tmp: str,
+    aside: str,
+    marker: str,
+    atomic: bool,
+) -> None:
+    """Swap a fully-written ``tmp`` directory into ``live``'s place.
+
+    Two protocols, chosen by whether the filesystem's rename is a
+    single atomic metadata op:
+
+    - **Atomic rename** (local, file://, hdfs://): rename live aside,
+      rename tmp in, drop the aside. Every crash window is healed by
+      ``heal_swap``.
+    - **Non-atomic rename** (object stores, rename = COPY+DELETE): the
+      aside swap is unsafe — a crash mid-rename strands objects across
+      both directories and a naive heal deletes the only copy of the
+      stragglers. Staged instead, with ``marker`` as a single-object
+      atomic PUT: marker(stage=committed) -> delete live ->
+      marker(stage=renaming) -> rename tmp in -> drop marker. Every
+      crash window either rolls forward from the marker or (true
+      mid-rename, both directories present) refuses with data intact.
+
+    Callers embedding the swap next to Spark-discovered partitions
+    must pass HIDDEN names (``.``/``_`` prefix) for tmp/aside/marker
+    so partition discovery never sees the scaffolding."""
+    if atomic:
+        fs.rename(live, aside)
+        fs.rename(tmp, live)
+        fs.delete(aside)
+    else:
+        fs.write_text(marker, '{"stage": "committed"}')
+        fs.delete(live)
+        fs.write_text(marker, '{"stage": "renaming"}')
+        fs.rename(tmp, live)
+        fs.delete(marker)
+
+
+def heal_swap(
+    fs: StoreFS,
+    live: str,
+    tmp: str,
+    aside: str,
+    marker: str,
+) -> None:
+    """Restore ``live`` from any crash window of either ``swap_dir``
+    protocol. Conservative by construction: the only state it cannot
+    roll forward — a non-atomic rename caught mid-flight, live and
+    tmp both present under a stage=renaming marker — raises with
+    everything intact instead of guessing."""
+    import json
+
+    if fs.exists(marker):
+        stage = json.loads(fs.read_text(marker)).get("stage")
+        has_live, has_tmp = fs.is_dir(live), fs.is_dir(tmp)
+        if stage == "committed":
+            # tmp was complete before the marker; live may be
+            # partially deleted — roll forward
+            fs.delete(live)
+            fs.rename(tmp, live)
+            fs.delete(marker)
+        elif has_live and not has_tmp:
+            fs.delete(marker)  # rename finished; only the marker is stale
+        elif has_tmp and not has_live:
+            fs.rename(tmp, live)  # rename never moved an object
+            fs.delete(marker)
+        else:
+            raise RuntimeError(
+                f"directory swap for {live} crashed mid-rename on a "
+                f"non-atomic filesystem: objects are split between "
+                f"{live} and {tmp} (marker {marker}, stage={stage}). "
+                "Nothing was deleted — merge the two directories "
+                "manually (every object exists in at least one) and "
+                "remove the marker."
+            )
+        return
+    if not fs.is_dir(live) and fs.is_dir(aside):
+        fs.rename(aside, live)  # died between rename-aside and rename-in
+    fs.delete(tmp)    # temp from a crashed run (live is intact)
+    fs.delete(aside)  # died before removing the aside copy
 
 
 def read_store_json(root: str, name: str = "_meta.json",

@@ -227,6 +227,7 @@ def compact_partitions(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partitions: list[str] | None = None,
+    atomic_rename: bool | None = None,
 ) -> dict[str, int]:
     """Small-file compaction for a DT_PART-partitioned fact table.
 
@@ -254,32 +255,69 @@ def compact_partitions(
     replay of an old micro-batch would land beside the compacted leaf
     instead of overwriting its original one — the standard
     compact-behind-the-watermark discipline.
+
+    All directory operations route through the Hadoop FileSystem API
+    (llm_ops.storefs), so the table may live on any Hadoop-readable
+    filesystem — local paths, ``file://``, ``hdfs://``, ``s3a://`` —
+    which is where a 100 TB fact actually lives. The nested-layout
+    swap uses the shared two-protocol machinery (storefs.swap_dir):
+    rename-aside on atomic-rename filesystems, marker-staged on
+    object stores; interrupted swaps from a previous crashed run are
+    healed on entry. Swap scaffolding is dot-prefixed so Spark's
+    partition discovery never sees it.
     """
     import math
-    import os
-    import shutil
 
+    from ..llm_ops.storefs import (
+        StoreFS,
+        heal_swap,
+        rename_is_atomic,
+        swap_dir,
+    )
+
+    if atomic_rename is None:
+        atomic_rename = rename_is_atomic(path)
+    fs = StoreFS(path, spark)
     rewritten: dict[str, int] = {}
     base = path.rstrip("/")
+
+    def _paths(key: str) -> tuple[str, str, str, str]:
+        # hidden (dot-prefixed) scaffolding: these sit NEXT to real
+        # DT_PART=... directories, and partition discovery must skip
+        # them while a swap is staged or after a crash
+        return (
+            f"{base}/{PARTITION_COL}={key}",
+            f"{base}/.compact_tmp_{key}",
+            f"{base}/.compact_old_{key}",
+            f"{base}/.compact_commit_{key}",
+        )
+
+    # heal interrupted swaps from a crashed previous run FIRST — a key
+    # renamed aside (or deleted under a committed marker) has no live
+    # DT_PART dir, so it must be recovered from the scaffolding names
+    healed = set()
+    for d in fs.list_dirs(base):
+        for prefix in (".compact_tmp_", ".compact_old_", ".compact_commit_"):
+            if d.startswith(prefix):
+                key = d[len(prefix):]
+                if key not in healed:
+                    heal_swap(fs, *_paths(key))
+                    healed.add(key)
+
     parts = sorted(
-        p.split("=", 1)[1]
-        for p in os.listdir(base)
-        if p.startswith(f"{PARTITION_COL}=")
+        d.split("=", 1)[1]
+        for d in fs.list_dirs(base)
+        if d.startswith(f"{PARTITION_COL}=")
     )
     if partitions:
         parts = [p for p in parts if p in partitions]
     for key in parts:
-        pdir = f"{base}/{PARTITION_COL}={key}"
+        pdir, tmp, aside, marker = _paths(key)
         nested = any(
-            d.startswith(f"{BATCH_COL}=") for d in os.listdir(pdir)
+            d.startswith(f"{BATCH_COL}=") for d in fs.list_dirs(pdir)
         )
-        files = [
-            os.path.join(d, f)
-            for d, _, fs in os.walk(pdir)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
-        total = sum(os.path.getsize(f) for f in files)
+        files = fs.list_files(pdir, ".parquet")
+        total = sum(sz for _, sz in files)
         want = max(1, math.ceil(total / target_file_bytes))
         if len(files) <= want:
             continue
@@ -287,9 +325,8 @@ def compact_partitions(
             # read -> stage under a temp dir (a nested table can't use
             # dynamic overwrite here: data in the collapsed leaf alone
             # would leave the original batch leaves in place) -> swap
-            # the period dir in one rename
-            tmp = f"{base}/.compact_tmp_{key}"
-            shutil.rmtree(tmp, ignore_errors=True)
+            # the period dir in via the crash-safe protocol
+            fs.delete(tmp)
             (
                 spark.read.parquet(pdir)
                 .drop(BATCH_COL)
@@ -297,8 +334,7 @@ def compact_partitions(
                 .write.mode("overwrite")
                 .parquet(f"{tmp}/{BATCH_COL}=-1")
             )
-            shutil.rmtree(pdir)
-            os.replace(tmp, pdir)
+            swap_dir(fs, pdir, tmp, aside, marker, atomic=atomic_rename)
         else:
             (
                 spark.read.parquet(pdir)

@@ -1699,3 +1699,90 @@ def test_doomed_new_ids_properties(spark):
     assert doomed <= set(new_ids)        # never dooms a stored id
     # 7 appears in no pair and survives implicitly (not doomed)
     assert 7 not in doomed and 40 not in doomed
+
+
+def _mk_batchkeyed_fact(spark, path, n_batches=3):
+    from chill_spark.operators.writers import (
+        BATCH_COL, PARTITION_COL, with_partition_col,
+    )
+
+    for batch_id in range(n_batches):
+        df = spark.createDataFrame(
+            [(f"s{batch_id}", "2024-01-01 00:00:00", float(batch_id)),
+             (f"t{batch_id}", "2024-01-01 00:15:00", float(batch_id))],
+            ["SITE", "DATETIME", "CALLS"],
+        ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+        (
+            with_partition_col(df)
+            .withColumn(BATCH_COL, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COL, BATCH_COL)
+            .parquet(path)
+        )
+
+
+def test_compact_partitions_on_hadoop_fs_root(spark, stream_dirs):
+    """Fact compaction with a scheme'd (file://) root: listing, file
+    sizing, the temp write, and the swap all route through the Hadoop
+    FileSystem API — the path shape a 100 TB fact actually has
+    (hdfs://, s3a://). Previously os/shutil-bound, which made any
+    remote fact uncompactable."""
+    from chill_spark.operators.writers import compact_partitions, read_fact
+
+    local = os.path.join(stream_dirs["out"], "fs_fact")
+    _mk_batchkeyed_fact(spark, local)
+    root = "file://" + local
+    before = {tuple(r) for r in read_fact(spark, root).collect()}
+    done = compact_partitions(spark, root, target_file_bytes=10**9)
+    assert done == {"202401010000": 1, "202401010015": 1}
+    after = {tuple(r) for r in read_fact(spark, root).collect()}
+    assert after == before
+    # idempotent: already at target file count
+    assert compact_partitions(spark, root, target_file_bytes=10**9) == {}
+
+
+def test_compact_partitions_heals_interrupted_swap(spark, stream_dirs):
+    """Crash-window recovery for the fact-partition swap, both
+    protocols. The scaffolding names are dot-prefixed, so a table with
+    a staged (crashed) swap still READS correctly before the heal —
+    partition discovery must never see the temp/aside dirs."""
+    import json as _json
+
+    import pytest
+
+    from chill_spark.operators.writers import (
+        PARTITION_COL, compact_partitions, read_fact,
+    )
+
+    local = os.path.join(stream_dirs["out"], "heal_fact")
+    _mk_batchkeyed_fact(spark, local)
+    want = {tuple(r) for r in read_fact(spark, local).collect()}
+    key = "202401010000"
+    pdir = os.path.join(local, f"{PARTITION_COL}={key}")
+    aside = os.path.join(local, f".compact_old_{key}")
+
+    # atomic-protocol crash: died between rename-aside and rename-in
+    os.rename(pdir, aside)
+    assert {tuple(r) for r in read_fact(spark, local).collect()} != want
+    done = compact_partitions(spark, local, target_file_bytes=10**9)
+    assert done.get(key) == 1  # healed, then compacted
+    assert {tuple(r) for r in read_fact(spark, local).collect()} == want
+
+    # staged-protocol crash: marker stage=committed, live deleted,
+    # tmp holds the complete copy -> heal rolls forward
+    tmp = os.path.join(local, f".compact_tmp_{key}")
+    os.rename(pdir, tmp)
+    with open(os.path.join(local, f".compact_commit_{key}"), "w") as f:
+        f.write(_json.dumps({"stage": "committed"}))
+    compact_partitions(spark, local, target_file_bytes=10**9)
+    assert {tuple(r) for r in read_fact(spark, local).collect()} == want
+
+    # staged-protocol true mid-rename (both dirs present under
+    # stage=renaming) -> refuse with everything intact
+    os.makedirs(os.path.join(tmp, "BATCH_PART=-1"))
+    with open(os.path.join(local, f".compact_commit_{key}"), "w") as f:
+        f.write(_json.dumps({"stage": "renaming"}))
+    with pytest.raises(RuntimeError, match="mid-rename"):
+        compact_partitions(spark, local, target_file_bytes=10**9)
+    assert os.path.isdir(pdir) and os.path.isdir(tmp)
