@@ -444,10 +444,12 @@ def cmd_sql(args) -> int:
     import os
     import re
 
+    from .llm_ops.storefs import StoreFS
     from .session import get_spark
 
     spark = get_spark("chill-sql")
-    entries = sorted(os.listdir(args.tables))
+    # Hadoop FS listing, so --tables may point at hdfs://, s3a://, ...
+    entries = sorted(StoreFS(args.tables, spark).list_children(args.tables))
     names = {
         e: (e[:-8] if e.endswith(".parquet") else e) for e in entries
     }

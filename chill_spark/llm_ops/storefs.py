@@ -123,6 +123,15 @@ class StoreFS:
             if st.isDirectory()
         ]
 
+    def list_children(self, path: str) -> list[str]:
+        """Names of ALL immediate children (files and directories)."""
+        if not self.exists(path):
+            return []
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._Path(path))
+        ]
+
     def list_files(self, path: str, suffix: str = "") -> list[tuple[str, int]]:
         """Recursive (path, size) listing under ``path`` filtered by
         suffix. One round-trip iterator — on object stores this is the

@@ -130,10 +130,16 @@ def merge_upsert(
     ]
     if not touched:
         return {"partitions": 0, "rows_written": 0}
-    try:
+    from ..llm_ops.storefs import StoreFS
+
+    if StoreFS(path, spark).is_dir(path):
+        # a read error past this point (transient IO, corrupt footer)
+        # must PROPAGATE: mistaking it for "first write" would rewrite
+        # the touched partitions with updates only, silently dropping
+        # every surviving row in them
         existing = spark.read.parquet(path)
-    except Exception:
-        existing = None  # first write: nothing to merge against
+    else:
+        existing = None  # genuine first write: nothing to merge against
     if existing is not None and BATCH_COL in existing.columns:
         raise ValueError(
             f"{path} is a batch-keyed (BATCH_PART) tree — compact it "
