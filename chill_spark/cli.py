@@ -377,15 +377,37 @@ def cmd_mix(args) -> int:
 
 def cmd_upsert(args) -> int:
     """Keyed SCD-1 merge of an updates parquet into a partitioned
-    fact — only the touched periods are rewritten."""
+    fact — only the touched periods are rewritten. With ``--stream``,
+    watch the updates path continuously (CDC-style maintenance)."""
     from .operators.writers import merge_upsert
     from .session import get_spark
 
     spark = get_spark("chill-upsert")
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    if args.stream:
+        if not args.schema or not args.checkpoint:
+            raise SystemExit(
+                "upsert --stream needs --schema and --checkpoint"
+            )
+        from .streaming.stream import drain, run_upsert_stream
+
+        q = run_upsert_stream(
+            spark, args.updates, args.schema, args.target, keys=keys,
+            checkpoint_dir=args.checkpoint,
+            datetime_col=args.datetime_col,
+            version_col=args.version_col,
+            available_now=args.available_now,
+            broadcast_keys=not args.bulk,
+        )
+        if args.available_now:
+            drain(q)
+        else:
+            q.awaitTermination()
+        return 0
     updates = spark.read.parquet(args.updates)
     res = merge_upsert(
         spark, args.target, updates,
-        keys=[k.strip() for k in args.keys.split(",") if k.strip()],
+        keys=keys,
         datetime_col=args.datetime_col,
         broadcast_keys=not args.bulk,
     )
@@ -971,6 +993,21 @@ def main(argv: list[str] | None = None) -> int:
         "--bulk", action="store_true",
         help="bulk merge: let AQE pick the join strategy instead of "
              "broadcasting the update key set",
+    )
+    up.add_argument(
+        "--stream", action="store_true",
+        help="watch --updates continuously; merge each micro-batch",
+    )
+    up.add_argument("--schema", help="update-file schema (stream mode)")
+    up.add_argument("--checkpoint", help="checkpoint dir (stream mode)")
+    up.add_argument(
+        "--version-col", dest="version_col", default=None,
+        help="resolve in-batch identity conflicts by this column "
+             "(greatest wins; stream mode)",
+    )
+    up.add_argument(
+        "--available-now", dest="available_now", action="store_true",
+        help="drain the currently-available files and exit",
     )
     up.set_defaults(fn=cmd_upsert)
 

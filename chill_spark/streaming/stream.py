@@ -310,6 +310,79 @@ def streaming_rollup(
     )
 
 
+def run_upsert_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    target: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    datetime_col: str = "DATETIME",
+    version_col: str | None = None,
+    keep_version_col: bool = False,
+    available_now: bool = False,
+    trigger_seconds: int = 5,
+    broadcast_keys: bool = True,
+) -> StreamingQuery:
+    """CDC-style SCD-1 maintenance: watch ``input_dir`` for parquet
+    update files and keyed-merge each micro-batch into the
+    ``DT_PART``-partitioned fact at ``target`` via
+    ``operators.writers.merge_upsert`` — updated identities replaced,
+    new keys appended, untouched partitions never rewritten.
+
+    The reference's change path reloads a whole period to change any
+    row in it (HlxTools.py:372-450); this is that loop as a continuous
+    stream, refined to row-grain merges. Exactly-once shape: source
+    progress is checkpointed (each file consumed once across
+    restarts), and the merge itself is replay-idempotent — re-merging
+    an already-applied batch anti-joins away the identical identities
+    and rewrites the same rows. Later batches win on conflicting
+    identities (stream order = arrival order, the SCD-1 contract).
+
+    Within one micro-batch, conflicting updates for the same
+    ``(keys, datetime_col)`` identity are resolved by ``version_col``
+    (greatest version wins, deterministically) when given; without it
+    the merge's duplicate-identity check fails the batch fast rather
+    than letting shuffle order pick a survivor. The version column is
+    transport metadata and is dropped after resolution unless
+    ``keep_version_col`` (keeping it requires the target to carry the
+    column too — the merge unions by name)."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+
+    from ..operators.writers import merge_upsert
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upd = batch_df
+        if version_col is not None:
+            ident = [*keys, datetime_col]
+            payload = [c for c in upd.columns if c not in ident]
+            upd = (
+                upd.groupBy(*ident)
+                .agg(
+                    F.max_by(
+                        F.struct(*payload), F.col(version_col)
+                    ).alias("_p")
+                )
+                .select(*ident, "_p.*")
+            )
+            if not keep_version_col:
+                upd = upd.drop(version_col)
+        merge_upsert(
+            spark, target, upd, keys=keys, datetime_col=datetime_col,
+            broadcast_keys=broadcast_keys,
+            assert_unique_keys=version_col is None,
+        )
+
+    writer = src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def drain(query: StreamingQuery, stop: bool = True) -> None:
     """Completion detection: block until every available input file is
     processed (the reference polls the watched dir + work dirs empty,

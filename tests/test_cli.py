@@ -700,3 +700,34 @@ def test_cli_sketch_compact_detects_mid_swap_embedding_store(cli_dirs, spark, ca
     assert rc == 0 and "vectors" in out
     ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "vectors")).collect()}
     assert ids == {0, 1, 2, 3}
+
+
+def test_cli_upsert_stream(cli_dirs, spark, capsys):
+    base = cli_dirs["base"]
+    target = os.path.join(base, "ufs_fact")
+    watch = os.path.join(base, "ufs_in")
+    os.makedirs(watch)
+    from pyspark.sql import functions as F
+
+    from chill_spark.operators.writers import write_fact
+
+    fact = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 1.0)],
+        ["SITE", "DATETIME", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(fact, target)
+    spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 7.0, 1)],
+        ["SITE", "DATETIME", "CALLS", "v"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp")) \
+        .coalesce(1).write.parquet(os.path.join(watch, "u1"))
+    rc = main([
+        "upsert", "--target", target, "--updates", watch + "/*",
+        "--keys", "SITE", "--stream",
+        "--schema", "SITE string, DATETIME timestamp, CALLS double, v bigint",
+        "--checkpoint", os.path.join(base, "ufs_ckpt"),
+        "--version-col", "v", "--available-now",
+    ])
+    assert rc == 0
+    rows = {r["SITE"]: r["CALLS"] for r in spark.read.parquet(target).collect()}
+    assert rows == {"s1": 7.0}

@@ -1786,3 +1786,68 @@ def test_compact_partitions_heals_interrupted_swap(spark, stream_dirs):
     with pytest.raises(RuntimeError, match="mid-rename"):
         compact_partitions(spark, local, target_file_bytes=10**9)
     assert os.path.isdir(pdir) and os.path.isdir(tmp)
+
+
+def test_upsert_stream_merges_cdc_batches(spark, stream_dirs):
+    """CDC upsert stream: update files are keyed-merged into the fact
+    as they arrive — in-batch identity conflicts resolve by version
+    (greatest wins), later batches win across batches, untouched
+    partitions stay untouched, and the checkpoint prevents a restart
+    from reprocessing consumed files."""
+    from chill_spark.streaming.stream import drain, run_upsert_stream
+    from chill_spark.operators.writers import write_fact
+
+    base = os.path.dirname(stream_dirs["out"])
+    watch = os.path.join(base, "upsert_in")
+    target = os.path.join(base, "upsert_fact")
+    ckpt = os.path.join(base, "upsert_ckpt")
+    os.makedirs(watch)
+
+    fact = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 1.0),
+         ("s2", "2024-01-01 00:00:00", 2.0),
+         ("s1", "2024-01-01 01:00:00", 3.0)],
+        ["SITE", "DATETIME", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(fact, target)
+
+    schema = "SITE string, DATETIME timestamp, CALLS double, v bigint"
+
+    def put(name, rows):
+        df = spark.createDataFrame(
+            rows, ["SITE", "DATETIME", "CALLS", "v"]
+        ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+        df.coalesce(1).write.parquet(os.path.join(watch, name))
+
+    # batch 1: conflicting versions for one identity + a new key
+    put("b1", [("s1", "2024-01-01 00:00:00", 11.0, 1),
+               ("s1", "2024-01-01 00:00:00", 12.0, 2),
+               ("s3", "2024-01-01 00:00:00", 33.0, 1)])
+    drain(run_upsert_stream(
+        spark, watch + "/*", schema, target, keys=["SITE"],
+        checkpoint_dir=ckpt, version_col="v", available_now=True,
+    ))
+
+    def snapshot():
+        return {
+            (r["SITE"], str(r["DATETIME"])): r["CALLS"]
+            for r in spark.read.parquet(target).collect()
+        }
+
+    got = snapshot()
+    assert got[("s1", "2024-01-01 00:00:00")] == 12.0  # v=2 won
+    assert got[("s3", "2024-01-01 00:00:00")] == 33.0  # new key
+    assert got[("s2", "2024-01-01 00:00:00")] == 2.0   # survivor
+    assert got[("s1", "2024-01-01 01:00:00")] == 3.0   # untouched period
+
+    # restart with a second file: only the new file is consumed
+    # (checkpoint), and its update replaces the batch-1 value
+    put("b2", [("s1", "2024-01-01 00:00:00", 99.0, 1)])
+    drain(run_upsert_stream(
+        spark, watch + "/*", schema, target, keys=["SITE"],
+        checkpoint_dir=ckpt, version_col="v", available_now=True,
+    ))
+    got = snapshot()
+    assert got[("s1", "2024-01-01 00:00:00")] == 99.0  # later batch wins
+    assert got[("s3", "2024-01-01 00:00:00")] == 33.0
+    assert len(got) == 4
