@@ -30,6 +30,12 @@ formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
                                      --base DIR --out LADDER_DIR
     python -m chill_spark sql        "SELECT ..." --tables DIR [--out DIR]
     python -m chill_spark compact    --in DIR [--target-mb 128]
+    python -m chill_spark segdedup   --input DIR --out DIR [--seg-tokens 16]
+    python -m chill_spark mix        --input DIR [--alpha 0.3] \
+                                     [--out DIR --budget-frac 0.5]
+    python -m chill_spark upsert     --target DIR --updates PATH --keys K1,K2 \
+                                     [--evolve] [--stream --schema S \
+                                     --checkpoint DIR --version-col V]
 """
 
 from __future__ import annotations
@@ -398,6 +404,7 @@ def cmd_upsert(args) -> int:
             version_col=args.version_col,
             available_now=args.available_now,
             broadcast_keys=not args.bulk,
+            evolve_schema=args.evolve,
         )
         if args.available_now:
             drain(q)
@@ -410,6 +417,7 @@ def cmd_upsert(args) -> int:
         keys=keys,
         datetime_col=args.datetime_col,
         broadcast_keys=not args.bulk,
+        evolve_schema=args.evolve,
     )
     print(
         f"merged into {res['partitions']} partition(s); "
@@ -993,6 +1001,11 @@ def main(argv: list[str] | None = None) -> int:
         "--bulk", action="store_true",
         help="bulk merge: let AQE pick the join strategy instead of "
              "broadcasting the update key set",
+    )
+    up.add_argument(
+        "--evolve", action="store_true",
+        help="merge by name with missing columns null-filled "
+             "(schema evolution; read evolved tables with mergeSchema)",
     )
     up.add_argument(
         "--stream", action="store_true",

@@ -82,6 +82,7 @@ def merge_upsert(
     datetime_col: str = "DATETIME",
     broadcast_keys: bool = True,
     assert_unique_keys: bool = True,
+    evolve_schema: bool = False,
 ) -> dict[str, int]:
     """Keyed merge (SCD-1 upsert) into a ``DT_PART``-partitioned
     parquet fact without a table format: rows in ``updates`` replace
@@ -109,7 +110,16 @@ def merge_upsert(
 
     Requires the flat ``DT_PART`` layout; a stream-maintained
     ``BATCH_PART`` tree must be compacted first (mixed trees would
-    read doubled rows)."""
+    read doubled rows).
+
+    ``evolve_schema=True`` merges by name with missing columns
+    null-filled (new counters appear in new feeds; survivors get NULL
+    for them, updates get NULL for columns they dropped). Only the
+    touched partitions carry the widened schema on disk afterwards —
+    read the table with ``mergeSchema`` (or backfill the old periods)
+    until every partition has been rewritten; read_fact's explicit
+    one-file schema inference would otherwise hide the new column for
+    un-rewritten periods."""
     upd = with_partition_col(updates, datetime_col)
     if assert_unique_keys:
         # two update rows with one identity make last-wins
@@ -147,7 +157,8 @@ def merge_upsert(
             "on read"
         )
     merged = _merged_frame(
-        existing, upd, keys, datetime_col, touched, broadcast_keys
+        existing, upd, keys, datetime_col, touched, broadcast_keys,
+        evolve_schema=evolve_schema,
     )
     merged.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
@@ -167,6 +178,7 @@ def _merged_frame(
     datetime_col: str,
     touched: list[str],
     broadcast_keys: bool,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """The merge algebra, separated from the write so its physical
     plan can be gated: scoped read = planning-time partition filter
@@ -179,7 +191,8 @@ def _merged_frame(
     upd_keys = upd.select(*ident).distinct()
     if broadcast_keys:
         upd_keys = F.broadcast(upd_keys)
-    return scoped.join(upd_keys, ident, "left_anti").unionByName(upd)
+    survivors = scoped.join(upd_keys, ident, "left_anti")
+    return survivors.unionByName(upd, allowMissingColumns=evolve_schema)
 
 
 def read_fact_jdbc(

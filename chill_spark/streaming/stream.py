@@ -323,6 +323,7 @@ def run_upsert_stream(
     available_now: bool = False,
     trigger_seconds: int = 5,
     broadcast_keys: bool = True,
+    evolve_schema: bool = False,
 ) -> StreamingQuery:
     """CDC-style SCD-1 maintenance: watch ``input_dir`` for parquet
     update files and keyed-merge each micro-batch into the
@@ -371,6 +372,7 @@ def run_upsert_stream(
             spark, target, upd, keys=keys, datetime_col=datetime_col,
             broadcast_keys=broadcast_keys,
             assert_unique_keys=version_col is None,
+            evolve_schema=evolve_schema,
         )
 
     writer = src.writeStream.foreachBatch(handle).option(

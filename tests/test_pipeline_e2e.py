@@ -368,3 +368,47 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark):
      .write.partitionBy("DT_PART", BATCH_COL).parquet(streamed))
     with pytest.raises(ValueError, match="compact"):
         merge_upsert(spark, streamed, updates, keys=["SITE"])
+
+
+def test_merge_upsert_schema_evolution(spark):
+    """evolve_schema=True: updates carrying a NEW column merge with
+    survivors null-filled for it; without the flag the width mismatch
+    raises instead of silently dropping the column. Un-rewritten
+    partitions keep the old file schema — mergeSchema surfaces the
+    union view."""
+    import pytest
+
+    from chill_spark.operators.writers import merge_upsert, write_fact
+
+    out = os.path.join(TMP, "upsert_evolve")
+    shutil.rmtree(out, ignore_errors=True)
+    base = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 10.0),
+         ("s2", "2024-01-01 00:00:00", 20.0),
+         ("s3", "2024-01-01 01:00:00", 30.0)],
+        ["SITE", "DATETIME", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(base, out)
+    updates = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 11.0, 5.0)],
+        ["SITE", "DATETIME", "CALLS", "DROPS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+
+    with pytest.raises(Exception, match="DROPS"):
+        merge_upsert(spark, out, updates, keys=["SITE"])
+
+    res = merge_upsert(
+        spark, out, updates, keys=["SITE"], evolve_schema=True
+    )
+    assert res == {"partitions": 1, "rows_written": 2}
+    got = {
+        (r["SITE"], r["CALLS"], r["DROPS"])
+        for r in spark.read.option("mergeSchema", "true").parquet(out)
+        .filter(F.col("DT_PART") == "202401010000").collect()
+    }
+    assert got == {("s1", 11.0, 5.0), ("s2", 20.0, None)}
+    # the untouched period has no DROPS files but reads NULL under the
+    # merged-schema view
+    other = spark.read.option("mergeSchema", "true").parquet(out) \
+        .filter(F.col("DT_PART") == "202401010100").collect()
+    assert [r["DROPS"] for r in other] == [None]
