@@ -431,10 +431,9 @@ def cmd_ladder_audit(args) -> int:
     the base table and count disagreeing rows. Exit 0 iff consistent —
     the engine-native replacement for the reference's rollup-existence
     polling (HlxTools wait loops), checking the numbers instead."""
+    from .llm_ops.storefs import StoreFS
     from .operators.incremental import validate_ladder
     from .session import get_spark
-
-    import os
 
     spark = get_spark("chill-ladder-audit")
     cat = _load(args.catalog, Catalog)
@@ -450,8 +449,9 @@ def cmd_ladder_audit(args) -> int:
             print(f"unknown ladder level {g!r} (valid: {known})",
                   file=sys.stderr)
             return 2
+    fs = StoreFS(args.out, spark)  # Hadoop FS: --out may be remote
     for g in levels or known:
-        if not os.path.isdir(f"{args.out}/{table.name}_{g}"):
+        if not fs.is_dir(f"{args.out}/{table.name}_{g}"):
             print(f"ladder level {g} not materialized under {args.out}",
                   file=sys.stderr)
             return 2
