@@ -324,6 +324,8 @@ def run_upsert_stream(
     trigger_seconds: int = 5,
     broadcast_keys: bool = True,
     evolve_schema: bool = False,
+    fmt: str = "parquet",
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """CDC-style SCD-1 maintenance: watch ``input_dir`` for parquet
     update files and keyed-merge each micro-batch into the
@@ -347,13 +349,37 @@ def run_upsert_stream(
     than letting shuffle order pick a survivor. The version column is
     transport metadata and is dropped after resolution unless
     ``keep_version_col`` (keeping it requires the target to carry the
-    column too — the merge unions by name)."""
-    src = spark.readStream.schema(schema).parquet(input_dir)
+    column too — the merge unions by name).
+
+    ``fmt='jsonl'`` reads newline-JSON update files (the common CDC
+    transport) with the intake-standard corrupt-record contract: bad
+    lines go batch-keyed to ``quarantine_dir`` (default
+    ``<target>/_quarantine`` — underscore-prefixed, so fact partition
+    discovery ignores it), never silently dropped."""
+    if fmt == "jsonl":
+        from ..sources.jsonl import CORRUPT_COL as _JC
+        from ..sources.jsonl import read_jsonl_stream
+
+        src = read_jsonl_stream(spark, input_dir, schema)
+        if quarantine_dir is None:
+            quarantine_dir = f"{target}/_quarantine"
+    elif fmt == "parquet":
+        src = spark.readStream.schema(schema).parquet(input_dir)
+    else:
+        raise ValueError(f"unsupported update format {fmt!r}")
 
     from ..operators.writers import merge_upsert
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         upd = batch_df
+        if fmt == "jsonl":
+            from .dedup_stream import _append_batch_keyed
+
+            bad = upd.filter(F.col(_JC).isNotNull()).select(
+                F.col(_JC).alias("rejected_line")
+            )
+            _append_batch_keyed(bad, quarantine_dir, batch_id)
+            upd = upd.filter(F.col(_JC).isNull()).drop(_JC)
         if version_col is not None:
             ident = [*keys, datetime_col]
             payload = [c for c in upd.columns if c not in ident]

@@ -348,6 +348,16 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark):
     )]
     assert after_stat == before_stat  # untouched period: same files
 
+    # replay-idempotent: re-merging the already-applied updates (the
+    # streaming crash-between-merge-and-checkpoint window) changes
+    # nothing
+    res2 = merge_upsert(spark, out, updates, keys=["SITE"])
+    assert res2 == res
+    assert {
+        (r["SITE"], str(r["DATETIME"]), r["CALLS"])
+        for r in spark.read.parquet(out).drop("DT_PART").collect()
+    } == got
+
     # duplicate update identities are nondeterministic -> fail fast
     import pytest
 

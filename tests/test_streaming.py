@@ -1851,3 +1851,38 @@ def test_upsert_stream_merges_cdc_batches(spark, stream_dirs):
     assert got[("s1", "2024-01-01 00:00:00")] == 99.0  # later batch wins
     assert got[("s3", "2024-01-01 00:00:00")] == 33.0
     assert len(got) == 4
+
+
+def test_upsert_stream_jsonl_with_quarantine(spark, stream_dirs):
+    """JSONL CDC updates: clean lines merge, corrupt lines land
+    batch-keyed in the quarantine (underscore-prefixed inside the
+    target, invisible to fact partition discovery) — never silently
+    dropped."""
+    from chill_spark.operators.writers import write_fact
+    from chill_spark.streaming.stream import drain, run_upsert_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    watch = os.path.join(base, "uj_in")
+    target = os.path.join(base, "uj_fact")
+    os.makedirs(watch)
+    fact = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 1.0)],
+        ["SITE", "DATETIME", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(fact, target)
+    with open(os.path.join(watch, "u1.jsonl"), "w") as f:
+        f.write(
+            '{"SITE": "s1", "DATETIME": "2024-01-01 00:00:00", "CALLS": 5.0}\n'
+            "this is not json\n"
+        )
+    drain(run_upsert_stream(
+        spark, watch + "/*.jsonl",
+        "SITE string, DATETIME timestamp, CALLS double",
+        target, keys=["SITE"],
+        checkpoint_dir=os.path.join(base, "uj_ckpt"),
+        available_now=True, fmt="jsonl",
+    ))
+    rows = {r["SITE"]: r["CALLS"] for r in spark.read.parquet(target).collect()}
+    assert rows == {"s1": 5.0}
+    q = spark.read.parquet(os.path.join(target, "_quarantine"))
+    assert [r["rejected_line"] for r in q.collect()] == ["this is not json"]
