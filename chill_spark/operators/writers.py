@@ -313,9 +313,13 @@ def compact_partitions(
 
     # heal interrupted swaps from a crashed previous run FIRST — a key
     # renamed aside (or deleted under a committed marker) has no live
-    # DT_PART dir, so it must be recovered from the scaffolding names
+    # DT_PART dir, so it must be recovered from the scaffolding names.
+    # list_children, not list_dirs: the commit MARKER is a file, and a
+    # crash after the rename but before the marker delete leaves only
+    # it — a dangling marker a later crashed run would misread as
+    # mid-rename state
     healed = set()
-    for d in fs.list_dirs(base):
+    for d in fs.list_children(base):
         for prefix in (".compact_tmp_", ".compact_old_", ".compact_commit_"):
             if d.startswith(prefix):
                 key = d[len(prefix):]

@@ -1778,6 +1778,17 @@ def test_compact_partitions_heals_interrupted_swap(spark, stream_dirs):
     compact_partitions(spark, local, target_file_bytes=10**9)
     assert {tuple(r) for r in read_fact(spark, local).collect()} == want
 
+    # staged-protocol crash AFTER the rename, BEFORE the marker
+    # delete: only the dangling marker file remains — the heal scan
+    # must see it (it is a file, not a directory) and clear it, or a
+    # later crashed run would misread the stale stage as mid-rename
+    marker = os.path.join(local, f".compact_commit_{key}")
+    with open(marker, "w") as f:
+        f.write(_json.dumps({"stage": "renaming"}))
+    compact_partitions(spark, local, target_file_bytes=10**9)
+    assert not os.path.exists(marker)
+    assert {tuple(r) for r in read_fact(spark, local).collect()} == want
+
     # staged-protocol true mid-rename (both dirs present under
     # stage=renaming) -> refuse with everything intact
     os.makedirs(os.path.join(tmp, "BATCH_PART=-1"))
