@@ -36,6 +36,7 @@ formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
     python -m chill_spark upsert     --target DIR --updates PATH --keys K1,K2 \
                                      [--evolve] [--stream --schema S \
                                      --checkpoint DIR --version-col V]
+    python -m chill_spark profile    --in DIR [--columns a,b] [--approx]
 """
 
 from __future__ import annotations
@@ -245,6 +246,30 @@ def cmd_dedup(args) -> int:
             f"--max-bucket={args.max_bucket}; raise it to force "
             "pair expansion",
             file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_profile(args) -> int:
+    """One-pass table profile: per-column non-null/null/distinct
+    counts and min/max (see operators.profile)."""
+    from .operators.profile import profile
+    from .session import get_spark
+
+    spark = get_spark("chill-profile")
+    df = spark.read.parquet(args.input)
+    cols = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns else None
+    )
+    rows = profile(df, cols, approx=args.approx).collect()
+    if rows:
+        print(f"rows: {rows[0]['n_rows']}")
+    for r in rows:
+        print(
+            f"{r['column']}: nonnull={r['n_nonnull']} null={r['n_null']} "
+            f"distinct={r['n_distinct']} min={r['min_val']} "
+            f"max={r['max_val']}"
         )
     return 0
 
@@ -1023,6 +1048,17 @@ def main(argv: list[str] | None = None) -> int:
         help="drain the currently-available files and exit",
     )
     up.set_defaults(fn=cmd_upsert)
+
+    pf = sub.add_parser(
+        "profile", help="one-pass column profile (nulls/distinct/min/max)"
+    )
+    pf.add_argument("--in", dest="input", required=True)
+    pf.add_argument("--columns", help="comma-separated subset (default all)")
+    pf.add_argument(
+        "--approx", action="store_true",
+        help="HLL distinct counts (no Expand; the wide-table scale path)",
+    )
+    pf.set_defaults(fn=cmd_profile)
 
     cp = sub.add_parser("compact", help="merge small files per partition")
     cp.add_argument("--in", dest="input", required=True)

@@ -42,19 +42,20 @@ def query(name: str, oracle: str | None = None):
 # queries only. Driver-green coverage so far: r1+r2 drove 73 queries
 # green, r3 drove 44 more (its window was 49 green + 1 harness err).
 # This round's window:
-#   * the 10 queries with no driver-green row yet — the r3 harness err
+#   * the 11 queries with no driver-green row yet — the r3 harness err
 #     (q_winnowing_fingerprints, array output now serialized), the 4
 #     r3 additions that landed outside r3's window,
 #     q_embedding_near_dups_lsh whose semantics changed in r3
-#     (single-band -> 8-band) after its r2 green row, and the 4 r4
+#     (single-band -> 8-band) after its r2 green row, and the 5 r4
 #     additions (segment dedup, mixture weights, quality budget,
-#     SCD-1 merge through the real writer);
+#     SCD-1 merge through the real writer, single-scan profile);
 #   * 5 family sentinels (core aggregate, DSL, reconcile, sketch
 #     dedup, incremental dedup) — regression canaries;
-#   * 35 r1-green refreshers — their last driver check is 3 rounds
-#     old, so re-verify the oldest evidence first (q_rollup_15m
-#     yields its slot; q_rollup_hourly + q_rollup_ladder_daily keep
-#     the family covered).
+#   * 34 r1-green refreshers — their last driver check is 3 rounds
+#     old, so re-verify the oldest evidence first (q_rollup_15m and
+#     q14_promo_revenue yield their slots; their families stay
+#     covered by q_rollup_hourly/q_rollup_ladder_daily and the other
+#     eleven TPC-H refreshers).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
@@ -63,7 +64,7 @@ _PRIORITY: list[str] = [
     "q_lm_perplexity", "q_source_caps", "q_cluster_balanced_sample",
     "q_embedding_near_dups_lsh",
     "q_segment_dedup", "q_mixture_weights", "q_quality_budget",
-    "q_scd1_merge",
+    "q_scd1_merge", "q_profile_lineitem",
     # --- sentinels (driver-green r1-r3; regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash", "q_dedup_incremental",
@@ -73,7 +74,7 @@ _PRIORITY: list[str] = [
     "q6_forecast_revenue", "q_customers_without_orders",
     "q_distinct_agg", "q3_top_orders", "q2_top_supplier_per_nation",
     "q7_nation_pair_volume", "q12_priority_class",
-    "q13_order_count_distribution", "q14_promo_revenue",
+    "q13_order_count_distribution",
     "q18_large_orders", "q19_disjunctive_filters",
     "q22_idle_rich_customers",
     # window / rollup / sessionize
@@ -5516,3 +5517,26 @@ def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("DATETIME", "event_type", "value_sum", "n")
         .orderBy("DATETIME", "event_type")
     )
+
+
+from .operators.profile import profile_oracle_sql  # noqa: E402
+
+_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+
+
+@query(
+    "q_profile_lineitem",
+    oracle=profile_oracle_sql("lineitem", _PROFILE_COLS),
+)
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan table profile (operators.profile): row count,
+    per-column non-null/null counts, exact distinct cardinality, and
+    native-typed min/max — the reference's per-column validation
+    aggregates (HlxTools.py:396-450) generalized into one stats pass.
+    All statistics ride ONE agg (multi-distinct planned as a single
+    Expand -> partial+final hash agg), and the 1-row result unpivots
+    via inline, never the driver."""
+    from .operators.profile import profile
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return profile(li, _PROFILE_COLS)

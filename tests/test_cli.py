@@ -731,3 +731,16 @@ def test_cli_upsert_stream(cli_dirs, spark, capsys):
     assert rc == 0
     rows = {r["SITE"]: r["CALLS"] for r in spark.read.parquet(target).collect()}
     assert rows == {"s1": 7.0}
+
+
+def test_cli_profile(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "pf_in")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], ["k", "v"]
+    ).write.parquet(src)
+    rc = main(["profile", "--in", src, "--columns", "k,v"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rows: 3" in out
+    assert "k: nonnull=3 null=0 distinct=2 min=1 max=2" in out
+    assert "v: nonnull=2 null=1 distinct=2 min=a max=b" in out

@@ -569,3 +569,13 @@ def test_merge_upsert_prunes_partitions_and_broadcasts_keys(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan     # target side never shuffles
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_profile_single_scan(spark):
+    """The whole profile — counts, nulls, exact NDVs, min/max for 4
+    columns — rides ONE scan (multi-distinct planned as a single
+    Expand) and unpivots without touching the driver."""
+    plan = plan_of(Q.queries()["q_profile_lineitem"](spark, SF))
+    assert plan.count(") Scan parquet") == 1
+    assert ") Expand" in plan  # the one-pass multi-distinct shape
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
