@@ -81,6 +81,9 @@ HEADLINE = [
 # q_scd1_merge is deliberately NOT here: it benchmarks a real
 # partitioned parquet write (the merge_upsert writer), not a noop-sink
 # plan — its wall time is I/O-bound and would only add variance.
+# q_profile_lineitem likewise: exact multi-NDV (Expand) on a key
+# column is a stats-collection utility whose cost is the NDV itself,
+# not a headline analytics plan (the scale path is --approx/HLL).
 
 
 def force(df) -> None:

@@ -422,3 +422,30 @@ def test_merge_upsert_schema_evolution(spark):
     other = spark.read.option("mergeSchema", "true").parquet(out) \
         .filter(F.col("DT_PART") == "202401010100").collect()
     assert [r["DROPS"] for r in other] == [None]
+
+
+def test_profile_exact_and_approx(spark):
+    """profile(): exact stats are exact (incl. null accounting and
+    native-typed min/max); approx=True keeps every stat identical
+    except n_distinct, which must land within HLL tolerance (~5% at
+    these cardinalities) without an Expand in the plan."""
+    from chill_spark.operators.profile import profile
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE CAST(id % 97 AS double) END AS v",
+    )
+    exact = {r["column"]: r for r in profile(df).collect()}
+    assert exact["k"]["n_rows"] == 1000
+    assert exact["k"]["n_distinct"] == 1000
+    assert exact["k"]["min_val"] == "0" and exact["k"]["max_val"] == "999"
+    assert exact["v"]["n_null"] == 100 and exact["v"]["n_nonnull"] == 900
+    assert exact["v"]["n_distinct"] == 97
+    assert exact["v"]["min_val"] == "0.0" and exact["v"]["max_val"] == "96.0"
+
+    approx = {r["column"]: r for r in profile(df, approx=True).collect()}
+    for c in ("k", "v"):
+        for stat in ("n_rows", "n_nonnull", "n_null", "min_val", "max_val"):
+            assert approx[c][stat] == exact[c][stat]
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) \
+            <= 0.1 * exact[c]["n_distinct"]
