@@ -146,14 +146,30 @@ def main() -> int:
         spread[name] = [runs[0], runs[-1]]
 
     total = round(sum(timings.values()), 3)
+    # The driver captures a bounded tail of stdout and parses the LAST
+    # line as JSON; r4's single giant line (medians+spread together)
+    # overflowed that window and the round lost its machine-readable
+    # bench. So: spread/reps/load_avg go to a sidecar file (and to
+    # stderr for humans), and the final stdout line is ONLY the
+    # compact headline record.
+    detail = {
+        "spread": spread,
+        "reps": reps,
+        "load_avg": [load_before, round(os.getloadavg()[0], 2)],
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SPREAD.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
     print(json.dumps({
         "metric": "headline query wall time (noop sink, local)",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
-        "reps": reps,
-        "load_avg": [load_before, round(os.getloadavg()[0], 2)],
         "sf": sf,
     }))
     return 0

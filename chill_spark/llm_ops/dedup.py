@@ -739,16 +739,20 @@ def segment_dedup(
     Output: (id, n_segments, n_kept, text_kept), one row per doc with
     at least one surviving segment.
 
-    Shape: one explode -> ONE window shuffle keyed by the segment text
-    (row_number picks the first occurrence) -> one per-doc regroup.
-    Never a self-join, and the segment key carries no payload beyond
-    its position; a corpus-scale boilerplate segment is window-key
-    skew, which AQE splits. Reference analog: none (the reference has
-    no corpus-level dedup); the operator mirrors CCNet's shard-level
-    paragraph dedup.
+    Shape: one explode -> ONE aggregation shuffle keyed by the segment
+    text (``min(struct(id, seg_idx))`` picks the first occurrence;
+    the doc's segment count rides the struct, so no join-back) -> one
+    per-doc regroup. Never a self-join and never a window: a window
+    over ``seg_text`` would colocate every occurrence of a hot
+    segment in one task (AQE's skew splitting applies to join and
+    aggregate shuffles, NOT to window partitions), so a corpus-scale
+    boilerplate segment — billions of identical 16-token windows at
+    100 TB — would serialize. The aggregate form partial-aggregates
+    map-side: each input partition emits at most one candidate per
+    distinct segment, collapsing hot keys before the shuffle.
+    Reference analog: none (the reference has no corpus-level dedup);
+    the operator mirrors CCNet's shard-level paragraph dedup.
     """
-    from pyspark.sql import Window
-
     from .chunking import tokenize_ws
     from .text import normalize_text
 
@@ -774,9 +778,18 @@ def segment_dedup(
             F.slice(F.col("__t"), F.col("seg_idx") + 1, seg_tokens), " "
         ).alias("seg_text"),
     )
-    w = Window.partitionBy("seg_text").orderBy("id", "seg_idx")
-    kept = segs.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
+    # struct min orders by (id, seg_idx) — n_segments is functionally
+    # dependent on id, so it never influences the ordering; it rides
+    # along to spare a join back to the per-doc frame
+    kept = (
+        segs.groupBy("seg_text")
+        .agg(F.min(F.struct("id", "seg_idx", "n_segments")).alias("__w"))
+        .select(
+            F.col("__w.id").alias("id"),
+            F.col("__w.seg_idx").alias("seg_idx"),
+            F.col("__w.n_segments").alias("n_segments"),
+            "seg_text",
+        )
     )
     member = F.struct(F.col("seg_idx"), F.col("seg_text"))
     return (
@@ -856,6 +869,7 @@ def plan_hyperplane_lsh(
     target_recall: float = 0.95,
     planes: int | None = None,
     max_bands: int = 64,
+    max_planes: int = 64,
 ) -> tuple[int, int]:
     """Pick (planes, bands) meeting ``target_recall`` at the declared
     cosine ``threshold`` — the knob the r3 defaults lacked: 8 bands x
@@ -865,11 +879,16 @@ def plan_hyperplane_lsh(
 
     ``planes`` is the precision knob (more planes -> fewer random
     collisions per band -> smaller buckets, but more bands needed for
-    the same recall). When omitted, the largest planes count whose
-    band requirement fits ``max_bands`` is chosen — most selective
-    buckets for the band budget. Raises when even planes=1 can't meet
-    the target within ``max_bands`` (the threshold is too lax for
-    sign-bit LSH; use more bands or a different blocking)."""
+    the same recall). When omitted, the largest planes count <=
+    ``max_planes`` whose band requirement fits ``max_bands`` is
+    chosen — most selective buckets for the band budget. The
+    ``max_planes`` ceiling (default 64 — one packed long of sign
+    bits per band) exists because at tight thresholds the band
+    requirement stays flat for a long run of plane counts and the
+    "largest fitting" answer would otherwise be unbounded. Raises
+    when even planes=1 can't meet the target within ``max_bands``
+    (the threshold is too lax for sign-bit LSH; use more bands or a
+    different blocking)."""
     import math
 
     if not 0 < target_recall < 1:
@@ -894,7 +913,7 @@ def plan_hyperplane_lsh(
                 f"{max_bands}) — lower planes or raise the budget"
             )
         return planes, b
-    for n in range(16, 0, -1):
+    for n in range(max_planes, 0, -1):
         b = bands_for(n)
         if b <= max_bands:
             return n, b

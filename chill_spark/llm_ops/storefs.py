@@ -220,10 +220,23 @@ def heal_swap(
         has_live, has_tmp = fs.is_dir(live), fs.is_dir(tmp)
         if stage == "committed":
             # tmp was complete before the marker; live may be
-            # partially deleted — roll forward
-            fs.delete(live)
-            fs.rename(tmp, live)
-            fs.delete(marker)
+            # partially deleted — roll forward. Guard on tmp's
+            # existence so heal itself is idempotent: if a PRIOR heal
+            # (or the original swap) crashed after rename(tmp, live)
+            # but before dropping the marker, live already IS the new
+            # data and deleting it would destroy the only copy.
+            if has_tmp:
+                fs.delete(live)
+                fs.rename(tmp, live)
+                fs.delete(marker)
+            elif has_live:
+                fs.delete(marker)  # roll-forward finished; stale marker
+            else:
+                raise RuntimeError(
+                    f"directory swap for {live} is unrecoverable: "
+                    f"marker {marker} says stage=committed but neither "
+                    f"{live} nor {tmp} exists"
+                )
         elif has_live and not has_tmp:
             fs.delete(marker)  # rename finished; only the marker is stale
         elif has_tmp and not has_live:

@@ -4307,7 +4307,7 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_lm_perplexity",
-    oracle="""
+    oracle=r"""
     WITH norm AS (
         SELECT doc_id, source,
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -5487,6 +5487,7 @@ def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     |touched partitions|, never table size. The oracle replays the
     merge algebra (survivors UNION updates) declaratively."""
     import os
+    import shutil
     import tempfile
 
     from .operators.writers import merge_upsert, write_fact
@@ -5503,20 +5504,28 @@ def q_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="chill_scd1_"), "fact")
-    write_fact(base, target)
-    updates = base.filter(F.col("event_type") == "click").select(
-        "DATETIME",
-        "event_type",
-        F.round(F.col("value_sum") * 2, 4).alias("value_sum"),
-        (F.col("n") + 100).alias("n"),
-    )
-    merge_upsert(spark, target, updates, keys=["event_type"])
-    return (
-        spark.read.parquet(target)
-        .select("DATETIME", "event_type", "value_sum", "n")
-        .orderBy("DATETIME", "event_type")
-    )
+    tmp = tempfile.mkdtemp(prefix="chill_scd1_")
+    try:
+        target = os.path.join(tmp, "fact")
+        write_fact(base, target)
+        updates = base.filter(F.col("event_type") == "click").select(
+            "DATETIME",
+            "event_type",
+            F.round(F.col("value_sum") * 2, 4).alias("value_sum"),
+            (F.col("n") + 100).alias("n"),
+        )
+        merge_upsert(spark, target, updates, keys=["event_type"])
+        # Eagerly checkpoint the (small) merged result so the tempdir
+        # can be removed before returning: the caller's later actions
+        # replay from the checkpoint blocks, not the deleted files.
+        return (
+            spark.read.parquet(target)
+            .select("DATETIME", "event_type", "value_sum", "n")
+            .orderBy("DATETIME", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 from .operators.profile import profile_oracle_sql  # noqa: E402

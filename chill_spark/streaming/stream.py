@@ -344,8 +344,12 @@ def run_upsert_stream(
 
     Within one micro-batch, conflicting updates for the same
     ``(keys, datetime_col)`` identity are resolved by ``version_col``
-    (greatest version wins, deterministically) when given; without it
-    the merge's duplicate-identity check fails the batch fast rather
+    when given: greatest version wins, and version TIES fall back to
+    the greatest full payload row (max over
+    ``struct(version_col, *payload)`` — the struct's lexicographic
+    field order makes the survivor a pure function of the batch's
+    rows, never of shuffle order). Without a version column the
+    merge's duplicate-identity check fails the batch fast rather
     than letting shuffle order pick a survivor. The version column is
     transport metadata and is dropped after resolution unless
     ``keep_version_col`` (keeping it requires the target to carry the
@@ -383,13 +387,14 @@ def run_upsert_stream(
         if version_col is not None:
             ident = [*keys, datetime_col]
             payload = [c for c in upd.columns if c not in ident]
+            # version leads the struct so it dominates the max; the
+            # remaining payload fields break version ties
+            # deterministically (max_by alone is nondeterministic on
+            # ties — whichever row the shuffle delivers last wins)
+            ordered = [version_col] + [c for c in payload if c != version_col]
             upd = (
                 upd.groupBy(*ident)
-                .agg(
-                    F.max_by(
-                        F.struct(*payload), F.col(version_col)
-                    ).alias("_p")
-                )
+                .agg(F.max(F.struct(*ordered)).alias("_p"))
                 .select(*ident, "_p.*")
             )
             if not keep_version_col:

@@ -1206,6 +1206,27 @@ def test_lsh_planner_rejects_impossible_targets():
         plan_hyperplane_lsh(0.9, 1.0)
 
 
+def test_lsh_planner_search_ceiling_is_max_planes():
+    """The auto search honors ``max_planes`` (r4 advisor: the old
+    hard-coded range(16, 0, -1) silently capped at 16 even when more
+    planes fit the band budget, contradicting the 'largest fitting'
+    contract). At a tight threshold more than 16 planes fit 64 bands;
+    lowering max_planes must lower the answer accordingly; and the
+    maximality contract holds: planes+1 must NOT fit."""
+    from chill_spark.llm_ops.dedup import hyperplane_recall, plan_hyperplane_lsh
+
+    planes, bands = plan_hyperplane_lsh(0.95, 0.95, max_bands=64)
+    assert planes > 16 and bands <= 64
+    assert hyperplane_recall(0.95, planes, bands) >= 0.95
+    # one more plane would blow the band budget (largest-fitting)
+    import pytest
+
+    with pytest.raises(ValueError, match="bands"):
+        plan_hyperplane_lsh(0.95, 0.95, planes=planes + 1, max_bands=64)
+    capped, b16 = plan_hyperplane_lsh(0.95, 0.95, max_bands=64, max_planes=16)
+    assert capped == 16 and b16 <= 64
+
+
 def test_banded_lsh_beats_single_band_on_corpus(spark, sf_dir):
     """On the synthetic corpus (true pairs at cosine 0.4-0.6, a HARD
     regime for sign-bit LSH), banding must lift recall well above the

@@ -503,13 +503,21 @@ def test_lm_perplexity_broadcasts_the_lm(spark):
 
 
 def test_segment_dedup_no_join_two_data_shuffles(spark):
-    """Segment dedup: window-on-segment-text (first occurrence) +
-    per-doc regroup + presentation sort — never a self-join; segment
-    payload through the shuffles is (id, idx, text) only."""
+    """Segment dedup: first occurrence is a partial-aggregating
+    min(struct) on the segment key — never a Window (window
+    partitions must colocate, so one boilerplate segment would
+    serialize into one task at corpus scale; AQE skew splitting does
+    not apply to windows) and never a self-join; segment payload
+    through the shuffles is (id, idx, text) only."""
     import re
 
     plan = plan_of(Q.queries()["q_segment_dedup"](spark, SF))
     assert "Join" not in plan
+    # hot-key safety: no Window node anywhere; the seg_text reduction
+    # must be a hash aggregate with a map-side partial (partial_min
+    # collapses duplicate segments before the shuffle)
+    assert "Window" not in plan
+    assert "partial_min" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
 
 

@@ -1799,6 +1799,51 @@ def test_compact_partitions_heals_interrupted_swap(spark, stream_dirs):
     assert os.path.isdir(pdir) and os.path.isdir(tmp)
 
 
+def test_heal_swap_reentry_after_rollforward_crash(spark, stream_dirs):
+    """Heal must itself be idempotent (the r4 advisor's high finding):
+    if a heal's committed-stage roll-forward crashes AFTER
+    rename(tmp, live) but BEFORE the marker delete, the on-disk state
+    is marker=committed + live present + tmp absent — live is the
+    ONLY copy. A re-entered heal must just drop the stale marker; the
+    old unconditional delete(live)+rename(tmp) destroyed the data and
+    then failed on the rename."""
+    import json as _json
+
+    import pytest
+
+    from chill_spark.llm_ops.storefs import StoreFS, heal_swap
+
+    base = os.path.dirname(stream_dirs["out"])
+    root = os.path.join(base, "reentry_store")
+    live = os.path.join(root, "live")
+    tmp = os.path.join(root, ".live__tmp")
+    aside = os.path.join(root, ".live__old")
+    marker = os.path.join(root, ".live__commit")
+    os.makedirs(live)
+    with open(os.path.join(live, "data.txt"), "w") as f:
+        f.write("the only copy")
+    with open(marker, "w") as f:
+        f.write(_json.dumps({"stage": "committed"}))
+
+    fs = StoreFS(root, spark)
+    heal_swap(fs, live, tmp, aside, marker)
+    assert not os.path.exists(marker)
+    with open(os.path.join(live, "data.txt")) as f:
+        assert f.read() == "the only copy"
+
+    # healing the healed state again is a no-op
+    heal_swap(fs, live, tmp, aside, marker)
+    assert os.path.isdir(live)
+
+    # committed marker with NEITHER directory = genuinely lost; the
+    # heal must say so rather than silently "succeeding"
+    with open(marker, "w") as f:
+        f.write(_json.dumps({"stage": "committed"}))
+    shutil.rmtree(live)
+    with pytest.raises(RuntimeError, match="unrecoverable"):
+        heal_swap(fs, live, tmp, aside, marker)
+
+
 def test_upsert_stream_merges_cdc_batches(spark, stream_dirs):
     """CDC upsert stream: update files are keyed-merged into the fact
     as they arrive — in-batch identity conflicts resolve by version
@@ -1862,6 +1907,44 @@ def test_upsert_stream_merges_cdc_batches(spark, stream_dirs):
     assert got[("s1", "2024-01-01 00:00:00")] == 99.0  # later batch wins
     assert got[("s3", "2024-01-01 00:00:00")] == 33.0
     assert len(got) == 4
+
+
+def test_upsert_stream_version_tie_is_deterministic(spark, stream_dirs):
+    """In-batch conflicts that TIE on the version column resolve to
+    the greatest full payload row (max over struct(version, *payload))
+    — a pure function of the batch's rows, never of shuffle order.
+    The r4 advisor flagged the old max_by(payload, version) here:
+    on ties it kept whichever row the shuffle delivered last."""
+    from chill_spark.operators.writers import write_fact
+    from chill_spark.streaming.stream import drain, run_upsert_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    watch = os.path.join(base, "tie_in")
+    target = os.path.join(base, "tie_fact")
+    os.makedirs(watch)
+    fact = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 0.0)],
+        ["SITE", "DATETIME", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(fact, target)
+    # three updates, same identity, same version, distinct payloads —
+    # shuffled across separate input partitions
+    upd = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:00", 7.0, 5),
+         ("s1", "2024-01-01 00:00:00", 9.0, 5),
+         ("s1", "2024-01-01 00:00:00", 3.0, 5)],
+        ["SITE", "DATETIME", "CALLS", "v"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    upd.repartition(3).write.parquet(os.path.join(watch, "u1"))
+    drain(run_upsert_stream(
+        spark, watch + "/*",
+        "SITE string, DATETIME timestamp, CALLS double, v bigint",
+        target, keys=["SITE"],
+        checkpoint_dir=os.path.join(base, "tie_ckpt"),
+        version_col="v", available_now=True,
+    ))
+    rows = {r["SITE"]: r["CALLS"] for r in spark.read.parquet(target).collect()}
+    assert rows == {"s1": 9.0}  # greatest payload, not arrival order
 
 
 def test_upsert_stream_jsonl_with_quarantine(spark, stream_dirs):
