@@ -32,7 +32,8 @@ formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
     python -m chill_spark compact    --in DIR [--target-mb 128]
     python -m chill_spark segdedup   --input DIR --out DIR [--seg-tokens 16]
     python -m chill_spark mix        --input DIR [--alpha 0.3] \
-                                     [--out DIR --budget-frac 0.5]
+                                     [--out DIR --budget-frac 0.5 \
+                                      [--threshold-buckets 1000]]
     python -m chill_spark upsert     --target DIR --updates PATH --keys K1,K2 \
                                      [--evolve] [--stream --schema S \
                                      --checkpoint DIR --version-col V]
@@ -368,7 +369,11 @@ def cmd_mix(args) -> int:
     from pyspark.sql import functions as F
 
     from .llm_ops.chunking import tokenize_ws
-    from .llm_ops.sampling import budget_filter, temperature_mixture_weights
+    from .llm_ops.sampling import (
+        budget_filter,
+        budget_filter_threshold,
+        temperature_mixture_weights,
+    )
     from .llm_ops.text import normalize_text
     from .session import get_spark
 
@@ -397,10 +402,16 @@ def cmd_mix(args) -> int:
             "__score",
             F.size(F.array_distinct(tk)).cast("double") / F.size(tk),
         ).withColumn("__toks", F.size(tk))
-        kept = budget_filter(
-            base, args.id_col, args.group_col, "__score", "__toks",
-            args.budget_frac,
-        ).drop("__score", "__toks")
+        if args.threshold_buckets:
+            kept = budget_filter_threshold(
+                base, args.id_col, args.group_col, "__score", "__toks",
+                args.budget_frac, n_buckets=args.threshold_buckets,
+            ).drop("__score", "__toks")
+        else:
+            kept = budget_filter(
+                base, args.id_col, args.group_col, "__score", "__toks",
+                args.budget_frac,
+            ).drop("__score", "__toks")
         kept.write.mode("overwrite").parquet(args.out)
         print(f"budget selection written to {args.out}")
     return 0
@@ -999,6 +1010,11 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--group-col", default="source")
     mx.add_argument("--alpha", type=float, default=0.5)
     mx.add_argument("--budget-frac", type=float)
+    mx.add_argument(
+        "--threshold-buckets", type=int, default=0,
+        help="use the histogram-cutoff budget selection (the corpus-"
+             "window-free scale path) with this many score buckets",
+    )
     mx.set_defaults(fn=cmd_mix)
 
     lr = sub.add_parser(

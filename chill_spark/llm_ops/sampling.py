@@ -208,7 +208,23 @@ def budget_filter(
     mix. Shape: one window shuffle per group key (rank + running sum
     in the same window; group totals ride a partition-wide sum in the
     same shuffle) — no global sort, no joins. The kept rows stream
-    out with ``__cum``-free schema identical to the input."""
+    out with ``__cum``-free schema identical to the input.
+
+    Window-skew policy (engine-wide contract, see SCALE.md): window
+    partitions must colocate — AQE's skew splitting applies to join
+    and aggregate shuffles, NEVER to windows — so any window keyed by
+    a low-cardinality group is a serialization hazard at corpus
+    scale. Pure top-K rankings salt losslessly (the q_source_caps
+    two-phase pattern: rank in (group, salt), re-rank survivors); a
+    RUNNING SUM cannot — each row's cumulative depends on every
+    higher-ranked row, so the exact boundary semantics here are
+    inherently one-task-per-group. At 100 TB use
+    ``budget_filter_threshold`` instead: it aggregates per (group,
+    score) first (map-side combinable, skew-free), finds each
+    group's score cutoff on the model-sized aggregate, and keeps
+    rows by broadcast threshold — same greedy-by-score selection,
+    boundary resolved at score granularity (score ties at the
+    cutoff are kept together)."""
     from pyspark.sql import Window
 
     s = F.col(score_col) if isinstance(score_col, str) else score_col
@@ -230,4 +246,78 @@ def budget_filter(
         .withColumn("__budget", F.lit(budget_frac) * total)
         .filter(F.col("__cum") < F.col("__budget"))
         .drop("__s", "__c", "__cum", "__budget")
+    )
+
+
+def budget_filter_threshold(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: Column | str,
+    count_col: Column | str,
+    budget_frac: float,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """``budget_filter``'s 100 TB form: the same greedy
+    highest-score-first selection, resolved at score-BUCKET
+    granularity so no corpus-sized window exists anywhere in the
+    plan.
+
+    Shape: (1) per-group min/max/total — a model-sized aggregate,
+    broadcast back; (2) each row maps to one of ``n_buckets``
+    equal-width score buckets (pure per-row arithmetic); (3) a
+    (group, bucket) histogram — map-side combinable, at most
+    ``n_buckets`` rows per group, so the cumulative walk over it is
+    a window over a MODEL-sized frame, never the corpus; (4) each
+    group's cutoff bucket (greatest-score-first, budget boundary
+    bucket kept whole) broadcasts back and keeps rows by plain
+    filter. Two corpus passes, both skew-free partial aggregations /
+    filters; contrast ``budget_filter``'s single pass whose running
+    sum serializes each group onto one task.
+
+    Semantics vs ``budget_filter``: selection is downward-closed in
+    score (kept row => every higher-bucket row in its group kept)
+    and every non-empty group keeps its best bucket; the boundary is
+    bucket-granular, overshooting the budget by at most the boundary
+    bucket's mass (<= total/n_buckets for a well-spread score, vs
+    the exact form's <= one row). All arithmetic is IEEE double
+    (+,-,*,/, floor) on exact per-group extrema, so an external
+    engine replays bucket assignment bit-for-bit — the DuckDB oracle
+    for q_budget_threshold does."""
+    from pyspark.sql import Window
+
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    c = F.col(count_col) if isinstance(count_col, str) else count_col
+    d = df.withColumn("__s", s).withColumn("__c", c)
+    stats = d.groupBy(group_col).agg(
+        F.min("__s").alias("__mn"),
+        F.max("__s").alias("__mx"),
+        F.sum("__c").alias("__tot"),
+    )
+    bucket = F.when(
+        F.col("__mx") > F.col("__mn"),
+        F.least(
+            F.floor(
+                (F.col("__s") - F.col("__mn"))
+                / (F.col("__mx") - F.col("__mn"))
+                * F.lit(n_buckets)
+            ),
+            F.lit(n_buckets - 1).cast("bigint"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    b = d.join(F.broadcast(stats), group_col).withColumn("__b", bucket)
+    hist = b.groupBy(group_col, "__b").agg(F.sum("__c").alias("__bc"))
+    w = Window.partitionBy(group_col).orderBy(F.col("__b").desc())
+    cum_before = F.sum("__bc").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    cut = (
+        hist.join(F.broadcast(stats.select(group_col, "__tot")), group_col)
+        .withColumn("__cum", F.coalesce(cum_before, F.lit(0)))
+        .filter(F.col("__cum") < F.lit(budget_frac) * F.col("__tot"))
+        .groupBy(group_col)
+        .agg(F.min("__b").alias("__bmin"))
+    )
+    return (
+        b.join(F.broadcast(cut), group_col)
+        .filter(F.col("__b") >= F.col("__bmin"))
+        .drop("__s", "__c", "__b", "__mn", "__mx", "__tot", "__bmin")
     )

@@ -35,15 +35,23 @@ def profile(
     df: DataFrame,
     columns: list[str] | None = None,
     approx: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Long-format profile: one row per column with
     ``(column, n_rows, n_nonnull, n_null, n_distinct, min_val,
-    max_val)``. ``n_distinct`` counts non-null distinct values."""
+    max_val)``. ``n_distinct`` counts non-null distinct values;
+    with ``approx=True`` it is an HLL++ estimate at relative
+    standard deviation ``rsd`` (tighter rsd = bigger sketch,
+    still constant-size per column)."""
     cols = columns or df.columns
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown column(s): {missing}")
-    nd = F.approx_count_distinct if approx else F.countDistinct
+    if approx:
+        def nd(col):
+            return F.approx_count_distinct(col, rsd=rsd)
+    else:
+        nd = F.countDistinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
@@ -68,10 +76,16 @@ def profile(
     return one.select(F.inline(rows)).orderBy("column")
 
 
-def profile_oracle_sql(table: str, columns: list[str]) -> str:
+def profile_oracle_sql(
+    table: str, columns: list[str], verdicts: tuple[str, ...] = ()
+) -> str:
     """DuckDB SQL replaying ``profile(df, columns)`` exactly (one
     UNION ALL branch per column; min/max cast to VARCHAR after
-    aggregation, as the engine does)."""
+    aggregation, as the engine does). ``verdicts`` appends
+    ``TRUE AS <name>`` columns for queries that pair the exact
+    profile with in-plan tolerance checks of the approx path —
+    the oracle expects every verdict to hold."""
+    vs = "".join(f",\n               TRUE AS {v}" for v in verdicts)
     parts = [
         f"""
         SELECT '{c}' AS "column",
@@ -80,7 +94,7 @@ def profile_oracle_sql(table: str, columns: list[str]) -> str:
                count(*) - count({c}) AS n_null,
                count(DISTINCT {c}) AS n_distinct,
                CAST(min({c}) AS VARCHAR) AS min_val,
-               CAST(max({c}) AS VARCHAR) AS max_val
+               CAST(max({c}) AS VARCHAR) AS max_val{vs}
         FROM {table}"""
         for c in columns
     ]

@@ -148,6 +148,19 @@ def test_cli_mix(cli_dirs, spark, capsys):
     assert kept.filter(kept.source == "small").count() == 1
     assert set(kept.columns) == {"doc_id", "text", "source"}
 
+    # the histogram-cutoff scale path writes the same schema; here
+    # both 'big' docs tie on score -> one bucket -> both kept
+    dst2 = os.path.join(cli_dirs["base"], "mx_out2")
+    rc = main([
+        "mix", "--input", src, "--out", dst2, "--budget-frac", "0.5",
+        "--threshold-buckets", "1000",
+    ])
+    assert rc == 0
+    kept2 = spark.read.parquet(dst2)
+    assert set(kept2.columns) == {"doc_id", "text", "source"}
+    assert kept2.filter(kept2.source == "big").count() == 2
+    assert kept2.filter(kept2.source == "small").count() == 1
+
 
 def test_cli_compact(cli_dirs, spark, capsys):
     main([

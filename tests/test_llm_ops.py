@@ -233,6 +233,59 @@ def test_hash_split_deterministic_partition(spark, sf_dir):
     assert 0.1 <= rate <= 0.3
 
 
+def test_budget_threshold_matches_exact_semantics(spark):
+    """budget_filter_threshold vs budget_filter on a crafted corpus:
+    the histogram form's selection is downward-closed in score, keeps
+    every exact-form row (the boundary bucket is kept whole, so the
+    threshold can only be laxer), overshoots by at most the boundary
+    bucket's mass, and with one distinct score per bucket the two
+    agree exactly."""
+    from chill_spark.llm_ops.sampling import (
+        budget_filter,
+        budget_filter_threshold,
+    )
+
+    rows = []
+    # group g1: 10 docs, scores 0.0..0.9, 10 tokens each
+    for i in range(10):
+        rows.append((f"a{i}", "g1", i / 10.0, 10))
+    # group g2: one hot score shared by many docs + a few tail docs
+    for i in range(20):
+        rows.append((f"b{i}", "g2", 0.5, 5))
+    rows += [("b_hi", "g2", 0.9, 5), ("b_lo", "g2", 0.1, 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "score", "toks"])
+
+    exact = {r["doc_id"] for r in budget_filter(
+        df, "doc_id", "grp", "score", "toks", 0.5).collect()}
+    approx_rows = budget_filter_threshold(
+        df, "doc_id", "grp", "score", "toks", 0.5, n_buckets=1000
+    ).collect()
+    approx = {r["doc_id"] for r in approx_rows}
+    assert approx_rows[0].asDict().keys() == {
+        "doc_id", "grp", "score", "toks"}  # helper cols dropped
+
+    # boundary bucket kept whole => never misses an exact-kept row
+    assert exact <= approx
+    # downward-closed: kept row implies all higher scores in grp kept
+    by_grp = {}
+    for d, g, s, _ in rows:
+        by_grp.setdefault(g, []).append((s, d))
+    for g, pairs in by_grp.items():
+        kept_scores = [s for s, d in pairs if d in approx]
+        if kept_scores:
+            lo = min(kept_scores)
+            assert all(d in approx for s, d in pairs if s > lo)
+    # g1: distinct scores, one per bucket -> exact agreement: top 5
+    # (40 tokens cum-before at the 6th => budget 50 keeps exactly 5..9)
+    assert {d for d in approx if d.startswith("a")} == {
+        f"a{i}" for i in range(5, 10)}
+    # g2: budget = 55; b_hi (5) then the whole 0.5 bucket (100) is the
+    # boundary bucket -> kept whole; b_lo stays out
+    assert "b_hi" in approx and "b_lo" not in approx
+    assert {d for d in approx if d.startswith("b")} == (
+        {f"b{i}" for i in range(20)} | {"b_hi"})
+
+
 def test_chunk_documents_reconstruction(spark):
     from chill_spark.llm_ops.chunking import chunk_documents
 

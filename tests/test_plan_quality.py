@@ -306,14 +306,22 @@ def test_weighted_sample_no_wide_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
 
 
-def test_span_dedup_three_exchanges(spark):
-    """Span dedup: window-on-span + per-doc regroup + presentation
-    sort — no fourth shuffle, no join."""
+def test_span_dedup_no_window_hot_key_safe(spark):
+    """Span dedup: first occurrence is a partial-aggregating
+    min(struct) on the span key (boilerplate spans collapse map-side
+    before the shuffle), never a Window keyed by span content —
+    window partitions must colocate and AQE cannot split them. The
+    only join is the final doc-grain totals-to-winners join (unique
+    key, no content skew)."""
     import re
 
     plan = plan_of(Q.queries()["q_span_dedup"](spark, SF))
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
-    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    # span reduction + winners-per-doc regroup + totals-per-doc +
+    # doc-grain join alignment + presentation sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5
+    assert "CartesianProduct" not in plan
 
 
 def test_zorder_write_skips_on_both_dimensions(spark):
@@ -530,6 +538,19 @@ def test_mixture_weights_broadcast_total(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_budget_threshold_no_corpus_window(spark):
+    """The histogram budget cutoff keeps every corpus-side step a
+    partial-aggregating map pass: the only Window in the plan walks
+    the (source, bucket) histogram — its input is the aggregate, so
+    its partition sizes are bounded by n_buckets, never by corpus
+    rows — and the stats/cutoff frames come back as broadcasts."""
+    plan = plan_of(Q.queries()["q_budget_threshold"](spark, SF))
+    assert plan.count(") Window") == 1
+    assert "partial_sum" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # stats in, cutoff back
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_quality_budget_windows_share_one_shuffle(spark):
     """Budget filter: the rank/cumsum window and the per-source total
     ride partitioning on the SAME source key; with the final agg and
@@ -587,3 +608,35 @@ def test_profile_single_scan(spark):
     assert plan.count(") Scan parquet") == 1
     assert ") Expand" in plan  # the one-pass multi-distinct shape
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_profile_approx_has_no_expand(spark):
+    """The approx (HLL++) profile is the at-scale default precisely
+    because it avoids the Expand: exact multi-NDV replicates every
+    input row once per profiled column before the shuffle; the sketch
+    path is one plain partial+final aggregate over a single scan."""
+    from chill_spark.operators.profile import profile
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = plan_of(profile(
+        li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"],
+        approx=True,
+    ))
+    assert plan.count(") Scan parquet") == 1
+    assert ") Expand" not in plan
+    assert "approx_count_distinct" in plan
+    assert "partial_" in plan  # map-side sketch merge
+
+
+def test_source_caps_phase1_window_is_salted(spark):
+    """Window-skew policy pin: per-source top-K must rank inside
+    (source, salt) first — source is low-cardinality, so a single
+    Window.partitionBy(source) would serialize a megasource onto one
+    task (AQE never splits window partitions). A future edit that
+    drops the salt re-introduces that bottleneck silently; this gate
+    makes it loud."""
+    plan = plan_of(Q.queries()["q_source_caps"](spark, SF))
+    # two-phase shape: the salted phase-1 window plus the per-source
+    # re-rank over <= 16*K survivors
+    assert plan.count(") Window") >= 2
+    assert "__salt" in plan
