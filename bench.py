@@ -77,13 +77,16 @@ HEADLINE = [
     "q_source_caps",
     "q_cluster_balanced_sample",
     "q_segment_dedup",
+    "q_budget_threshold",
+    "q_distinct_ladder",
 ]
-# q_scd1_merge is deliberately NOT here: it benchmarks a real
-# partitioned parquet write (the merge_upsert writer), not a noop-sink
-# plan — its wall time is I/O-bound and would only add variance.
-# q_profile_lineitem likewise: exact multi-NDV (Expand) on a key
-# column is a stats-collection utility whose cost is the NDV itself,
-# not a headline analytics plan (the scale path is --approx/HLL).
+# q_scd1_merge and q_upsert_stream are deliberately NOT here: they
+# benchmark real partitioned parquet writes (merge_upsert / the CDC
+# stream), not noop-sink plans — wall time is I/O-bound and would
+# only add variance. q_profile_lineitem / q_profile_approx /
+# q_profile_drift likewise: exact multi-NDV (Expand) on key columns
+# is a stats-collection utility whose cost is the NDV itself, not a
+# headline analytics plan (the scale path is --approx/HLL).
 
 
 def force(df) -> None:

@@ -38,6 +38,7 @@ formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
                                      [--evolve] [--stream --schema S \
                                      --checkpoint DIR --version-col V]
     python -m chill_spark profile    --in DIR [--columns a,b] [--approx]
+                                     [--diff DIR_B]
 """
 
 from __future__ import annotations
@@ -253,8 +254,10 @@ def cmd_dedup(args) -> int:
 
 def cmd_profile(args) -> int:
     """One-pass table profile: per-column non-null/null/distinct
-    counts and min/max (see operators.profile)."""
-    from .operators.profile import profile
+    counts and min/max (see operators.profile). With ``--diff B``,
+    report column drift between the input (side a) and B (side b)
+    instead — null fractions, NDVs, min/max, and b/a ratios."""
+    from .operators.profile import profile, profile_diff
     from .session import get_spark
 
     spark = get_spark("chill-profile")
@@ -263,6 +266,17 @@ def cmd_profile(args) -> int:
         [c.strip() for c in args.columns.split(",") if c.strip()]
         if args.columns else None
     )
+    if args.diff:
+        other = spark.read.parquet(args.diff)
+        for r in profile_diff(df, other, cols, approx=args.approx).collect():
+            print(
+                f"{r['column']}: rows {r['n_rows_a']}->{r['n_rows_b']} "
+                f"(x{r['row_ratio']}) ndv {r['ndv_a']}->{r['ndv_b']} "
+                f"(x{r['ndv_ratio']}) null_frac {r['null_frac_a']}->"
+                f"{r['null_frac_b']} min {r['min_a']}->{r['min_b']} "
+                f"max {r['max_a']}->{r['max_b']}"
+            )
+        return 0
     rows = profile(df, cols, approx=args.approx).collect()
     if rows:
         print(f"rows: {rows[0]['n_rows']}")
@@ -1073,6 +1087,11 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument(
         "--approx", action="store_true",
         help="HLL distinct counts (no Expand; the wide-table scale path)",
+    )
+    pf.add_argument(
+        "--diff",
+        help="second parquet path: report column drift a->b instead "
+             "of a single profile",
     )
     pf.set_defaults(fn=cmd_profile)
 

@@ -76,6 +76,75 @@ def profile(
     return one.select(F.inline(rows)).orderBy("column")
 
 
+def profile_diff(
+    a: DataFrame,
+    b: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Column-level drift between two snapshots of the same table —
+    the reference's expected-vs-loaded aggregate comparison
+    (HlxTools.py compare_data builds per-column SELECT lists and
+    diffs them) generalized into a one-row-per-column drift report:
+
+    ``(column, n_rows_a, n_rows_b, nonnull_a, nonnull_b,
+    null_frac_a, null_frac_b, ndv_a, ndv_b, min_a, min_b, max_a,
+    max_b, row_ratio, ndv_ratio)``
+
+    with ratios rounded to 6 places (b relative to a; NULL when a's
+    side is 0). Each side is ONE scan (``profile``'s single-agg
+    shape); the join is column-name-grain — profile-sized, never
+    data-sized — so the whole comparison is two passes total
+    regardless of how many columns drift. ``approx=True`` profiles
+    both sides with HLL NDV (the at-scale default; ratios then carry
+    sketch error and belong behind tolerance verdicts, as
+    q_profile_approx does)."""
+    pa = profile(a, columns, approx=approx, rsd=rsd)
+    pb = profile(b, columns, approx=approx, rsd=rsd)
+    sa = pa.select(
+        "column",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_nonnull").alias("nonnull_a"),
+        F.col("n_distinct").alias("ndv_a"),
+        F.col("min_val").alias("min_a"),
+        F.col("max_val").alias("max_a"),
+    )
+    sb = pb.select(
+        "column",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_nonnull").alias("nonnull_b"),
+        F.col("n_distinct").alias("ndv_b"),
+        F.col("min_val").alias("min_b"),
+        F.col("max_val").alias("max_b"),
+    )
+
+    def frac(num, den):
+        return F.when(
+            F.col(den) > 0, F.round(F.col(num) / F.col(den), 6)
+        )
+
+    return (
+        sa.join(sb, "column")
+        .select(
+            "column",
+            "n_rows_a", "n_rows_b", "nonnull_a", "nonnull_b",
+            F.when(
+                F.col("n_rows_a") > 0,
+                F.round(1 - F.col("nonnull_a") / F.col("n_rows_a"), 6),
+            ).alias("null_frac_a"),
+            F.when(
+                F.col("n_rows_b") > 0,
+                F.round(1 - F.col("nonnull_b") / F.col("n_rows_b"), 6),
+            ).alias("null_frac_b"),
+            "ndv_a", "ndv_b", "min_a", "min_b", "max_a", "max_b",
+            frac("n_rows_b", "n_rows_a").alias("row_ratio"),
+            frac("ndv_b", "ndv_a").alias("ndv_ratio"),
+        )
+        .orderBy("column")
+    )
+
+
 def profile_oracle_sql(
     table: str, columns: list[str], verdicts: tuple[str, ...] = ()
 ) -> str:

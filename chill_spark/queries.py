@@ -43,24 +43,27 @@ def query(name: str, oracle: str | None = None):
 # has a cumulative driver-green row, so the window's job is now
 # FRESHNESS (the r4 verdict's ask: drop the max driver-staleness by
 # a round each round). This round's window:
-#   * the 3 r5 additions with no driver row yet (q_profile_approx —
+#   * the 5 r5 additions with no driver row yet (q_profile_approx —
 #     the profiler's HLL scale path with in-plan tolerance verdicts;
 #     q_upsert_stream — the checkpointed CDC merge stream end-to-end;
 #     q_budget_threshold — histogram-cutoff budget selection, the
-#     window-free scale form of q_quality_budget);
+#     window-free scale form of q_quality_budget; q_profile_drift —
+#     load-to-load column drift; q_distinct_ladder — HLL sketch
+#     rollup ladder);
 #   * 5 family sentinels (core aggregate, DSL, reconcile, sketch
 #     dedup, incremental dedup) — regression canaries, r4-green;
 #   * all 6 queries whose last driver check is ROUND 1 and all 27
 #     whose last check is ROUND 2 (the subquery zoo's deep cuts,
 #     asof/range joins, set ops, media, streaming rollup, ANN-IVF);
-#   * 9 round-3-checked family representatives (BPE, k-means, media
+#   * 7 round-3-checked family representatives (BPE, k-means, media
 #     resize, approx sketches, asof tolerance, native session window,
-#     JSONL round-trip, two TPC-H deep cuts).
+#     JSONL round-trip).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r5 additions) ---
     "q_profile_approx", "q_upsert_stream", "q_budget_threshold",
+    "q_profile_drift", "q_distinct_ladder",
     # --- sentinels (regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash", "q_dedup_incremental",
@@ -82,7 +85,6 @@ _PRIORITY: list[str] = [
     "q_bpe_merges", "q_kmeans_clusters", "q_media_resize",
     "q_approx_sketches", "q_asof_join_tolerance",
     "q_session_window_native", "q_jsonl_roundtrip",
-    "q10_returned_revenue", "q11_important_parts",
 ]
 
 
@@ -5695,6 +5697,147 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column")
     )
+
+
+@query(
+    "q_distinct_ladder",
+    oracle="""
+    SELECT 'DY' AS level, date_trunc('day', ts) AS DATETIME,
+           count(DISTINCT user_id) AS n_exact, TRUE AS apx_ok
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'WK' AS level, date_trunc('week', ts) AS DATETIME,
+           count(DISTINCT user_id) AS n_exact, TRUE AS apx_ok
+    FROM events GROUP BY 2
+    ORDER BY level, DATETIME
+    """,
+)
+def q_distinct_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-user ladder
+    (operators.rollup.distinct_ladder): HR -> DY -> WK unique users
+    over the events stream via HLL sketches — ``count(DISTINCT)`` is
+    the one counter the reference's additive TRAggr ladder
+    (HlxTools.py:658-725) cannot carry upward, because day distincts
+    don't sum to weeks; sketches union losslessly, so the raw table
+    is scanned ONCE and every higher level re-aggregates the
+    previous level's fixed-size sketches. The oracle anchors on
+    exact per-level distincts (replayable); the ladder estimates
+    ride as in-plan 5% tolerance verdicts (q_approx_sketches
+    pattern), so a sketch or union drifting out of tolerance fails
+    the hash gate. Emitted levels: DY (unioned from HR sketches)
+    and WK (unioned from DY sketches) — both genuinely two hops
+    from the raw rows."""
+    from .operators.rollup import distinct_ladder, estimate_distinct
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(F.col("ts").alias("DATETIME"), "user_id")
+    ladder = distinct_ladder(base, [], "user_id", ["HR", "DY", "WK"])
+
+    def level(gran: str, trunc: str) -> DataFrame:
+        est = estimate_distinct(ladder[gran]).select(
+            "DATETIME", "n_distinct_approx"
+        )
+        exact = base.groupBy(
+            F.date_trunc(trunc, "DATETIME").alias("DATETIME")
+        ).agg(F.countDistinct("user_id").alias("n_exact"))
+        return exact.join(est, "DATETIME").select(
+            F.lit(gran).alias("level"),
+            "DATETIME",
+            "n_exact",
+            (
+                F.abs(F.col("n_distinct_approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("apx_ok"),
+        )
+
+    return (
+        level("DY", "day")
+        .unionByName(level("WK", "week"))
+        .orderBy("level", "DATETIME")
+    )
+
+
+@query(
+    "q_profile_drift",
+    oracle="""
+    WITH pa AS (
+        SELECT * FROM (
+            SELECT 'event_type' AS col, count(*) AS n_rows,
+                   count(event_type) AS nonnull, count(DISTINCT event_type) AS ndv,
+                   CAST(min(event_type) AS VARCHAR) AS mn, CAST(max(event_type) AS VARCHAR) AS mx
+            FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+            UNION ALL
+            SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id),
+                   CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+            FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+            UNION ALL
+            SELECT 'value', count(*), count("value"), count(DISTINCT "value"),
+                   CAST(min("value") AS VARCHAR), CAST(max("value") AS VARCHAR)
+            FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        )
+    ),
+    pb AS (
+        SELECT * FROM (
+            SELECT 'event_type' AS col, count(*) AS n_rows,
+                   count(event_type) AS nonnull, count(DISTINCT event_type) AS ndv,
+                   CAST(min(event_type) AS VARCHAR) AS mn, CAST(max(event_type) AS VARCHAR) AS mx
+            FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+                          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+            UNION ALL
+            SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id),
+                   CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+            FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+                          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+            UNION ALL
+            SELECT 'value', count(*), count("value"), count(DISTINCT "value"),
+                   CAST(min("value") AS VARCHAR), CAST(max("value") AS VARCHAR)
+            FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+                          AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        )
+    )
+    SELECT pa.col AS "column",
+           pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+           pa.nonnull AS nonnull_a, pb.nonnull AS nonnull_b,
+           CASE WHEN pa.n_rows > 0
+                THEN round(1 - pa.nonnull / CAST(pa.n_rows AS DOUBLE), 6)
+           END AS null_frac_a,
+           CASE WHEN pb.n_rows > 0
+                THEN round(1 - pb.nonnull / CAST(pb.n_rows AS DOUBLE), 6)
+           END AS null_frac_b,
+           pa.ndv AS ndv_a, pb.ndv AS ndv_b,
+           pa.mn AS min_a, pb.mn AS min_b,
+           pa.mx AS max_a, pb.mx AS max_b,
+           CASE WHEN pa.n_rows > 0
+                THEN round(pb.n_rows / CAST(pa.n_rows AS DOUBLE), 6)
+           END AS row_ratio,
+           CASE WHEN pa.ndv > 0
+                THEN round(pb.ndv / CAST(pa.ndv AS DOUBLE), 6)
+           END AS ndv_ratio
+    FROM pa JOIN pb ON pa.col = pb.col
+    ORDER BY "column"
+    """,
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-to-load drift report (operators.profile.profile_diff):
+    week-1 vs week-2 of the events stream, per-column row counts,
+    null fractions, distinct cardinalities, native min/max, and
+    ratios — the Spark-native form of the reference's
+    expected-vs-loaded aggregate diff (HlxTools.py compare_data
+    builds per-column SELECT lists and compares them pairwise). Each
+    side is ONE scan; the comparison joins at column-name grain
+    (profile-sized), so drift checking two 100 TB snapshots costs
+    two scans, not a row-level join."""
+    from .operators.profile import profile_diff
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    wk1 = ev.filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    wk2 = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    )
+    return profile_diff(wk1, wk2, ["event_type", "user_id", "value"])
 
 
 @query(

@@ -757,3 +757,12 @@ def test_cli_profile(cli_dirs, spark, capsys):
     assert "rows: 3" in out
     assert "k: nonnull=3 null=0 distinct=2 min=1 max=2" in out
     assert "v: nonnull=2 null=1 distinct=2 min=a max=b" in out
+
+    other = os.path.join(cli_dirs["base"], "pf_b")
+    spark.createDataFrame(
+        [(1, "a"), (3, "c"), (4, None), (5, "d")], ["k", "v"]
+    ).write.parquet(other)
+    rc = main(["profile", "--in", src, "--diff", other, "--columns", "k"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "k: rows 3->4" in out and "ndv 2->4 (x2.0)" in out

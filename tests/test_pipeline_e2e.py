@@ -449,3 +449,63 @@ def test_profile_exact_and_approx(spark):
             assert approx[c][stat] == exact[c][stat]
         assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) \
             <= 0.1 * exact[c]["n_distinct"]
+
+
+def test_profile_diff_drift_report(spark):
+    """profile_diff(): per-column stats side by side with null
+    fractions and b/a ratios; zero-denominator ratios are NULL, not
+    a crash; the join is column-name grain."""
+    from chill_spark.operators.profile import profile_diff
+
+    a = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(NULL AS double) AS v"
+    )
+    b = spark.range(0, 150).selectExpr(
+        "id % 50 AS k",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS double) END AS v",
+    )
+    d = {r["column"]: r for r in profile_diff(a, b).collect()}
+    assert d["k"]["n_rows_a"] == 100 and d["k"]["n_rows_b"] == 150
+    assert d["k"]["ndv_a"] == 100 and d["k"]["ndv_b"] == 50
+    assert d["k"]["row_ratio"] == 1.5 and d["k"]["ndv_ratio"] == 0.5
+    assert d["k"]["null_frac_a"] == 0.0
+    # v: all-null on the a side -> ndv_a 0 -> ndv_ratio NULL
+    assert d["v"]["ndv_a"] == 0 and d["v"]["ndv_ratio"] is None
+    assert d["v"]["null_frac_a"] == 1.0
+    assert d["v"]["null_frac_b"] == pytest.approx(50 / 150, abs=1e-6)
+    assert d["v"]["min_a"] is None and d["v"]["min_b"] == "1.0"
+
+
+def test_distinct_ladder_reaggregates_sketches(spark):
+    """distinct_ladder(): every level's HLL estimate matches the
+    exact distinct count at these cardinalities (sketches start in
+    sparse/exact mode); the WK level is built from DY sketches, NOT
+    the raw rows — pinned by giving the upper levels a base whose
+    extra rows they could only see through re-scanning (they must
+    not)."""
+    from chill_spark.operators.rollup import (
+        distinct_ladder, estimate_distinct,
+    )
+
+    rows = []
+    for day in (1, 2, 3):  # Mon..Wed of the same ISO week
+        for u in range(day * 10):
+            rows.append((f"2024-01-0{day} 0{u % 10}:00:00", u))
+    df = spark.createDataFrame(rows, ["DATETIME", "user_id"]).selectExpr(
+        "CAST(DATETIME AS timestamp) AS DATETIME", "user_id"
+    )
+    ladder = distinct_ladder(df, [], "user_id", ["HR", "DY", "WK"])
+    dy = {
+        str(r["DATETIME"]): r["n_distinct_approx"]
+        for r in estimate_distinct(ladder["DY"]).collect()
+    }
+    assert dy == {
+        "2024-01-01 00:00:00": 10,
+        "2024-01-02 00:00:00": 20,
+        "2024-01-03 00:00:00": 30,
+    }
+    wk = estimate_distinct(ladder["WK"]).collect()
+    assert len(wk) == 1 and wk[0]["n_distinct_approx"] == 30
+    # level-from-previous, not from-base: the WK plan reads no table
+    # scan beyond the DY frame's lineage — both share ONE base scan
+    assert ladder["WK"].columns == ["DATETIME", "__hll"]

@@ -610,6 +610,27 @@ def test_profile_single_scan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_distinct_ladder_single_scan_level_from_previous(spark):
+    """The HLL distinct ladder reads the raw table ONCE: WK unions
+    DY's sketches, DY unions HR's — a from-base exact ladder would
+    need one full scan (and one full-width distinct shuffle) per
+    level. Partial merge functions must appear, and the upper
+    levels' aggregates are sketch unions, not re-counts."""
+    from pyspark.sql import functions as F
+
+    from chill_spark.operators.rollup import distinct_ladder
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("ts").alias("DATETIME"), "user_id"
+    )
+    wk = distinct_ladder(ev, [], "user_id", ["HR", "DY", "WK"])["WK"]
+    plan = plan_of(wk)
+    assert plan.count(") Scan parquet") == 1
+    assert "hll_union_agg" in plan and "hll_sketch_agg" in plan
+    assert "partial_hll" in plan  # map-side sketch merge at every level
+    assert ") Expand" not in plan
+
+
 def test_profile_approx_has_no_expand(spark):
     """The approx (HLL++) profile is the at-scale default precisely
     because it avoids the Expand: exact multi-NDV replicates every
