@@ -79,6 +79,13 @@ HEADLINE = [
     "q_segment_dedup",
     "q_budget_threshold",
     "q_distinct_ladder",
+    "q_semantic_dedup",
+    "q_dsir_select",
+    "q_boilerplate_ngrams",
+    "q_split_leakage",
+    "q_ngram_novelty",
+    "q_token_fertility",
+    "q_distinct_overlap",
 ]
 # q_scd1_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

@@ -34,6 +34,9 @@ formats directly (Chill sheet .xlsx / HLD workbook .xlsx).
     python -m chill_spark mix        --input DIR [--alpha 0.3] \
                                      [--out DIR --budget-frac 0.5 \
                                       [--threshold-buckets 1000]]
+    python -m chill_spark semdedup   --input DIR --out DIR [--k 8] [--tau 0.4]
+    python -m chill_spark dsir       --input DIR --out DIR \
+                                     --target-expr "lang = 'en'" --n 1000
     python -m chill_spark upsert     --target DIR --updates PATH --keys K1,K2 \
                                      [--evolve] [--stream --schema S \
                                      --checkpoint DIR --version-col V]
@@ -373,6 +376,59 @@ def cmd_segdedup(args) -> int:
         f"{totals['docs']} -> {stats['docs']} docs: "
         f"{stats['kept']}/{totals['segs']} segments kept"
     )
+    return 0
+
+
+def cmd_semdedup(args) -> int:
+    """SemDeDup semantic dedup: k-means blocking, within-cluster
+    cosine edges, one least-centroid-similar survivor per duplicate
+    group; writes the survivor rows."""
+    from pyspark.sql import functions as F
+
+    from .llm_ops.semantic import semantic_dedup
+    from .session import get_spark
+
+    spark = get_spark("chill-semdedup")
+    df = spark.read.parquet(args.input)
+    verdicts = semantic_dedup(
+        df, k=args.k, iters=args.iters, tau=args.tau,
+        vec_col=args.vec_col, id_col=args.id_col,
+    )
+    keep = verdicts.filter(F.col("kept")).select(
+        F.col("id").alias(args.id_col)
+    )
+    df.join(keep, args.id_col).write.mode("overwrite").parquet(args.out)
+    n_in = df.count()
+    n_out = spark.read.parquet(args.out).count()
+    print(f"{n_in} -> {n_out} rows kept ({n_in - n_out} semantic dups)")
+    return 0
+
+
+def cmd_dsir(args) -> int:
+    """DSIR importance selection: keep the n raw-pool rows most like
+    the --target-expr rows by hashed-n-gram importance weight."""
+    from pyspark.sql import functions as F
+
+    from .llm_ops.selection import dsir_select
+    from .session import get_spark
+
+    spark = get_spark("chill-dsir")
+    df = spark.read.parquet(args.input)
+    sel = dsir_select(
+        df, F.expr(args.target_expr), n=args.n,
+        text_col=args.text_col, id_col=args.id_col,
+        n_buckets=args.buckets,
+    )
+    out = df.join(
+        sel.withColumnRenamed("id", args.id_col).select(args.id_col, "logw"),
+        args.id_col,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    got = spark.read.parquet(args.out).agg(
+        F.count("*").alias("n"),
+        F.min("logw").alias("lo"), F.max("logw").alias("hi"),
+    ).first()
+    print(f"selected {got['n']} rows, logw [{got['lo']}, {got['hi']}]")
     return 0
 
 
@@ -1030,6 +1086,37 @@ def main(argv: list[str] | None = None) -> int:
              "window-free scale path) with this many score buckets",
     )
     mx.set_defaults(fn=cmd_mix)
+
+    sd = sub.add_parser(
+        "semdedup",
+        help="SemDeDup: k-means-blocked embedding dedup, one survivor "
+             "per semantic duplicate group",
+    )
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--k", type=int, default=8)
+    sd.add_argument("--iters", type=int, default=2)
+    sd.add_argument("--tau", type=float, default=0.4)
+    sd.set_defaults(fn=cmd_semdedup)
+
+    di = sub.add_parser(
+        "dsir",
+        help="DSIR importance selection of target-like raw documents",
+    )
+    di.add_argument("--input", required=True)
+    di.add_argument("--out", required=True)
+    di.add_argument(
+        "--target-expr", required=True,
+        help="boolean SQL expression defining the target rows, e.g. "
+             "\"lang = 'en'\"",
+    )
+    di.add_argument("--n", type=int, required=True)
+    di.add_argument("--text-col", default="text")
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument("--buckets", type=int, default=4096)
+    di.set_defaults(fn=cmd_dsir)
 
     lr = sub.add_parser(
         "ladder-repair",

@@ -26,10 +26,13 @@ from .incremental_embedding import (
 from .chunking import chunk_documents, pack_sequences
 from .components import component_survivors, connected_components
 from .sampling import assign_split, hash_bucket, stratified_sample
+from .selection import dsir_logweights, dsir_select
+from .semantic import semantic_dedup
 from .similarity import brute_force_topk, build_ivf, ivf_topk, topk_join
 from .text import (
     bpe_ish_token_count,
     doc_fingerprint,
+    frequent_ngrams,
     lang_id,
     quality_score,
     whitespace_token_count,
@@ -47,8 +50,9 @@ __all__ = [
     "incremental_embedding_dups", "read_embedding_store",
     "write_embedding_store",
     "brute_force_topk", "build_ivf", "ivf_topk", "topk_join",
-    "bpe_ish_token_count", "doc_fingerprint", "lang_id",
-    "quality_score", "whitespace_token_count",
+    "bpe_ish_token_count", "doc_fingerprint", "frequent_ngrams",
+    "lang_id", "quality_score", "whitespace_token_count",
+    "dsir_logweights", "dsir_select", "semantic_dedup",
     "assign_split", "hash_bucket", "stratified_sample",
     "chunk_documents", "pack_sequences",
     "component_survivors", "connected_components",

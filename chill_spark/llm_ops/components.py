@@ -38,9 +38,18 @@ def connected_components(
     node id reachable from ``node`` (undirected). Isolated nodes never
     appear in ``edges`` and so are absent — union them in as
     singletons if needed."""
+    # Materialize the symmetric edge list ONCE: `sym` feeds every
+    # propagation round, and without the checkpoint each round would
+    # re-execute the whole upstream candidate pipeline (LSH expansion,
+    # cosine verify, per-cluster matmuls...) — O(rounds) recomputes of
+    # the most expensive stage in the dedup tree. Edges are tiny
+    # relative to the corpus (post-verify), so the one materialization
+    # is cheap.
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    ).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -1,0 +1,159 @@
+"""SemDeDup — semantic (embedding-space) corpus deduplication.
+
+Implements the SemDeDup recipe (Abbas et al., 2023, "SemDeDup: Data-
+efficient learning at web-scale through semantic deduplication"):
+
+1. k-means-cluster the embedding space (the CLUSTER IS THE BLOCKING
+   KEY — pairwise cosine is only ever computed WITHIN a cluster, so
+   pair expansion is bounded by the largest cluster, never the
+   corpus);
+2. within each cluster, connect pairs with cosine >= tau;
+3. collapse connected duplicate groups and keep ONE survivor per
+   group — the member LEAST similar to its cluster centroid (the
+   paper's best-performing keep policy: low-centroid-similarity
+   examples carry the most marginal information), ties by id.
+
+Scale shape (100 TB): clustering reuses the distributed Lloyd trainer
+(`similarity.kmeans_fit` — executor-side assignment, k*dim partial
+sums to the driver). The within-cluster pair join is an equi-join on
+the cluster id; at corpus scale you raise k so expected cluster size
+stays bounded (the paper runs k=50,000 on LAION) and the quadratic
+term is per-cluster, embarrassingly parallel across clusters. Duplicate
+closure is the shared min-label-propagation CC operator. Nothing here
+is all-pairs over the corpus.
+
+Engine-portable mode mirrors `queries.q_kmeans_clusters`: md5-hash
+seeding + per-iteration mean rounding make every discrete decision
+(seeds, argmin assignment, edge threshold, survivor rank) replayable
+by an external SQL oracle.
+
+Reference parity: the reference engine has no embedding layer; this
+extends the added LLM-pipeline surface (north-star dedup family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .components import connected_components
+from .dedup import cosine_sim
+from .similarity import hash_seed_centroids, kmeans_fit, nearest_centroid
+
+
+def centroid_cosine(vec_col: Column, centroids: np.ndarray, cluster_col: Column) -> Column:
+    """Cosine of a vector to ITS assigned centroid, as a pure Column:
+    an inline array of per-centroid cosines indexed by the cluster id.
+    k literal arrays of dim floats — fine for the k the driver holds
+    anyway (the trained model); for k in the tens of thousands, join a
+    broadcast (cid, centroid) table instead of inlining."""
+    sims = [
+        cosine_sim(
+            vec_col.cast("array<double>"),
+            F.array(*[F.lit(float(x)) for x in c]),
+        )
+        for c in centroids
+    ]
+    return F.element_at(F.array(*sims), cluster_col.cast("int") + 1)
+
+
+def cluster_pair_edges(assigned: DataFrame, tau: float) -> DataFrame:
+    """Within-cluster cosine edges ``(id_a < id_b)`` at threshold
+    ``tau`` over ``(id, v, cluster)`` rows.
+
+    One Arrow matmul per cluster (applyInPandas keyed on the cluster
+    id) — the paper's per-cluster structure. A Catalyst aggregate-fold
+    cosine on the expanded pair join is ~50x slower (same finding as
+    the LSH band bucketer, dedup.py) because every pair re-folds
+    2 x dim elements; the matmul is O(n^2 d) BLAS over the cluster
+    once. Memory bound: one cluster's n x n similarity matrix per
+    task — k must keep clusters bounded (it must anyway: the method's
+    pair count is quadratic per cluster)."""
+    import pandas as pd
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        sims = (X / n[:, None]) @ (X / n[:, None]).T
+        iu = np.triu_indices(len(ids), 1)
+        hit = sims[iu] >= tau
+        a, b = ids[iu[0][hit]], ids[iu[1][hit]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    return assigned.select("cluster", "id", "v").groupBy(
+        "cluster"
+    ).applyInPandas(_pairs, "id_a bigint, id_b bigint")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Return one row per input vector:
+
+    ``(id, cluster, centroid_sim, component, kept)``
+
+    where ``component`` is the duplicate-group label (its minimum
+    member id; a vector with no within-cluster neighbor >= tau is its
+    own singleton group) and ``kept`` marks the group survivor —
+    minimum ``centroid_sim`` in the group, ties by id.
+
+    ``centroids`` overrides training with an existing model (at scale
+    you train once and reuse across increments); otherwise the
+    engine-portable md5-seeded Lloyd run (round_means=9) is trained
+    here so a SQL oracle can replay it.
+    """
+    if centroids is None:
+        seeds = hash_seed_centroids(emb, k=k, vec_col=vec_col, id_col=id_col)
+        centroids = kmeans_fit(
+            emb, vec_col, k=k, iters=iters, init_centroids=seeds,
+            round_means=9,
+        )
+    v = F.col(vec_col).cast("array<double>")
+    near = nearest_centroid(v, centroids)
+    assigned = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        near["cid"].alias("cluster"),
+    ).withColumn(
+        # rounded to 9 so the survivor rank is an engine-exact
+        # comparison (same policy as the Lloyd means): double drift is
+        # ~1e-15, real centroid-similarity gaps are >> 1e-9
+        "centroid_sim",
+        F.round(centroid_cosine(F.col("v"), centroids, F.col("cluster")), 9),
+    )
+    assigned = assigned.localCheckpoint(eager=True)  # reused 3x below
+    edges = cluster_pair_edges(assigned, tau)
+    comps = connected_components(edges, "id_a", "id_b")
+
+    labeled = assigned.join(
+        comps.withColumnRenamed("node", "id"), "id", "left"
+    ).withColumn("component", F.coalesce("component", F.col("id")))
+    # survivor per duplicate group: least-centroid-similar member
+    # (groupBy + min(struct) — partial-aggregating, no window, same
+    # hot-key-safe shape as segment_dedup's first-occurrence pick)
+    survivors = labeled.groupBy("component").agg(
+        F.min(F.struct("centroid_sim", "id")).alias("s")
+    ).select("component", F.col("s.id").alias("keep_id"))
+    return (
+        labeled.join(survivors, "component")
+        .select(
+            "id",
+            "cluster",
+            "centroid_sim",
+            "component",
+            (F.col("id") == F.col("keep_id")).alias("kept"),
+        )
+    )

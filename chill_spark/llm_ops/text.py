@@ -13,7 +13,7 @@ shingle hash).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -245,6 +245,47 @@ def repetition_ratio(col: Column | str, n: int = 3) -> Column:
     flag boilerplate / degenerate repetition for corpus filtering."""
     total, distinct = ngram_counts(col, n)
     return 1 - distinct / total
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-wide boilerplate detector: the ``top_k`` most frequent
+    n-token spans with total occurrence and distinct-document counts —
+    the report that surfaces shared headers/footers/licence blocks
+    before a dedup or span-removal pass.
+
+    Scale shape: one token explode, then a (gram, doc) pre-aggregate
+    BEFORE the per-gram rollup — distinct-doc counting becomes a plain
+    count over the pre-aggregate instead of a count(DISTINCT) carrying
+    doc ids through the gram shuffle; both aggregates partially
+    combine map-side, and the top-k is a TakeOrdered (per-partition
+    heap), never a global sort. Short documents (< n tokens) yield
+    their whole text as one truncated span, mirroring the shingle
+    convention used by the sketch family."""
+    toks = F.split(normalize_text(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    per_doc = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("gram", "id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("c").alias("occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.col("occurrences").desc(), "gram")
+        .limit(top_k)
+    )
 
 
 def bm25_scores(

@@ -64,6 +64,9 @@ _PRIORITY: list[str] = [
     # --- never driver-checked (r5 additions) ---
     "q_profile_approx", "q_upsert_stream", "q_budget_threshold",
     "q_profile_drift", "q_distinct_ladder",
+    "q_semantic_dedup", "q_dsir_select", "q_boilerplate_ngrams",
+    "q_split_leakage", "q_ngram_novelty", "q_token_fertility",
+    "q_distinct_overlap",
     # --- sentinels (regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash", "q_dedup_incremental",
@@ -81,10 +84,15 @@ _PRIORITY: list[str] = [
     "q_scalar_funcs", "q_setop_except", "q_span_dedup",
     "q_stratified_exact_counts", "q_stream_rollup_events",
     "q_variant_props", "q_window_range_frame",
-    # --- last driver check: round 3 (family representatives) ---
-    "q_bpe_merges", "q_kmeans_clusters", "q_media_resize",
-    "q_approx_sketches", "q_asof_join_tolerance",
-    "q_session_window_native", "q_jsonl_roundtrip",
+    # (the 12 never-checked r5 additions fill the slots the r3-checked
+    # family representatives held; every dropped rep's family keeps a
+    # window row — q_kmeans_clusters via q_semantic_dedup's full Lloyd
+    # replay, q_approx_sketches via the q_distinct_ladder /
+    # q_profile_approx / q_distinct_overlap tolerance verdicts,
+    # q_media_resize via the two r1 media rows, q_asof_join_tolerance
+    # via r2's q_asof_join, q_bpe_merges via the r2 text/token rows
+    # (q_token_fertility runs the same lexer) — and all remain under
+    # tests/test_queries_oracle + strict_sweep every run.
 ]
 
 
@@ -3402,6 +3410,94 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle_sql(k: int = 8, iters: int = 2, tau: float = 0.4) -> str:
+    """Full SemDeDup replay: the shared Lloyd CTEs (seeding +
+    iterations + final assignment), centroid cosines recomputed from
+    the trained means, within-cluster pairs at the same threshold,
+    recursive-CTE duplicate closure, and the min-centroid-sim survivor
+    rank — every discrete decision the engine makes, re-derived."""
+    ctes, last_a, last_m = _kmeans_ctes(k, iters)
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes) + f""",
+nx AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM pts GROUP BY vec_id),
+nc AS (SELECT cid, sqrt(sum(m * m)) AS n FROM {last_m} GROUP BY cid),
+cs AS (
+  SELECT a.vec_id, a.cid,
+         round(dp.d / (nx.n * nc.n), 9) AS sim
+  FROM {last_a} a
+  JOIN (SELECT p.vec_id, m.cid, sum(p.x * m.m) AS d
+        FROM pts p JOIN {last_m} m USING (pos)
+        GROUP BY p.vec_id, m.cid) dp
+    ON dp.vec_id = a.vec_id AND dp.cid = a.cid
+  JOIN nx ON nx.vec_id = a.vec_id
+  JOIN nc ON nc.cid = a.cid
+),
+prs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM {last_a} x JOIN {last_a} y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(ex.embedding::DOUBLE[],
+                               ey.embedding::DOUBLE[]) >= {tau}
+),
+sym2 AS (SELECT id_a AS s, id_b AS t FROM prs
+         UNION SELECT id_b, id_a FROM prs),
+reach2(node, lab) AS (
+  SELECT DISTINCT s, s FROM sym2
+  UNION
+  SELECT sym2.t, reach2.lab FROM reach2 JOIN sym2 ON sym2.s = reach2.node
+  WHERE reach2.lab < sym2.t
+),
+comp2 AS (SELECT node, min(lab) AS component FROM reach2 GROUP BY node),
+lab2 AS (
+  SELECT cs.vec_id, cs.cid AS cluster, cs.sim,
+         coalesce(c.component, cs.vec_id) AS component
+  FROM cs LEFT JOIN comp2 c ON c.node = cs.vec_id
+),
+surv AS (
+  SELECT component, vec_id AS keep_id FROM (
+    SELECT component, vec_id,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY sim, vec_id) AS rn
+    FROM lab2
+  ) WHERE rn = 1
+)
+SELECT l.vec_id, l.cluster::INT AS cluster,
+       round(l.sim, 6) AS centroid_sim,
+       l.component, (l.vec_id = s.keep_id) AS kept
+FROM lab2 l JOIN surv s USING (component)
+ORDER BY l.vec_id
+"""
+    )
+
+
+@query("q_semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: k-means clusters as
+    the blocking key, within-cluster cosine edges at the corpus
+    threshold (0.4, same as the LSH family), duplicate-group closure,
+    and one survivor per group — the member LEAST similar to its
+    centroid (the paper's keep policy). Pair expansion is bounded per
+    cluster, never corpus-quadratic; at 100 TB you raise k so cluster
+    sizes stay bounded (the paper runs k=50k). The oracle replays the
+    full Lloyd run, the centroid cosines, the edge set, the recursive
+    closure, and the survivor rank."""
+    from .llm_ops.semantic import semantic_dedup
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = semantic_dedup(emb, k=8, iters=2, tau=0.4)
+    return (
+        out.select(
+            F.col("id").alias("vec_id"),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.round("centroid_sim", 6).alias("centroid_sim"),
+            "component",
+            "kept",
+        )
+        .orderBy("vec_id")
+    )
+
+
 @query(
     "q_sliding_window_events",
     oracle="""
@@ -4602,29 +4698,37 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-matching the parquet-side oracle proves the roundtrip is
     lossless (unicode escapes, partition-column reattachment). The
     read declares _corrupt_record; the filter proves zero bad lines."""
+    import shutil
     import tempfile
 
     from .sources.jsonl import CORRUPT_COL, read_jsonl, write_jsonl
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     path = tempfile.mkdtemp(prefix="chill_jsonl_")
-    write_jsonl(d, path, partition_by=["source"])
-    back = read_jsonl(
-        spark, path,
-        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
-    )
-    return (
-        back.filter(F.col(CORRUPT_COL).isNull())
-        .groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.length("text")).alias("sum_text_len"),
-            F.sum("n_chars").alias("sum_n_chars"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
+    try:
+        write_jsonl(d, path, partition_by=["source"])
+        back = read_jsonl(
+            spark, path,
+            schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
         )
-        .orderBy("source", "lang")
-    )
+        # Eagerly checkpoint the (small) aggregate so the tempdir can
+        # be removed before returning: later caller actions replay
+        # from the checkpoint blocks, not the deleted JSONL files.
+        return (
+            back.filter(F.col(CORRUPT_COL).isNull())
+            .groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).alias("sum_text_len"),
+                F.sum("n_chars").alias("sum_n_chars"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .orderBy("source", "lang")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @query(
@@ -5557,6 +5661,348 @@ def q_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("score"), 6).alias("min_score"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "q_dsir_select",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, lang,
+               string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   ' ') AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               ('0x' || substring(md5(g), 1, 15))::BIGINT % 4096 AS bkt
+        FROM (
+            SELECT doc_id, lang, unnest(t) AS g FROM norm
+            UNION ALL
+            SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+            FROM norm, unnest(range(1, len(t))) AS r(i)
+            WHERE len(t) >= 2
+        )
+    ),
+    bc AS (
+        SELECT bkt,
+               sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS raw_c,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c
+        FROM feats GROUP BY bkt
+    ),
+    tot AS (SELECT sum(raw_c) AS raw_t, sum(tgt_c) AS tgt_t FROM bc),
+    lr AS (
+        SELECT bkt,
+               ln((tgt_c + 1.0) / (tgt_t + 4096.0))
+               - ln((raw_c + 1.0) / (raw_t + 4096.0)) AS lr
+        FROM bc, tot
+    )
+    SELECT doc_id, round(sum(lr), 6) AS logw
+    FROM feats JOIN lr USING (bkt)
+    WHERE lang <> 'en'
+    GROUP BY doc_id
+    ORDER BY logw DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (Xie et al. 2023): the 100 raw-pool
+    (non-English-tagged) documents most English-target-like by hashed
+    unigram+bigram importance weight — target and raw multinomials
+    estimated on disjoint sides as in the paper, then
+    two bucket-count aggregates (4096 buckets, map-side
+    combine: the shuffle is bounded by B, not the corpus), a broadcast
+    log-ratio join back onto the feature stream, per-doc sum, TakeOrdered
+    top-n. Features use the engine-portable md5 hash, so the oracle
+    re-derives both multinomials and every per-doc weight exactly."""
+    from .llm_ops.selection import dsir_select
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return dsir_select(d, F.col("lang") == "en", n=100).select(
+        F.col("id").alias("doc_id"), "logw"
+    )
+
+
+@query(
+    "q_boilerplate_ngrams",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   ' ') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+        FROM norm, unnest(range(1, greatest(len(t) - 5, 0) + 2)) AS r(i)
+    ),
+    pd AS (SELECT gram, doc_id, count(*) AS c FROM g GROUP BY gram, doc_id)
+    SELECT gram, CAST(sum(c) AS BIGINT) AS occurrences,
+           count(*) AS n_docs
+    FROM pd GROUP BY gram
+    ORDER BY occurrences DESC, gram
+    LIMIT 20
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate report: the 20 most frequent 5-token spans
+    with occurrence and distinct-doc counts (llm_ops.text.
+    frequent_ngrams). The (gram, doc) pre-aggregate makes distinct-doc
+    counting a plain count — no count(DISTINCT) drags doc ids through
+    the gram shuffle — and the top-k is a TakeOrdered heap. Total
+    order (occurrences desc, gram) pins the cut line across ties."""
+    from .llm_ops.text import frequent_ngrams
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return frequent_ngrams(d, "text", "doc_id", n=5, top_k=20)
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   ' ') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+        FROM norm, unnest(range(1, greatest(len(t) - 5, 0) + 2)) AS r(i)
+    ),
+    pd AS (SELECT gram, doc_id FROM g GROUP BY gram, doc_id),
+    freq AS (SELECT gram, count(*) AS df FROM pd GROUP BY gram)
+    SELECT pd.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_grams,
+           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS shared_frac
+    FROM pd JOIN freq USING (gram)
+    GROUP BY pd.doc_id
+    ORDER BY pd.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication exposure: the fraction of a doc's
+    distinct 5-gram spans that also occur in at least one OTHER doc —
+    the novelty/memorization-risk score a span-dedup pass consults.
+    Same scale shape as the boilerplate report: (gram, doc)
+    pre-aggregate, per-gram doc-frequency (a plain count, never
+    count(DISTINCT) through the gram shuffle), then ONE gram-keyed
+    join back and a per-doc rollup. Gram-key skew is aggregate/join
+    skew (combiner-safe, AQE-splittable), never window skew."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pd_ = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .drop("c")
+    )
+    freq = pd_.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        pd_.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "n_shared_grams"
+            ),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_token_fertility",
+    oracle=r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+               AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(
+               text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+               AS bpe_tokens,
+           round(sum(len(regexp_extract_all(
+                     text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))::DOUBLE
+                 / sum(len(string_split(
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                     ' '))), 6) AS fertility,
+           round(sum(length(text))::DOUBLE
+                 / sum(len(regexp_extract_all(
+                     text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))), 6)
+               AS chars_per_token
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and characters per token — the multilingual budget planner's
+    first table (a high-fertility language pays more tokens per word,
+    skewing epoch math and mixture weights). One map-only scan,
+    codegen-fused aggregates."""
+    from .llm_ops.text import bpe_ish_token_count, normalize_text
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ws = F.size(F.split(normalize_text("text"), " "))
+    bpe = bpe_ish_token_count("text")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bpe).alias("bpe_tokens"),
+            F.round(
+                F.sum(bpe).cast("double") / F.sum(ws), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length("text")).cast("double") / F.sum(bpe), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_distinct_overlap",
+    oracle="""
+    WITH pu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    ov AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS exact_overlap
+        FROM pu a JOIN pu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, exact_overlap, TRUE AS est_ok
+    FROM ov ORDER BY type_a, type_b
+    """,
+)
+def q_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via sketch algebra: distinct-user overlap for
+    every event-type pair by inclusion-exclusion over HLL sketches —
+    |A∩B| ≈ est(A) + est(B) − est(A∪B). HLL sketches union
+    losslessly but can't intersect, so this is THE scale recipe for
+    pairwise overlaps: one sketch per group (fixed bytes), C² unions
+    of kilobyte sketches instead of C² user-level joins. The exact
+    overlap (a user-keyed pre-distinct + pair join, the verifiable
+    small-scale path) rides along, and the in-plan `est_ok` verdict
+    asserts the estimate lands within the combined 3-sigma HLL bound —
+    the oracle expects every verdict TRUE (the q_approx_sketches
+    pattern)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    lg_k = 14  # rsd = 1.04 / sqrt(2^14) ~ 0.81%
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), lg_k).alias("sk")
+    )
+    pu = ev.select("event_type", "user_id").distinct()
+    exact = (
+        pu.alias("a")
+        .join(
+            pu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    ests = (
+        sk.alias("a")
+        .join(sk.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            (
+                F.hll_sketch_estimate("a.sk")
+                + F.hll_sketch_estimate("b.sk")
+                - F.hll_sketch_estimate(F.hll_union("a.sk", "b.sk"))
+            ).alias("est_overlap"),
+        )
+    )
+    rsd = 1.04 / (2 ** (lg_k / 2))
+    return (
+        exact.join(ests, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_overlap",
+            # 3 sketches contribute error; bound by 3*rsd on each of
+            # the three estimates' scale (the union is the largest)
+            (
+                F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+                <= F.lit(3 * rsd) * (F.col("exact_overlap") + F.lit(100.0))
+            ).alias("est_ok"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_split_leakage",
+    oracle=_DOUBLED_SQL + f"""
+    , s AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+               {split_oracle_sql("corpus", "doc_id")} AS split
+        FROM corpus
+    )
+    SELECT fingerprint,
+           count(*) AS n_copies,
+           CAST(count(DISTINCT split) AS INT) AS n_splits,
+           array_to_string(list_sort(list_distinct(list(split))), ',') AS splits,
+           min(doc_id) AS min_id
+    FROM s
+    GROUP BY fingerprint
+    HAVING count(DISTINCT split) > 1
+    ORDER BY fingerprint
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit AFTER splitting: exact-dup
+    fingerprint groups whose copies land in more than one split — the
+    leak a dedup-after-split pipeline ships to eval. Composes the
+    deterministic hash-bucket split with the md5 content fingerprint
+    on the doubled corpus (copies get different ids, so ~10% of dup
+    groups straddle splits at the 90/5/5 weights): one fingerprint
+    shuffle, collect_set over a bounded group (copies of one doc)."""
+    corpus = _doubled_docs(spark, sf_dir)
+    from .llm_ops.sampling import assign_split
+    from .llm_ops.text import doc_fingerprint
+
+    return (
+        assign_split(corpus, "doc_id")
+        .select(doc_fingerprint("text").alias("fingerprint"), "split", "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.size(F.collect_set("split")).alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias(
+                "splits"
+            ),
+            F.min("doc_id").alias("min_id"),
+        )
+        .filter(F.col("n_splits") > 1)
+        .orderBy("fingerprint")
     )
 
 

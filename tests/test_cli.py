@@ -766,3 +766,53 @@ def test_cli_profile(cli_dirs, spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "k: rows 3->4" in out and "ndv 2->4 (x2.0)" in out
+
+
+def test_cli_semdedup(cli_dirs, spark, capsys):
+    import numpy as np  # noqa: F401  (parity with other embedding tests)
+
+    src = os.path.join(cli_dirs["base"], "semd_in")
+    dst = os.path.join(cli_dirs["base"], "semd_out")
+    spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),   # semantic dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(src)
+    rc = main([
+        "semdedup", "--input", src, "--out", dst,
+        "--k", "3", "--iters", "2", "--tau", "0.95",
+    ])
+    assert rc == 0
+    assert "4 -> 3 rows kept (1 semantic dups)" in capsys.readouterr().out
+    kept = {r["vec_id"] for r in spark.read.parquet(dst).collect()}
+    assert len(kept) == 3 and len(kept & {0, 1}) == 1
+    assert {2, 3} <= kept
+
+
+def test_cli_dsir(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "dsir_in")
+    dst = os.path.join(cli_dirs["base"], "dsir_out")
+    spark.createDataFrame(
+        [
+            (0, "the history of science", "tgt"),
+            (1, "history of science and more science", "raw"),
+            (2, "buy cheap pills online now", "raw"),
+            (3, "science history of the age", "raw"),
+        ],
+        "doc_id bigint, text string, kind string",
+    ).write.parquet(src)
+    rc = main([
+        "dsir", "--input", src, "--out", dst,
+        "--target-expr", "kind = 'tgt'", "--n", "2",
+    ])
+    assert rc == 0
+    assert "selected 2 rows" in capsys.readouterr().out
+    got = spark.read.parquet(dst)
+    assert got.count() == 2
+    # target-vocabulary docs outrank the spam row; originals + logw kept
+    assert {r["doc_id"] for r in got.collect()} == {1, 3}
+    assert {"doc_id", "text", "kind", "logw"} <= set(got.columns)

@@ -1546,3 +1546,231 @@ def test_lm_perplexity_ranks_in_domain_text_lower(spark):
     assert got[1]["perplexity"] < got[2]["perplexity"]
     assert got[2]["n_tokens"] == 4 and got[2]["cross_entropy"] > 0
     assert got[3]["n_tokens"] == 0 and got[3]["cross_entropy"] is None
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup)
+# ---------------------------------------------------------------------------
+
+def _planted_vecs():
+    """Two tight duplicate groups in opposite corners + two loners."""
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    return [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # group A
+        (1, [0.999, 0.01, 0.0, 0.0]),       # group A (near-dup of 0)
+        (2, [0.0, 1.0, 0.0, 0.0]),          # group B
+        (3, [0.01, 0.999, 0.0, 0.0]),       # group B
+        (4, [0.0, 0.0, 1.0, 0.0]),          # loner
+        (5, [0.0, 0.0, 0.0, 1.0]),          # loner
+    ], base_a, base_b
+
+
+def test_semantic_dedup_collapses_planted_groups(spark):
+    import numpy as np
+
+    from chill_spark.llm_ops.semantic import semantic_dedup
+
+    rows, _, _ = _planted_vecs()
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = np.array(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    )
+    out = semantic_dedup(df, tau=0.95, centroids=cents).collect()
+    by_id = {r["id"]: r for r in out}
+    # planted near-dup pairs share a component; loners are singletons
+    assert by_id[0]["component"] == by_id[1]["component"]
+    assert by_id[2]["component"] == by_id[3]["component"]
+    assert by_id[4]["component"] == 4 and by_id[4]["kept"]
+    assert by_id[5]["component"] == 5 and by_id[5]["kept"]
+    # exactly one survivor per duplicate group
+    assert sum(r["kept"] for r in out) == 4
+    # SemDeDup keep policy: the LEAST-centroid-similar member survives
+    for a, b in [(0, 1), (2, 3)]:
+        grp = sorted(
+            [by_id[a], by_id[b]],
+            key=lambda r: (r["centroid_sim"], r["id"]),
+        )
+        assert grp[0]["kept"] and not grp[1]["kept"]
+
+
+def test_semantic_dedup_cluster_is_the_blocking_key(spark):
+    """A cross-cluster pair above tau must NOT be connected — the
+    cluster is the blocking key (the method's stated approximation)."""
+    import numpy as np
+
+    from chill_spark.llm_ops.semantic import semantic_dedup
+
+    # 0 and 1 are cosine ~0.9989 but straddle the two centroids
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.04, 0.0, 0.0]),
+            (1, [1.0, -0.04, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = np.array([[1.0, 0.5, 0.0, 0.0], [1.0, -0.5, 0.0, 0.0]])
+    out = {r["id"]: r for r in semantic_dedup(df, tau=0.9, centroids=cents).collect()}
+    assert out[0]["cluster"] != out[1]["cluster"]
+    assert out[0]["component"] != out[1]["component"]
+    assert out[0]["kept"] and out[1]["kept"]
+
+
+def test_semantic_dedup_pair_stage_is_grouped_arrow_not_pair_join(spark):
+    """The within-cluster pair stage must run as ONE Arrow matmul per
+    cluster (FlatMapGroupsInPandas keyed on the cluster id), never a
+    cartesian/nested-loop — and never an expanded pair join whose
+    per-pair aggregate-fold cosine is the documented 50x-slower
+    path."""
+    import numpy as np
+
+    from chill_spark.llm_ops.semantic import semantic_dedup
+
+    rows, _, _ = _planted_vecs()
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = np.array(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    )
+    from pyspark.sql import functions as F
+
+    from chill_spark.llm_ops.semantic import cluster_pair_edges
+    from chill_spark.llm_ops.similarity import nearest_centroid
+
+    v = F.col("embedding").cast("array<double>")
+    assigned = df.select(
+        F.col("vec_id").alias("id"), v.alias("v"),
+        nearest_centroid(v, cents)["cid"].alias("cluster"),
+    )
+    edges = cluster_pair_edges(assigned, tau=0.95)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the end-to-end output stays join-explosion-free
+    out = semantic_dedup(df, tau=0.95, centroids=cents)
+    oplan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in oplan
+    assert "BroadcastNestedLoopJoin" not in oplan
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection
+# ---------------------------------------------------------------------------
+
+def _dsir_corpus(spark):
+    """Three dialects: 'wiki'-ish target rows, matching raw rows, and
+    off-target noise rows."""
+    rows = [
+        (0, "the history of science is long", 1),
+        (1, "the philosophy of history and science", 1),
+        (2, "science history philosophy of the age", 0),
+        (3, "buy cheap pills online now click here", 0),
+        (4, "click now buy now cheap cheap offer", 0),
+        (5, "history of the modern age of science", 0),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, tgt int")
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from pyspark.sql import functions as F
+
+    from chill_spark.llm_ops.selection import dsir_logweights
+
+    docs = _dsir_corpus(spark)
+    w = {
+        r["id"]: r["logw"]
+        for r in dsir_logweights(docs, F.col("tgt") == 1).collect()
+    }
+    # target-vocabulary raw docs outrank spam
+    assert min(w[2], w[5]) > max(w[3], w[4])
+
+
+def test_dsir_select_returns_top_n_deterministically(spark):
+    from pyspark.sql import functions as F
+
+    from chill_spark.llm_ops.selection import dsir_select
+
+    docs = _dsir_corpus(spark)
+    top = dsir_select(docs, F.col("tgt") == 1, n=3).collect()
+    assert len(top) == 3
+    ws = [r["logw"] for r in top]
+    assert ws == sorted(ws, reverse=True)
+    # repeated run identical (hash features + rounded weights)
+    again = dsir_select(docs, F.col("tgt") == 1, n=3).collect()
+    assert [(r["id"], r["logw"]) for r in top] == [
+        (r["id"], r["logw"]) for r in again
+    ]
+
+
+def test_dsir_feature_multiplicity_counts(spark):
+    """Bag-of-n-grams: each extra OCCURRENCE of a target-distinctive
+    feature adds its (positive) log-ratio again — multinomial, not set
+    semantics. 'good' dominates the target, so repeating it must raise
+    the weight; an off-target token must score below both."""
+    from pyspark.sql import functions as F
+
+    from chill_spark.llm_ops.selection import dsir_logweights
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good good good good", 1),
+            (1, "good", 0),
+            (2, "good good", 0),
+            (3, "bad", 0),
+        ],
+        "doc_id bigint, text string, tgt int",
+    )
+    w = {
+        r["id"]: r["logw"]
+        for r in dsir_logweights(docs, F.col("tgt") == 1).collect()
+    }
+    assert w[2] > w[1] > w[3]
+
+
+def test_dsir_plan_broadcasts_ratio_table(spark):
+    """The B-row log-ratio table must broadcast onto the feature
+    stream — a shuffled join there re-shuffles the whole corpus'
+    feature explosion for a 4096-row dimension."""
+    from pyspark.sql import functions as F
+
+    from chill_spark.llm_ops.selection import dsir_logweights
+
+    docs = _dsir_corpus(spark)
+    out = dsir_logweights(docs, F.col("tgt") == 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_frequent_ngrams_counts_and_truncates(spark):
+    """Occurrence vs distinct-doc counts; short docs contribute their
+    whole text as one truncated span (the shingle convention)."""
+    from chill_spark.llm_ops.text import frequent_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),      # grams: 'a b c d e', 'b c d e f'
+            (1, "a b c d e"),        # gram:  'a b c d e'
+            (2, "x y"),              # short -> single span 'x y'
+            (3, "a b c d e a b c d e f"),  # 'a b c d e' twice... (windows)
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["gram"]: r for r in frequent_ngrams(docs, top_k=50).collect()}
+    assert out["x y"]["occurrences"] == 1 and out["x y"]["n_docs"] == 1
+    g = out["a b c d e"]
+    # doc0 once, doc1 once, doc3 twice (positions 1 and 6)
+    assert g["occurrences"] == 4 and g["n_docs"] == 3
+
+
+def test_frequent_ngrams_plan_has_no_window_or_global_sort(spark):
+    from chill_spark.llm_ops.text import frequent_ngrams
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id bigint, text string"
+    )
+    out = frequent_ngrams(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
