@@ -86,6 +86,8 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_token_fertility",
     "q_distinct_overlap",
+    "q_event_transitions",
+    "q_benchmark_contamination",
 ]
 # q_scd1_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

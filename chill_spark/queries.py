@@ -66,7 +66,8 @@ _PRIORITY: list[str] = [
     "q_profile_drift", "q_distinct_ladder",
     "q_semantic_dedup", "q_dsir_select", "q_boilerplate_ngrams",
     "q_split_leakage", "q_ngram_novelty", "q_token_fertility",
-    "q_distinct_overlap",
+    "q_distinct_overlap", "q_event_transitions",
+    "q_benchmark_contamination",
     # --- sentinels (regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash", "q_dedup_incremental",
@@ -81,9 +82,11 @@ _PRIORITY: list[str] = [
     "q_full_outer_hourly_diff", "q_funnel_conversion",
     "q_fuzzy_name_match", "q_gapfill_hourly", "q_max_concurrency",
     "q_media_summary", "q_percentiles", "q_pii_redact", "q_range_join",
-    "q_scalar_funcs", "q_setop_except", "q_span_dedup",
+    "q_scalar_funcs", "q_span_dedup",
     "q_stratified_exact_counts", "q_stream_rollup_events",
-    "q_variant_props", "q_window_range_frame",
+    "q_variant_props",
+    # (q_setop_except defers to q_setop_intersect, q_window_range_frame
+    # to the r4-green window family, making room for the 14 r5 adds)
     # (the 12 never-checked r5 additions fill the slots the r3-checked
     # family representatives held; every dropped rep's family keeps a
     # window row — q_kmeans_clusters via q_semantic_dedup's full Lloyd
@@ -5770,18 +5773,21 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     g AS (
-        SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+        SELECT doc_id,
+               ('0x' || substring(md5(
+                   array_to_string(list_slice(t, i, i + 4), ' ')
+               ), 1, 15))::BIGINT AS gh
         FROM norm, unnest(range(1, greatest(len(t) - 5, 0) + 2)) AS r(i)
     ),
-    pd AS (SELECT gram, doc_id FROM g GROUP BY gram, doc_id),
-    freq AS (SELECT gram, count(*) AS df FROM pd GROUP BY gram)
+    pd AS (SELECT gh, doc_id FROM g GROUP BY gh, doc_id),
+    freq AS (SELECT gh, count(*) AS df FROM pd GROUP BY gh)
     SELECT pd.doc_id,
            count(*) AS n_grams,
            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_shared_grams,
            round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
                  / count(*), 6) AS shared_frac
-    FROM pd JOIN freq USING (gram)
+    FROM pd JOIN freq USING (gh)
     GROUP BY pd.doc_id
     ORDER BY pd.doc_id
     """,
@@ -5794,7 +5800,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate, per-gram doc-frequency (a plain count, never
     count(DISTINCT) through the gram shuffle), then ONE gram-keyed
     join back and a per-doc rollup. Gram-key skew is aggregate/join
-    skew (combiner-safe, AQE-splittable), never window skew."""
+    skew (combiner-safe, AQE-splittable), never window skew. The
+    output never needs the gram text, so all three gram-keyed stages
+    carry the portable 60-bit hash instead of the ~40-byte string —
+    5x fewer shuffle bytes (collisions merge identically on both
+    engine and oracle, which apply the same hash)."""
+    from .llm_ops.portable import phash
+
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
@@ -5803,13 +5815,14 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     pd_ = (
         d.select("doc_id", F.explode(grams).alias("gram"))
-        .groupBy("gram", "doc_id")
+        .select("doc_id", phash(F.col("gram")).alias("gh"))
+        .groupBy("gh", "doc_id")
         .agg(F.count(F.lit(1)).alias("c"))
         .drop("c")
     )
-    freq = pd_.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    freq = pd_.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     return (
-        pd_.join(freq, "gram")
+        pd_.join(freq, "gh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -5954,6 +5967,147 @@ def q_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
         .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_benchmark_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 3, 0) + 2),
+                 i -> array_to_string(t[i : i + 2], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 = 0),
+    found AS (
+      SELECT DISTINCT g FROM grams
+      WHERE doc_id % 20 <> 0
+        AND g IN (SELECT DISTINCT g FROM bench)
+    )
+    SELECT b.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS found_grams,
+           round(sum(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS containment
+    FROM bench b LEFT JOIN found f ON f.g = b.g
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other direction of decontamination: per BENCHMARK document,
+    the fraction of its distinct 3-grams that occur anywhere in the
+    training corpus — the report that says which eval items are
+    compromised (q_decontaminate flags the train docs). Scale shape:
+    the bench gram set (small by nature) broadcasts into the train
+    gram stream; only MATCHED grams are distinct'd (bounded by bench
+    size, not the corpus) and joined back to the per-bench-doc gram
+    lists. The train side never shuffles its full gram stream."""
+    from .llm_ops.text import normalize_text
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n = 3
+    with_t = d.select("doc_id", F.split(normalize_text("text"), " ").alias("__t"))
+    t = F.col("__t")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = with_t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 20 == 0)
+    found = (
+        grams.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(bench.select("g").distinct()), "g")
+        .select("g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        bench.join(found, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("found_grams"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    tr AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions::DOUBLE
+                 / (SELECT sum(n_transitions) FROM tr), 6) AS share
+    FROM tr ORDER BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: counts and shares of
+    consecutive (prev event -> next event) steps per user — the
+    Markov-chain view of the event stream. The lag window partitions
+    by user_id (high-cardinality — the safe side of the engine's
+    window-skew policy; never a low-cardinality key), the transition
+    rollup partially aggregates map-side, and the global total joins
+    back as a broadcast single row."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    total = tr.agg(F.sum("n_transitions").alias("t"))
+    return (
+        tr.crossJoin(F.broadcast(total))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions").cast("double") / F.col("t"), 6)
+            .alias("share"),
+        )
+        .orderBy("from_type", "to_type")
     )
 
 
