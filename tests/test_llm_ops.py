@@ -1774,3 +1774,37 @@ def test_frequent_ngrams_plan_has_no_window_or_global_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_invariants_random_corpus(spark):
+    """Structural invariants on a seeded random corpus: every vector
+    appears exactly once; exactly one survivor per duplicate group;
+    groups never span clusters; the survivor minimizes
+    (centroid_sim, id) within its group."""
+    import numpy as np
+
+    from chill_spark.llm_ops.semantic import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8)
+    # plant near-dups of the first 10 vectors
+    dups = base[:10] + rng.randn(10, 8) * 1e-3
+    X = np.vstack([base, dups])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(df, k=4, iters=2, tau=0.99).collect()
+
+    assert sorted(r["id"] for r in out) == list(range(len(X)))
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m["id"] for m in members)
+        assert len({m["cluster"] for m in members}) == 1
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1
+        best = min(members, key=lambda m: (m["centroid_sim"], m["id"]))
+        assert kept[0]["id"] == best["id"]
+    # the 10 planted pairs actually merged
+    n_groups = len(by_comp)
+    assert n_groups <= len(X) - 10

@@ -661,3 +661,56 @@ def test_source_caps_phase1_window_is_salted(spark):
     # re-rank over <= 16*K survivors
     assert plan.count(") Window") >= 2
     assert "__salt" in plan
+
+
+# --- r5 corpus-analytics queries: plan gates ------------------------------
+
+def test_token_fertility_prunes_scan_and_stays_join_free(spark, sf_dir):
+    """One map-only scan reading ONLY (text, lang); no join, no
+    window — the whole per-language fertility table is a single
+    partial+final aggregate."""
+    plan = plan_of(Q.queries()["q_token_fertility"](spark, sf_dir))
+    assert "ReadSchema: struct<text:string,lang:string>" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_ngram_novelty_hash_keyed_no_window(spark, sf_dir):
+    """Doc-frequency rides groupBy+join (combiner-safe under hot
+    grams), never a window over the gram key; every gram-keyed stage
+    carries the 60-bit hash, so no gram STRING reaches an Exchange."""
+    plan = plan_of(Q.queries()["q_ngram_novelty"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # gram text exists only inside the explode projection; the
+    # shuffled columns are the hash (gh) and doc_id
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "gram" not in m.group(1)
+
+
+def test_event_transitions_windows_user_key_and_broadcasts_total(spark, sf_dir):
+    plan = plan_of(Q.queries()["q_event_transitions"](spark, sf_dir))
+    assert "Window" in plan
+    # the lag window partitions by the high-cardinality user key
+    assert "windowspecdefinition(user_id" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert "CartesianProduct" not in plan
+
+
+def test_benchmark_contamination_broadcasts_bench_grams(spark, sf_dir):
+    """Both gram joins must broadcast the (small) benchmark side —
+    the train gram stream never sort-merge-shuffles whole."""
+    plan = plan_of(Q.queries()["q_benchmark_contamination"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_distinct_overlap_unions_sketches_not_users(spark, sf_dir):
+    """The estimate side must pair fixed-size sketches (a C-row
+    nested-loop is fine, C = #event types), while only the exact-path
+    join keys on user_id."""
+    plan = plan_of(Q.queries()["q_distinct_overlap"](spark, sf_dir))
+    assert "hll_union" in plan and "hll_sketch_estimate" in plan
+    assert "CartesianProduct" not in plan
