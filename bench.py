@@ -88,6 +88,7 @@ HEADLINE = [
     "q_distinct_overlap",
     "q_event_transitions",
     "q_benchmark_contamination",
+    "q_ccnet_buckets",
 ]
 # q_scd1_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

@@ -67,7 +67,7 @@ _PRIORITY: list[str] = [
     "q_semantic_dedup", "q_dsir_select", "q_boilerplate_ngrams",
     "q_split_leakage", "q_ngram_novelty", "q_token_fertility",
     "q_distinct_overlap", "q_event_transitions",
-    "q_benchmark_contamination",
+    "q_benchmark_contamination", "q_ccnet_buckets",
     # --- sentinels (regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash", "q_dedup_incremental",
@@ -81,12 +81,13 @@ _PRIORITY: list[str] = [
     "q_cohort_retention", "q_decontaminate", "q_dedup_components",
     "q_full_outer_hourly_diff", "q_funnel_conversion",
     "q_fuzzy_name_match", "q_gapfill_hourly", "q_max_concurrency",
-    "q_media_summary", "q_percentiles", "q_pii_redact", "q_range_join",
+    "q_percentiles", "q_pii_redact", "q_range_join",
     "q_scalar_funcs", "q_span_dedup",
     "q_stratified_exact_counts", "q_stream_rollup_events",
     "q_variant_props",
     # (q_setop_except defers to q_setop_intersect, q_window_range_frame
-    # to the r4-green window family, making room for the 14 r5 adds)
+    # to the r4-green window family, q_media_summary to the two r1
+    # media rows, making room for the 15 r5 adds)
     # (the 12 never-checked r5 additions fill the slots the r3-checked
     # family representatives held; every dropped rep's family keeps a
     # window row — q_kmeans_clusters via q_semantic_dedup's full Lloyd
@@ -4464,6 +4465,98 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+
+
+@query(
+    "q_ccnet_buckets",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    tt AS (
+        SELECT doc_id, source, tok FROM (
+            SELECT doc_id, source, unnest(string_split(t, ' ')) AS tok
+            FROM norm
+        ) WHERE length(tok) > 0
+    ),
+    ref AS (
+        SELECT tok, count(*)::DOUBLE AS c FROM tt
+        WHERE source = 'src0' GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM ref),
+    lm AS (
+        SELECT tok,
+               ln((c + 0.5) / (SELECT n + 0.5 * (v + 1) FROM tot)) AS logp
+        FROM ref
+    ),
+    sc AS (
+        SELECT t.doc_id,
+               -avg(coalesce(
+                   l.logp,
+                   (SELECT ln(0.5 / (n + 0.5 * (v + 1))) FROM tot)
+               )) AS ce
+        FROM tt t LEFT JOIN lm l USING (tok)
+        GROUP BY t.doc_id
+    ),
+    ppl AS (
+        SELECT d.doc_id, d.lang, round(exp(s.ce), 9) AS ppl
+        FROM documents d JOIN sc s ON s.doc_id = d.doc_id
+    ),
+    cuts AS (
+        SELECT lang,
+               round(quantile_cont(ppl, 0.3333333333333333), 9) AS c1,
+               round(quantile_cont(ppl, 0.6666666666666666), 9) AS c2
+        FROM ppl GROUP BY lang
+    )
+    SELECT p.doc_id, p.lang, round(p.ppl, 6) AS perplexity,
+           CASE WHEN p.ppl <= c.c1 THEN 'head'
+                WHEN p.ppl <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ppl p JOIN cuts c USING (lang)
+    ORDER BY p.doc_id
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partitioning: every document
+    bucketed by its LM perplexity against PER-LANGUAGE tercile
+    cutoffs (the published recipe trains on in-domain text and keeps
+    the low-perplexity head per language — a single global cutoff
+    would empty out whole languages). Composes the oracle-verified
+    unigram LM scorer with exact interpolated per-language percentiles
+    (language count is bounded, so the cutoff table broadcasts; at
+    100 TB swap the exact percentile for approx_percentile and keep
+    the same broadcast join — the assignment plan is unchanged).
+    Perplexities and cutoffs are rounded to 9 before the boundary
+    compare so the bucket decision is engine-exact."""
+    from .llm_ops.text import lm_cross_entropy, unigram_lm
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    lm, oov = unigram_lm(d.filter(F.col("source") == "src0"), "text")
+    sc = (
+        lm_cross_entropy(d, lm, oov, "text", "doc_id")
+        .filter(F.col("perplexity").isNotNull())
+        .select("doc_id", F.round("perplexity", 9).alias("ppl"))
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    cuts = sc.groupBy("lang").agg(
+        F.round(F.percentile("ppl", F.lit(1.0 / 3)), 9).alias("c1"),
+        F.round(F.percentile("ppl", F.lit(2.0 / 3)), 9).alias("c2"),
+    )
+    return (
+        sc.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round("ppl", 6).alias("perplexity"),
+            F.when(F.col("ppl") <= F.col("c1"), "head")
+            .when(F.col("ppl") <= F.col("c2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
