@@ -89,6 +89,8 @@ HEADLINE = [
     "q_event_transitions",
     "q_benchmark_contamination",
     "q_ccnet_buckets",
+    "q_weighted_sample_exact",
+    "q_split_by_content",
 ]
 # q_scd1_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

@@ -146,6 +146,45 @@ def weighted_sample(
     )
 
 
+def weighted_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    n: int,
+    seed: str = "wres",
+) -> DataFrame:
+    """Exactly-``n`` weighted sample WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): every row draws a deterministic
+    uniform u from its id hash and ranks by ``ln(u) / w`` — the n
+    largest keys are a weighted sample without replacement, with
+    inclusion odds proportional to weight. Complements
+    ``weighted_sample`` (Bernoulli, expected-fraction): use this when
+    the output size must be exact.
+
+    Deterministic (no RNG state — same replay/repartition guarantees
+    as the hash samplers) and a TakeOrdered per-partition heap, never
+    a global sort. The key is rounded to 9 decimals before ranking so
+    the cut line is engine-exact (ln/divide drift ~1e-15), ties by
+    id. Oracle replay: u = (('0x'||substring(md5('seed:'||id),1,8))
+    ::BIGINT + 0.5) / 2^32."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
+    key = F.round(F.log(u) / w, 9)
+    return (
+        df.withColumn("__k", key)
+        .orderBy(F.col("__k").desc(), F.col(id_col))
+        .limit(n)
+        .withColumnRenamed("__k", "sample_key")
+    )
+
+
 def temperature_mixture_weights(
     df: DataFrame,
     group_col: str,

@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "q_split_leakage", "q_ngram_novelty", "q_token_fertility",
     "q_distinct_overlap", "q_event_transitions",
     "q_benchmark_contamination", "q_ccnet_buckets",
+    "q_weighted_sample_exact", "q_split_by_content",
     # --- sentinels (regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash", "q_dedup_incremental",
@@ -78,7 +79,7 @@ _PRIORITY: list[str] = [
     "q17_small_quantity_revenue", "q19_disjunctive_join",
     "q20_dominant_suppliers", "q21_waiting_orders", "q8_market_share",
     "q9_product_profit", "q_ann_ivf_topk", "q_asof_join",
-    "q_cohort_retention", "q_decontaminate", "q_dedup_components",
+    "q_dedup_components",
     "q_full_outer_hourly_diff", "q_funnel_conversion",
     "q_fuzzy_name_match", "q_gapfill_hourly", "q_max_concurrency",
     "q_percentiles", "q_pii_redact", "q_range_join",
@@ -87,7 +88,9 @@ _PRIORITY: list[str] = [
     "q_variant_props",
     # (q_setop_except defers to q_setop_intersect, q_window_range_frame
     # to the r4-green window family, q_media_summary to the two r1
-    # media rows, making room for the 15 r5 adds)
+    # media rows, q_decontaminate to q_benchmark_contamination's gram
+    # machinery, q_cohort_retention to q_funnel_conversion, making
+    # room for the 17 r5 adds)
     # (the 12 never-checked r5 additions fill the slots the r3-checked
     # family representatives held; every dropped rep's family keeps a
     # window row — q_kmeans_clusters via q_semantic_dedup's full Lloyd
@@ -5209,6 +5212,98 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").alias("sum_words"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "q_weighted_sample_exact",
+    oracle="""
+    SELECT doc_id, n_chars, sample_key FROM (
+        SELECT doc_id, n_chars,
+               round(
+                   ln((('0x' || substring(
+                       md5('wres:' || CAST(doc_id AS VARCHAR)), 1, 8
+                   ))::BIGINT + 0.5) / 4294967296.0) / n_chars,
+                   9) AS sample_key
+        FROM documents
+    )
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 weighted sample WITHOUT replacement
+    (Efraimidis–Spirakis A-Res), weight = n_chars: rank by ln(u)/w
+    over deterministic per-id uniforms, keep the largest keys. Unlike
+    the Bernoulli sampler the output size is exact; unlike a
+    per-group window rank there is no partition key at all — the
+    top-n is a TakeOrdered per-partition heap. Keys rounded to 9
+    before ranking so the cut line is engine-exact."""
+    from .llm_ops.sampling import weighted_sample_exact
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        weighted_sample_exact(d, "doc_id", "n_chars", n=100)
+        .select("doc_id", "n_chars", "sample_key")
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+    )
+
+
+@query(
+    "q_split_by_content",
+    oracle=_DOUBLED_SQL + f"""
+    , s AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM corpus
+    ),
+    sp AS (
+        SELECT doc_id, fp, {split_oracle_sql("s", "fp")} AS split FROM s
+    ),
+    pf AS (
+        SELECT fp, split, count(*) AS n FROM sp GROUP BY fp, split
+    ),
+    leak AS (
+        SELECT count(*) AS leaked_groups FROM (
+            SELECT fp FROM pf GROUP BY fp HAVING count(*) > 1
+        )
+    )
+    SELECT split, CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_groups,
+           (SELECT leaked_groups FROM leak) AS leaked_groups
+    FROM pf GROUP BY split ORDER BY split
+    """,
+)
+def q_split_by_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix for q_split_leakage: key the train/val/test hash split
+    on the CONTENT fingerprint instead of the doc id, so every exact
+    duplicate lands in the same split by construction — the in-plan
+    leaked_groups counter (dup groups spanning >1 split) must be 0 on
+    the same doubled corpus where the id-keyed split leaks ~10% of
+    groups. Distinct-group counting rides a (fingerprint, split)
+    pre-aggregate; the leak counter is a 1-row broadcast."""
+    from .llm_ops.sampling import assign_split
+    from .llm_ops.text import doc_fingerprint
+
+    corpus = _doubled_docs(spark, sf_dir).withColumn(
+        "fp", doc_fingerprint("text")
+    )
+    sp = assign_split(corpus, "fp")
+    pf = sp.groupBy("fp", "split").agg(F.count(F.lit(1)).alias("n"))
+    leak = (
+        pf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_groups"))
+    )
+    return (
+        pf.groupBy("split")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
     )
 
 

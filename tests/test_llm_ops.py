@@ -1808,3 +1808,23 @@ def test_semantic_dedup_invariants_random_corpus(spark):
     # the 10 planted pairs actually merged
     n_groups = len(by_comp)
     assert n_groups <= len(X) - 10
+
+
+def test_weighted_sample_exact_size_determinism_and_weight_bias(spark):
+    """A-Res sampling: exactly n rows, deterministic across calls, and
+    a weight that dwarfs the rest is always included (its key ln(u)/w
+    approaches 0, the maximum)."""
+    from chill_spark.llm_ops.sampling import weighted_sample_exact
+
+    rows = [(i, 1 if i else 10**9) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    got = weighted_sample_exact(df, "doc_id", "w", n=20).collect()
+    assert len(got) == 20
+    assert 0 in {r["doc_id"] for r in got}  # the heavy item
+    again = weighted_sample_exact(df, "doc_id", "w", n=20).collect()
+    assert [(r["doc_id"], r["sample_key"]) for r in got] == [
+        (r["doc_id"], r["sample_key"]) for r in again
+    ]
+    # repartitioning must not change the draw (hash, not RNG state)
+    re = weighted_sample_exact(df.repartition(13), "doc_id", "w", n=20)
+    assert {r["doc_id"] for r in re.collect()} == {r["doc_id"] for r in got}
