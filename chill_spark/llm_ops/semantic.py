@@ -115,15 +115,32 @@ def semantic_dedup(
     engine-portable md5-seeded Lloyd run (round_means=9) is trained
     here so a SQL oracle can replay it.
     """
+    # null / wrong-dim vectors can't be clustered or compared — route
+    # them around the pipeline as singleton survivors (null cluster /
+    # centroid_sim) instead of crashing the per-cluster matmul: the
+    # graceful degradation the banded-LSH bucketer uses. The dimension
+    # is the mode of row sizes (robust to a bad first row).
+    from .dedup import _mode_dim
+
+    dim = _mode_dim(emb, vec_col)
+    vc = F.col(vec_col)
+    valid = emb.filter(vc.isNotNull() & (F.size(vc) == dim))
+    bad = emb.filter(vc.isNull() | (F.size(vc) != dim)).select(
+        F.col(id_col).alias("id"),
+        F.lit(None).cast("int").alias("cluster"),
+        F.lit(None).cast("double").alias("centroid_sim"),
+        F.col(id_col).alias("component"),
+        F.lit(True).alias("kept"),
+    )
     if centroids is None:
-        seeds = hash_seed_centroids(emb, k=k, vec_col=vec_col, id_col=id_col)
+        seeds = hash_seed_centroids(valid, k=k, vec_col=vec_col, id_col=id_col)
         centroids = kmeans_fit(
-            emb, vec_col, k=k, iters=iters, init_centroids=seeds,
+            valid, vec_col, k=k, iters=iters, init_centroids=seeds,
             round_means=9,
         )
     v = F.col(vec_col).cast("array<double>")
     near = nearest_centroid(v, centroids)
-    assigned = emb.select(
+    assigned = valid.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
         near["cid"].alias("cluster"),
@@ -151,9 +168,10 @@ def semantic_dedup(
         labeled.join(survivors, "component")
         .select(
             "id",
-            "cluster",
+            F.col("cluster").cast("int").alias("cluster"),
             "centroid_sim",
             "component",
             (F.col("id") == F.col("keep_id")).alias("kept"),
         )
+        .unionByName(bad)
     )

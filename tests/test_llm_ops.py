@@ -1828,3 +1828,30 @@ def test_weighted_sample_exact_size_determinism_and_weight_bias(spark):
     # repartitioning must not change the draw (hash, not RNG state)
     re = weighted_sample_exact(df.repartition(13), "doc_id", "w", n=20)
     assert {r["doc_id"] for r in re.collect()} == {r["doc_id"] for r in got}
+
+
+def test_semantic_dedup_tolerates_null_and_wrong_dim_vectors(spark):
+    """Null / wrong-dim vectors route around the pipeline as singleton
+    survivors (null cluster/sim) instead of crashing the per-cluster
+    matmul — same graceful degradation as the LSH bucketer."""
+    import numpy as np
+
+    from chill_spark.llm_ops.semantic import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, None),
+            (3, [1.0, 2.0]),  # wrong dim
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    out = {r["id"]: r for r in semantic_dedup(df, tau=0.95, centroids=cents).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["component"] == out[1]["component"]
+    for bad in (2, 3):
+        assert out[bad]["cluster"] is None
+        assert out[bad]["centroid_sim"] is None
+        assert out[bad]["component"] == bad and out[bad]["kept"]
