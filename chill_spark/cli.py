@@ -390,8 +390,15 @@ def cmd_semdedup(args) -> int:
 
     spark = get_spark("chill-semdedup")
     df = spark.read.parquet(args.input)
+    k = args.k
+    if args.target_cluster_size:
+        from .llm_ops.semantic import plan_semdedup_k
+
+        k = plan_semdedup_k(df.count(), args.target_cluster_size)
+        print(f"planned k={k} for target cluster size "
+              f"{args.target_cluster_size}")
     verdicts = semantic_dedup(
-        df, k=args.k, iters=args.iters, tau=args.tau,
+        df, k=k, iters=args.iters, tau=args.tau,
         vec_col=args.vec_col, id_col=args.id_col,
     )
     keep = verdicts.filter(F.col("kept")).select(
@@ -1097,6 +1104,12 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--vec-col", default="embedding")
     sd.add_argument("--id-col", default="vec_id")
     sd.add_argument("--k", type=int, default=8)
+    sd.add_argument(
+        "--target-cluster-size", type=int, default=0,
+        help="derive k from the corpus size so expected cluster size "
+             "(and the per-cluster pair quadratic) stays bounded; "
+             "overrides --k",
+    )
     sd.add_argument("--iters", type=int, default=2)
     sd.add_argument("--tau", type=float, default=0.4)
     sd.set_defaults(fn=cmd_semdedup)

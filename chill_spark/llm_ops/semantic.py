@@ -92,6 +92,19 @@ def cluster_pair_edges(assigned: DataFrame, tau: float) -> DataFrame:
     ).applyInPandas(_pairs, "id_a bigint, id_b bigint")
 
 
+def plan_semdedup_k(n_rows: int, target_cluster_size: int = 5000) -> int:
+    """The k that keeps EXPECTED cluster size at
+    ``target_cluster_size`` — the knob that bounds both the quadratic
+    per-cluster pair count (~target²/2) and the per-task similarity
+    matrix (~target² doubles). The paper's LAION run (k=50,000 over
+    ~5B embeddings) corresponds to target≈100k; for the per-cluster
+    matmul to stay comfortably in executor memory, targets of 2k-10k
+    are the practical band (a 5k cluster's matrix is 200 MB)."""
+    if n_rows <= 0:
+        return 1
+    return max(1, -(-n_rows // max(1, target_cluster_size)))
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,

@@ -816,3 +816,18 @@ def test_cli_dsir(cli_dirs, spark, capsys):
     # target-vocabulary docs outrank the spam row; originals + logw kept
     assert {r["doc_id"] for r in got.collect()} == {1, 3}
     assert {"doc_id", "text", "kind", "logw"} <= set(got.columns)
+
+
+def test_cli_semdedup_plans_k_from_target_cluster_size(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "semdk_in")
+    dst = os.path.join(cli_dirs["base"], "semdk_out")
+    rows = [(i, [float(i % 7), float(i % 3), 1.0, 0.0]) for i in range(12)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).write.parquet(src)
+    rc = main([
+        "semdedup", "--input", src, "--out", dst,
+        "--target-cluster-size", "4", "--iters", "1", "--tau", "0.999",
+    ])
+    assert rc == 0
+    assert "planned k=3 for target cluster size 4" in capsys.readouterr().out

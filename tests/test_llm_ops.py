@@ -1855,3 +1855,13 @@ def test_semantic_dedup_tolerates_null_and_wrong_dim_vectors(spark):
         assert out[bad]["cluster"] is None
         assert out[bad]["centroid_sim"] is None
         assert out[bad]["component"] == bad and out[bad]["kept"]
+
+
+def test_plan_semdedup_k_bounds_expected_cluster_size():
+    from chill_spark.llm_ops.semantic import plan_semdedup_k
+
+    assert plan_semdedup_k(5_000_000_000, 100_000) == 50_000  # the paper's LAION point
+    assert plan_semdedup_k(10_000, 5_000) == 2
+    assert plan_semdedup_k(10_001, 5_000) == 3
+    assert plan_semdedup_k(3, 5_000) == 1
+    assert plan_semdedup_k(0, 5_000) == 1
