@@ -1,0 +1,103 @@
+"""Linear text-classifier inference at corpus scale.
+
+The GPT-3/LLaMA-style "quality filter" step: score every document with
+a trained linear model over bag-of-tokens features and keep what
+clears a threshold. Training happens offline on a sample; what has to
+scale is INFERENCE, and the scalable shape is:
+
+  explode tokens -> broadcast-join the (model-sized) weight table ->
+  per-doc sum -> sigmoid -> threshold
+
+One corpus pass, one shuffle on doc_id for the sum (map-side
+combinable), weight table broadcast (vocab-sized, never corpus-sized).
+No Python in the hot path — the join and the sigmoid are Catalyst
+expressions. fastText's hashed-bigram trick maps onto the same plan
+with a hash-bucket join key instead of the raw token.
+
+Weights are FIXED-POINT integers (weight_scale units per 1.0), not
+doubles, for a scale reason that doubles as an oracle reason: a
+floating-point sum's value depends on partial-aggregation order, so a
+double-weighted score is not reproducible across retries, partition
+counts, or engines. An integer sum is exact and order-free; the only
+float ops are one division and one sigmoid on the finished sum —
+bit-identical everywhere, so kept/dropped decisions are stable and a
+SQL oracle replays them bit-for-bit. (Score is still rounded to 9
+decimals before the keep decision, 6 on output, per the engine float
+policy.)
+
+Reference parity: no counterpart in the reference; added LLM-pipeline
+surface (model-based quality filtering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .portable import phash
+from .text import normalize_text
+
+
+def pseudo_weights(
+    vocab: DataFrame, tok_col: str = "tok", weight_scale: int = 1000
+) -> DataFrame:
+    """A deterministic stand-in for trained weights: fixed-point
+    w(tok) uniform over [-weight_scale, weight_scale] derived from the
+    portable hash, so tests and SQL oracles replay inference without
+    shipping a model file. DuckDB equivalent:
+    ``(phash(tok) % (2*scale + 1)) - scale``. Swap this table for real
+    (quantized) trained weights in production — the inference plan is
+    identical."""
+    w = (phash(tok_col) % (2 * weight_scale + 1)) - weight_scale
+    return vocab.select(tok_col, w.cast("bigint").alias("weight"))
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok) pairs under the engine-portable normalization."""
+    return df.select(
+        id_col, F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    )
+
+
+def score_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """Score docs with a linear model over mean token weight:
+    ``score = sigmoid(bias + sum(w)/(weight_scale * n_tokens))``;
+    unseen (OOV) tokens contribute 0 weight but still count in the
+    denominator, so scores are length-normalized. Returns
+    (id, score, oov_ratio, kept).
+
+    ``weights`` must be (tok, weight) with INTEGER fixed-point
+    weights (see module docstring) and model-sized — it is broadcast.
+    The only corpus-wide shuffle is the per-doc integer sum."""
+    toks = tokens(df, id_col, text_col)
+    joined = toks.join(F.broadcast(weights), on="tok", how="left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum(F.coalesce("weight", F.lit(0))).alias("w_sum"),
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(
+            F.when(F.col("weight").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_oov"),
+    )
+    logit = F.lit(bias) + F.col("w_sum") / (
+        F.lit(weight_scale) * F.col("n_toks")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return per_doc.select(
+        id_col,
+        F.round(score, 6).alias("score"),
+        F.round(F.col("n_oov") / F.col("n_toks"), 6).alias("oov_ratio"),
+        (F.round(score, 9) >= F.lit(threshold)).alias("kept"),
+    )
+
+
+def sigmoid_sql(logit_sql: str) -> str:
+    """DuckDB rendering of the same sigmoid for oracle replay."""
+    return f"(1.0 / (1.0 + exp(-({logit_sql}))))"

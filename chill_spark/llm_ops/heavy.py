@@ -1,0 +1,106 @@
+"""Exact heavy hitters at corpus scale: two-pass Misra-Gries.
+
+The problem: "every token/n-gram/domain whose frequency is >= theta of
+the corpus" over 100 TB. A plain groupBy-count computes ALL group
+counts — at trillion-token scale that is a trillion-key shuffle to
+answer a question whose output is at most 1/theta rows. The classic
+fix (Misra-Gries summaries, which are mergeable: Agarwal et al.,
+"Mergeable Summaries", PODS 2012) bounds per-task state to
+ceil(1/theta) counters and the shuffle to (num_partitions / theta)
+candidate rows:
+
+  pass 1  per-partition Misra-Gries summary (mapInPandas, bounded
+          dict); by the averaging argument, any item with global
+          frequency ratio >= theta has local ratio >= theta in at
+          least one partition, so the union of partition summaries is
+          a superset of the true heavy hitters. Each partition also
+          emits one sentinel row carrying its item count, so the
+          global N rides the same single pass.
+  pass 2  exact recount of candidates only: broadcast the candidate
+          set (<= partitions * ceil(1/theta) rows, cluster-bounded),
+          semi-join, groupBy-count, keep count >= ceil(theta * N).
+
+The result is EXACT (pass 2 recounts; pass 1 can only over-include),
+so a SQL oracle can replay it as plain GROUP BY ... HAVING. Threshold
+arithmetic stays in integers (ceil of an exact decimal product) — no
+cross-engine float decision.
+
+Reference parity: the reference has no frequency-mining operator; this
+is added LLM-pipeline surface (vocabulary heads, boilerplate domains,
+stop-token discovery all reduce to heavy hitters).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: sentinel `tok` value is NULL on the per-partition count rows
+_SUMMARY_SCHEMA = "tok string, lb bigint"
+
+
+def _mg_merge(counters: dict[str, int], batch: pd.Series, m: int) -> None:
+    """Merge a batch's value_counts into a Misra-Gries summary of at
+    most ``m`` counters, in place. Mergeable-summary step: add, then
+    subtract the (m+1)-th largest count from everything and drop the
+    non-positive remainder."""
+    for tok, n in batch.items():
+        counters[tok] = counters.get(tok, 0) + int(n)
+    if len(counters) > m:
+        cut = sorted(counters.values(), reverse=True)[m]
+        for tok in [t for t, n in counters.items() if n - cut <= 0]:
+            del counters[tok]
+        for tok in counters:
+            counters[tok] -= cut
+
+
+def heavy_hitters(
+    items: DataFrame, col: str, theta: float, min_count: int = 1
+) -> DataFrame:
+    """All values of ``col`` with count >= max(min_count,
+    ceil(theta * N)) and their EXACT counts, as (tok, n_tok).
+
+    theta in (0, 1]; per-task state is ceil(1/theta) counters, so
+    theta=1e-6 costs ~1M dict entries per task — independent of data
+    size. Candidates from pass 1 are broadcast for the pass-2 semi-
+    join (driver-bounded: partitions/theta ids, NOT data-bounded)."""
+    if not 0 < theta <= 1:
+        raise ValueError(f"theta must be in (0, 1], got {theta}")
+    m = math.ceil(1.0 / theta)
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        part_n = 0
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            part_n += len(vals)
+            _mg_merge(counters, vals.value_counts(), m)
+        yield pd.DataFrame(
+            {
+                "tok": list(counters) + [None],
+                "lb": list(counters.values()) + [part_n],
+            }
+        )
+
+    summary = (
+        items.select(F.col(col).alias(col))
+        .mapInPandas(summarize, schema=_SUMMARY_SCHEMA)
+        .localCheckpoint()  # one pass over the corpus, reused twice
+    )
+    total = summary.filter(F.col("tok").isNull()).agg(
+        F.sum("lb").alias("n")
+    ).collect()[0]["n"] or 0
+    threshold = max(min_count, math.ceil(theta * total))
+    candidates = summary.filter(F.col("tok").isNotNull()).select(
+        F.col("tok").alias(col)
+    ).distinct()
+    return (
+        items.join(F.broadcast(candidates), on=col, how="leftsemi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .filter(F.col("n_tok") >= F.lit(threshold))
+    )

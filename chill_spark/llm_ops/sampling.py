@@ -360,3 +360,63 @@ def budget_filter_threshold(
         .filter(F.col("__b") >= F.col("__bmin"))
         .drop("__s", "__c", "__b", "__mn", "__mx", "__tot", "__bmin")
     )
+
+
+def unimax_budget(
+    df: DataFrame,
+    group_col: str,
+    count_col: Column | str,
+    total_budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): spread a total
+    token budget as uniformly as possible across groups (languages /
+    sources) subject to a per-group repetition cap of ``max_epochs``
+    passes over its data. Walk groups smallest-first; each gets
+
+        alloc_i = min(max_epochs * n_i,  R_i // groups_left)
+
+    where R_i is the budget still unallocated — small groups take
+    their cap, the per-group fair share grows as capped groups drop
+    out, and large groups split the remainder evenly.
+
+    All arithmetic is INTEGER (floor division), so allocations are
+    exact and an external SQL engine replays the sequential walk
+    bit-for-bit (recursive CTE over the size-ranked groups). Output:
+    (group, n_tokens, alloc, epochs) with epochs = alloc/n rounded
+    to 6.
+
+    Scale shape: one map-side-combinable aggregation to group level;
+    the walk itself runs on the driver over the GROUP-count-sized
+    list (languages/sources — tens to thousands, never corpus-sized;
+    same driver-bounded contract as k-means' k x dim partials). The
+    result is a model-sized table meant to broadcast back into
+    ``weighted_sample`` / ``budget_filter`` as per-group weights."""
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    c = F.col(count_col) if isinstance(count_col, str) else count_col
+    agg = df.groupBy(group_col).agg(F.sum(c).alias("n_tokens"))
+    rows = sorted(
+        agg.collect(), key=lambda r: (r["n_tokens"], str(r[group_col]))
+    )
+    spark = df.sparkSession
+    remaining = int(total_budget)
+    out = []
+    for i, r in enumerate(rows):
+        left = len(rows) - i
+        alloc = min(max_epochs * int(r["n_tokens"]), remaining // left)
+        remaining -= alloc
+        out.append((r[group_col], int(r["n_tokens"]), alloc))
+    # epochs rounds via F.round (half-up, like SQL round) — Python's
+    # round() is banker's and would diverge from an oracle on ties
+    return spark.createDataFrame(
+        out, f"{group_col} string, n_tokens bigint, alloc bigint"
+    ).withColumn(
+        "epochs",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("alloc") / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -62,6 +62,7 @@ def query(name: str, oracle: str | None = None):
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r5 additions) ---
+    "q_heavy_hitters", "q_quality_classifier", "q_unimax_budget",
     "q_profile_approx", "q_upsert_stream", "q_budget_threshold",
     "q_profile_drift", "q_distinct_ladder",
     "q_semantic_dedup", "q_dsir_select", "q_boilerplate_ngrams",
@@ -82,11 +83,15 @@ _PRIORITY: list[str] = [
     "q_dedup_components",
     "q_full_outer_hourly_diff", "q_funnel_conversion",
     "q_fuzzy_name_match", "q_gapfill_hourly", "q_max_concurrency",
-    "q_percentiles", "q_pii_redact", "q_range_join",
-    "q_scalar_funcs", "q_span_dedup",
+    "q_pii_redact", "q_range_join",
+    "q_span_dedup",
     "q_stratified_exact_counts", "q_stream_rollup_events",
-    "q_variant_props",
-    # (q_setop_except defers to q_setop_intersect, q_window_range_frame
+    # (q_scalar_funcs, q_variant_props and q_percentiles defer a round
+    # to make room for the three late-r5 adds — their expression
+    # surfaces (scalar funcs, JSON parse, exact percentiles) also run
+    # inside window rows (q_json_props r4-green, q_profile_lineitem's
+    # percentile ladder r4-green);
+    # q_setop_except defers to q_setop_intersect, q_window_range_frame
     # to the r4-green window family, q_media_summary to the two r1
     # media rows, q_decontaminate to q_benchmark_contamination's gram
     # machinery, q_cohort_retention to q_funnel_conversion, making
@@ -6753,3 +6758,157 @@ def q_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus frequency mining / model-based filtering / budget allocation
+# (r5 additions: llm_ops.heavy, llm_ops.classifier, sampling.unimax_budget)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_heavy_hitters",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT tok, count(*) AS n_tok
+    FROM toks, tot
+    GROUP BY tok, tot.n
+    HAVING count(*) >= ceil(0.002 * tot.n)
+    ORDER BY n_tok DESC, tok
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters via two-pass Misra-Gries: bounded
+    per-partition summaries (mapInPandas, ceil(1/theta) counters)
+    nominate candidates + carry partition counts in ONE pass; a
+    broadcast semi-join recounts candidates exactly. The oracle is
+    plain GROUP BY/HAVING because pass 2 makes the answer exact —
+    pass 1 only bounds the candidate set (cluster-sized, never
+    corpus-sized). See llm_ops/heavy.py for the mergeable-summary
+    argument."""
+    from .llm_ops.classifier import tokens as doc_tokens
+    from .llm_ops.heavy import heavy_hitters
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = doc_tokens(d, "doc_id", "text").select("tok")
+    return heavy_hitters(toks, "tok", theta=0.002).orderBy(
+        F.col("n_tok").desc(), "tok"
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    from .llm_ops.portable import PHASH_SQL
+
+    ph = PHASH_SQL.format(x="tok")
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) >= 5),
+    weights AS (
+        SELECT tok, ({ph} % 2001) - 1000 AS weight FROM vocab
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               sum(coalesce(w.weight, 0)) AS w_sum,
+               count(*) AS n_toks,
+               sum(CASE WHEN w.weight IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM toks t LEFT JOIN weights w USING (tok)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(w_sum / (1000 * n_toks)))), 6) AS score,
+           round(n_oov * 1.0 / n_toks, 6) AS oov_ratio,
+           (round(1.0 / (1.0 + exp(-(w_sum / (1000 * n_toks)))), 9) >= 0.5)
+               AS kept
+    FROM per_doc
+    ORDER BY doc_id
+    """
+
+
+@query("q_quality_classifier", oracle=_quality_classifier_oracle())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: linear classifier inference with
+    a broadcast fixed-point weight table (vocab = tokens seen >= 5x,
+    pseudo-weights from the portable hash standing in for a trained
+    model). Integer weight sums make the score order-independent —
+    reproducible across retries/partitionings AND replayable by the
+    SQL oracle; the only float ops run on the finished sum. One
+    corpus pass, one map-side-combinable shuffle on doc_id."""
+    from .llm_ops.classifier import (
+        pseudo_weights,
+        score_documents,
+        tokens as doc_tokens,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vocab = (
+        doc_tokens(d, "doc_id", "text")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("tok")
+    )
+    return score_documents(
+        d, "doc_id", "text", pseudo_weights(vocab), threshold=0.5
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_unimax_budget",
+    oracle="""
+    WITH RECURSIVE counts AS (
+        SELECT lang, cast(sum(n_chars) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT cast(floor(0.6 * sum(n_tokens)) AS BIGINT) AS b,
+               count(*) AS l
+        FROM counts
+    ),
+    ordered AS (
+        SELECT lang, n_tokens,
+               row_number() OVER (ORDER BY n_tokens, lang) AS rk
+        FROM counts
+    ),
+    walk AS (
+        SELECT o.lang, o.n_tokens, o.rk, t.l,
+               least(2 * o.n_tokens, t.b // t.l) AS alloc,
+               t.b - least(2 * o.n_tokens, t.b // t.l) AS remaining
+        FROM ordered o, tot t
+        WHERE o.rk = 1
+        UNION ALL
+        SELECT o.lang, o.n_tokens, o.rk, w.l,
+               least(2 * o.n_tokens, w.remaining // (w.l - o.rk + 1)),
+               w.remaining
+                   - least(2 * o.n_tokens, w.remaining // (w.l - o.rk + 1))
+        FROM walk w JOIN ordered o ON o.rk = w.rk + 1
+    )
+    SELECT lang, n_tokens, alloc,
+           CASE WHEN n_tokens > 0
+                THEN round(alloc / n_tokens, 6) ELSE 0.0 END AS epochs
+    FROM walk
+    ORDER BY lang
+    """,
+)
+def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-balanced budget allocation: per-lang token
+    counts (n_chars as the token proxy) -> smallest-first integer
+    walk capping each language at 2 epochs, budget = 60% of the
+    corpus. The walk runs driver-side over the LANGUAGE-count-sized
+    list (the k-means-partials contract); the oracle replays it as a
+    recursive CTE. Integer floor-division arithmetic throughout — no
+    cross-engine float decisions."""
+    from .llm_ops.sampling import unimax_budget
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    total = d.agg(F.sum("n_chars").alias("t")).collect()[0]["t"]
+    return unimax_budget(
+        d, "lang", F.col("n_chars"), total_budget=int(0.6 * total) if total
+        else 0, max_epochs=2,
+    ).orderBy("lang")

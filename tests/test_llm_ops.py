@@ -1865,3 +1865,194 @@ def test_plan_semdedup_k_bounds_expected_cluster_size():
     assert plan_semdedup_k(10_001, 5_000) == 3
     assert plan_semdedup_k(3, 5_000) == 1
     assert plan_semdedup_k(0, 5_000) == 1
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (llm_ops.heavy)
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from chill_spark.llm_ops.heavy import heavy_hitters
+
+    # skewed stream: 'a' 40%, 'b' 25%, long tail of singletons
+    rows = (["a"] * 400 + ["b"] * 250 + [f"t{i}" for i in range(350)])
+    df = spark.createDataFrame([(t,) for t in rows], "tok string").repartition(8)
+    got = {
+        r["tok"]: r["n_tok"]
+        for r in heavy_hitters(df, "tok", theta=0.1).collect()
+    }
+    assert got == {"a": 400, "b": 250}
+
+
+def test_heavy_hitters_threshold_boundary_and_min_count(spark):
+    from chill_spark.llm_ops.heavy import heavy_hitters
+
+    # N=100, theta=0.05 -> threshold ceil(5)=5; 'edge' has exactly 5
+    rows = ["edge"] * 5 + ["big"] * 20 + [f"t{i}" for i in range(75)]
+    df = spark.createDataFrame([(t,) for t in rows], "tok string").repartition(4)
+    got = {r["tok"] for r in heavy_hitters(df, "tok", 0.05).collect()}
+    assert got == {"edge", "big"}
+    # min_count dominates when ceil(theta*N) is below it
+    got2 = {
+        r["tok"]
+        for r in heavy_hitters(df, "tok", 0.05, min_count=6).collect()
+    }
+    assert got2 == {"big"}
+
+
+def test_heavy_hitters_mg_summary_bounds_state(spark):
+    from chill_spark.llm_ops.heavy import _mg_merge
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    # adversarial: m distinct values repeatedly, plus one heavy value
+    m = 8
+    batch = pd.Series(["h"] * 50 + [f"x{i}" for i in range(30)]).value_counts()
+    _mg_merge(counters, batch, m)
+    assert len(counters) <= m
+    assert "h" in counters  # the heavy item survives the cut
+    # lower-bound property: stored count never exceeds the true count
+    assert counters["h"] <= 50
+
+
+def test_heavy_hitters_rejects_bad_theta(spark):
+    import pytest as _pytest
+    from chill_spark.llm_ops.heavy import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "tok string")
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "tok", 0.0)
+
+
+def test_heavy_hitters_plan_broadcasts_candidates(spark):
+    import contextlib
+    import io
+
+    from chill_spark.llm_ops.heavy import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(t,) for t in ["a"] * 10 + ["b", "c"]], "tok string"
+    )
+    out = heavy_hitters(df, "tok", 0.5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# linear classifier inference (llm_ops.classifier)
+# ---------------------------------------------------------------------------
+
+def test_score_documents_known_weights(spark):
+    from chill_spark.llm_ops.classifier import score_documents
+
+    docs = spark.createDataFrame(
+        [(1, "good good spam"), (2, "unknown tokens only")],
+        "doc_id bigint, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 1000), ("spam", -500)], "tok string, weight bigint"
+    )
+    out = {r["doc_id"]: r for r in score_documents(
+        docs, "doc_id", "text", weights
+    ).collect()}
+    # doc 1: logit = (1000+1000-500)/(1000*3) = 0.5
+    import math
+    assert out[1]["score"] == round(1 / (1 + math.exp(-0.5)), 6)
+    assert out[1]["oov_ratio"] == 0.0 and out[1]["kept"]
+    # doc 2: all OOV -> logit 0 -> score exactly 0.5, kept (>= threshold)
+    assert out[2]["score"] == 0.5
+    assert out[2]["oov_ratio"] == 1.0 and out[2]["kept"]
+
+
+def test_score_documents_order_independent(spark):
+    """Integer fixed-point sums: same scores at any partitioning."""
+    from chill_spark.llm_ops.classifier import (
+        pseudo_weights, score_documents, tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 17 + 3)))
+         for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    vocab = tokens(docs, "doc_id", "text").select("tok").distinct()
+    w = pseudo_weights(vocab)
+    a = score_documents(docs.coalesce(1), "doc_id", "text", w).collect()
+    b = score_documents(docs.repartition(13), "doc_id", "text", w).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_score_documents_plan_broadcasts_weights(spark):
+    import contextlib
+    import io
+
+    from chill_spark.llm_ops.classifier import score_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id bigint, text string"
+    )
+    weights = spark.createDataFrame([("a", 10)], "tok string, weight bigint")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        score_documents(docs, "doc_id", "text", weights).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (sampling.unimax_budget)
+# ---------------------------------------------------------------------------
+
+def test_unimax_budget_caps_small_and_splits_rest(spark):
+    from chill_spark.llm_ops.sampling import unimax_budget
+
+    df = spark.createDataFrame(
+        [("tiny", 10), ("mid", 100), ("big", 1000)],
+        "lang string, n bigint",
+    )
+    out = {r["lang"]: r for r in unimax_budget(
+        df, "lang", "n", total_budget=600, max_epochs=2
+    ).collect()}
+    # smallest-first: tiny capped at 2*10=20; then mid: min(200, 580//2)=200;
+    # big takes the remainder floor: min(2000, 380//1)=380
+    assert out["tiny"]["alloc"] == 20 and out["tiny"]["epochs"] == 2.0
+    assert out["mid"]["alloc"] == 200 and out["mid"]["epochs"] == 2.0
+    assert out["big"]["alloc"] == 380 and out["big"]["epochs"] == 0.38
+    assert sum(r["alloc"] for r in out.values()) <= 600
+
+
+def test_unimax_budget_uniform_when_budget_small(spark):
+    from chill_spark.llm_ops.sampling import unimax_budget
+
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 1000), ("c", 1000)], "lang string, n bigint"
+    )
+    out = {r["lang"]: r["alloc"] for r in unimax_budget(
+        df, "lang", "n", total_budget=300, max_epochs=2
+    ).collect()}
+    assert out == {"a": 100, "b": 100, "c": 100}
+
+
+def test_unimax_budget_never_exceeds_epoch_cap_or_budget(spark):
+    from chill_spark.llm_ops.sampling import unimax_budget
+
+    df = spark.createDataFrame(
+        [(f"l{i}", (i + 1) * 7) for i in range(9)], "lang string, n bigint"
+    )
+    rows = unimax_budget(df, "lang", "n", 150, max_epochs=3).collect()
+    assert sum(r["alloc"] for r in rows) <= 150
+    for r in rows:
+        assert r["alloc"] <= 3 * r["n_tokens"]
+
+
+def test_unimax_budget_rejects_bad_params(spark):
+    import pytest as _pytest
+    from chill_spark.llm_ops.sampling import unimax_budget
+
+    df = spark.createDataFrame([("a", 1)], "lang string, n bigint")
+    with _pytest.raises(ValueError):
+        unimax_budget(df, "lang", "n", -1)
+    with _pytest.raises(ValueError):
+        unimax_budget(df, "lang", "n", 10, max_epochs=0)
