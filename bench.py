@@ -91,6 +91,9 @@ HEADLINE = [
     "q_ccnet_buckets",
     "q_weighted_sample_exact",
     "q_split_by_content",
+    "q_heavy_hitters",
+    "q_quality_classifier",
+    "q_unimax_budget",
 ]
 # q_scd1_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

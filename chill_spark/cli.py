@@ -857,6 +857,96 @@ def cmd_ladder_repair(args) -> int:
     return 0
 
 
+def cmd_heavy(args) -> int:
+    """Exact heavy hitters over a text column's tokens (two-pass
+    Misra-Gries: bounded per-task state, broadcast recount)."""
+    from pyspark.sql import functions as F
+
+    from .llm_ops.classifier import tokens
+    from .llm_ops.heavy import heavy_hitters
+    from .session import get_spark
+
+    spark = get_spark("chill-heavy")
+    df = spark.read.parquet(args.input)
+    toks = tokens(df, args.id_col, args.text_col).select("tok")
+    out = heavy_hitters(
+        toks, "tok", theta=args.theta, min_count=args.min_count
+    ).orderBy(F.col("n_tok").desc(), "tok")
+    rows = out.collect()  # <= 1/theta rows by construction
+    for r in rows:
+        print(f"{r['tok']}\t{r['n_tok']}")
+    print(f"{len(rows)} heavy hitters (theta={args.theta})")
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """Linear-classifier quality filtering: score every document with
+    a fixed-point weight table and write rows clearing --threshold."""
+    from pyspark.sql import functions as F
+
+    from .llm_ops.classifier import (
+        pseudo_weights,
+        score_documents,
+        tokens,
+    )
+    from .session import get_spark
+
+    spark = get_spark("chill-classify")
+    df = spark.read.parquet(args.input)
+    if args.weights:
+        weights = spark.read.parquet(args.weights)
+        if set(weights.columns) != {"tok", "weight"}:
+            raise SystemExit(
+                "classify: --weights parquet must have columns "
+                f"(tok, weight), got {weights.columns}"
+            )
+    else:
+        vocab = (
+            tokens(df, args.id_col, args.text_col)
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= args.min_df).select("tok")
+        )
+        weights = pseudo_weights(vocab, weight_scale=args.scale)
+    scored = score_documents(
+        df, args.id_col, args.text_col, weights,
+        bias=args.bias, threshold=args.threshold, weight_scale=args.scale,
+    )
+    kept = df.join(
+        scored.filter(F.col("kept")).select(args.id_col, "score"),
+        args.id_col,
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    n_in, n_out = df.count(), spark.read.parquet(args.out).count()
+    print(f"kept {n_out}/{n_in} docs at threshold {args.threshold}")
+    return 0
+
+
+def cmd_unimax(args) -> int:
+    """UniMax budget allocation: per-group token counts -> smallest-
+    first integer walk under an epoch cap; prints the allocation."""
+    from pyspark.sql import functions as F
+
+    from .llm_ops.chunking import tokenize_ws
+    from .llm_ops.sampling import unimax_budget
+    from .llm_ops.text import normalize_text
+    from .session import get_spark
+
+    spark = get_spark("chill-unimax")
+    df = spark.read.parquet(args.input)
+    toks = F.size(tokenize_ws(normalize_text(args.text_col)))
+    alloc = unimax_budget(
+        df.select(args.group_col, toks.alias("__tok")),
+        args.group_col, "__tok",
+        total_budget=args.budget, max_epochs=args.max_epochs,
+    ).orderBy(args.group_col)
+    for r in alloc.collect():  # model-sized: one row per group
+        print(
+            f"{r[args.group_col]}: n={r['n_tokens']} alloc={r['alloc']} "
+            f"epochs={r['epochs']}"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="chill_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -1199,6 +1289,51 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--in", dest="input", required=True)
     cp.add_argument("--target-mb", dest="target_mb", type=int, default=128)
     cp.set_defaults(fn=cmd_compact)
+
+    hh = sub.add_parser(
+        "heavy-hitters",
+        help="exact >= theta-frequency tokens (two-pass Misra-Gries)",
+    )
+    hh.add_argument("--input", required=True)
+    hh.add_argument("--theta", type=float, default=0.001)
+    hh.add_argument("--min-count", dest="min_count", type=int, default=1)
+    hh.add_argument("--text-col", default="text")
+    hh.add_argument("--id-col", default="doc_id")
+    hh.set_defaults(fn=cmd_heavy)
+
+    cf = sub.add_parser(
+        "classify",
+        help="linear-classifier quality filter (broadcast fixed-point "
+             "weights; hash pseudo-weights unless --weights given)",
+    )
+    cf.add_argument("--input", required=True)
+    cf.add_argument("--out", required=True)
+    cf.add_argument(
+        "--weights",
+        help="parquet (tok, weight) fixed-point weight table; omit to "
+             "derive deterministic pseudo-weights from the corpus vocab",
+    )
+    cf.add_argument("--threshold", type=float, default=0.5)
+    cf.add_argument("--bias", type=float, default=0.0)
+    cf.add_argument("--scale", type=int, default=1000,
+                    help="fixed-point units per 1.0 of weight")
+    cf.add_argument("--min-df", dest="min_df", type=int, default=5,
+                    help="pseudo-weight vocab floor (token doc frequency)")
+    cf.add_argument("--text-col", default="text")
+    cf.add_argument("--id-col", default="doc_id")
+    cf.set_defaults(fn=cmd_classify)
+
+    um = sub.add_parser(
+        "unimax",
+        help="UniMax budget allocation across groups under an epoch cap",
+    )
+    um.add_argument("--input", required=True)
+    um.add_argument("--budget", type=int, required=True,
+                    help="total token budget to allocate")
+    um.add_argument("--max-epochs", dest="max_epochs", type=int, default=4)
+    um.add_argument("--group-col", default="lang")
+    um.add_argument("--text-col", default="text")
+    um.set_defaults(fn=cmd_unimax)
 
     args = p.parse_args(argv)
     return args.fn(args)

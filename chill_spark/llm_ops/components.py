@@ -50,29 +50,42 @@ def connected_components(
     ).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).localCheckpoint(eager=True)
+    # init = the first propagation round, fused: component(n) =
+    # min(n, neighbors(n)) costs the same single shuffle a distinct
+    # would, so the loop starts one round ahead
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__mn"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.col("__mn")).alias("component"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         prop = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), "component"
         )
+        # the changed flag rides the SAME job as the round's
+        # checkpoint (one join against the previous labels inside the
+        # materialized plan), so convergence detection costs a
+        # limit-1 probe of the checkpointed frame instead of a second
+        # full join+count job per round
         new = (
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .join(labels.withColumnRenamed("component", "__old"), "node")
+            .select(
+                "node",
+                "component",
+                (F.col("component") != F.col("__old")).alias("__changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        converged = new.filter(F.col("__changed")).isEmpty()
+        labels = new.drop("__changed")
+        if converged:
             break
     return labels
 

@@ -831,3 +831,62 @@ def test_cli_semdedup_plans_k_from_target_cluster_size(cli_dirs, spark, capsys):
     ])
     assert rc == 0
     assert "planned k=3 for target cluster size 4" in capsys.readouterr().out
+
+
+def test_cli_heavy_hitters(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "hh_in")
+    rows = [(i, "the the the rare" if i % 2 else "the common common")
+            for i in range(20)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(src)
+    rc = main(["heavy-hitters", "--input", src, "--theta", "0.2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # 80 tokens: the=40, common=20, rare=10; theta 0.2 -> >= 16
+    assert "the\t40" in out and "common\t20" in out
+    assert "rare" not in out
+    assert "2 heavy hitters" in out
+
+
+def test_cli_classify_pseudo_and_explicit_weights(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "clf_in")
+    dst = os.path.join(cli_dirs["base"], "clf_out")
+    rows = [(1, "good stuff here"), (2, "bad junk text"), (3, "good text")]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(src)
+    wpath = os.path.join(cli_dirs["base"], "clf_w")
+    spark.createDataFrame(
+        [("good", 2000), ("bad", -2000), ("junk", -2000)],
+        "tok string, weight bigint",
+    ).write.parquet(wpath)
+    rc = main([
+        "classify", "--input", src, "--out", dst, "--weights", wpath,
+        "--threshold", "0.55",
+    ])
+    assert rc == 0
+    assert "kept 2/3" in capsys.readouterr().out
+    kept = {r["doc_id"] for r in spark.read.parquet(dst).collect()}
+    assert kept == {1, 3}
+    # malformed weight table is rejected before any work
+    import pytest as _pytest
+    bad = os.path.join(cli_dirs["base"], "clf_bad_w")
+    spark.createDataFrame([("x", 1)], "tok string, w bigint").write.parquet(bad)
+    with _pytest.raises(SystemExit):
+        main(["classify", "--input", src, "--out", dst, "--weights", bad])
+
+
+def test_cli_unimax(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "um_in")
+    rows = [(f"d{i}", "en", "a b c d e") for i in range(4)] + [
+        ("dx", "fr", "un deux"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id string, lang string, text string"
+    ).write.parquet(src)
+    rc = main([
+        "unimax", "--input", src, "--budget", "12", "--max-epochs", "2",
+        "--group-col", "lang",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # fr: n=2, capped at 4; en: n=20, remainder 8
+    assert "fr: n=2 alloc=4 epochs=2.0" in out
+    assert "en: n=20 alloc=8 epochs=0.4" in out
