@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .session import load_tables, normalize_event_ts
+from .session import load_tables, normalize_event_ts, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2411,7 +2411,7 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.portable import phash
     from .llm_ops.text import normalize_text
 
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     k = 5
     toks = d.select(
         "doc_id", F.split(normalize_text("text"), " ").alias("__t")
@@ -4875,7 +4875,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     regroups per doc, and per-doc totals join in at doc grain — a
     unique-key join, no content-key skew anywhere. At 100 TB key the
     reduction by a 128-bit span hash to shrink shuffle bytes."""
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_spans = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
     spans = (
@@ -5914,7 +5914,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives both multinomials and every per-doc weight exactly."""
     from .llm_ops.selection import dsir_select
 
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     return dsir_select(d, F.col("lang") == "en", n=100).select(
         F.col("id").alias("doc_id"), "logw"
     )
@@ -5951,7 +5951,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (occurrences desc, gram) pins the cut line across ties."""
     from .llm_ops.text import frequent_ngrams
 
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     return frequent_ngrams(d, "text", "doc_id", n=5, top_k=20)
 
 
@@ -6005,13 +6005,20 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
     )
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     pd_ = (
         d.select("doc_id", F.explode(grams).alias("gram"))
         .select("doc_id", phash(F.col("gram")).alias("gh"))
         .groupBy("gh", "doc_id")
         .agg(F.count(F.lit(1)).alias("c"))
         .drop("c")
+        # the (gh, doc) pre-aggregate feeds BOTH sides of the
+        # df-join diamond; Catalyst does not reuse the shared
+        # subtree (4 corpus scans + explodes in the static plan), so
+        # materialize it once — it is the post-dedup gram table
+        # (bounded by distinct (gram, doc) pairs), far smaller than
+        # re-expanding the corpus twice
+        .localCheckpoint(eager=False)
     )
     freq = pd_.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -6206,7 +6213,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists. The train side never shuffles its full gram stream."""
     from .llm_ops.text import normalize_text
 
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     n = 3
     with_t = d.select("doc_id", F.split(normalize_text("text"), " ").alias("__t"))
     t = F.col("__t")
@@ -6792,7 +6799,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.classifier import tokens as doc_tokens
     from .llm_ops.heavy import heavy_hitters
 
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     toks = doc_tokens(d, "doc_id", "text").select("tok")
     return heavy_hitters(toks, "tok", theta=0.002).orderBy(
         F.col("n_tok").desc(), "tok"
@@ -6846,7 +6853,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens as doc_tokens,
     )
 
-    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
     vocab = (
         doc_tokens(d, "doc_id", "text")
         .groupBy("tok")

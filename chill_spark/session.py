@@ -63,6 +63,25 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def spread(df, parts: int | None = None):
+    """Rebalance a narrow scan across executors BEFORE a CPU-heavy
+    per-row expansion (gram explode, shingle hashing, Lloyd
+    assignment, Misra-Gries summaries).
+
+    At 100 TB scan parallelism comes for free from file splits
+    (``spark.sql.files.maxPartitionBytes``), but a SINGLE-ROW-GROUP
+    parquet file — the test fixture's shape, and a real hazard with
+    small dimension/config tables or badly-written upstream files —
+    cannot split, so the whole map stage serializes onto one task
+    while 31 cores idle. The cure is one round-robin shuffle of the
+    RAW rows: corpus-bounded and pre-expansion, i.e. 10-100x smaller
+    than the grams/shingles it unlocks parallelism for. Only worth it
+    ahead of expansion-heavy work — a plain aggregate over a narrow
+    scan should NOT pay this (its scan cost ~= the repartition's)."""
+    parts = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views; return dict of DFs.
 
