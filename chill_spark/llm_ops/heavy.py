@@ -58,19 +58,12 @@ def _mg_merge(counters: dict[str, int], batch: pd.Series, m: int) -> None:
             counters[tok] -= cut
 
 
-def heavy_hitters(
-    items: DataFrame, col: str, theta: float, min_count: int = 1
-) -> DataFrame:
-    """All values of ``col`` with count >= max(min_count,
-    ceil(theta * N)) and their EXACT counts, as (tok, n_tok).
-
-    theta in (0, 1]; per-task state is ceil(1/theta) counters, so
-    theta=1e-6 costs ~1M dict entries per task — independent of data
-    size. Candidates from pass 1 are broadcast for the pass-2 semi-
-    join (driver-bounded: partitions/theta ids, NOT data-bounded)."""
-    if not 0 < theta <= 1:
-        raise ValueError(f"theta must be in (0, 1], got {theta}")
-    m = math.ceil(1.0 / theta)
+def mg_summaries(items: DataFrame, col: str, m: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``col``: one pass, at
+    most ``m`` (tok, lb) counter rows per partition plus one sentinel
+    row (tok NULL, lb = partition item count) so the global N rides
+    the same pass. Shared by the batch two-pass ``heavy_hitters`` and
+    the streaming per-batch intake."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -86,11 +79,26 @@ def heavy_hitters(
             }
         )
 
-    summary = (
-        items.select(F.col(col).alias(col))
-        .mapInPandas(summarize, schema=_SUMMARY_SCHEMA)
-        .localCheckpoint()  # one pass over the corpus, reused twice
+    return items.select(F.col(col).alias(col)).mapInPandas(
+        summarize, schema=_SUMMARY_SCHEMA
     )
+
+
+def heavy_hitters(
+    items: DataFrame, col: str, theta: float, min_count: int = 1
+) -> DataFrame:
+    """All values of ``col`` with count >= max(min_count,
+    ceil(theta * N)) and their EXACT counts, as (tok, n_tok).
+
+    theta in (0, 1]; per-task state is ceil(1/theta) counters, so
+    theta=1e-6 costs ~1M dict entries per task — independent of data
+    size. Candidates from pass 1 are broadcast for the pass-2 semi-
+    join (driver-bounded: partitions/theta ids, NOT data-bounded)."""
+    if not 0 < theta <= 1:
+        raise ValueError(f"theta must be in (0, 1], got {theta}")
+    m = math.ceil(1.0 / theta)
+    summary = mg_summaries(items, col, m).localCheckpoint()
+    # one pass over the corpus, reused twice (N + candidates)
     total = summary.filter(F.col("tok").isNull()).agg(
         F.sum("lb").alias("n")
     ).collect()[0]["n"] or 0

@@ -31,6 +31,23 @@ def partition_value(ts_literal: str) -> Column:
     return F.date_format(F.lit(ts_literal).cast("timestamp"), _PART_FMT)
 
 
+def append_batch_keyed(
+    df: DataFrame, path: str, batch_id: int,
+    extra_partition_cols: list[str] | None = None,
+) -> None:
+    """Append a micro-batch under ``BATCH_PART=<id>`` with dynamic
+    partition overwrite — a replayed batch rewrites exactly its own
+    leaves, making an append-style stream sink effectively
+    exactly-once. Shared by every streaming intake."""
+    (
+        df.withColumn(BATCH_COL, F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_COL, *(extra_partition_cols or []))
+        .parquet(path)
+    )
+
+
 def write_fact(
     df: DataFrame,
     path: str,

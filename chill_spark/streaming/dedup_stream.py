@@ -88,17 +88,7 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
-def _append_batch_keyed(
-    df: DataFrame, path: str, batch_id: int,
-    extra_partition_cols: list[str] | None = None,
-) -> None:
-    (
-        df.withColumn(BATCH_COL, F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BATCH_COL, *(extra_partition_cols or []))
-        .parquet(path)
-    )
+from ..operators.writers import append_batch_keyed as _append_batch_keyed
 
 
 def _doomed_new_ids(dups: DataFrame, new: DataFrame, id_col: str) -> DataFrame:

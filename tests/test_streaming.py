@@ -1980,3 +1980,111 @@ def test_upsert_stream_jsonl_with_quarantine(spark, stream_dirs):
     assert rows == {"s1": 5.0}
     q = spark.read.parquet(os.path.join(target, "_quarantine"))
     assert [r["rejected_line"] for r in q.collect()] == ["this is not json"]
+
+
+def test_heavy_stream_merges_batches_and_bounds_state(spark, stream_dirs):
+    """Streaming MG summary: two waves of docs; the summary holds at
+    most m counters + the sentinel, the running N covers both waves,
+    and every truly-heavy token is a candidate (no false negatives);
+    guaranteed rows are provably heavy from lower bounds alone."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.heavy_stream import (
+        heavy_candidates,
+        run_heavy_stream,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "hh_in"); os.makedirs(ind, exist_ok=True)
+    store = os.path.join(base, "hh_store")
+    ckpt = os.path.join(base, "hh_ckpt")
+
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "the the the the cat"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "the dog and a bird"}) + "\n")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", store_root=store,
+        checkpoint_dir=ckpt, theta=0.2, available_now=True,
+    )
+    drain(run_heavy_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "the the zebra"}) + "\n")
+    drain(run_heavy_stream(spark, ind, **kw))
+
+    cands = {r["tok"]: r for r in heavy_candidates(spark, store, 0.2).collect()}
+    # corpus: 13 tokens, 'the' x6 (46%) — must be present AND guaranteed
+    assert "the" in cands
+    assert cands["the"]["n_total"] == 13
+    assert cands["the"]["lb"] >= 13 * 0.2 and cands["the"]["guaranteed"]
+    # state stays bounded: m=5 counters + sentinel in the snapshot
+    snap = spark.read.parquet(os.path.join(store, "summary"))
+    latest = snap.agg(F.max("BATCH_PART").alias("b")).collect()[0]["b"]
+    assert snap.filter(F.col("BATCH_PART") == latest).count() <= 6
+
+
+def test_heavy_stream_replay_does_not_double_count(spark, stream_dirs):
+    """Drop the last commit so the batch replays: the snapshot-per-
+    batch state must fold the replay into its ORIGINAL predecessor,
+    leaving N and the lower bounds unchanged."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.heavy_stream import (
+        heavy_candidates,
+        run_heavy_stream,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "hr_in"); os.makedirs(ind, exist_ok=True)
+    store = os.path.join(base, "hr_store")
+    ckpt = os.path.join(base, "hr_ckpt")
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "x x x y z"}) + "\n")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", store_root=store,
+        checkpoint_dir=ckpt, theta=0.34, available_now=True,
+    )
+    drain(run_heavy_stream(spark, ind, **kw))
+    before = {(r["tok"], r["lb"], r["n_total"])
+              for r in heavy_candidates(spark, store, 0.34).collect()}
+
+    commits = os.path.join(ckpt, "commits")
+    newest = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain(run_heavy_stream(spark, ind, **kw))
+
+    after = {(r["tok"], r["lb"], r["n_total"])
+             for r in heavy_candidates(spark, store, 0.34).collect()}
+    assert after == before
+    assert any(t == "x" and n == 5 for t, _, n in after)
+
+
+def test_heavy_stream_prunes_old_snapshots_and_quarantines(spark, stream_dirs):
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.heavy_stream import run_heavy_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "hp_in"); os.makedirs(ind, exist_ok=True)
+    store = os.path.join(base, "hp_store")
+    ckpt = os.path.join(base, "hp_ckpt")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", store_root=store,
+        checkpoint_dir=ckpt, theta=0.5, available_now=True, prune_keep=2,
+    )
+    for i in range(4):
+        with open(os.path.join(ind, f"w{i}.jsonl"), "w") as f:
+            f.write(json.dumps({"doc_id": i, "text": f"tok{i} common"}) + "\n")
+            if i == 2:
+                f.write("{not json\n")
+        drain(run_heavy_stream(spark, ind, **kw))
+    snaps = [d for d in os.listdir(os.path.join(store, "summary"))
+             if d.startswith("BATCH_PART=")]
+    assert len(snaps) <= 2
+    q = spark.read.parquet(os.path.join(store, "_quarantine"))
+    assert q.count() == 1 and "not json" in q.collect()[0]["rejected_line"]
