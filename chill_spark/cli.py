@@ -859,13 +859,42 @@ def cmd_ladder_repair(args) -> int:
 
 def cmd_heavy(args) -> int:
     """Exact heavy hitters over a text column's tokens (two-pass
-    Misra-Gries: bounded per-task state, broadcast recount)."""
+    Misra-Gries: bounded per-task state, broadcast recount). With
+    --watch, maintain the streaming MG summary instead and print the
+    current candidate set (lower bounds; exact via a later batch
+    run)."""
     from pyspark.sql import functions as F
 
     from .llm_ops.classifier import tokens
     from .llm_ops.heavy import heavy_hitters
     from .session import get_spark
 
+    if args.watch:
+        from .streaming import drain
+        from .streaming.heavy_stream import heavy_candidates, run_heavy_stream
+
+        if not (args.schema and args.store and args.checkpoint):
+            raise SystemExit(
+                "heavy-hitters --watch needs --schema, --store and "
+                "--checkpoint"
+            )
+        spark = get_spark("chill-heavy-stream")
+        drain(run_heavy_stream(
+            spark, args.watch, args.schema, args.store, args.checkpoint,
+            theta=args.theta, text_col=args.text_col, available_now=True,
+        ))
+        rows = heavy_candidates(spark, args.store, args.theta).orderBy(
+            F.col("lb").desc(), "tok"
+        ).collect()
+        for r in rows:
+            mark = "guaranteed" if r["guaranteed"] else "candidate"
+            print(f"{r['tok']}\t{r['lb']}\t{mark}")
+        n = rows[0]["n_total"] if rows else 0
+        print(f"{len(rows)} candidates over {n} items (theta={args.theta})")
+        return 0
+
+    if not args.input:
+        raise SystemExit("heavy-hitters: --input required (or use --watch)")
     spark = get_spark("chill-heavy")
     df = spark.read.parquet(args.input)
     toks = tokens(df, args.id_col, args.text_col).select("tok")
@@ -1294,11 +1323,20 @@ def main(argv: list[str] | None = None) -> int:
         "heavy-hitters",
         help="exact >= theta-frequency tokens (two-pass Misra-Gries)",
     )
-    hh.add_argument("--input", required=True)
+    hh.add_argument("--input",
+                    help="parquet corpus (batch exact mode)")
     hh.add_argument("--theta", type=float, default=0.001)
     hh.add_argument("--min-count", dest="min_count", type=int, default=1)
     hh.add_argument("--text-col", default="text")
     hh.add_argument("--id-col", default="doc_id")
+    hh.add_argument(
+        "--watch",
+        help="JSONL dir to watch instead: maintain the streaming MG "
+             "summary (drains available files, prints candidates)",
+    )
+    hh.add_argument("--schema", help="JSONL schema (--watch mode)")
+    hh.add_argument("--store", help="summary store root (--watch mode)")
+    hh.add_argument("--checkpoint", help="checkpoint dir (--watch mode)")
     hh.set_defaults(fn=cmd_heavy)
 
     cf = sub.add_parser(

@@ -890,3 +890,27 @@ def test_cli_unimax(cli_dirs, spark, capsys):
     # fr: n=2, capped at 4; en: n=20, remainder 8
     assert "fr: n=2 alloc=4 epochs=2.0" in out
     assert "en: n=20 alloc=8 epochs=0.4" in out
+
+
+def test_cli_heavy_hitters_watch_mode(cli_dirs, spark, capsys):
+    import json
+    watch = os.path.join(cli_dirs["base"], "hhw_in")
+    store = os.path.join(cli_dirs["base"], "hhw_store")
+    ckpt = os.path.join(cli_dirs["base"], "hhw_ckpt")
+    os.makedirs(watch, exist_ok=True)
+    with open(os.path.join(watch, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "the the the cat"}) + "\n")
+    rc = main([
+        "heavy-hitters", "--watch", watch,
+        "--schema", "doc_id BIGINT, text STRING",
+        "--store", store, "--checkpoint", ckpt, "--theta", "0.5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "the\t3\tguaranteed" in out
+    # missing the stream trio fails fast
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["heavy-hitters", "--watch", watch])
+    with _pytest.raises(SystemExit):
+        main(["heavy-hitters"])
