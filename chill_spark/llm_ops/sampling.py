@@ -362,6 +362,26 @@ def budget_filter_threshold(
     )
 
 
+def unimax_walk(
+    sizes: list[tuple], total_budget: int, max_epochs: int
+) -> list[tuple]:
+    """The pure UniMax allocation walk over PRE-SORTED (group, n)
+    pairs (ascending n, ties by group): each group takes
+    ``min(max_epochs * n, remaining // groups_left)``. Returns
+    (group, n, alloc) triples in input order. Invariants (property-
+    tested): sum(alloc) <= budget; alloc_i <= max_epochs * n_i;
+    allocations are non-decreasing in n; budget goes unspent only
+    when every group hit its epoch cap."""
+    remaining = int(total_budget)
+    out = []
+    for i, (g, n) in enumerate(sizes):
+        left = len(sizes) - i
+        alloc = min(max_epochs * int(n), remaining // left)
+        remaining -= alloc
+        out.append((g, int(n), alloc))
+    return out
+
+
 def unimax_budget(
     df: DataFrame,
     group_col: str,
@@ -402,13 +422,10 @@ def unimax_budget(
         agg.collect(), key=lambda r: (r["n_tokens"], str(r[group_col]))
     )
     spark = df.sparkSession
-    remaining = int(total_budget)
-    out = []
-    for i, r in enumerate(rows):
-        left = len(rows) - i
-        alloc = min(max_epochs * int(r["n_tokens"]), remaining // left)
-        remaining -= alloc
-        out.append((r[group_col], int(r["n_tokens"]), alloc))
+    out = unimax_walk(
+        [(r[group_col], int(r["n_tokens"])) for r in rows],
+        int(total_budget), max_epochs,
+    )
     # epochs rounds via F.round (half-up, like SQL round) — Python's
     # round() is banker's and would diverge from an oracle on ties
     return spark.createDataFrame(

@@ -2056,3 +2056,67 @@ def test_unimax_budget_rejects_bad_params(spark):
         unimax_budget(df, "lang", "n", -1)
     with _pytest.raises(ValueError):
         unimax_budget(df, "lang", "n", 10, max_epochs=0)
+
+
+# ---------------------------------------------------------------------------
+# property tests: MG merge + UniMax walk invariants (driver-side, no Spark)
+# ---------------------------------------------------------------------------
+
+@given(
+    stream=hyp_st.lists(hyp_st.integers(0, 12), min_size=1, max_size=400),
+    m=hyp_st.integers(1, 10),
+    n_chunks=hyp_st.integers(1, 6),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_merge_invariants(stream, m, n_chunks):
+    """Misra-Gries mergeable-summary contract under arbitrary batch
+    splits: state stays <= m counters, stored counts are lower bounds,
+    the total undercount is <= N/(m+1) per survivor, and every item
+    with true frequency > N/(m+1) survives."""
+    import pandas as pd
+
+    from chill_spark.llm_ops.heavy import _mg_merge
+
+    toks = [f"t{x}" for x in stream]
+    true = {}
+    for t in toks:
+        true[t] = true.get(t, 0) + 1
+    counters: dict[str, int] = {}
+    size = max(1, len(toks) // n_chunks)
+    for i in range(0, len(toks), size):
+        chunk = pd.Series(toks[i:i + size]).value_counts()
+        _mg_merge(counters, chunk, m)
+        assert len(counters) <= m
+    n = len(toks)
+    slack = n // (m + 1)
+    for t, lb in counters.items():
+        assert lb <= true[t]            # lower bound
+        assert true[t] - lb <= slack    # bounded undercount
+    for t, c in true.items():
+        if c > n / (m + 1):
+            assert t in counters        # heavy items always survive
+
+
+@given(
+    sizes=hyp_st.lists(hyp_st.integers(0, 10_000), min_size=1, max_size=40),
+    budget=hyp_st.integers(0, 200_000),
+    cap=hyp_st.integers(1, 8),
+)
+@settings(max_examples=300, deadline=None)
+def test_unimax_walk_invariants(sizes, budget, cap):
+    from chill_spark.llm_ops.sampling import unimax_walk
+
+    pairs = sorted(((f"g{i}", n) for i, n in enumerate(sizes)),
+                   key=lambda p: (p[1], p[0]))
+    out = unimax_walk(pairs, budget, cap)
+    total = sum(a for _, _, a in out)
+    assert total <= budget
+    allocs = {g: a for g, _, a in out}
+    for g, n, a in out:
+        assert 0 <= a <= cap * n
+    # allocations non-decreasing in n along the walk order
+    walk_allocs = [a for _, _, a in out]
+    assert walk_allocs == sorted(walk_allocs)
+    # unspent budget only when every group hit its epoch cap
+    if total < budget:
+        assert all(a == cap * n for _, n, a in out)
