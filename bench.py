@@ -94,6 +94,7 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_quality_classifier",
     "q_unimax_budget",
+    "q_embedding_rp",
 ]
 # q_scd1_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

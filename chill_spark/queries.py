@@ -63,6 +63,7 @@ def query(name: str, oracle: str | None = None):
 _PRIORITY: list[str] = [
     # --- never driver-checked (r5 additions) ---
     "q_heavy_hitters", "q_quality_classifier", "q_unimax_budget",
+    "q_embedding_rp",
     "q_profile_approx", "q_upsert_stream", "q_budget_threshold",
     "q_profile_drift", "q_distinct_ladder",
     "q_semantic_dedup", "q_dsir_select", "q_boilerplate_ngrams",
@@ -82,8 +83,11 @@ _PRIORITY: list[str] = [
     "q9_product_profit", "q_ann_ivf_topk", "q_asof_join",
     "q_dedup_components",
     "q_full_outer_hourly_diff", "q_funnel_conversion",
-    "q_fuzzy_name_match", "q_gapfill_hourly", "q_max_concurrency",
+    "q_fuzzy_name_match", "q_max_concurrency",
     "q_pii_redact", "q_range_join",
+    # (q_gapfill_hourly defers a round for q_embedding_rp — its
+    # sequence-explode gapfill shape also rides the r2-windowed
+    # q_full_outer_hourly_diff ladder audit)
     "q_span_dedup",
     "q_stratified_exact_counts", "q_stream_rollup_events",
     # (q_scalar_funcs, q_variant_props and q_percentiles defer a round
@@ -6919,3 +6923,44 @@ def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "lang", F.col("n_chars"), total_budget=int(0.6 * total) if total
         else 0, max_epochs=2,
     ).orderBy("lang")
+
+
+def _embedding_rp_oracle() -> str:
+    from .llm_ops.projection import signs_sql
+
+    return f"""
+    WITH planes AS ({signs_sql(8, 64)}),
+    v AS (
+        SELECT vec_id, i AS d, embedding[i + 1]::DOUBLE AS x
+        FROM embeddings, unnest(range(len(embedding))) AS r(i)
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    vint AS (
+        SELECT vec_id, d, CAST(round(x * 1000000, 0) AS BIGINT) AS xi
+        FROM v
+    )
+    SELECT vec_id, p.j AS rp_dim,
+           round(sum(xi * p.s) * (sqrt(3.0 / 8) / 1000000), 6) AS value
+    FROM vint JOIN planes p ON p.d = vint.d
+    GROUP BY vec_id, p.j
+    ORDER BY vec_id, rp_dim
+    """
+
+
+@query("q_embedding_rp", oracle=_embedding_rp_oracle())
+def q_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas sparse-sign
+    planes) of the embedding table to 8 coordinates — the standard
+    preprocessing step ahead of ANN / clustering at 100 TB (shrinks
+    vector bytes ~8x while preserving pairwise distances within the
+    JL bound). Sign planes derive from the portable md5 hash and the
+    dot product is an INTEGER fold over fixed-point coordinates, so
+    the projection is aggregation-order-free and the oracle replays
+    it bit-for-bit; the one float op (the sqrt(3/k) rescale) runs on
+    the finished integer. Long output — (vec_id, rp_dim, value)."""
+    from .llm_ops.projection import random_project
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return random_project(emb, "embedding", "vec_id", k=8, dim=64).orderBy(
+        "vec_id", "rp_dim"
+    )

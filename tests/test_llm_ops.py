@@ -2120,3 +2120,81 @@ def test_unimax_walk_invariants(sizes, budget, cap):
     # unspent budget only when every group hit its epoch cap
     if total < budget:
         assert all(a == cap * n for _, n, a in out)
+
+
+# ---------------------------------------------------------------------------
+# random projection (llm_ops.projection)
+# ---------------------------------------------------------------------------
+
+def test_random_project_matches_numpy_reference(spark):
+    import numpy as np
+
+    from chill_spark.llm_ops.projection import (
+        VEC_SCALE, achlioptas_signs, random_project,
+    )
+
+    dim, k = 16, 4
+    rng = np.random.RandomState(7)
+    X = rng.randn(10, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {(r["vec_id"], r["rp_dim"]): r["value"]
+           for r in random_project(df, "embedding", "vec_id", k=k).collect()}
+    S = np.array(achlioptas_signs(k, dim))
+    Xi = np.floor(np.abs(X) * VEC_SCALE + 0.5) * np.sign(X)  # round half-up
+    ref = (Xi @ S.T) * (np.sqrt(3.0 / k) / VEC_SCALE)
+    for i in range(10):
+        for j in range(k):
+            assert out[(i, j)] == round(ref[i, j], 6)
+    assert len(out) == 10 * k
+
+
+def test_random_project_preserves_distances_jl(spark):
+    """JL sanity on planted geometry: after projection to k=16, the
+    close pair stays much closer than the far pair."""
+    import numpy as np
+
+    from chill_spark.llm_ops.projection import random_project
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(64)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + 0.01 * rng.randn(64)]),
+        (2, [float(x) for x in rng.randn(64) * 3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = random_project(df, "embedding", "vec_id", k=16).collect()
+    P = {}
+    for r in got:
+        P.setdefault(r["vec_id"], [0.0] * 16)[r["rp_dim"]] = r["value"]
+    import math
+    d01 = math.dist(P[0], P[1])
+    d02 = math.dist(P[0], P[2])
+    assert d01 < d02 / 5
+
+
+def test_random_project_drops_null_and_wrong_dim(spark):
+    from chill_spark.llm_ops.projection import random_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None), (3, [1.0] * 5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = random_project(df, "embedding", "vec_id", k=2, dim=8)
+    assert {r["vec_id"] for r in out.collect()} == {1}
+
+
+def test_achlioptas_signs_distribution_and_determinism():
+    from chill_spark.llm_ops.projection import achlioptas_signs
+
+    a = achlioptas_signs(4, 256, seed="s1")
+    assert a == achlioptas_signs(4, 256, seed="s1")
+    assert a != achlioptas_signs(4, 256, seed="s2")
+    flat = [x for row in a for x in row]
+    nz = sum(1 for x in flat if x != 0)
+    # P(nonzero) = 1/3: expect ~341 of 1024, allow wide slack
+    assert 230 <= nz <= 460
+    assert set(flat) <= {-1, 0, 1}

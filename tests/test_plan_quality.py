@@ -726,3 +726,14 @@ def test_distinct_overlap_unions_sketches_not_users(spark, sf_dir):
     plan = plan_of(Q.queries()["q_distinct_overlap"](spark, sf_dir))
     assert "hll_union" in plan and "hll_sketch_estimate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_rp_no_corpus_shuffle(spark, sf_dir):
+    """JL projection: the sign planes ride a broadcast cross join and
+    the dot product is a per-row fold — the ONLY data-keyed exchange
+    is the presentation sort; no hash shuffle of the corpus, no
+    Python in the plan."""
+    plan = plan_of(Q.queries()["q_embedding_rp"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Arguments: hashpartitioning") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
