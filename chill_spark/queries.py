@@ -6964,3 +6964,103 @@ def q_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_project(emb, "embedding", "vec_id", k=8, dim=64).orderBy(
         "vec_id", "rp_dim"
     )
+
+
+@query(
+    "q_zipf_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, n,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n DESC, tok
+               ) AS rk
+        FROM counts
+    ),
+    pts AS (
+        SELECT source, ln(rk::DOUBLE) AS x, ln(n::DOUBLE) AS y
+        FROM ranked WHERE rk <= 200
+    ),
+    fits AS (
+        SELECT source,
+               count(*) AS k,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts GROUP BY source
+    ),
+    vocabs AS (
+        SELECT source,
+               count(*) AS vocab,
+               CAST(sum(n) AS BIGINT) AS n_tokens
+        FROM counts GROUP BY source
+    )
+    SELECT v.source, v.n_tokens, v.vocab,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 6) AS zipf_slope
+    FROM vocabs v JOIN fits f USING (source)
+    ORDER BY v.source
+    """,
+)
+def q_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-health diagnostics: token count, vocabulary
+    size, and the Zipf slope (OLS fit of ln freq vs ln rank over the
+    top 200 ranks — natural text sits near -1; synthetic/boilerplate
+    corpora flatten or steepen). Scale shape: one explode into a
+    (source, tok) count agg (map-side combinable); the rank window
+    runs over the POST-AGGREGATE frame partitioned by source (vocab-
+    sized, never corpus-sized — the q_top_tokens_per_lang contract)
+    and the regression reduces 200 points per source to 5 sums. The
+    only float sums are over those 200 bounded log terms, rounded to
+    6 on output."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops.text import normalize_text
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    counts = (
+        d.select(
+            "source",
+            F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "tok")
+    pts = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 200)
+        .select(
+            "source",
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    fits = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    vocabs = counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("n").alias("n_tokens"),
+    )
+    slope = (
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return (
+        vocabs.join(fits, "source")
+        .select(
+            "source", "n_tokens", "vocab",
+            F.round(slope, 6).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )

@@ -2198,3 +2198,29 @@ def test_achlioptas_signs_distribution_and_determinism():
     # P(nonzero) = 1/3: expect ~341 of 1024, allow wide slack
     assert 230 <= nz <= 460
     assert set(flat) <= {-1, 0, 1}
+
+
+def test_zipf_stats_recovers_planted_slope(spark, tmp_path):
+    """A corpus planted with freq(rank) ~ rank^-1 must fit a slope
+    near -1; vocab and token counts are exact."""
+    import os
+
+    rows = []
+    doc = 0
+    for src in ("a", "b"):
+        toks = []
+        for rank in range(1, 51):
+            toks += [f"{src}w{rank}"] * max(1, round(1000 / rank))
+        for i in range(0, len(toks), 40):
+            rows.append((doc, src, " ".join(toks[i:i + 40])))
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    sf = os.path.join(str(tmp_path), "zipf_sf")
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+
+    from chill_spark.queries import _REGISTRY
+    out = {r["source"]: r for r in _REGISTRY["q_zipf_stats"](spark, sf).collect()}
+    for src in ("a", "b"):
+        assert out[src]["vocab"] == 50
+        assert -1.15 <= out[src]["zipf_slope"] <= -0.85
