@@ -96,7 +96,7 @@ HEADLINE = [
     "q_unimax_budget",
     "q_embedding_rp",
 ]
-# q_scd1_merge and q_upsert_stream are deliberately NOT here: they
+# q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC
 # stream), not noop-sink plans — wall time is I/O-bound and would
 # only add variance. q_profile_lineitem / q_profile_approx /

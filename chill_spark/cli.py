@@ -950,6 +950,26 @@ def cmd_classify(args) -> int:
     return 0
 
 
+def cmd_scd2(args) -> int:
+    """SCD-2 full-history merge into a two-zone dimension store."""
+    from .operators.writers import merge_scd2
+    from .session import get_spark
+
+    spark = get_spark("chill-scd2")
+    updates = spark.read.parquet(args.updates)
+    stats = merge_scd2(
+        spark, args.target, updates,
+        keys=args.keys.split(","), eff_col=args.eff_col,
+        batch_id=args.batch_id,
+    )
+    print(
+        f"inserted={stats['inserted']} closed={stats['closed']} "
+        f"unchanged={stats['unchanged']} stale={stats['stale']} "
+        f"current_rows={stats['current_rows']}"
+    )
+    return 0
+
+
 def cmd_unimax(args) -> int:
     """UniMax budget allocation: per-group token counts -> smallest-
     first integer walk under an epoch cap; prints the allocation."""
@@ -1360,6 +1380,18 @@ def main(argv: list[str] | None = None) -> int:
     cf.add_argument("--text-col", default="text")
     cf.add_argument("--id-col", default="doc_id")
     cf.set_defaults(fn=cmd_classify)
+
+    s2 = sub.add_parser(
+        "scd2",
+        help="SCD-2 full-history merge (two-zone dimension store: "
+             "current/ swap + batch-keyed history/)",
+    )
+    s2.add_argument("--target", required=True, help="dimension store root")
+    s2.add_argument("--updates", required=True, help="updates parquet path")
+    s2.add_argument("--keys", required=True, help="comma-separated key columns")
+    s2.add_argument("--eff-col", dest="eff_col", default="eff_ts")
+    s2.add_argument("--batch-id", dest="batch_id", type=int, default=0)
+    s2.set_defaults(fn=cmd_scd2)
 
     um = sub.add_parser(
         "unimax",

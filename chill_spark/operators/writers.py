@@ -511,3 +511,174 @@ def partitions_for(
     import math
 
     return max(1, math.ceil(estimated_plan_bytes(df) / target_file_bytes))
+
+
+def merge_scd2(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    eff_col: str = "eff_ts",
+    batch_id: int = 0,
+) -> dict[str, int]:
+    """SCD-2 (full-history) keyed merge without a table format: every
+    key's attribute history is kept as validity intervals. Layout is
+    the classic two-zone dimension store —
+
+    - ``<path>/current/``: exactly one open row per key
+      (``eff_end`` NULL, ``is_current`` true), rewritten atomically
+      via the shared marker-staged swap protocol;
+    - ``<path>/history/BATCH_PART=<id>/``: closed rows (``eff_end`` =
+      the superseding update's effective time), appended batch-keyed
+      so a replayed batch dynamic-overwrites its own leaf.
+
+    Merge semantics per key (after resolving in-batch conflicts to
+    the greatest ``(eff, payload)`` — intermediate same-batch versions
+    collapse, the standard CDC-compaction rule):
+
+    - new key -> open a current row at ``eff``;
+    - changed payload (any non-key column differs, null-safe) ->
+      close the open row at ``eff`` and open a new one;
+    - identical payload -> no-op (idempotent redelivery, whatever
+      its ``eff``);
+    - stale update (different payload, ``eff`` <= the open row's
+      ``eff_start``) -> skipped and counted, never applied out of
+      order.
+
+    Replay safety: history is written BEFORE the current swap, so a
+    crash between the two replays into the same history leaf
+    (dynamic overwrite, byte-identical) and then completes the swap;
+    a replay after full success finds identical payloads and
+    no-ops. At 100 TB the current zone is dimension-sized (one row
+    per key) and the per-batch cost tracks the update set — the fact
+    tables never participate.
+
+    Returns {"inserted", "closed", "unchanged", "stale",
+    "current_rows"}."""
+    from ..llm_ops.storefs import StoreFS, rename_is_atomic, swap_dir
+
+    payload_cols = [
+        c for c in updates.columns if c not in (*keys, eff_col)
+    ]
+    # in-batch conflict resolution: greatest (eff, payload) wins
+    latest = (
+        updates.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(F.col(eff_col).alias("__eff"), *payload_cols)
+            ).alias("__u")
+        )
+        .select(*keys, "__u.*")
+    )
+    cur_dir = f"{path}/current"
+    fs = StoreFS(path, spark)
+    if fs.is_dir(cur_dir):
+        # a read error here must PROPAGATE — treating it as "first
+        # write" would erase every key's open row (same contract as
+        # merge_upsert)
+        cur = spark.read.parquet(cur_dir)
+    else:
+        cur = None
+
+    out_cols = [*keys, *payload_cols, "eff_start", "eff_end", "is_current"]
+    if cur is None:
+        current_new = latest.select(
+            *keys, *payload_cols,
+            F.col("__eff").alias("eff_start"),
+            F.lit(None).cast("timestamp").alias("eff_end"),
+            F.lit(True).alias("is_current"),
+        )
+        closed = current_new.filter(F.lit(False)).select(
+            *keys, *payload_cols, "eff_start",
+            F.col("eff_end"), F.lit(False).alias("is_current"),
+        )
+        n_ins = current_new.count()
+        stats = {"inserted": n_ins, "closed": 0, "unchanged": 0,
+                 "stale": 0, "current_rows": n_ins}
+    else:
+        # hidden join aliases: a payload column literally named "c" or
+        # "u" must not collide with the dataframe aliases
+        u = latest.alias("__upd")
+        c = cur.alias("__curz")
+        j = c.join(u, keys, "full_outer")
+        same = None
+        for pc in payload_cols:
+            eq = F.col(f"__curz.{pc}").eqNullSafe(F.col(f"__upd.{pc}"))
+            same = eq if same is None else (same & eq)
+        has_c = F.col("__curz.eff_start").isNotNull()
+        has_u = F.col("__upd.__eff").isNotNull()
+        # identical payload counts as an unchanged redelivery even at
+        # equal/earlier eff (the replay case); stale is reserved for
+        # genuinely out-of-order DIFFERENT payloads
+        stale = (
+            has_c & has_u & ~same
+            & (F.col("__upd.__eff") <= F.col("__curz.eff_start"))
+        )
+        changed = has_c & has_u & ~same & ~stale
+        j = j.select(
+            *[F.coalesce(F.col(f"__curz.{k}"), F.col(f"__upd.{k}")).alias(k)
+              for k in keys],
+            *[F.col(f"__curz.{pc}").alias(f"__c_{pc}")
+              for pc in payload_cols],
+            *[F.col(f"__upd.{pc}").alias(f"__u_{pc}")
+              for pc in payload_cols],
+            F.col("__curz.eff_start").alias("__c_start"),
+            F.col("__upd.__eff").alias("__eff"),
+            has_c.alias("__has_c"), has_u.alias("__has_u"),
+            stale.alias("__stale"), changed.alias("__changed"),
+        ).localCheckpoint(eager=True)  # one materialization feeds
+        # history, current, and all four counters; also freezes the
+        # read of current/ BEFORE its directory is swapped below
+        closed = j.filter(F.col("__changed")).select(
+            *keys,
+            *[F.col(f"__c_{pc}").alias(pc) for pc in payload_cols],
+            F.col("__c_start").alias("eff_start"),
+            F.col("__eff").alias("eff_end"),
+            F.lit(False).alias("is_current"),
+        )
+        kept = j.filter(
+            F.col("__has_c") & ~F.col("__changed")
+        ).select(
+            *keys,
+            *[F.col(f"__c_{pc}").alias(pc) for pc in payload_cols],
+            F.col("__c_start").alias("eff_start"),
+            F.lit(None).cast("timestamp").alias("eff_end"),
+            F.lit(True).alias("is_current"),
+        )
+        opened = j.filter(
+            F.col("__changed") | (~F.col("__has_c") & F.col("__has_u"))
+        ).select(
+            *keys,
+            *[F.col(f"__u_{pc}").alias(pc) for pc in payload_cols],
+            F.col("__eff").alias("eff_start"),
+            F.lit(None).cast("timestamp").alias("eff_end"),
+            F.lit(True).alias("is_current"),
+        )
+        current_new = kept.unionByName(opened)
+        agg = j.agg(
+            F.sum((~F.col("__has_c") & F.col("__has_u")).cast("int")).alias("i"),
+            F.sum(F.col("__changed").cast("int")).alias("cl"),
+            F.sum((F.col("__has_c") & F.col("__has_u") & ~F.col("__changed")
+                   & ~F.col("__stale")).cast("int")).alias("un"),
+            F.sum(F.col("__stale").cast("int")).alias("st"),
+        ).collect()[0]
+        stats = {"inserted": agg["i"] or 0, "closed": agg["cl"] or 0,
+                 "unchanged": agg["un"] or 0, "stale": agg["st"] or 0}
+
+    # history FIRST (replay-idempotent dynamic overwrite), then the
+    # current swap — see docstring for the crash-window argument
+    append_batch_keyed(closed.select(*out_cols), f"{path}/history", batch_id)
+    tmp, aside = f"{path}/.cur_tmp", f"{path}/.cur_aside"
+    marker = f"{path}/.cur_swap.json"
+    for stale_dir in (tmp, aside):
+        if fs.is_dir(stale_dir):
+            fs.delete(stale_dir)
+    current_new.select(*out_cols).write.mode("overwrite").parquet(tmp)
+    if cur is None:
+        fs.rename(tmp, cur_dir)
+    else:
+        swap_dir(fs, cur_dir, tmp, aside, marker,
+                 atomic=rename_is_atomic(path))
+    if "current_rows" not in stats:
+        stats["current_rows"] = spark.read.parquet(cur_dir).count()
+    return stats

@@ -63,7 +63,7 @@ def query(name: str, oracle: str | None = None):
 _PRIORITY: list[str] = [
     # --- never driver-checked (r5 additions) ---
     "q_heavy_hitters", "q_quality_classifier", "q_unimax_budget",
-    "q_embedding_rp",
+    "q_embedding_rp", "q_scd2_merge",
     "q_profile_approx", "q_upsert_stream", "q_budget_threshold",
     "q_profile_drift", "q_distinct_ladder",
     "q_semantic_dedup", "q_dsir_select", "q_boilerplate_ngrams",
@@ -79,7 +79,9 @@ _PRIORITY: list[str] = [
     "q_media_image_meta", "q_rollup_15m", "q_setop_intersect",
     # --- last driver check: round 2 ---
     "q17_small_quantity_revenue", "q19_disjunctive_join",
-    "q20_dominant_suppliers", "q21_waiting_orders", "q8_market_share",
+    "q20_dominant_suppliers", "q21_waiting_orders",
+    # (q8_market_share defers a round for q_scd2_merge — its
+    # nested-agg/CASE share shape stays represented by q9 and q14)
     "q9_product_profit", "q_ann_ivf_topk", "q_asof_join",
     "q_dedup_components",
     "q_full_outer_hourly_diff", "q_funnel_conversion",
@@ -7064,3 +7066,110 @@ def q_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SCD2_CUTS = ["2024-01-08 00:00:00", "2024-01-15 00:00:00",
+              "2024-01-22 00:00:00"]
+
+
+def _scd2_oracle() -> str:
+    c1, c2, c3 = _SCD2_CUTS
+    wave = (
+        "SELECT event_type AS k, count(*) AS n, "
+        "count(DISTINCT user_id) AS u, TIMESTAMP '{c}' AS eff "
+        "FROM events WHERE ts < TIMESTAMP '{c}' GROUP BY event_type"
+    )
+    step = """
+    s{i} AS (
+        SELECT coalesce(s.k, w.k) AS k,
+               CASE WHEN w.k IS NOT NULL
+                         AND (s.k IS NULL OR w.n <> s.n OR w.u <> s.u)
+                    THEN w.n ELSE s.n END AS n,
+               CASE WHEN w.k IS NOT NULL
+                         AND (s.k IS NULL OR w.n <> s.n OR w.u <> s.u)
+                    THEN w.u ELSE s.u END AS u,
+               CASE WHEN s.k IS NULL THEN w.eff
+                    WHEN w.k IS NOT NULL AND (w.n <> s.n OR w.u <> s.u)
+                    THEN w.eff ELSE s.eff_start END AS eff_start
+        FROM s{p} s FULL OUTER JOIN w{i} w ON s.k = w.k
+    ),
+    h{i} AS (
+        SELECT s.k, s.n, s.u, s.eff_start, w.eff AS eff_end
+        FROM s{p} s JOIN w{i} w ON s.k = w.k
+        WHERE w.n <> s.n OR w.u <> s.u
+    )"""
+    return f"""
+    WITH w2 AS ({wave.format(c=c2)}),
+    w3 AS ({wave.format(c=c3)}),
+    s1 AS (
+        SELECT event_type AS k, count(*) AS n,
+               count(DISTINCT user_id) AS u,
+               TIMESTAMP '{c1}' AS eff_start
+        FROM events WHERE ts < TIMESTAMP '{c1}' GROUP BY event_type
+    ),{step.format(i=2, p=1)},{step.format(i=3, p=2)}
+    SELECT k AS event_type, CAST(n AS BIGINT) AS n, CAST(u AS BIGINT) AS u,
+           eff_start, CAST(NULL AS TIMESTAMP) AS eff_end,
+           TRUE AS is_current
+    FROM s3
+    UNION ALL
+    SELECT k, CAST(n AS BIGINT), CAST(u AS BIGINT),
+           eff_start, eff_end, FALSE FROM h2
+    UNION ALL
+    SELECT k, CAST(n AS BIGINT), CAST(u AS BIGINT),
+           eff_start, eff_end, FALSE FROM h3
+    ORDER BY event_type, eff_start
+    """
+
+
+@query("q_scd2_merge", oracle=_scd2_oracle())
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 full-history dimension merge through the REAL writer path
+    (operators.writers.merge_scd2): three weekly snapshots of a
+    per-event-type profile merge into a two-zone dimension store —
+    changed payloads close the open validity interval and open a new
+    one, unchanged keys stay open, history appends batch-keyed (a
+    replayed batch rewrites its own leaf), and the current zone swaps
+    via the shared marker-staged protocol. The payload is all-integer
+    (count + distinct users), so interval boundaries are exact across
+    engines; the oracle replays the interval algebra as chained
+    full-outer merge steps. Extends the reference's
+    reload-by-DATETIME idempotency model (HlxTools.py:372-450) to
+    attribute HISTORY, which the reference cannot express at all."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.writers import merge_scd2
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+
+    def wave(cut: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+            .groupBy(F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("user_id").alias("u"),
+            )
+            .withColumn("eff_ts", F.lit(cut).cast("timestamp"))
+        )
+
+    tmp = tempfile.mkdtemp(prefix="chill_scd2_")
+    try:
+        dim = os.path.join(tmp, "dim")
+        for b, cut in enumerate(_SCD2_CUTS):
+            merge_scd2(spark, dim, wave(cut), keys=["event_type"],
+                       batch_id=b)
+        cur = spark.read.parquet(os.path.join(dim, "current"))
+        hist = spark.read.parquet(os.path.join(dim, "history")).drop(
+            "BATCH_PART"
+        )
+        return (
+            cur.unionByName(hist)
+            .select("event_type", "n", "u", "eff_start", "eff_end",
+                    "is_current")
+            .orderBy("event_type", "eff_start")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

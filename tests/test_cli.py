@@ -914,3 +914,30 @@ def test_cli_heavy_hitters_watch_mode(cli_dirs, spark, capsys):
         main(["heavy-hitters", "--watch", watch])
     with _pytest.raises(SystemExit):
         main(["heavy-hitters"])
+
+
+def test_cli_scd2(cli_dirs, spark, capsys):
+    from datetime import datetime as dt
+
+    target = os.path.join(cli_dirs["base"], "scd2_dim")
+    u1 = os.path.join(cli_dirs["base"], "scd2_u1")
+    u2 = os.path.join(cli_dirs["base"], "scd2_u2")
+    schema = "cust_id bigint, tier string, eff_ts timestamp"
+    spark.createDataFrame(
+        [(1, "gold", dt(2024, 1, 1)), (2, "bronze", dt(2024, 1, 1))], schema
+    ).write.parquet(u1)
+    spark.createDataFrame(
+        [(1, "platinum", dt(2024, 2, 1))], schema
+    ).write.parquet(u2)
+    rc = main(["scd2", "--target", target, "--updates", u1,
+               "--keys", "cust_id", "--batch-id", "0"])
+    assert rc == 0
+    assert "inserted=2 closed=0" in capsys.readouterr().out
+    rc = main(["scd2", "--target", target, "--updates", u2,
+               "--keys", "cust_id", "--batch-id", "1"])
+    assert rc == 0
+    assert "closed=1" in capsys.readouterr().out
+    cur = {r["cust_id"]: r["tier"]
+           for r in spark.read.parquet(f"{target}/current").collect()}
+    assert cur == {1: "platinum", 2: "bronze"}
+    assert spark.read.parquet(f"{target}/history").count() == 1

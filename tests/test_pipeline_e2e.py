@@ -509,3 +509,110 @@ def test_distinct_ladder_reaggregates_sketches(spark):
     # level-from-previous, not from-base: the WK plan reads no table
     # scan beyond the DY frame's lineage — both share ONE base scan
     assert ladder["WK"].columns == ["DATETIME", "__hll"]
+
+
+def _scd2_updates(spark, rows):
+    return spark.createDataFrame(
+        rows, "cust_id bigint, tier string, city string, eff_ts timestamp"
+    )
+
+
+def test_merge_scd2_lifecycle(spark, tmp_path):
+    """SCD-2 two-zone merge: insert -> change (closes + reopens) ->
+    identical redelivery no-op -> stale update skipped; history holds
+    exactly the superseded intervals."""
+    from datetime import datetime as dt
+
+    from chill_spark.operators.writers import merge_scd2
+
+    path = str(tmp_path / "dim")
+    s1 = merge_scd2(
+        spark, path,
+        _scd2_updates(spark, [
+            (1, "gold", "rome", dt(2024, 1, 1)),
+            (2, "bronze", "oslo", dt(2024, 1, 1)),
+        ]),
+        keys=["cust_id"], batch_id=0,
+    )
+    assert s1 == {"inserted": 2, "closed": 0, "unchanged": 0,
+                  "stale": 0, "current_rows": 2}
+
+    # wave 2: tier change for 1, identical redelivery for 2, stale for 1
+    s2 = merge_scd2(
+        spark, path,
+        _scd2_updates(spark, [
+            (1, "platinum", "rome", dt(2024, 2, 1)),
+            (2, "bronze", "oslo", dt(2024, 3, 1)),
+        ]),
+        keys=["cust_id"], batch_id=1,
+    )
+    assert s2["closed"] == 1 and s2["unchanged"] == 1
+    assert s2["current_rows"] == 2
+    s3 = merge_scd2(
+        spark, path,
+        _scd2_updates(spark, [(1, "silver", "rome", dt(2023, 12, 1))]),
+        keys=["cust_id"], batch_id=2,
+    )
+    assert s3["stale"] == 1 and s3["closed"] == 0
+
+    cur = {r["cust_id"]: r for r in spark.read.parquet(f"{path}/current").collect()}
+    assert cur[1]["tier"] == "platinum" and cur[1]["is_current"]
+    assert cur[1]["eff_start"] == dt(2024, 2, 1) and cur[1]["eff_end"] is None
+    assert cur[2]["tier"] == "bronze"
+    hist = spark.read.parquet(f"{path}/history")
+    hrows = hist.collect()
+    assert len(hrows) == 1
+    h = hrows[0]
+    assert (h["cust_id"], h["tier"]) == (1, "gold")
+    assert h["eff_start"] == dt(2024, 1, 1) and h["eff_end"] == dt(2024, 2, 1)
+    assert not h["is_current"]
+
+
+def test_merge_scd2_in_batch_conflict_collapses(spark, tmp_path):
+    from datetime import datetime as dt
+
+    from chill_spark.operators.writers import merge_scd2
+
+    path = str(tmp_path / "dim")
+    merge_scd2(
+        spark, path,
+        _scd2_updates(spark, [
+            (1, "gold", "rome", dt(2024, 1, 2)),
+            (1, "silver", "rome", dt(2024, 1, 1)),  # earlier, collapses
+        ]),
+        keys=["cust_id"], batch_id=0,
+    )
+    cur = spark.read.parquet(f"{path}/current").collect()
+    assert len(cur) == 1 and cur[0]["tier"] == "gold"
+    assert cur[0]["eff_start"] == dt(2024, 1, 2)
+
+
+def test_merge_scd2_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch (same updates, same batch id) must leave
+    current AND history byte-identical — no double closes, no
+    duplicated history rows."""
+    from datetime import datetime as dt
+
+    from chill_spark.operators.writers import merge_scd2
+
+    path = str(tmp_path / "dim")
+    merge_scd2(
+        spark, path,
+        _scd2_updates(spark, [(1, "gold", "rome", dt(2024, 1, 1))]),
+        keys=["cust_id"], batch_id=0,
+    )
+    upd2 = [(1, "platinum", "rome", dt(2024, 2, 1)),
+            (3, "iron", "lima", dt(2024, 2, 1))]
+    merge_scd2(spark, path, _scd2_updates(spark, upd2),
+               keys=["cust_id"], batch_id=1)
+
+    def snapshot():
+        c = sorted(map(tuple, spark.read.parquet(f"{path}/current").collect()))
+        h = sorted(map(tuple, spark.read.parquet(f"{path}/history").collect()))
+        return c, h
+
+    before = snapshot()
+    s = merge_scd2(spark, path, _scd2_updates(spark, upd2),
+                   keys=["cust_id"], batch_id=1)  # REPLAY
+    assert snapshot() == before
+    assert s["closed"] == 0 and s["unchanged"] == 2 and s["inserted"] == 0
