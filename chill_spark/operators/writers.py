@@ -682,3 +682,33 @@ def merge_scd2(
     if "current_rows" not in stats:
         stats["current_rows"] = spark.read.parquet(cur_dir).count()
     return stats
+
+
+def scd2_as_of(spark: SparkSession, path: str, ts) -> DataFrame:
+    """Point-in-time reconstruction of a ``merge_scd2`` dimension: the
+    attribute row valid for each key at ``ts`` — current rows with
+    ``eff_start <= ts``, plus history rows whose validity interval
+    covers ``ts`` (``eff_start <= ts < eff_end``). Keys first seen
+    after ``ts`` are absent, exactly as they were then.
+
+    One pruned read per zone and a union — no join: the zones
+    partition the intervals by construction (an open row and a closed
+    row of the same key can both match only if their intervals
+    overlap, which the merge never produces). This is the dimension
+    side of an as-of fact join (operators/asof.py) when history
+    granularity matters."""
+    t = F.lit(ts).cast("timestamp")
+    cur = spark.read.parquet(f"{path}/current").filter(
+        F.col("eff_start") <= t
+    )
+    from ..llm_ops.storefs import StoreFS
+
+    hist_dir = f"{path}/history"
+    if StoreFS(path, spark).is_dir(hist_dir):
+        hist = (
+            spark.read.parquet(hist_dir)
+            .drop(BATCH_COL)
+            .filter((F.col("eff_start") <= t) & (t < F.col("eff_end")))
+        )
+        return cur.unionByName(hist)
+    return cur

@@ -616,3 +616,36 @@ def test_merge_scd2_replay_is_idempotent(spark, tmp_path):
                    keys=["cust_id"], batch_id=1)  # REPLAY
     assert snapshot() == before
     assert s["closed"] == 0 and s["unchanged"] == 2 and s["inserted"] == 0
+
+
+def test_scd2_as_of_reconstructs_past_states(spark, tmp_path):
+    from datetime import datetime as dt
+
+    from chill_spark.operators.writers import merge_scd2, scd2_as_of
+
+    path = str(tmp_path / "dim")
+    merge_scd2(
+        spark, path,
+        _scd2_updates(spark, [(1, "gold", "rome", dt(2024, 1, 1))]),
+        keys=["cust_id"], batch_id=0,
+    )
+    merge_scd2(
+        spark, path,
+        _scd2_updates(spark, [
+            (1, "platinum", "rome", dt(2024, 3, 1)),
+            (2, "bronze", "oslo", dt(2024, 3, 1)),
+        ]),
+        keys=["cust_id"], batch_id=1,
+    )
+    # before anything existed
+    assert scd2_as_of(spark, path, dt(2023, 6, 1)).count() == 0
+    # between the waves: only key 1, still gold
+    mid = {r["cust_id"]: r["tier"]
+           for r in scd2_as_of(spark, path, dt(2024, 2, 1)).collect()}
+    assert mid == {1: "gold"}
+    # after wave 2: both keys, key 1 platinum
+    now = {r["cust_id"]: r["tier"]
+           for r in scd2_as_of(spark, path, dt(2024, 6, 1)).collect()}
+    assert now == {1: "platinum", 2: "bronze"}
+    # exactly one row per key at every instant probed
+    assert scd2_as_of(spark, path, dt(2024, 3, 1)).count() == 2
