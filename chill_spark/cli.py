@@ -970,6 +970,23 @@ def cmd_scd2(args) -> int:
     return 0
 
 
+def cmd_rp(args) -> int:
+    """JL random projection of an embedding column to k coordinates
+    (long format: id, rp_dim, value)."""
+    from .llm_ops.projection import random_project
+    from .session import get_spark
+
+    spark = get_spark("chill-rp")
+    df = spark.read.parquet(args.input)
+    out = random_project(
+        df, args.vec_col, args.id_col, k=args.k, seed=args.seed,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"projected {n // args.k} vectors to {args.k} dims ({n} rows)")
+    return 0
+
+
 def cmd_unimax(args) -> int:
     """UniMax budget allocation: per-group token counts -> smallest-
     first integer walk under an epoch cap; prints the allocation."""
@@ -1392,6 +1409,19 @@ def main(argv: list[str] | None = None) -> int:
     s2.add_argument("--eff-col", dest="eff_col", default="eff_ts")
     s2.add_argument("--batch-id", dest="batch_id", type=int, default=0)
     s2.set_defaults(fn=cmd_scd2)
+
+    rp = sub.add_parser(
+        "rp",
+        help="JL random projection of an embedding column "
+             "(Achlioptas signs, integer dot products)",
+    )
+    rp.add_argument("--input", required=True)
+    rp.add_argument("--out", required=True)
+    rp.add_argument("--k", type=int, default=8)
+    rp.add_argument("--seed", default="rp")
+    rp.add_argument("--vec-col", default="embedding")
+    rp.add_argument("--id-col", default="vec_id")
+    rp.set_defaults(fn=cmd_rp)
 
     um = sub.add_parser(
         "unimax",

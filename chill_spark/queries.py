@@ -7173,3 +7173,80 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _scd2_asof_oracle() -> str:
+    c1, c2, _ = _SCD2_CUTS
+    return f"""
+    WITH w2 AS (
+        SELECT event_type AS k, count(*) AS n,
+               count(DISTINCT user_id) AS u, TIMESTAMP '{c2}' AS eff
+        FROM events WHERE ts < TIMESTAMP '{c2}' GROUP BY event_type
+    ),
+    s1 AS (
+        SELECT event_type AS k, count(*) AS n,
+               count(DISTINCT user_id) AS u,
+               TIMESTAMP '{c1}' AS eff_start
+        FROM events WHERE ts < TIMESTAMP '{c1}' GROUP BY event_type
+    )
+    SELECT coalesce(s.k, w.k) AS event_type,
+           CAST(CASE WHEN w.k IS NOT NULL
+                          AND (s.k IS NULL OR w.n <> s.n OR w.u <> s.u)
+                     THEN w.n ELSE s.n END AS BIGINT) AS n,
+           CAST(CASE WHEN w.k IS NOT NULL
+                          AND (s.k IS NULL OR w.n <> s.n OR w.u <> s.u)
+                     THEN w.u ELSE s.u END AS BIGINT) AS u,
+           CASE WHEN s.k IS NULL THEN w.eff
+                WHEN w.k IS NOT NULL AND (w.n <> s.n OR w.u <> s.u)
+                THEN w.eff ELSE s.eff_start END AS eff_start
+    FROM s1 s FULL OUTER JOIN w2 w ON s.k = w.k
+    ORDER BY event_type
+    """
+
+
+@query("q_scd2_asof", oracle=_scd2_asof_oracle())
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction (writers.scd2_as_of):
+    build the same three-wave SCD-2 store as q_scd2_merge, then read
+    the dimension AS OF an instant between waves 2 and 3 — the open
+    rows then, i.e. wave-2 state with wave-1 start times wherever the
+    payload never changed. The oracle derives that mid-state directly
+    from the first merge step's algebra, so the reader (interval
+    cover: pruned union of the two zones, no join) is hash-checked
+    independently of the writer's end state."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.writers import merge_scd2, scd2_as_of
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+
+    def wave(cut: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+            .groupBy(F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("user_id").alias("u"),
+            )
+            .withColumn("eff_ts", F.lit(cut).cast("timestamp"))
+        )
+
+    tmp = tempfile.mkdtemp(prefix="chill_scd2asof_")
+    try:
+        dim = os.path.join(tmp, "dim")
+        for b, cut in enumerate(_SCD2_CUTS):
+            merge_scd2(spark, dim, wave(cut), keys=["event_type"],
+                       batch_id=b)
+        probe = datetime.datetime.fromisoformat(_SCD2_CUTS[1]) + \
+            datetime.timedelta(days=1)
+        return (
+            scd2_as_of(spark, dim, probe)
+            .select("event_type", "n", "u", "eff_start")
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

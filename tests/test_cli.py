@@ -941,3 +941,18 @@ def test_cli_scd2(cli_dirs, spark, capsys):
            for r in spark.read.parquet(f"{target}/current").collect()}
     assert cur == {1: "platinum", 2: "bronze"}
     assert spark.read.parquet(f"{target}/history").count() == 1
+
+
+def test_cli_rp(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "rp_in")
+    dst = os.path.join(cli_dirs["base"], "rp_out")
+    rows = [(i, [float((i * j) % 5) for j in range(16)]) for i in range(6)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).write.parquet(src)
+    rc = main(["rp", "--input", src, "--out", dst, "--k", "4"])
+    assert rc == 0
+    assert "projected 6 vectors to 4 dims (24 rows)" in capsys.readouterr().out
+    out = spark.read.parquet(dst)
+    assert set(out.columns) == {"vec_id", "rp_dim", "value"}
+    assert out.count() == 24
