@@ -7250,3 +7250,68 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_cross_source_grams",
+    oracle=r"""
+    WITH norm AS (
+        SELECT source,
+               string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   ' ') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT source,
+               ('0x' || substring(md5(
+                   array_to_string(list_slice(t, i, i + 4), ' ')
+               ), 1, 15))::BIGINT AS gh
+        FROM norm, unnest(range(1, greatest(len(t) - 5, 0) + 2)) AS r(i)
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS shared_grams
+    FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY src_a, src_b
+    """,
+)
+def q_cross_source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-sharing matrix: for every source pair, how
+    many distinct 5-gram spans they share — the syndication/boilerplate
+    detector that tells a corpus curator which feeds copy from which
+    (exact-dup checks miss it when copies are lightly edited). Shape:
+    one gram explode into a DISTINCT (source, gram-hash) pre-aggregate
+    (combiner-safe), then ONE equi-join on the 60-bit hash whose pair
+    expansion is bounded by C(sources, 2) per gram — never
+    corpus-quadratic; gram strings never enter an Exchange (the
+    q_ngram_novelty contract)."""
+    from .llm_ops.portable import phash
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    g = (
+        d.select("source", F.explode(grams).alias("gram"))
+        .select("source", phash(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .orderBy("src_a", "src_b")
+    )
