@@ -7296,21 +7296,32 @@ def q_cross_source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
     )
-    g = (
+    # ONE gram-keyed shuffle: collect_set dedups (source, gram) and
+    # groups in the same aggregation (a distinct + self-join shape
+    # shuffles twice and re-expands the corpus for each join side —
+    # measured 4x slower); the per-gram source set is bounded by the
+    # source count, so the in-row pair expansion is O(C(sources, 2))
+    sets = (
         d.select("source", F.explode(grams).alias("gram"))
         .select("source", phash(F.col("gram")).alias("gh"))
-        .distinct()
+        .groupBy("gh")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
     )
-    a, b = g.alias("a"), g.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.gh") == F.col("b.gh"))
-            & (F.col("a.source") < F.col("b.source")),
+    pairs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
         )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
+            F.col("p.src_a").alias("src_a"),
+            F.col("p.src_b").alias("src_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .orderBy("src_a", "src_b")
