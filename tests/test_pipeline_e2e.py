@@ -649,3 +649,61 @@ def test_scd2_as_of_reconstructs_past_states(spark, tmp_path):
     assert now == {1: "platinum", 2: "bronze"}
     # exactly one row per key at every instant probed
     assert scd2_as_of(spark, path, dt(2024, 3, 1)).count() == 2
+
+
+def test_merge_scd2_differential_vs_reference_model(spark, tmp_path):
+    """Drive merge_scd2 with three pseudo-random CDC batches and check
+    the store against an in-memory reference model, plus structural
+    interval invariants: exactly one open row per key, history
+    intervals are well-formed (start < end), and each key's intervals
+    chain without overlap."""
+    import hashlib
+    from datetime import datetime as dt, timedelta
+
+    from chill_spark.operators.writers import merge_scd2
+
+    def h(s):  # deterministic pseudo-randomness, no RNG state
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    path = str(tmp_path / "dim")
+    model = {}          # key -> (tier, city, eff_start)
+    closed_model = []   # (key, tier, city, start, end)
+    for b in range(3):
+        base = dt(2024, 1, 1) + timedelta(days=7 * b)
+        rows = []
+        for k in range(8):
+            if h(f"skip:{b}:{k}") % 3 == 0:
+                continue
+            tier = f"t{h(f'tier:{b}:{k}') % 3}"
+            city = f"c{h(f'city:{b}:{k}') % 2}"
+            rows.append((k, tier, city, base))
+        merge_scd2(spark, path, _scd2_updates(spark, rows),
+                   keys=["cust_id"], batch_id=b)
+        for k, tier, city, eff in rows:
+            if k not in model:
+                model[k] = (tier, city, eff)
+            else:
+                ot, oc, os_ = model[k]
+                if (tier, city) != (ot, oc) and eff > os_:
+                    closed_model.append((k, ot, oc, os_, eff))
+                    model[k] = (tier, city, eff)
+
+    cur = {r["cust_id"]: (r["tier"], r["city"], r["eff_start"])
+           for r in spark.read.parquet(f"{path}/current").collect()}
+    assert cur == model
+    hist = sorted(
+        (r["cust_id"], r["tier"], r["city"], r["eff_start"], r["eff_end"])
+        for r in spark.read.parquet(f"{path}/history").collect()
+    )
+    assert hist == sorted(closed_model)
+    # structural invariants
+    for k, _, _, s, e in hist:
+        assert s < e
+    by_key = {}
+    for k, _, _, s, e in hist:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivals in by_key.items():
+        ivals.sort()
+        for (s1, e1), (s2, e2) in zip(ivals, ivals[1:]):
+            assert e1 <= s2  # no overlap
+        assert k in cur and ivals[-1][1] <= cur[k][2]  # chains into open row
