@@ -259,3 +259,82 @@ def resize_images(media: DataFrame, max_side: int) -> DataFrame:
         .select("media_id", "content")
         .mapInPandas(run, schema=RESIZE_META_SCHEMA)
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType(), True),
+        StructField("n_pixels", LongType(), True),
+    ]
+)
+
+
+def _ahash_bytes(px: bytes, bits: int) -> int | None:
+    """Average-hash over a byte buffer: split positions into ``bits``
+    cells via ``cell(i) = (i * bits) // n`` (the exact integer
+    partition a SQL oracle replays), set cell bit iff the cell's mean
+    exceeds the global mean — compared CROSS-MULTIPLIED in integers
+    (``csum * n > tsum * ccnt``), so no float ever decides a bit."""
+    n = len(px)
+    if n == 0:
+        return None
+    tsum = sum(px)
+    csum = [0] * bits
+    ccnt = [0] * bits
+    for i, b in enumerate(px):
+        c = (i * bits) // n
+        csum[c] += b
+        ccnt[c] += 1
+    h = 0
+    for c in range(bits):
+        if csum[c] * n > tsum * ccnt[c]:
+            h |= 1 << c
+    return h
+
+
+def image_ahash(
+    media: DataFrame, bits: int = 16, codec: Codec | None = None
+) -> DataFrame:
+    """Perceptual (average) hash per image row — the near-dup key for
+    media dedup: byte-identical copies collide on md5, but re-encoded
+    or lightly-edited copies only collide perceptually. One Arrow-
+    batched pass (bytes never leave the executor); downstream blocking
+    is a plain groupBy on ``ahash`` — model-free, skew handled as
+    aggregate skew. FakeCodec's 'pixels' are the payload after the
+    ``IMG:w:h:c:`` header; a real codec supplies decoded luma bytes
+    through the same interface."""
+    codec = codec or FakeCodec()
+
+    def pixels_of(content: bytes) -> bytes | None:
+        head, _, rest = content.partition(b":")
+        if head != b"IMG":
+            return None
+        try:
+            _, _, _, px = rest.split(b":", 3)
+        except ValueError:
+            return None
+        return px
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px = pixels_of(bytes(content or b""))
+                h = _ahash_bytes(px, bits) if px is not None else None
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "ahash": h,
+                        "n_pixels": len(px) if px is not None else None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(run, schema=AHASH_SCHEMA)
+    )

@@ -7326,3 +7326,47 @@ def q_cross_source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "q_media_ahash",
+    oracle=_MEDIA_SQL + """
+    , imgs AS (
+        SELECT media_id, text AS px, length(text) AS n
+        FROM media WHERE kind = 'image' AND length(text) > 0
+    ),
+    cells AS (
+        SELECT media_id, n, (i * 16) // n AS cell,
+               ord(substring(px, i + 1, 1)) AS b
+        FROM imgs, unnest(range(length(px))) AS r(i)
+    ),
+    per_cell AS (
+        SELECT media_id, n, cell,
+               sum(b) AS csum, count(*) AS ccnt
+        FROM cells GROUP BY 1, 2, 3
+    ),
+    per_img AS (
+        SELECT media_id, n, sum(csum) AS tsum FROM per_cell GROUP BY 1, 2
+    )
+    SELECT c.media_id,
+           CAST(sum(CASE WHEN c.csum * i.n > i.tsum * c.ccnt
+                         THEN 1 << c.cell ELSE 0 END) AS BIGINT) AS ahash,
+           CAST(i.n AS BIGINT) AS n_pixels
+    FROM per_cell c JOIN per_img i USING (media_id)
+    GROUP BY c.media_id, i.n
+    ORDER BY c.media_id
+    """,
+)
+def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average) hash over the image rows of the synthetic
+    media table (llm_ops.multimodal.image_ahash): 16 positional cells,
+    every bit decided by an integer cross-multiplied mean comparison —
+    float-free, so the oracle replays each bit from the character
+    bytes (the corpus is ASCII: byte == code point). This is the
+    near-dup blocking key exact md5 dedup can't provide; one Arrow
+    pass, bytes never leave the executor."""
+    from .llm_ops.multimodal import image_ahash
+
+    return image_ahash(_synthetic_media(spark, sf_dir), bits=16).orderBy(
+        "media_id"
+    )

@@ -2224,3 +2224,41 @@ def test_zipf_stats_recovers_planted_slope(spark, tmp_path):
     for src in ("a", "b"):
         assert out[src]["vocab"] == 50
         assert -1.15 <= out[src]["zipf_slope"] <= -0.85
+
+
+def test_image_ahash_known_buffer_and_robustness(spark):
+    from chill_spark.llm_ops.multimodal import _ahash_bytes, image_ahash
+
+    # 4 cells over 8 bytes: cells = [0,0],[1,1],[2,2],[3,3] pairs
+    px = bytes([10, 10, 0, 0, 20, 20, 0, 0])
+    # tsum=60, n=8; cell sums: 20,0,40,0; bit iff csum*8 > 60*2
+    assert _ahash_bytes(px, 4) == 0b0101
+    assert _ahash_bytes(b"", 4) is None
+
+    rows = [
+        (0, "image", b"IMG:1:1:1:" + px, None, 18),
+        (1, "image", b"IMG:broken", None, 10),
+        (2, "audio", b"AUD:xx", None, 6),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, content binary, mime string, "
+        "n_bytes bigint",
+    )
+    out = {r["media_id"]: r for r in image_ahash(media, bits=4).collect()}
+    assert out[0]["ahash"] == 0b0101 and out[0]["n_pixels"] == 8
+    assert out[1]["ahash"] is None  # malformed header -> null, no crash
+    assert 2 not in out  # non-image rows filtered
+
+
+def test_image_ahash_near_dup_vs_different(spark):
+    """A lightly-edited copy keeps the same ahash; different content
+    diverges — the perceptual property md5 can't give."""
+    from chill_spark.llm_ops.multimodal import _ahash_bytes
+
+    base = bytes(range(64)) * 4
+    edited = bytearray(base)
+    edited[3] ^= 1  # one-byte tweak
+    different = bytes(reversed(base))
+    assert _ahash_bytes(base, 16) == _ahash_bytes(bytes(edited), 16)
+    assert _ahash_bytes(base, 16) != _ahash_bytes(different, 16)
