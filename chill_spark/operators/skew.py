@@ -78,3 +78,27 @@ def write_bucketed(
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def skew_report(df, key_cols) -> "DataFrame":
+    """One-row join-key skew diagnosis — the 'do I need to salt this
+    join / is AQE skew-split enough?' report: row and key counts, the
+    hottest key's share, exact p50/p99/max of per-key row counts, and
+    the max/mean skew ratio. Two map-side-combinable aggregations (the
+    second runs over the KEY-count-sized frame, never the corpus); no
+    windows, no collects beyond the 1-row result."""
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    return per_key.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n").alias("max_key_rows"),
+        F.round(F.max("__n") / F.sum("__n"), 6).alias("max_key_share"),
+        F.round(F.percentile("__n", F.lit(0.5)), 6).alias("p50_key_rows"),
+        F.round(F.percentile("__n", F.lit(0.99)), 6).alias("p99_key_rows"),
+        F.round(
+            F.max("__n") / (F.sum("__n") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+    )

@@ -7370,3 +7370,33 @@ def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ahash(_synthetic_media(spark, sf_dir), bits=16).orderBy(
         "media_id"
     )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           round(max(n) * 1.0 / sum(n), 6) AS max_key_share,
+           round(quantile_cont(n, 0.5), 6) AS p50_key_rows,
+           round(quantile_cont(n, 0.99), 6) AS p99_key_rows,
+           round(max(n) / (sum(n) * 1.0 / count(*)), 6) AS skew_ratio
+    FROM per_key
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (operators.skew.skew_report) over
+    events.user_id — the pre-flight check for every key this engine
+    joins or windows on: hottest-key share, exact per-key count
+    percentiles, and the max/mean skew ratio that decides between a
+    plain join, AQE skew-split, and explicit salting (SCALE.md's
+    window-skew policy). Two combiner-safe aggregations; the second
+    runs over the key-count frame, never the corpus."""
+    from .operators.skew import skew_report
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return skew_report(ev, "user_id")

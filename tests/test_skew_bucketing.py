@@ -81,3 +81,19 @@ def test_bucketed_join_has_no_exchange(spark):
         for name in ("t_facts", "t_dims"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_skew_report_flags_planted_hot_key(spark):
+    from chill_spark.operators.skew import skew_report
+
+    rows = [(1, "hot")] * 90 + [(i, f"k{i}") for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "v int, k string")
+    r = skew_report(df, "k").collect()[0]
+    assert r["n_rows"] == 100 and r["n_keys"] == 11
+    assert r["max_key_rows"] == 90
+    assert r["max_key_share"] == 0.9
+    assert r["p50_key_rows"] == 1.0
+    assert abs(r["skew_ratio"] - 90 / (100 / 11)) < 1e-6
+    # composite keys accepted
+    r2 = skew_report(df, ["k", "v"]).collect()[0]
+    assert r2["n_keys"] == 11
