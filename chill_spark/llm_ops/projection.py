@@ -112,3 +112,55 @@ def random_project(
             F.round(dot * F.lit(scale), 6).alias("value"),
         )
     )
+
+
+def project_to_vectors(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    seed: str = "rp",
+    dim: int | None = None,
+) -> DataFrame:
+    """``random_project`` reassembled to one row per id: (id, pvec
+    array<double>) with coordinates in rp_dim order — the compact
+    search-side representation (k doubles instead of dim floats).
+    One groupBy on the id (map-side combinable collect of k structs)."""
+    long = random_project(df, vec_col, id_col, k=k, seed=seed, dim=dim)
+    return (
+        long.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rp_dim", "value"))
+            ).alias("__s")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__s"), lambda e: e["value"]).alias("pvec"),
+        )
+    )
+
+
+def project_vector(vec: list, k: int = 8, seed: str = "rp") -> list:
+    """Driver-side twin of ``random_project`` for a single query
+    vector — the same integer fixed-point arithmetic, so a projected
+    query is bit-identical to the distributed projection of the same
+    vector."""
+    import math
+
+    dim = len(vec)
+    signs = achlioptas_signs(k, dim, seed)
+    out = []
+    scale = math.sqrt(3.0 / k) / VEC_SCALE
+    def r6(v: float) -> float:
+        # half-up like SQL round(); Python's round() is banker's
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    for j in range(k):
+        acc = 0
+        for d, x in enumerate(vec):
+            xi = int(math.floor(abs(x) * VEC_SCALE + 0.5))
+            xi = xi if x >= 0 else -xi
+            acc += xi * signs[j][d]
+        out.append(r6(acc * scale))
+    return out

@@ -7400,3 +7400,87 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return skew_report(ev, "user_id")
+
+
+def _ann_rerank_oracle() -> str:
+    from .llm_ops.projection import signs_sql
+
+    return f"""
+    WITH planes AS ({signs_sql(32, 64)}),
+    v AS (
+        SELECT vec_id, i AS d, embedding[i + 1]::DOUBLE AS x
+        FROM embeddings, unnest(range(len(embedding))) AS r(i)
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    vint AS (
+        SELECT vec_id, d, CAST(round(x * 1000000, 0) AS BIGINT) AS xi
+        FROM v
+    ),
+    proj AS (
+        SELECT vec_id, p.j,
+               round(sum(xi * p.s) * (sqrt(3.0 / 32) / 1000000), 6) AS val
+        FROM vint JOIN planes p ON p.d = vint.d
+        GROUP BY vec_id, p.j
+    ),
+    qproj AS (SELECT j, val FROM proj WHERE vec_id = 0),
+    coarse AS (
+        SELECT p.vec_id,
+               round(sum(p.val * q.val)
+                     / (sqrt(sum(p.val * p.val))
+                        * sqrt(sum(q.val * q.val))), 9) AS c
+        FROM proj p JOIN qproj q USING (j)
+        GROUP BY p.vec_id
+    ),
+    cand AS (SELECT vec_id FROM coarse ORDER BY c DESC, vec_id LIMIT 50)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings
+                  WHERE vec_id = 0)), 6) AS cosine
+    FROM embeddings e JOIN cand USING (vec_id)
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@query("q_ann_rerank", oracle=_ann_rerank_oracle())
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-then-exact ANN — the production two-stage shape: rank
+    the whole corpus in 16-dim JL space (4x fewer bytes than the raw
+    vectors; at scale the projected table is the only thing the
+    search fleet keeps hot), take the top-50 coarse candidates
+    (TakeOrdered heap), then re-rank just those 50 by exact cosine
+    over the raw vectors. Both cut lines are deterministic (coarse
+    score rounded to 9, ties by id; exact rounded to 6) so the oracle
+    replays the full funnel, including which near-misses the coarse
+    stage drops."""
+    from .llm_ops.dedup import cosine_sim
+    from .llm_ops.projection import project_to_vectors, project_vector
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qraw = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    pq = F.array(*[F.lit(x) for x in project_vector(qraw, k=32)])
+    pv = project_to_vectors(emb, "embedding", "vec_id", k=32, dim=64)
+    cand = (
+        pv.select(
+            "vec_id",
+            F.round(cosine_sim(F.col("pvec"), pq), 9).alias("c"),
+        )
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(50)
+        .select("vec_id")
+    )
+    qlit = F.array(*[F.lit(x) for x in qraw])
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                cosine_sim(F.col("embedding").cast("array<double>"), qlit),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

@@ -2262,3 +2262,29 @@ def test_image_ahash_near_dup_vs_different(spark):
     different = bytes(reversed(base))
     assert _ahash_bytes(base, 16) == _ahash_bytes(bytes(edited), 16)
     assert _ahash_bytes(base, 16) != _ahash_bytes(different, 16)
+
+
+def test_project_vector_matches_distributed_projection(spark):
+    from chill_spark.llm_ops.projection import (
+        project_to_vectors, project_vector,
+    )
+
+    rows = [(i, [float((i * j) % 9) - 3.5 for j in range(32)])
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pv = {r["vec_id"]: list(r["pvec"])
+          for r in project_to_vectors(df, "embedding", "vec_id", k=6).collect()}
+    for i, vec in rows:
+        assert pv[i] == project_vector(vec, k=6), i
+
+
+def test_ann_rerank_recall_vs_bruteforce(spark):
+    """The coarse JL funnel must recover most of the true top-10 at
+    sf0.001 (JL with k=16 over dim 64 preserves neighborhoods)."""
+    from chill_spark.queries import _REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"] for r in _REGISTRY["q_ann_rerank"](spark, sf).collect()}
+    true = {r["vec_id"] for r in _REGISTRY["q_ann_topk"](spark, sf).collect()}
+    assert len(got & true) >= 6  # recall >= 0.6 through a 50-candidate funnel
+    assert 0 in got  # the query vector itself always survives
