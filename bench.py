@@ -97,6 +97,9 @@ HEADLINE = [
     "q_embedding_rp",
     "q_zipf_stats",
     "q_cross_source_grams",
+    "q_media_ahash",
+    "q_skew_report",
+    "q_ann_rerank",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC
