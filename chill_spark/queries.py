@@ -7484,3 +7484,83 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "q_sampled_stats",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks,
+               ('0x' || substring(md5('stats:' || doc_id), 1, 8))::BIGINT % 10000 AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT count(*) AS s_docs,
+               CAST(sum(toks) AS BIGINT) AS s_toks
+        FROM base WHERE bucket < 1000
+    ),
+    t AS (
+        SELECT count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_toks
+        FROM base
+    )
+    SELECT s.s_docs AS sample_docs,
+           CAST(s.s_docs * 10 AS BIGINT) AS est_docs,
+           t.n_docs AS true_docs,
+           CAST(s.s_toks * 10 AS BIGINT) AS est_tokens,
+           t.n_toks AS true_tokens,
+           (abs(s.s_docs * 10 - t.n_docs) * 1.0 / t.n_docs <= 0.15)
+               AS docs_within_15pct,
+           (abs(s.s_toks * 10 - t.n_toks) * 1.0 / t.n_toks <= 0.15)
+               AS tokens_within_15pct
+    FROM s, t
+    """,
+)
+def q_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-first corpus estimation — how you EXPLORE 100 TB before
+    committing a full pass: a deterministic 10% hash sample
+    (content-independent buckets, stable under growth/retries —
+    sampling.hash_bucket) estimates document and token totals; the
+    in-plan verdicts assert the estimates land within 15% of truth
+    (the oracle recomputes both sides, so a broken sampler or a
+    biased estimator flips a hashed boolean). The sample costs 1/10th
+    of the scan at scale via a pushed bucket predicate; truth here is
+    computed only because the fixture is small enough to check."""
+    from .llm_ops.sampling import hash_bucket
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            " ",
+        )
+    )
+    base = d.select(
+        toks.alias("toks"),
+        hash_bucket("doc_id", seed="stats").alias("bucket"),
+    )
+    s = base.filter(F.col("bucket") < 1000).agg(
+        F.count(F.lit(1)).alias("sample_docs"),
+        F.sum("toks").alias("s_toks"),
+    )
+    t = base.agg(
+        F.count(F.lit(1)).alias("true_docs"),
+        F.sum("toks").alias("true_tokens"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "sample_docs",
+        (F.col("sample_docs") * 10).alias("est_docs"),
+        "true_docs",
+        (F.col("s_toks") * 10).alias("est_tokens"),
+        F.col("true_tokens"),
+        (
+            F.abs(F.col("sample_docs") * 10 - F.col("true_docs"))
+            / F.col("true_docs")
+            <= 0.15
+        ).alias("docs_within_15pct"),
+        (
+            F.abs(F.col("s_toks") * 10 - F.col("true_tokens"))
+            / F.col("true_tokens")
+            <= 0.15
+        ).alias("tokens_within_15pct"),
+    )
