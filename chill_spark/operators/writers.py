@@ -712,3 +712,43 @@ def scd2_as_of(spark: SparkSession, path: str, ts) -> DataFrame:
         )
         return cur.unionByName(hist)
     return cur
+
+
+def small_file_report(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Compaction advisor: per-partition file count / bytes / average
+    file size and whether ``compact_partitions`` would rewrite it
+    (more files than ``target_file_bytes`` calls for). Listing rides
+    the Hadoop FileSystem API (works on any store); the result is
+    PARTITION-count-sized — run it from a scheduler to pick sealed
+    periods worth compacting instead of blindly rewriting the table."""
+    import math as _math
+
+    from ..llm_ops.storefs import StoreFS
+
+    fs = StoreFS(path, spark)
+    rows = []
+    for part in sorted(fs.list_dirs(path)):
+        if "=" not in part:
+            continue
+        pdir = f"{path}/{part}"
+        files = fs.list_files(pdir, suffix=".parquet")
+        # streamed facts nest BATCH_PART leaves under the period
+        for sub in fs.list_dirs(pdir):
+            if sub.startswith(f"{BATCH_COL}="):
+                files += fs.list_files(f"{pdir}/{sub}", suffix=".parquet")
+        n = len(files)
+        total = sum(sz for _, sz in files)
+        want = max(1, _math.ceil(total / target_file_bytes))
+        rows.append((
+            part.split("=", 1)[1], n, total,
+            total // n if n else 0, n > want,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "partition string, n_files int, total_bytes bigint, "
+        "avg_file_bytes bigint, needs_compaction boolean",
+    )

@@ -707,3 +707,27 @@ def test_merge_scd2_differential_vs_reference_model(spark, tmp_path):
         for (s1, e1), (s2, e2) in zip(ivals, ivals[1:]):
             assert e1 <= s2  # no overlap
         assert k in cur and ivals[-1][1] <= cur[k][2]  # chains into open row
+
+
+def test_small_file_report_flags_fragmented_partition(spark, tmp_path):
+    from chill_spark.operators.writers import (
+        compact_partitions, small_file_report, write_fact,
+    )
+
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", f"s{i}", float(i)) for i in range(100)]
+        + [("2024-01-01 00:15:00", "s1", 1.0)],
+        ["DATETIME", "SITE", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(df.repartition(20), path)
+    rep = {r["partition"]: r for r in small_file_report(spark, path).collect()}
+    frag = rep["202401010000"]
+    assert frag["n_files"] > 1 and frag["needs_compaction"]
+    assert rep["202401010015"]["n_files"] == 1
+    assert not rep["202401010015"]["needs_compaction"]
+    # after compaction the advisor goes quiet
+    compact_partitions(spark, path)
+    rep2 = {r["partition"]: r for r in small_file_report(spark, path).collect()}
+    assert not any(r["needs_compaction"] for r in rep2.values())
+    assert rep2["202401010000"]["n_files"] == 1
