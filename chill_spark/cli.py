@@ -293,10 +293,26 @@ def cmd_profile(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    from .operators.writers import compact_partitions
+    from .operators.writers import compact_partitions, small_file_report
     from .session import get_spark
 
     spark = get_spark("chill-compact")
+    if args.dry_run:
+        rows = small_file_report(
+            spark, args.input,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+        ).collect()  # partition-count-sized
+        flagged = 0
+        for r in rows:
+            mark = "COMPACT" if r["needs_compaction"] else "ok"
+            flagged += r["needs_compaction"]
+            print(
+                f"{r['partition']}: {r['n_files']} file(s), "
+                f"{r['total_bytes']} bytes, avg {r['avg_file_bytes']} "
+                f"-> {mark}"
+            )
+        print(f"{flagged}/{len(rows)} partition(s) would be compacted")
+        return 0
     done = compact_partitions(
         spark, args.input, target_file_bytes=args.target_mb * 1024 * 1024
     )
@@ -1354,6 +1370,11 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser("compact", help="merge small files per partition")
     cp.add_argument("--in", dest="input", required=True)
     cp.add_argument("--target-mb", dest="target_mb", type=int, default=128)
+    cp.add_argument(
+        "--dry-run", dest="dry_run", action="store_true",
+        help="print the per-partition small-file report instead of "
+             "rewriting anything",
+    )
     cp.set_defaults(fn=cmd_compact)
 
     hh = sub.add_parser(

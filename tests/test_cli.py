@@ -956,3 +956,23 @@ def test_cli_rp(cli_dirs, spark, capsys):
     out = spark.read.parquet(dst)
     assert set(out.columns) == {"vec_id", "rp_dim", "value"}
     assert out.count() == 24
+
+
+def test_cli_compact_dry_run(cli_dirs, spark, capsys):
+    from pyspark.sql import functions as F
+
+    from chill_spark.operators.writers import write_fact
+
+    path = os.path.join(cli_dirs["base"], "cdr_fact")
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", f"s{i}", float(i)) for i in range(60)],
+        ["DATETIME", "SITE", "CALLS"],
+    ).withColumn("DATETIME", F.col("DATETIME").cast("timestamp"))
+    write_fact(df.repartition(10), path)
+    rc = main(["compact", "--in", path, "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "-> COMPACT" in out and "1/1 partition(s) would be compacted" in out
+    # dry run rewrote nothing
+    leaf = os.path.join(path, "DT_PART=202401010000")
+    assert len([f for f in os.listdir(leaf) if f.endswith(".parquet")]) > 1
