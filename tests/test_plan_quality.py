@@ -737,3 +737,44 @@ def test_embedding_rp_no_corpus_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Arguments: hashpartitioning") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_source_grams_single_gram_shuffle_no_join(spark, sf_dir):
+    """The sharing matrix rides ONE collect_set aggregation on the
+    gram hash + a tiny pair regroup — no self-join (the distinct +
+    join shape shuffled twice and re-expanded the corpus per side),
+    no window, and no gram STRING in any exchange."""
+    import re
+
+    plan = plan_of(Q.queries()["q_cross_source_grams"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "gram" not in m.group(1)
+
+
+def test_zipf_stats_windows_postaggregate_only(spark, sf_dir):
+    """The rank window must consume the (source, tok) COUNT aggregate
+    — vocab-sized partitions — never raw corpus rows: a partial
+    aggregate precedes the window's exchange."""
+    plan = plan_of(Q.queries()["q_zipf_stats"](spark, sf_dir))
+    assert "Window" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_sampled_stats_two_aggregates_one_broadcast(spark, sf_dir):
+    """Sample estimate + truth are two combiner-safe aggregates glued
+    by a 1-row broadcast — no data-keyed shuffle at all."""
+    plan = plan_of(Q.queries()["q_sampled_stats"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert data_exchanges(plan) == 0
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ann_rerank_broadcasts_candidates_exact_side(spark, sf_dir):
+    """The exact re-rank must broadcast the 50-candidate set into the
+    raw-vector scan (the corpus side never shuffles on the id), and
+    both stage cuts are TakeOrdered heaps, not global sorts."""
+    plan = plan_of(Q.queries()["q_ann_rerank"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
