@@ -113,6 +113,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Return one row per input vector:
 
@@ -135,7 +136,10 @@ def semantic_dedup(
     # is the mode of row sizes (robust to a bad first row).
     from .dedup import _mode_dim
 
-    dim = _mode_dim(emb, vec_col)
+    if dim is None:
+        # the mode of row widths costs one scan+agg; callers that know
+        # the embedding width (fixed-dim stores) pass it and skip it
+        dim = _mode_dim(emb, vec_col)
     vc = F.col(vec_col)
     valid = emb.filter(vc.isNotNull() & (F.size(vc) == dim))
     bad = emb.filter(vc.isNull() | (F.size(vc) != dim)).select(

@@ -3503,7 +3503,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.semantic import semantic_dedup
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    out = semantic_dedup(emb, k=8, iters=2, tau=0.4)
+    out = semantic_dedup(emb, k=8, iters=2, tau=0.4, dim=64)
     return (
         out.select(
             F.col("id").alias("vec_id"),
