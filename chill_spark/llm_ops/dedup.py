@@ -622,6 +622,7 @@ def embedding_near_dups(
     seed: int = 42,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     observation=None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine: random-hyperplane LSH bucket
     (sign bits of dot products with ``planes`` fixed random vectors)
@@ -632,7 +633,8 @@ def embedding_near_dups(
     as (1 - angle/pi)^planes. Use ``embedding_near_dups_banded`` when
     recall matters — this variant remains for the cheapest
     one-shuffle screen."""
-    dim = _mode_dim(df, vec_col)
+    if dim is None:
+        dim = _mode_dim(df, vec_col)
     v = F.col(vec_col)
     bucket = _hyperplane_bucket(
         v.cast("array<double>"), hyperplane_vectors(dim, planes, 1, seed)[0]
@@ -933,6 +935,7 @@ def embedding_near_dups_banded(
     seed: int = 42,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     observation=None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-band hyperplane LSH (the recall-bearing scale path, same
     shape as MinHash banding): ``bands`` independent plane sets; a
@@ -951,7 +954,8 @@ def embedding_near_dups_banded(
     from ``plan_hyperplane_lsh(threshold, target_recall)`` instead of
     trusting the defaults; ``hyperplane_recall`` gives the analytic
     floor for any setting."""
-    dim = _mode_dim(df, vec_col)
+    if dim is None:
+        dim = _mode_dim(df, vec_col)
     allv = hyperplane_vectors(dim, planes, bands, seed)
     v = F.col(vec_col).cast("array<double>")
     # ids ONLY through expansion + cross-band dedup: multi-band

@@ -1375,7 +1375,8 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return (
         embedding_near_dups_banded(
-            emb, "embedding", "vec_id", threshold=0.4, planes=6, bands=8
+            emb, "embedding", "vec_id", threshold=0.4, planes=6, bands=8,
+            dim=64,
         )
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
@@ -1485,7 +1486,8 @@ def q_embedding_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     pairs = embedding_near_dups_banded(
-        emb, "embedding", "vec_id", threshold=0.4, planes=6, bands=8
+        emb, "embedding", "vec_id", threshold=0.4, planes=6, bands=8,
+            dim=64,
     )
     comps = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
     return (
