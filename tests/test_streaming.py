@@ -2088,3 +2088,78 @@ def test_heavy_stream_prunes_old_snapshots_and_quarantines(spark, stream_dirs):
     assert len(snaps) <= 2
     q = spark.read.parquet(os.path.join(store, "_quarantine"))
     assert q.count() == 1 and "not json" in q.collect()[0]["rejected_line"]
+
+
+def test_classify_stream_splits_kept_rejected_quarantine(spark, stream_dirs):
+    """Classifier-gated intake: two waves of docs with explicit
+    weights; kept/rejected/corrupt land in their channels, and the
+    rejected channel keeps scores for the audit trail."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.classify_stream import run_classify_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "cf_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "cf_out")
+    ckpt = os.path.join(base, "cf_ckpt")
+    weights = spark.createDataFrame(
+        [("good", 2000), ("bad", -2000)], "tok string, weight bigint"
+    )
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "good good stuff"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "bad bad junk"}) + "\n")
+        f.write("{broken\n")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out, weights=weights,
+        checkpoint_dir=ckpt, threshold=0.55, available_now=True,
+    )
+    drain(run_classify_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "more good text"}) + "\n")
+    drain(run_classify_stream(spark, ind, **kw))
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}
+    rej = {r["doc_id"]: r["score"]
+           for r in spark.read.parquet(f"{out}/_rejected").collect()}
+    assert set(rej) == {2} and rej[2] < 0.55
+    q = spark.read.parquet(f"{out}/_quarantine")
+    assert q.count() == 1
+
+
+def test_classify_stream_replay_is_idempotent(spark, stream_dirs):
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.classify_stream import run_classify_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "cfr_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "cfr_out")
+    ckpt = os.path.join(base, "cfr_ckpt")
+    weights = spark.createDataFrame(
+        [("good", 2000)], "tok string, weight bigint"
+    )
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "good stuff"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "meh meh meh meh"}) + "\n")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out, weights=weights,
+        checkpoint_dir=ckpt, threshold=0.55, available_now=True,
+    )
+    drain(run_classify_stream(spark, ind, **kw))
+    before = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    commits = os.path.join(ckpt, "commits")
+    newest = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, newest))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain(run_classify_stream(spark, ind, **kw))
+    after = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    assert after == before  # lists, not sets: duplicates must fail
