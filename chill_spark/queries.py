@@ -7566,3 +7566,101 @@ def q_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15
         ).alias("tokens_within_15pct"),
     )
+
+
+@query(
+    "q_psi_drift",
+    oracle=r"""
+    WITH base AS (
+        SELECT source,
+               least(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) // 20, 5) AS bin,
+               (('0x' || substring(md5('psi:' || doc_id), 1, 8))::BIGINT % 10000) < 5000 AS in_a
+        FROM documents
+    ),
+    cells AS (
+        SELECT source, bin,
+               sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+        FROM base GROUP BY 1, 2
+    ),
+    tots AS (
+        SELECT source, sum(ca) AS ta, sum(cb) AS tb FROM cells GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+           round(sum(
+               ((c.ca + 0.5) / (t.ta + 3.0) - (c.cb + 0.5) / (t.tb + 3.0))
+               * ln(((c.ca + 0.5) / (t.ta + 3.0))
+                    / ((c.cb + 0.5) / (t.tb + 3.0)))
+           ), 6) AS psi,
+           (round(sum(
+               ((c.ca + 0.5) / (t.ta + 3.0) - (c.cb + 0.5) / (t.tb + 3.0))
+               * ln(((c.ca + 0.5) / (t.ta + 3.0))
+                    / ((c.cb + 0.5) / (t.tb + 3.0)))
+           ), 9) > round(0.25 + 25.0 * (1.0 / t.ta + 1.0 / t.tb), 9))
+               AS drifted
+    FROM cells c JOIN tots t USING (source)
+    GROUP BY c.source, t.ta, t.tb
+    ORDER BY c.source
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor on the token-length
+    mix, per source, between two deterministic hash halves of the
+    corpus (the shape of a load-over-load ingest check; the same
+    halves at every SF, so the verdict is reproducible). Six fixed
+    20-token bins, Laplace 0.5 smoothing (PSI is undefined on empty
+    cells), PSI rounded to 6. The drift verdict is SAMPLE-SIZE
+    ADAPTIVE: E[PSI] under no drift is ~(B-1)(1/na+1/nb), so the
+    cutoff is 0.25 + 5(B-1)(1/na+1/nb) — at production counts it
+    converges to the industry 0.25 rule, at fixture counts it doesn't
+    fire on noise. Hash halves of one corpus must NOT drift — a
+    flipped verdict means the sampler or the histogram broke. All counts are
+    exact integers; the only floats are the final 6-term PSI sum."""
+    from .llm_ops.sampling import hash_bucket
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+            " ",
+        )
+    )
+    base = d.select(
+        "source",
+        F.least(F.floor(toks / 20), F.lit(5)).alias("bin"),
+        (hash_bucket("doc_id", seed="psi") < 5000).alias("in_a"),
+    )
+    cells = base.groupBy("source", "bin").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
+    )
+    tots = cells.groupBy("source").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    pa = (F.col("ca") + 0.5) / (F.col("ta") + 3.0)
+    pb = (F.col("cb") + 0.5) / (F.col("tb") + 3.0)
+    term = (pa - pb) * F.log(pa / pb)
+    return (
+        cells.join(F.broadcast(tots), "source")
+        .groupBy("source", "ta", "tb")
+        .agg(
+            F.round(F.sum(term), 6).alias("psi"),
+            (
+                F.round(F.sum(term), 9)
+                > F.round(
+                    F.lit(0.25)
+                    + 25.0 * (1.0 / F.col("ta") + 1.0 / F.col("tb")),
+                    9,
+                )
+            ).alias("drifted"),
+        )
+        .select(
+            "source",
+            F.col("ta").alias("n_a"),
+            F.col("tb").alias("n_b"),
+            "psi",
+            "drifted",
+        )
+        .orderBy("source")
+    )
