@@ -170,32 +170,49 @@ def main() -> int:
         spread[name] = [runs[0], runs[-1]]
 
     total = round(sum(timings.values()), 3)
-    # The driver captures a bounded tail of stdout and parses the LAST
-    # line as JSON; r4's single giant line (medians+spread together)
-    # overflowed that window and the round lost its machine-readable
-    # bench. So: spread/reps/load_avg go to a sidecar file (and to
-    # stderr for humans), and the final stdout line is ONLY the
-    # compact headline record.
+    # The driver captures a bounded 2000-char tail of stdout and
+    # parses the LAST line as JSON. Rounds 4 AND 5 both lost their
+    # machine-readable bench to that window: r4 put medians+spread on
+    # one line, r5 put medians alone on one line and the headline set
+    # growing 50 -> 73 queries pushed even that past 2000 chars. So
+    # the full per-query medians now live ONLY in a committed sidecar
+    # (BENCH_MEDIANS.json) plus stderr, and the final stdout line
+    # carries just totals + the top-10 slowest queries. Its length is
+    # asserted < 1900 both here and in tests/test_bench_headline.py,
+    # so headline-set growth can never overflow the window again.
     detail = {
+        "medians": timings,
         "spread": spread,
         "reps": reps,
         "load_avg": [load_before, round(os.getloadavg()[0], 2)],
+        "sf": sf,
+        "total": total,
     }
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_SPREAD.json")
-    try:
-        with open(sidecar, "w") as fh:
-            json.dump(detail, fh)
-    except OSError:
-        pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname, payload in (
+        ("BENCH_MEDIANS.json", detail),
+        ("BENCH_SPREAD.json", detail),
+    ):
+        try:
+            with open(os.path.join(here, fname), "w") as fh:
+                json.dump(payload, fh, indent=1)
+        except OSError:
+            pass
     print(json.dumps(detail), file=sys.stderr)
-    print(json.dumps({
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    line = json.dumps({
         "metric": "headline query wall time (noop sink, local)",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
+        "n_queries": len(timings),
+        "medians_file": "BENCH_MEDIANS.json",
         "sf": sf,
-    }))
+    })
+    assert len(line) < 1900, f"headline line {len(line)} chars >= 1900"
+    print(line)
     return 0
 
 
