@@ -16,9 +16,15 @@ candidate rows:
           a superset of the true heavy hitters. Each partition also
           emits one sentinel row carrying its item count, so the
           global N rides the same single pass.
-  pass 2  exact recount of candidates only: broadcast the candidate
-          set (<= partitions * ceil(1/theta) rows, cluster-bounded),
-          semi-join, groupBy-count, keep count >= ceil(theta * N).
+  merge   tree-merge the per-partition summaries into ONE m-bounded
+          summary (MG summaries are mergeable with total error
+          <= N/(m+1) regardless of merge tree — Agarwal et al. Thm 1),
+          so the candidate set is <= ceil(1/theta) rows INDEPENDENT of
+          cluster size. Any item with count >= theta*N survives the
+          merged summary because theta*N > N/(m+1) for m = ceil(1/theta).
+  pass 2  exact recount of candidates only: broadcast the merged
+          candidate set (<= ceil(1/theta) rows), semi-join,
+          groupBy-count, keep count >= ceil(theta * N).
 
 The result is EXACT (pass 2 recounts; pass 1 can only over-include),
 so a SQL oracle can replay it as plain GROUP BY ... HAVING. Threshold
@@ -84,6 +90,52 @@ def mg_summaries(items: DataFrame, col: str, m: int) -> DataFrame:
     )
 
 
+def mg_merge_summaries(
+    summary: DataFrame, m: int, fanin: int = 64
+) -> DataFrame:
+    """Tree-merge per-partition Misra-Gries summaries into ONE
+    m-bounded summary (single partition, <= m counter rows + one
+    sentinel row carrying the summed N).
+
+    MG summaries are mergeable with total error <= N/(m+1) no matter
+    the merge tree (Agarwal et al., "Mergeable Summaries", PODS 2012,
+    Thm 1) — so an item with global count >= theta*N, where
+    m = ceil(1/theta), always survives: its merged counter is
+    >= count - N/(m+1) > 0. Levels of ``fanin``-way merges keep every
+    merge task's input bounded by ~fanin*(m+1) rows; a 10k-partition
+    corpus at theta=1e-6 merges in 3 levels instead of broadcasting
+    up to 1e10 candidate ids (the pre-r6 plan bug)."""
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            nulls = pdf["tok"].isna()
+            n += int(pdf.loc[nulls, "lb"].sum())
+            sub = pdf.loc[~nulls]
+            _mg_merge(
+                counters,
+                pd.Series(sub["lb"].to_numpy(), index=sub["tok"]),
+                m,
+            )
+        yield pd.DataFrame(
+            {
+                "tok": list(counters) + [None],
+                "lb": list(counters.values()) + [n],
+            }
+        )
+
+    merged = summary
+    while merged.rdd.getNumPartitions() > 1:
+        nparts = max(1, merged.rdd.getNumPartitions() // fanin)
+        # repartition (not coalesce): coalesce would propagate the
+        # narrowing upstream and serialize the corpus-scan pass.
+        merged = merged.repartition(nparts).mapInPandas(
+            merge, schema=_SUMMARY_SCHEMA
+        )
+    return merged
+
+
 def heavy_hitters(
     items: DataFrame, col: str, theta: float, min_count: int = 1
 ) -> DataFrame:
@@ -92,12 +144,17 @@ def heavy_hitters(
 
     theta in (0, 1]; per-task state is ceil(1/theta) counters, so
     theta=1e-6 costs ~1M dict entries per task — independent of data
-    size. Candidates from pass 1 are broadcast for the pass-2 semi-
-    join (driver-bounded: partitions/theta ids, NOT data-bounded)."""
+    size. Per-partition summaries are tree-merged into ONE m-bounded
+    summary before pass 2, so the broadcast candidate set is
+    <= ceil(1/theta) rows regardless of cluster size (pre-merge it
+    was partitions * ceil(1/theta) — a driver OOM at exactly the
+    scale this operator exists for)."""
     if not 0 < theta <= 1:
         raise ValueError(f"theta must be in (0, 1], got {theta}")
     m = math.ceil(1.0 / theta)
-    summary = mg_summaries(items, col, m).localCheckpoint()
+    summary = mg_merge_summaries(
+        mg_summaries(items, col, m), m
+    ).localCheckpoint()
     # one pass over the corpus, reused twice (N + candidates)
     total = summary.filter(F.col("tok").isNull()).agg(
         F.sum("lb").alias("n")

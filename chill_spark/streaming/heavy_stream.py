@@ -21,8 +21,10 @@ double-count on replay. Snapshots are model-sized (m counters), so
 keeping a short history costs kilobytes; ``prune_keep`` bounds it.
 
 At 100 TB/day the per-batch work is one map pass over the batch
-(bounded state per task) + a driver merge of (tasks x m + m) rows —
-never a corpus-sized shuffle, never unbounded state.
+(bounded state per task) + a distributed tree-merge down to one
+m-bounded summary (the driver collects <= m+1 rows, model-sized
+regardless of task count) — never a corpus-sized shuffle, never
+unbounded state.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..llm_ops.heavy import _mg_merge, mg_summaries
+from ..llm_ops.heavy import _mg_merge, mg_merge_summaries, mg_summaries
 from ..operators.writers import BATCH_COL
 from ..sources.jsonl import CORRUPT_COL, read_jsonl_stream
 
@@ -102,9 +104,12 @@ def run_heavy_stream(
         toks = new.select(
             F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
         )
-        # distributed pass: bounded MG state per task; driver merge is
-        # (tasks * m + m) rows — model-sized, never batch-sized
-        parts = mg_summaries(toks, "tok", m).collect()
+        # distributed pass: bounded MG state per task, then a
+        # distributed tree-merge down to ONE m-bounded summary — the
+        # driver collect is <= m+1 rows regardless of task count
+        # (pre-r6 it was tasks * m rows, cluster-bounded not
+        # model-bounded)
+        parts = mg_merge_summaries(mg_summaries(toks, "tok", m), m).collect()
         counters, n_prev = _read_prev_summary(spark, summary_dir, batch_id)
         n_batch = 0
         batch_counts: dict[str, int] = {}

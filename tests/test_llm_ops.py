@@ -1915,6 +1915,49 @@ def test_heavy_hitters_mg_summary_bounds_state(spark):
     assert counters["h"] <= 50
 
 
+def test_heavy_hitters_candidate_set_bounded_by_inv_theta(spark):
+    """The r5 verdict's scale finding: the pass-2 broadcast must be
+    <= ceil(1/theta) rows regardless of partition count. Many
+    partitions, each with its own distinct local tail, used to give
+    partitions * ceil(1/theta) candidates; the tree-merge caps it."""
+    import math
+
+    from chill_spark.llm_ops.heavy import mg_merge_summaries, mg_summaries
+
+    theta = 0.25  # m = 4
+    m = math.ceil(1 / theta)
+    # 32 partitions, each with a DIFFERENT set of local-majority tokens
+    # so per-partition summaries union to ~32*m distinct candidates.
+    rows = []
+    for p in range(32):
+        rows += [f"p{p}_t{i}" for i in range(6) for _ in range(3)]
+    rows += ["hot"] * 600  # globally heavy: 600 / (600+576) > 0.25
+    df = spark.createDataFrame([(t,) for t in rows], "tok string").repartition(32)
+    merged = mg_merge_summaries(mg_summaries(df, "tok", m), m)
+    pdf = merged.toPandas()
+    cands = pdf[pdf["tok"].notna()]
+    assert len(cands) <= m, f"{len(cands)} candidates > m={m}"
+    assert merged.rdd.getNumPartitions() == 1
+    assert "hot" in set(cands["tok"])  # the true heavy hitter survives
+    # sentinel N is preserved through the merge tree
+    assert int(pdf[pdf["tok"].isna()]["lb"].sum()) == len(rows)
+
+
+def test_heavy_hitters_many_partition_exactness(spark):
+    """End-to-end: exact result unchanged by the merge stage even when
+    partition count far exceeds 1/theta."""
+    from chill_spark.llm_ops.heavy import heavy_hitters
+
+    rows = ["a"] * 300 + ["b"] * 120 + [f"t{i}" for i in range(180)]
+    df = spark.createDataFrame([(t,) for t in rows], "tok string").repartition(32)
+    # N=600: theta=0.3 -> threshold 180 (only a); theta=0.2 ->
+    # threshold exactly 120 (b qualifies at the boundary)
+    got = {r["tok"]: r["n_tok"] for r in heavy_hitters(df, "tok", 0.3).collect()}
+    assert got == {"a": 300}
+    got2 = {r["tok"]: r["n_tok"] for r in heavy_hitters(df, "tok", 0.2).collect()}
+    assert got2 == {"a": 300, "b": 120}
+
+
 def test_heavy_hitters_rejects_bad_theta(spark):
     import pytest as _pytest
     from chill_spark.llm_ops.heavy import heavy_hitters
