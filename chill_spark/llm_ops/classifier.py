@@ -76,25 +76,49 @@ def score_documents(
 
     ``weights`` must be (tok, weight) with INTEGER fixed-point
     weights (see module docstring) and model-sized — it is broadcast.
-    The only corpus-wide shuffle is the per-doc integer sum."""
-    toks = tokens(df, id_col, text_col)
+    The only corpus-wide shuffle is the per-doc integer sum.
+
+    TOTAL over input docs: a doc whose text is NULL (or yields no
+    tokens) still gets a row — score NULL, oov_ratio NULL, kept
+    FALSE — via ``explode_outer``, so intakes can route unscored docs
+    to their reject channel instead of silently dropping them (a doc
+    that vanishes from both kept and rejected is how corpora rot)."""
+    toks = df.select(
+        id_col,
+        F.explode_outer(
+            F.split(normalize_text(text_col), " ")
+        ).alias("tok"),
+    )
     joined = toks.join(F.broadcast(weights), on="tok", how="left")
+    has_tok = F.col("tok").isNotNull()
     per_doc = joined.groupBy(id_col).agg(
-        F.sum(F.coalesce("weight", F.lit(0))).alias("w_sum"),
-        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(F.when(has_tok, F.coalesce("weight", F.lit(0)))).alias("w_sum"),
+        F.count("tok").alias("n_toks"),
         F.sum(
-            F.when(F.col("weight").isNull(), F.lit(1)).otherwise(F.lit(0))
+            F.when(has_tok & F.col("weight").isNull(), F.lit(1)).otherwise(
+                F.lit(0)
+            )
         ).alias("n_oov"),
     )
-    logit = F.lit(bias) + F.col("w_sum") / (
-        F.lit(weight_scale) * F.col("n_toks")
+    # explicit n_toks > 0 guard: ANSI mode would raise on the
+    # divide-by-zero a token-less doc produces; the guarded branch
+    # leaves score/oov_ratio NULL and kept coalesces to FALSE.
+    logit = F.when(
+        F.col("n_toks") > 0,
+        F.lit(bias)
+        + F.col("w_sum") / (F.lit(weight_scale) * F.col("n_toks")),
     )
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
     return per_doc.select(
         id_col,
         F.round(score, 6).alias("score"),
-        F.round(F.col("n_oov") / F.col("n_toks"), 6).alias("oov_ratio"),
-        (F.round(score, 9) >= F.lit(threshold)).alias("kept"),
+        F.when(
+            F.col("n_toks") > 0,
+            F.round(F.col("n_oov") / F.col("n_toks"), 6),
+        ).alias("oov_ratio"),
+        F.coalesce(
+            F.round(score, 9) >= F.lit(threshold), F.lit(False)
+        ).alias("kept"),
     )
 
 

@@ -166,8 +166,15 @@ def weighted_sample_exact(
     a global sort. The key is rounded to 9 decimals before ranking so
     the cut line is engine-exact (ln/divide drift ~1e-15), ties by
     id. Oracle replay: u = (('0x'||substring(md5('seed:'||id),1,8))
-    ::BIGINT + 0.5) / 2^32."""
+    ::BIGINT + 0.5) / 2^32.
+
+    Precondition: weights must be > 0 — the A-Res key ln(u)/w is only
+    meaningful for positive weights (a negative w flips the sign of
+    ln(u) and would rank FIRST; w=0 divides by zero). Rows with NULL
+    or non-positive weight carry zero probability mass and are
+    filtered before ranking."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    df = df.filter(w > 0)
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),

@@ -48,7 +48,13 @@ def hashed_ngram_features(
 ) -> DataFrame:
     """Explode each document into its hashed unigram + bigram feature
     stream: one row per feature OCCURRENCE (multiplicity matters for
-    multinomial counts). Output: (id, bkt) + any ``carry`` columns."""
+    multinomial counts). Output: (id, bkt) + any ``carry`` columns.
+
+    TOTAL over documents: a NULL-text doc (whose token array is NULL)
+    yields one (id, bkt=NULL) row via ``explode_outer`` instead of
+    vanishing — callers must exclude NULL buckets from distribution
+    counts and treat them as zero-contribution features (see
+    ``dsir_logweights``)."""
     toks = F.split(normalize_text(text_col), " ")
     grams = F.concat(
         toks,
@@ -62,7 +68,7 @@ def hashed_ngram_features(
         ).otherwise(F.array()),
     )
     keep = [F.col(id_col).alias("id")] + [F.col(c) for c in (carry or [])]
-    return df.select(*keep, F.explode(grams).alias("g")).select(
+    return df.select(*keep, F.explode_outer(grams).alias("g")).select(
         *[c for c in ["id"] + (carry or [])],
         F.pmod(phash(F.col("g")), F.lit(n_buckets)).alias("bkt"),
     )
@@ -90,12 +96,18 @@ def dsir_logweights(
 
     The bucket table is counted over the FULL feature stream (both
     sides in one aggregate), so every raw feature bucket is present
-    and the broadcast log-ratio join is inner without loss."""
+    in the broadcast log-ratio table; the join is left only for the
+    NULL-bkt sentinel rows of featureless (NULL-text) docs, which
+    contribute 0 and surface as (id, logw=0) rather than vanishing."""
     feats = hashed_ngram_features(
         docs.withColumn("__t", target), text_col, id_col, n_buckets,
         carry=["__t"],
     )
-    bkt_counts = feats.groupBy("bkt").agg(
+    # NULL bkt marks a featureless (NULL-text) doc's sentinel row:
+    # excluded from the multinomials, zero contribution to its own
+    # weight — the doc still gets a (id, logw=0) output row instead
+    # of silently vanishing from the selectable pool.
+    bkt_counts = feats.filter(F.col("bkt").isNotNull()).groupBy("bkt").agg(
         F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("raw_c"),
         F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tgt_c"),
     )
@@ -111,9 +123,9 @@ def dsir_logweights(
     )
     return (
         feats.filter(~F.col("__t"))
-        .join(F.broadcast(ratios), "bkt")
+        .join(F.broadcast(ratios), "bkt", "left")
         .groupBy("id")
-        .agg(F.sum("lr").alias("logw"))
+        .agg(F.sum(F.coalesce("lr", F.lit(0.0))).alias("logw"))
     )
 
 

@@ -69,14 +69,21 @@ def cluster_pair_edges(assigned: DataFrame, tau: float) -> DataFrame:
     2 x dim elements; the matmul is O(n^2 d) BLAS over the cluster
     once. Memory bound: one cluster's n x n similarity matrix per
     task — k must keep clusters bounded (it must anyway: the method's
-    pair count is quadratic per cluster)."""
+    pair count is quadratic per cluster).
+
+    The Arrow output schema is derived from the id column's actual
+    type, so non-integral ids (string/uuid --id-col) work instead of
+    failing with a schema mismatch inside the Arrow stage."""
     import pandas as pd
+
+    id_type = assigned.schema["id"].dataType.simpleString()
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         X = np.array(pdf["v"].tolist(), dtype=np.float64)
         ids = pdf["id"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            empty = pd.Series([], dtype=pdf["id"].dtype)
+            return pd.DataFrame({"id_a": empty, "id_b": empty})
         n = np.linalg.norm(X, axis=1)
         n[n == 0] = 1.0
         sims = (X / n[:, None]) @ (X / n[:, None]).T
@@ -89,7 +96,7 @@ def cluster_pair_edges(assigned: DataFrame, tau: float) -> DataFrame:
 
     return assigned.select("cluster", "id", "v").groupBy(
         "cluster"
-    ).applyInPandas(_pairs, "id_a bigint, id_b bigint")
+    ).applyInPandas(_pairs, f"id_a {id_type}, id_b {id_type}")
 
 
 def plan_semdedup_k(n_rows: int, target_cluster_size: int = 5000) -> int:

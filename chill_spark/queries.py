@@ -6127,6 +6127,9 @@ def q_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.hll_sketch_estimate("b.sk")
                 - F.hll_sketch_estimate(F.hll_union("a.sk", "b.sk"))
             ).alias("est_overlap"),
+            F.hll_sketch_estimate(
+                F.hll_union("a.sk", "b.sk")
+            ).alias("union_est"),
         )
     )
     rsd = 1.04 / (2 ** (lg_k / 2))
@@ -6136,11 +6139,14 @@ def q_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "exact_overlap",
-            # 3 sketches contribute error; bound by 3*rsd on each of
-            # the three estimates' scale (the union is the largest)
+            # inclusion-exclusion error scales with the UNION
+            # cardinality (the largest of the three sketches), not the
+            # intersection — a small overlap between two big audiences
+            # still carries union-sized estimator noise. Bound by
+            # 3*rsd*est(A∪B) (+100 absolute floor for tiny audiences).
             (
                 F.abs(F.col("est_overlap") - F.col("exact_overlap"))
-                <= F.lit(3 * rsd) * (F.col("exact_overlap") + F.lit(100.0))
+                <= F.lit(3 * rsd) * (F.col("union_est") + F.lit(100.0))
             ).alias("est_ok"),
         )
         .orderBy("type_a", "type_b")
@@ -6805,13 +6811,18 @@ def _quality_classifier_oracle() -> str:
         FROM toks t LEFT JOIN weights w USING (tok)
         GROUP BY t.doc_id
     )
-    SELECT doc_id,
-           round(1.0 / (1.0 + exp(-(w_sum / (1000 * n_toks)))), 6) AS score,
-           round(n_oov * 1.0 / n_toks, 6) AS oov_ratio,
-           (round(1.0 / (1.0 + exp(-(w_sum / (1000 * n_toks)))), 9) >= 0.5)
-               AS kept
-    FROM per_doc
-    ORDER BY doc_id
+    -- score_documents is TOTAL over input docs: token-less / NULL-text
+    -- docs get score NULL, oov_ratio NULL, kept FALSE (left join)
+    SELECT d.doc_id,
+           round(1.0 / (1.0 + exp(-(p.w_sum / (1000 * p.n_toks)))), 6)
+               AS score,
+           round(p.n_oov * 1.0 / p.n_toks, 6) AS oov_ratio,
+           coalesce(
+               round(1.0 / (1.0 + exp(-(p.w_sum / (1000 * p.n_toks)))), 9)
+                   >= 0.5,
+               false) AS kept
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
     """
 
 

@@ -2010,6 +2010,44 @@ def test_score_documents_known_weights(spark):
     assert out[2]["oov_ratio"] == 1.0 and out[2]["kept"]
 
 
+def test_score_documents_total_over_null_text_docs(spark):
+    """ADVICE r5 (medium): NULL-text docs must not vanish — they get
+    a defined row (score NULL, oov_ratio NULL, kept FALSE) so intakes
+    can route them to a reject channel."""
+    docs = spark.createDataFrame(
+        [(1, "good good"), (2, None)], "doc_id bigint, text string"
+    )
+    weights = spark.createDataFrame(
+        [("good", 1000)], "tok string, weight bigint"
+    )
+    from chill_spark.llm_ops.classifier import score_documents
+
+    out = {r["doc_id"]: r for r in score_documents(
+        docs, "doc_id", "text", weights
+    ).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["score"] is None
+    assert out[2]["oov_ratio"] is None
+    assert out[2]["kept"] is False
+    assert out[1]["kept"] is True
+
+
+def test_dsir_logweights_total_over_null_text_docs(spark):
+    """Featureless (NULL-text) raw docs surface as (id, logw=0)
+    instead of silently leaving the selectable pool."""
+    from chill_spark.llm_ops.selection import dsir_logweights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", 1), (2, "alpha beta", 0), (3, None, 0)],
+        "doc_id bigint, text string, tgt int",
+    )
+    out = {r["id"]: r["logw"] for r in dsir_logweights(
+        docs, F.col("tgt") == 1
+    ).collect()}
+    assert set(out) == {2, 3}
+    assert out[3] == 0.0
+
+
 def test_score_documents_order_independent(spark):
     """Integer fixed-point sums: same scores at any partitioning."""
     from chill_spark.llm_ops.classifier import (

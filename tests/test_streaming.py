@@ -2128,6 +2128,37 @@ def test_classify_stream_splits_kept_rejected_quarantine(spark, stream_dirs):
     assert q.count() == 1
 
 
+def test_classify_stream_routes_null_text_to_rejected(spark, stream_dirs):
+    """ADVICE r5 (medium): a JSONL line missing the text field parses
+    as non-corrupt with NULL text — it must land in _rejected (score
+    NULL, audit trail intact), not vanish from every channel."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.classify_stream import run_classify_stream
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "cfn_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "cfn_out")
+    ckpt = os.path.join(base, "cfn_ckpt")
+    weights = spark.createDataFrame(
+        [("good", 2000)], "tok string, weight bigint"
+    )
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "good good"}) + "\n")
+        f.write(json.dumps({"doc_id": 2}) + "\n")  # no text field
+    drain(run_classify_stream(
+        spark, ind, schema="doc_id BIGINT, text STRING", out_dir=out,
+        weights=weights, checkpoint_dir=ckpt, threshold=0.55,
+        available_now=True,
+    ))
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1}
+    rej = {r["doc_id"]: r["score"]
+           for r in spark.read.parquet(f"{out}/_rejected").collect()}
+    assert set(rej) == {2} and rej[2] is None
+
+
 def test_classify_stream_replay_is_idempotent(spark, stream_dirs):
     import json
 
