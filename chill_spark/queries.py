@@ -53,10 +53,12 @@ def query(name: str, oracle: str | None = None):
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
-    # --- never driver-checked (late-r5 additions; r5 verdict ask #2) ---
+    # --- never driver-checked (late-r5 additions; r5 verdict ask #2,
+    #     plus the three r6 stream==batch closures: verdict asks #4/#6) ---
     "q_zipf_stats", "q_cross_source_grams", "q_sampled_stats",
     "q_media_ahash", "q_skew_report", "q_ann_rerank",
     "q_scd2_asof", "q_psi_drift",
+    "q_sessionize_stream", "q_classify_stream", "q_heavy_stream",
     # --- last driver check: round 2 (the full staleness tail) ---
     "q8_market_share", "q_cohort_retention", "q_decontaminate",
     "q_gapfill_hourly", "q_media_summary", "q_percentiles",
@@ -65,10 +67,12 @@ _PRIORITY: list[str] = [
     # --- sentinels (r5-green regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash",
-    # --- last driver check: round 3 (first 28 of 44; the remaining
-    #     16 — q_corpus_embedding_assembly, q_jsonl_roundtrip, the
-    #     dedup-cc family, media resize/audio, BPE, k-means — rotate
-    #     in r7; all stay under strict_sweep / test_queries_oracle) ---
+    # --- last driver check: round 3 (first 25 of 44; the remaining
+    #     19 — q_repetition_filter, q_chunk_documents,
+    #     q_corpus_prep_pipeline, q_corpus_embedding_assembly,
+    #     q_jsonl_roundtrip, the dedup-cc family, media resize/audio,
+    #     BPE, k-means — rotate in r7; all stay under strict_sweep /
+    #     test_queries_oracle) ---
     "q10_returned_revenue", "q11_important_parts", "q15_top_supplier",
     "q16_supplier_part_counts", "q_sliding_window_events",
     "q_session_window_native", "q_new_users_cumulative",
@@ -78,8 +82,7 @@ _PRIORITY: list[str] = [
     "q_stratified_sample", "q_weighted_sample",
     "q_token_budget_by_split", "q_top_tokens_per_lang",
     "q_tfidf", "q_bm25_rank", "q_vocab_coverage", "q_bigram_pmi",
-    "q_quality_rules", "q_repetition_filter", "q_chunk_documents",
-    "q_corpus_prep_pipeline",
+    "q_quality_rules",
 ]
 
 
@@ -6750,6 +6753,104 @@ def q_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "q_sessionize_stream",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800 * 1000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               CAST(sum(new_session)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+               ts
+        FROM gaps
+    )
+    SELECT user_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream==batch loop for custom stateful sessionization
+    (streaming.stateful.sessionize_stream, applyInPandasWithState):
+    the events table is fed through the REAL checkpointed stream in
+    two micro-batch waves split at a date boundary — sessions
+    straddling the boundary must carry their open state across
+    drains. A far-future sentinel event per user in the last wave
+    forces every real session closed (its own session stays open in
+    state and never emits), so the emitted set equals the batch
+    sessionizer's full answer and the oracle is q_sessionize's SQL.
+    Gap math runs in integer microseconds on both paths — the
+    engine-exact comparison the batch/backfill parity contract
+    needs."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import drain
+    from .streaming.stateful import sessionize_stream
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    cols = ["user_id", "ts"]
+    b1 = ev.filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    ).select(*cols)
+    b2 = ev.filter(
+        F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp")
+    ).select(*cols)
+    sentinel = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="chill_sess_")
+    try:
+        watch = os.path.join(tmp, "events")
+        out = os.path.join(tmp, "sessions")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(watch)
+        b1.write.parquet(os.path.join(watch, "b1"))
+
+        def run_wave() -> None:
+            src = (
+                spark.readStream.schema("user_id bigint, ts timestamp")
+                .parquet(watch + "/*")
+            )
+            sessions = sessionize_stream(
+                src, gap_seconds=1800, timeout="none"
+            )
+            drain(
+                sessions.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        run_wave()
+        b2.unionByName(sentinel).write.parquet(os.path.join(watch, "b2"))
+        run_wave()
+        return (
+            spark.read.parquet(out)
+            .select("user_id", "n_events", "session_start", "session_end")
+            .withColumn("n_events", F.col("n_events").cast("bigint"))
+            .orderBy("user_id", "session_start")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Corpus frequency mining / model-based filtering / budget allocation
 # (r5 additions: llm_ops.heavy, llm_ops.classifier, sampling.unimax_budget)
@@ -6852,6 +6953,187 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_documents(
         d, "doc_id", "text", pseudo_weights(vocab), threshold=0.5
     ).orderBy("doc_id")
+
+
+def _classify_stream_oracle() -> str:
+    from .llm_ops.portable import PHASH_SQL
+
+    ph = PHASH_SQL.format(x="tok")
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) >= 5),
+    weights AS (
+        SELECT tok, ({ph} % 2001) - 1000 AS weight FROM vocab
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               sum(coalesce(w.weight, 0)) AS w_sum,
+               count(*) AS n_toks
+        FROM toks t LEFT JOIN weights w USING (tok)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(
+               round(1.0 / (1.0 + exp(-(p.w_sum / (1000 * p.n_toks)))), 9)
+                   >= 0.5,
+               false) AS kept
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query("q_classify_stream", oracle=_classify_stream_oracle())
+def q_classify_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gated ingestion through the REAL checkpointed
+    stream (streaming.classify_stream.run_classify_stream): the
+    documents table arrives as JSONL in two waves (even doc_ids, then
+    odd) in a watched directory; each micro-batch is scored with the
+    broadcast fixed-point weight table and split into kept /
+    _rejected channels (corrupt lines would hit _quarantine). The
+    result unions both channels back into the (doc_id, kept) verdict
+    per document; the oracle replays the integer-score gate
+    declaratively — integer weight sums make the keep decision
+    bit-stable across batch boundaries, replays, and engines. The
+    kept/rejected/quarantine channel contract and replay idempotence
+    are additionally pinned by pytest (test_streaming.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm_ops.classifier import pseudo_weights, tokens as doc_tokens
+    from .streaming import drain
+    from .streaming.classify_stream import run_classify_stream
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vocab = (
+        doc_tokens(d, "doc_id", "text")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("tok")
+    )
+    weights = pseudo_weights(vocab)
+    tmp = tempfile.mkdtemp(prefix="chill_clf_")
+    try:
+        watch = os.path.join(tmp, "docs")
+        out = os.path.join(tmp, "corpus")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(watch)
+        docs = d.select("doc_id", "text")
+        docs.filter(F.col("doc_id") % 2 == 0).write.json(
+            os.path.join(watch, "b1")
+        )
+
+        def run_wave() -> None:
+            drain(run_classify_stream(
+                spark, watch + "/*", "doc_id BIGINT, text STRING",
+                out_dir=out, weights=weights, checkpoint_dir=ckpt,
+                threshold=0.5, available_now=True,
+            ))
+
+        run_wave()
+        docs.filter(F.col("doc_id") % 2 == 1).write.json(
+            os.path.join(watch, "b2")
+        )
+        run_wave()
+        kept = spark.read.parquet(out).select(
+            "doc_id", F.lit(True).alias("kept")
+        )
+        rejected = spark.read.parquet(f"{out}/_rejected").select(
+            "doc_id", F.lit(False).alias("kept")
+        )
+        return (
+            kept.unionByName(rejected)
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_heavy_stream",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT tok, count(*) AS n_tok
+    FROM toks, tot
+    GROUP BY tok, tot.n
+    HAVING count(*) >= ceil(0.002 * tot.n)
+    ORDER BY n_tok DESC, tok
+    """,
+)
+def q_heavy_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters end-to-end: the documents table feeds
+    the REAL checkpointed stream (streaming.heavy_stream.
+    run_heavy_stream) as JSONL in two waves; each micro-batch folds
+    into the persisted snapshot-per-batch Misra-Gries summary. The
+    summary's candidate set (sound: the mergeable-summaries bound
+    means no false negatives, <= ceil(1/theta)+slack rows) is then
+    confirmed by the module's documented one-pass exact recount, so
+    the oracle is plain GROUP BY/HAVING over the union of the waves —
+    the same exactness contract as batch q_heavy_hitters, now with
+    the counting state built incrementally across batches."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from .llm_ops.classifier import tokens as doc_tokens
+    from .streaming import drain
+    from .streaming.heavy_stream import heavy_candidates, run_heavy_stream
+
+    theta = 0.002
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tmp = tempfile.mkdtemp(prefix="chill_hh_")
+    try:
+        watch = os.path.join(tmp, "docs")
+        store = os.path.join(tmp, "store")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(watch)
+        docs = d.select("doc_id", "text")
+        docs.filter(F.col("doc_id") % 2 == 0).write.json(
+            os.path.join(watch, "b1")
+        )
+
+        def run_wave() -> None:
+            drain(run_heavy_stream(
+                spark, watch + "/*", "doc_id BIGINT, text STRING",
+                store_root=store, checkpoint_dir=ckpt, theta=theta,
+                available_now=True,
+            ))
+
+        run_wave()
+        docs.filter(F.col("doc_id") % 2 == 1).write.json(
+            os.path.join(watch, "b2")
+        )
+        run_wave()
+        cand = heavy_candidates(spark, store, theta)
+        rows = cand.select("tok", "n_total").collect()  # <= 1/theta + slack
+        if not rows:
+            return spark.createDataFrame([], "tok string, n_tok bigint")
+        threshold = max(1, math.ceil(theta * rows[0]["n_total"]))
+        cand_toks = spark.createDataFrame(
+            [(r["tok"],) for r in rows], "tok string"
+        )
+        toks = doc_tokens(d, "doc_id", "text").select("tok")
+        return (
+            toks.join(F.broadcast(cand_toks), "tok", "leftsemi")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n_tok"))
+            .filter(F.col("n_tok") >= F.lit(threshold))
+            .orderBy(F.col("n_tok").desc(), "tok")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(

@@ -77,7 +77,10 @@ def sessionize_stream(
                 start, last, n = state.get
                 closed.append(_row(user, start, last, n))
                 state.remove()
-            yield pd.DataFrame(closed, columns=SESSION_SCHEMA.fieldNames())
+            if closed:  # empty yields trip a pandas-concat FutureWarning
+                yield pd.DataFrame(
+                    closed, columns=SESSION_SCHEMA.fieldNames()
+                )
             return
 
         start, last, n = state.get if state.exists else (None, None, 0)
@@ -104,7 +107,8 @@ def sessionize_stream(
                 # flush when the event-time watermark passes the point
                 # at which the gap rule would close this session
                 state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
-        yield pd.DataFrame(closed, columns=SESSION_SCHEMA.fieldNames())
+        if closed:  # empty yields trip a pandas-concat FutureWarning
+            yield pd.DataFrame(closed, columns=SESSION_SCHEMA.fieldNames())
 
     def _row(user, start, last, n):
         return {
