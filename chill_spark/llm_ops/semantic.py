@@ -42,12 +42,21 @@ from .dedup import cosine_sim
 from .similarity import hash_seed_centroids, kmeans_fit, nearest_centroid
 
 
+#: above this k, the inline literal-array form of centroid_cosine is
+#: swapped for a broadcast (cluster, centroid) join — plan_semdedup_k's
+#: own 100 TB guidance (k ~ n/5000) produces k in the tens of
+#: thousands, where k*dim inlined float literals would build
+#: megabyte Column trees (slow to analyze, resistant to codegen).
+CENTROID_INLINE_MAX_K = 64
+
+
 def centroid_cosine(vec_col: Column, centroids: np.ndarray, cluster_col: Column) -> Column:
     """Cosine of a vector to ITS assigned centroid, as a pure Column:
     an inline array of per-centroid cosines indexed by the cluster id.
     k literal arrays of dim floats — fine for the k the driver holds
-    anyway (the trained model); for k in the tens of thousands, join a
-    broadcast (cid, centroid) table instead of inlining."""
+    anyway (the trained model); for k above CENTROID_INLINE_MAX_K,
+    ``with_centroid_sim`` joins a broadcast (cluster, centroid) table
+    instead of inlining."""
     sims = [
         cosine_sim(
             vec_col.cast("array<double>"),
@@ -56,6 +65,45 @@ def centroid_cosine(vec_col: Column, centroids: np.ndarray, cluster_col: Column)
         for c in centroids
     ]
     return F.element_at(F.array(*sims), cluster_col.cast("int") + 1)
+
+
+def with_centroid_sim(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    inline_max_k: int = CENTROID_INLINE_MAX_K,
+) -> DataFrame:
+    """Add ``centroid_sim`` (cosine to the assigned centroid, rounded
+    to 9 for engine-exact survivor ranking) to ``(id, v, cluster)``
+    rows, picking the plan by model size:
+
+    - k <= ``inline_max_k``: pure-Column inline array (no join, whole-
+      stage codegen keeps it in the scan stage);
+    - larger k: broadcast (cluster, centroid) join + one per-row
+      cosine fold — the model ships once per executor as a hash
+      relation instead of being re-inlined into every task's
+      expression tree."""
+    k = len(centroids)
+    if k <= inline_max_k:
+        return assigned.withColumn(
+            "centroid_sim",
+            F.round(
+                centroid_cosine(F.col("v"), centroids, F.col("cluster")), 9
+            ),
+        )
+    spark = assigned.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, __centroid array<double>",
+    )
+    return (
+        assigned.withColumn("cluster", F.col("cluster").cast("int"))
+        .join(F.broadcast(cent), "cluster")
+        .withColumn(
+            "centroid_sim",
+            F.round(cosine_sim(F.col("v"), F.col("__centroid")), 9),
+        )
+        .drop("__centroid")
+    )
 
 
 def cluster_pair_edges(assigned: DataFrame, tau: float) -> DataFrame:
@@ -163,18 +211,30 @@ def semantic_dedup(
             round_means=9,
         )
     v = F.col(vec_col).cast("array<double>")
-    near = nearest_centroid(v, centroids)
-    assigned = valid.select(
-        F.col(id_col).alias("id"),
-        v.alias("v"),
-        near["cid"].alias("cluster"),
-    ).withColumn(
-        # rounded to 9 so the survivor rank is an engine-exact
-        # comparison (same policy as the Lloyd means): double drift is
-        # ~1e-15, real centroid-similarity gaps are >> 1e-9
-        "centroid_sim",
-        F.round(centroid_cosine(F.col("v"), centroids, F.col("cluster")), 9),
-    )
+    # rounded to 9 so the survivor rank is an engine-exact comparison
+    # (same policy as the Lloyd means): double drift is ~1e-15, real
+    # centroid-similarity gaps are >> 1e-9. Plans chosen by k: inline
+    # literal Columns for small models; above CENTROID_INLINE_MAX_K
+    # the model rides as broadcast DATA for both the assignment
+    # (with_nearest_centroid — numerically identical fold) and the
+    # centroid similarity (broadcast (cluster, centroid) join), so
+    # tens-of-thousands-k never builds megabyte expression trees.
+    if len(centroids) <= CENTROID_INLINE_MAX_K:
+        near = nearest_centroid(v, centroids)
+        base = valid.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            near["cid"].alias("cluster"),
+        )
+    else:
+        from .similarity import with_nearest_centroid
+
+        base = with_nearest_centroid(valid, vec_col, centroids).select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            F.col("__near")["cid"].alias("cluster"),
+        )
+    assigned = with_centroid_sim(base, centroids)
     assigned = assigned.localCheckpoint(eager=True)  # reused 3x below
     edges = cluster_pair_edges(assigned, tau)
     comps = connected_components(edges, "id_a", "id_b")

@@ -1594,6 +1594,70 @@ def test_semantic_dedup_collapses_planted_groups(spark):
         assert grp[0]["kept"] and not grp[1]["kept"]
 
 
+def test_centroid_sim_broadcast_path_matches_inline(spark):
+    """with_centroid_sim's two plans (inline literals vs broadcast
+    centroid join) must be value-identical; the broadcast plan must
+    not inline centroid VALUES into the expression tree."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from chill_spark.llm_ops.semantic import with_centroid_sim
+
+    k, dim = 70, 4
+    cents = np.arange(k * dim, dtype=np.float64).reshape(k, dim) + 1.0
+    cents[-1, -1] = 987654.5  # sentinel value to grep plans for
+    rows = [(i, [float(i % 7 + j) for j in range(dim)], i % k)
+            for i in range(40)]
+    assigned = spark.createDataFrame(
+        rows, "id bigint, v array<double>, cluster int"
+    )
+    inline = with_centroid_sim(assigned, cents, inline_max_k=1000)
+    bcast = with_centroid_sim(assigned, cents, inline_max_k=1)
+    a = sorted((r["id"], r["centroid_sim"]) for r in inline.collect())
+    b = sorted((r["id"], r["centroid_sim"]) for r in bcast.collect())
+    assert a == b
+    # the broadcast plan must carry the model as DATA: no centroid
+    # value in the expression tree, and a broadcast join present.
+    # (The inline plan's formatted string is truncated by Spark at
+    # this k — itself evidence of the megabyte-tree problem — so only
+    # the broadcast side is gated.)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bcast.explain("formatted")
+    plan = buf.getvalue()
+    assert "987654.5" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_green_at_large_k(spark):
+    """semantic_dedup end-to-end on the forced k>CENTROID_INLINE_MAX_K
+    path: explicit 70-centroid model, planted duplicate pair still
+    collapses, and the centroid model is not inlined into the plan."""
+    import numpy as np
+
+    from chill_spark.llm_ops.semantic import semantic_dedup
+
+    k, dim = 70, 4
+    cents = np.eye(dim)[list(range(dim)) * (k // dim) + [0] * (k % dim)]
+    cents = cents + np.arange(k)[:, None] * 1e-4  # distinct centroids
+    rows = [
+        (0, [1.0, 0.001, 0.0, 0.0]),
+        (1, [1.0, 0.0011, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["id"]: r for r in semantic_dedup(
+        df, tau=0.999, centroids=cents, dim=dim
+    ).collect()}
+    assert len(out) == 4
+    assert out[0]["component"] == out[1]["component"]
+    assert out[2]["component"] == 2 and out[3]["component"] == 3
+    assert sum(r["kept"] for r in out.values()) == 3
+
+
 def test_semantic_dedup_cluster_is_the_blocking_key(spark):
     """A cross-cluster pair above tau must NOT be connected — the
     cluster is the blocking key (the method's stated approximation)."""
