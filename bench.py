@@ -100,6 +100,9 @@ HEADLINE = [
     "q_media_ahash",
     "q_skew_report",
     "q_ann_rerank",
+    "q_cms_freq",
+    "q_hybrid_retrieval",
+    "q_ann_pq_topk",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

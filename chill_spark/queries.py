@@ -59,6 +59,8 @@ _PRIORITY: list[str] = [
     "q_media_ahash", "q_skew_report", "q_ann_rerank",
     "q_scd2_asof", "q_psi_drift",
     "q_sessionize_stream", "q_classify_stream", "q_heavy_stream",
+    "q_dedup_stream", "q_cms_freq", "q_hybrid_retrieval",
+    "q_ann_pq_topk",
     # --- last driver check: round 2 (the full staleness tail) ---
     "q8_market_share", "q_cohort_retention", "q_decontaminate",
     "q_gapfill_hourly", "q_media_summary", "q_percentiles",
@@ -67,8 +69,9 @@ _PRIORITY: list[str] = [
     # --- sentinels (r5-green regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash",
-    # --- last driver check: round 3 (first 25 of 44; the remaining
-    #     19 — q_repetition_filter, q_chunk_documents,
+    # --- last driver check: round 3 (first 21 of 44; the remaining
+    #     23 — q_bm25_rank, q_vocab_coverage, q_bigram_pmi,
+    #     q_quality_rules, q_repetition_filter, q_chunk_documents,
     #     q_corpus_prep_pipeline, q_corpus_embedding_assembly,
     #     q_jsonl_roundtrip, the dedup-cc family, media resize/audio,
     #     BPE, k-means — rotate in r7; all stay under strict_sweep /
@@ -81,8 +84,7 @@ _PRIORITY: list[str] = [
     "q_zscore_normalize", "q_minmax_grouped", "q_split_counts",
     "q_stratified_sample", "q_weighted_sample",
     "q_token_budget_by_split", "q_top_tokens_per_lang",
-    "q_tfidf", "q_bm25_rank", "q_vocab_coverage", "q_bigram_pmi",
-    "q_quality_rules",
+    "q_tfidf",
 ]
 
 
@@ -1036,6 +1038,88 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_dedup_stream",
+    oracle=_TRUNCATED_SQL + _minhash_oracle(num_hashes=16, bands=8, threshold=0.5) + """
+    , doomed1 AS (
+        SELECT DISTINCT id_b AS doc_id FROM verified
+        WHERE id_a < 1000000 AND id_b < 1000000
+    ),
+    surv1 AS (
+        SELECT doc_id FROM documents
+        EXCEPT SELECT doc_id FROM doomed1
+    ),
+    doomed2 AS (
+        SELECT DISTINCT CASE
+            WHEN id_a >= 1000000 AND id_b >= 1000000 THEN id_b
+            WHEN id_a >= 1000000 THEN id_a
+            ELSE id_b END AS doc_id
+        FROM verified
+        WHERE (id_a >= 1000000 AND id_b >= 1000000)
+           OR (id_a >= 1000000 AND id_b IN (SELECT doc_id FROM surv1))
+           OR (id_b >= 1000000 AND id_a IN (SELECT doc_id FROM surv1))
+    )
+    SELECT doc_id FROM surv1
+    UNION
+    SELECT doc_id FROM corpus
+    WHERE doc_id >= 1000000
+      AND doc_id NOT IN (SELECT doc_id FROM doomed2)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-deduplicating intake through the REAL checkpointed
+    stream (streaming.dedup_stream.run_dedup_stream): the original
+    documents arrive as JSONL wave 1 (in-batch MinHash+LSH dedup
+    against an empty store), their truncated near-dup copies (ids
+    +1M) as wave 2 — each wave is sketched, bucket-joined against the
+    persisted store, Jaccard-verified, and only survivors append to
+    the corpus AND the store. The oracle replays the full portable
+    sketch pipeline plus the stream's doom algebra declaratively:
+    within a batch the larger id of a verified pair dies; a new doc
+    duplicating any STORED doc dies regardless of id order; doomed
+    docs never enter the store (so batch-2 docs are never compared
+    against batch-1 casualties). Returns the surviving doc ids."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import drain
+    from .streaming.dedup_stream import run_dedup_stream
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tmp = tempfile.mkdtemp(prefix="chill_ddst_")
+    try:
+        watch = os.path.join(tmp, "docs")
+        out = os.path.join(tmp, "corpus")
+        store = os.path.join(tmp, "store")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(watch)
+        d.select("doc_id", "text").write.json(os.path.join(watch, "b1"))
+
+        def run_wave() -> None:
+            drain(run_dedup_stream(
+                spark, watch + "/*", "doc_id BIGINT, text STRING",
+                out_dir=out, store_root=store, checkpoint_dir=ckpt,
+                threshold=0.5, num_hashes=16, bands=8, shingle_k=5,
+                available_now=True, portable=True,
+            ))
+
+        run_wave()
+        _truncated_near(d).select("doc_id", "text").write.json(
+            os.path.join(watch, "b2")
+        )
+        run_wave()
+        return (
+            spark.read.parquet(out)
+            .select("doc_id")
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _simhash_oracle(bits: int = 60, block_bits: int = 16,
@@ -3279,6 +3363,100 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[list, str, str]:
     return ctes, f"a{iters + 1}", f"m{iters}"
 
 
+def _kmeans_ctes_sub(
+    k: int, iters: int, prefix: str, lo: int, sub: int
+) -> tuple[list, str, str]:
+    """_kmeans_ctes over a SUBSPACE slice of the embedding (1-based
+    [lo, lo+sub-1]), with every CTE name prefixed — the per-subspace
+    Lloyd replay product quantization needs (one instance per
+    subspace, all chained in a single WITH). Seeding picks the same
+    md5-smallest-id rows in every subspace, mirroring pq_train."""
+    hi = lo + sub - 1
+    p = prefix
+    ctes = [
+        f"""{p}seeds AS (
+  SELECT (row_number() OVER (ORDER BY h, vec_id) - 1)::INT AS cid, c
+  FROM (
+    SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id,
+           list_slice(embedding::DOUBLE[], {lo}, {hi}) AS c
+    FROM embeddings ORDER BY h, vec_id LIMIT {k}
+  )
+)""",
+        f"""{p}pts AS (
+  SELECT vec_id, generate_subscripts(sv, 1) AS pos, unnest(sv)::DOUBLE AS x
+  FROM (SELECT vec_id, list_slice(embedding::DOUBLE[], {lo}, {hi}) AS sv
+        FROM embeddings)
+)""",
+        f"""{p}m0 AS (
+  SELECT cid, generate_subscripts(c, 1) AS pos, unnest(c) AS m FROM {p}seeds
+)""",
+    ]
+    for i in range(1, iters + 2):  # one extra: the output assignment
+        prev = f"{p}m{i - 1}"
+        ctes.append(f"""{p}d{i} AS (
+  SELECT pp.vec_id, m.cid, sum((pp.x - m.m) * (pp.x - m.m)) AS d2
+  FROM {p}pts pp JOIN {prev} m USING (pos)
+  GROUP BY pp.vec_id, m.cid
+)""")
+        ctes.append(f"""{p}a{i} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM {p}d{i}
+  ) WHERE rn = 1
+)""")
+        if i <= iters:
+            ctes.append(f"""{p}u{i} AS (
+  SELECT a.cid, pp.pos, round(avg(pp.x), 9) AS m
+  FROM {p}a{i} a JOIN {p}pts pp USING (vec_id)
+  GROUP BY a.cid, pp.pos
+)""")
+            ctes.append(f"""{p}m{i} AS (
+  SELECT prev.cid, prev.pos, coalesce(u.m, prev.m) AS m
+  FROM {prev} prev LEFT JOIN {p}u{i} u
+    ON u.cid = prev.cid AND u.pos = prev.pos
+)""")
+    return ctes, f"{p}a{iters + 1}", f"{p}m{iters}"
+
+
+def _pq_oracle_sql(m: int = 4, k: int = 16, iters: int = 2,
+                   dim: int = 64, n: int = 10) -> str:
+    """Full PQ replay: m per-subspace Lloyd runs, codes from the final
+    assignments, per-subspace query LUTs from the trained means, and
+    the left-associated ADC sum — every discrete decision re-derived."""
+    sub = dim // m
+    ctes: list[str] = []
+    lasts = []
+    for j in range(m):
+        c, la, lm = _kmeans_ctes_sub(k, iters, f"s{j}", j * sub + 1, sub)
+        ctes += c
+        lasts.append((la, lm))
+    for j, (_, lm) in enumerate(lasts):
+        ctes.append(f"""q{j}lut AS (
+  SELECT mm.cid, round(sum((pp.x - mm.m) * (pp.x - mm.m)), 9) AS v
+  FROM s{j}pts pp JOIN {lm} mm USING (pos)
+  WHERE pp.vec_id = 0
+  GROUP BY mm.cid
+)""")
+    joins = f"FROM {lasts[0][0]} c0" + "".join(
+        f"\nJOIN {lasts[j][0]} c{j} USING (vec_id)" for j in range(1, m)
+    )
+    lut_joins = "\n".join(
+        f"JOIN q{j}lut l{j} ON l{j}.cid = c{j}.cid" for j in range(m)
+    )
+    adc = "l0.v"
+    for j in range(1, m):
+        adc = f"({adc} + l{j}.v)"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT c0.vec_id, round({adc}, 9) AS approx_d2
+{joins}
+{lut_joins}
+WHERE c0.vec_id <> 0
+ORDER BY approx_d2, vec_id LIMIT {n}
+"""
+    )
+
+
 def _kmeans_oracle_sql(k: int, iters: int) -> str:
     ctes, last_a, last_m = _kmeans_ctes(k, iters)
     return (
@@ -3886,6 +4064,166 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         docs, "text", "doc_id", ["batch", "scan", "customer"]
     ).orderBy("id")
+
+
+@query(
+    "q_cms_freq",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    exact AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok),
+    top AS (SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    rb AS (
+        SELECT r.row,
+               (('0x' || substring(md5('cms' || r.row::VARCHAR || ':' || t.tok), 1, 15))::BIGINT
+                % 1024) AS bucket
+        FROM toks t CROSS JOIN rows_ r
+    ),
+    sk AS (SELECT row, bucket, count(*) AS cnt FROM rb GROUP BY row, bucket),
+    qrb AS (
+        SELECT q.tok, q.n_exact, r.row,
+               (('0x' || substring(md5('cms' || r.row::VARCHAR || ':' || q.tok), 1, 15))::BIGINT
+                % 1024) AS bucket
+        FROM top q CROSS JOIN rows_ r
+    )
+    SELECT q.tok, q.n_exact,
+           min(coalesce(s.cnt, 0)) AS est
+    FROM qrb q LEFT JOIN sk s USING (row, bucket)
+    GROUP BY q.tok, q.n_exact
+    ORDER BY n_exact DESC, tok
+    """,
+)
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (llm_ops.cms): one
+    corpus pass builds a depth*width counter table (the shuffle is
+    bounded by 4*1024 rows after map-side combine, never by the
+    corpus); point-frequency queries are a broadcast join against it.
+    Queried here for the 20 most frequent exact tokens so the
+    overestimate-only contract (est >= exact, bounded by eps*N) is
+    visible in the row values; hashes are the portable md5 family, so
+    the oracle replays every counter and estimate bit-for-bit."""
+    from .llm_ops.classifier import tokens as doc_tokens
+    from .llm_ops.cms import build_count_min, cms_estimate
+
+    d = spread(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks = doc_tokens(d, "doc_id", "text").select("tok")
+    sketch = build_count_min(toks, "tok", depth=4, width=1024)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("tok"), "tok", depth=4, width=1024)
+    return (
+        top.join(est, "tok")
+        .select("tok", "n_exact", "est")
+        .orderBy(F.col("n_exact").desc(), "tok")
+    )
+
+
+@query(
+    "q_hybrid_retrieval",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id AS id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents WHERE doc_id <> 0
+    ),
+    dl AS (SELECT id, t, len(t) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT id, dl, tok, count(*) AS tf
+        FROM (SELECT id, dl, unnest(t) AS tok FROM dl)
+        WHERE tok IN ('batch', 'scan', 'customer')
+        GROUP BY id, dl, tok
+    ),
+    dfreq AS (SELECT tok, count(DISTINCT id) AS df_t FROM tf GROUP BY tok),
+    bm AS (
+        SELECT id, round(sum(
+                   ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+        GROUP BY id
+    ),
+    bm_rank AS (
+        SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r
+        FROM bm ORDER BY bm25 DESC, id LIMIT 20
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT e.vec_id AS id,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.qv::DOUBLE[]), 9) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    ),
+    cos_rank AS (
+        SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r
+        FROM cos ORDER BY sim DESC, id LIMIT 20
+    )
+    SELECT coalesce(b.id, c.id) AS id,
+           round(coalesce(1.0 / (60 + b.r), 0)
+                 + coalesce(1.0 / (60 + c.r), 0), 6) AS rrf
+    FROM bm_rank b FULL OUTER JOIN cos_rank c USING (id)
+    ORDER BY rrf DESC, id LIMIT 10
+    """,
+)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval with reciprocal-rank fusion
+    (the standard RAG recipe): BM25 top-20 for the query terms and
+    brute-cosine top-20 against the query document's embedding fuse
+    by RRF (k=60), excluding the query doc itself. Each leg is a
+    TakeOrdered heap over its scored frame (no global sort); the
+    fusion join runs over <= 40 rows. Ranks are computed on ROUNDED
+    scores with id tie-breaks, so the fused list is engine-exact and
+    fully replayed by the oracle."""
+    from pyspark.sql.window import Window
+
+    from .llm_ops.dedup import cosine_sim
+    from .llm_ops.text import bm25_scores
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    docs = t["documents"].filter(F.col("doc_id") != 0)
+    emb = t["embeddings"]
+    bm = bm25_scores(docs, "text", "doc_id", ["batch", "scan", "customer"])
+    bm_top = bm.orderBy(F.col("bm25").desc(), "id").limit(20).withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("bm25").desc(), "id"))
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(
+                cosine_sim(F.col("embedding").cast("array<double>"), F.col("qv")), 9
+            ).alias("sim"),
+        )
+    )
+    cos_top = cos.orderBy(F.col("sim").desc(), "id").limit(20).withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("sim").desc(), "id"))
+    )
+    fused = (
+        bm_top.select("id", F.col("r").alias("rb"))
+        .join(cos_top.select("id", F.col("r").alias("rc")), "id", "full_outer")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rb")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rc")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "id").limit(10)
 
 
 @query(
@@ -7748,6 +8086,31 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query("q_ann_pq_topk", oracle=_pq_oracle_sql(m=4, k=16, iters=2))
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llm_ops.pq): four independent
+    portable Lloyd runs train per-subspace codebooks; every vector
+    compresses to 4 codes (64 floats -> 4 bytes at scale); the query
+    ranks by asymmetric distance — per-subspace ||q_j - c||² lookup
+    tables inlined as literals, so scoring is 4 array lookups + adds
+    per row and a TakeOrdered heap. The oracle replays all four
+    Lloyd runs, the code assignments, the LUTs, and the
+    left-associated ADC sum bit-for-bit (codebook means and LUT
+    entries rounded to 9 on both sides)."""
+    import numpy as np
+
+    from .llm_ops.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    books = pq_train(emb, dim=64, m=4, k=16, iters=2)
+    qv = np.array(
+        [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]],
+        dtype=np.float64,
+    )
+    encoded = pq_encode(emb.filter(F.col("vec_id") != 0), books)
+    return pq_adc_topk(encoded, books, qv, n=10)
 
 
 @query(

@@ -138,12 +138,15 @@ def run_dedup_stream(
     available_now: bool = False,
     trigger_seconds: int = 5,
     quarantine_dir: str | None = None,
+    portable: bool = False,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for JSONL docs; append only near-dup
     survivors to ``out_dir``; maintain the sketch store under
     ``store_root`` (``sets/`` + ``banded/``). Corrupt lines go to
     ``quarantine_dir`` (default: ``<out_dir>/_quarantine``) — the
-    same reject-channel contract as every other intake. For oversize
+    same reject-channel contract as every other intake. ``portable``
+    switches the sketch hash family to the md5-based engine-portable
+    one so a SQL oracle can replay the stream (queries.q_dedup_stream). For oversize
     LSH-bucket skip diagnostics run ``minhash_bucket_stats`` over an
     increment offline; an in-stream Observation is unsafe here (its
     ``get`` can block the micro-batch thread when AQE's empty-relation
@@ -184,16 +187,18 @@ def run_dedup_stream(
                 spark, f"{store_root}/banded", _BANDED_SCHEMA
             )
             # shingle ONCE; sketches and candidates reuse these frames
-            new_sets = shingle_sets(new, text_col, id_col, shingle_k).persist()
+            new_sets = shingle_sets(
+                new, text_col, id_col, shingle_k, portable=portable
+            ).persist()
             new_banded = banded_signatures(
                 new, text_col, id_col, num_hashes, bands, shingle_k,
-                sets_df=new_sets,
+                sets_df=new_sets, portable=portable,
             ).persist()
             dups = incremental_minhash_dups(
                 new, old_sets, old_banded, text_col, id_col,
                 threshold=threshold, num_hashes=num_hashes, bands=bands,
                 shingle_k=shingle_k, sets_df=new_sets, banded_df=new_banded,
-                bucket_partitions=bkt_n,
+                bucket_partitions=bkt_n, portable=portable,
             )
             doomed = _doomed_new_ids(dups, new, id_col)
             survivors = new.join(doomed, id_col, "left_anti")

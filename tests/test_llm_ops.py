@@ -2022,6 +2022,43 @@ def test_heavy_hitters_many_partition_exactness(spark):
     assert got2 == {"a": 300, "b": 120}
 
 
+def test_cms_overestimates_never_under(spark):
+    """Count-Min contract: est >= exact for every item, with equality
+    when width comfortably exceeds the distinct-item count."""
+    from chill_spark.llm_ops.cms import build_count_min, cms_estimate
+
+    rows = ["a"] * 50 + ["b"] * 20 + [f"t{i}" for i in range(30)]
+    df = spark.createDataFrame([(t,) for t in rows], "tok string").repartition(6)
+    sketch = build_count_min(df, "tok", depth=4, width=4096)
+    assert sketch.count() <= 4 * 4096
+    queries = spark.createDataFrame(
+        [("a",), ("b",), ("t0",), ("never_seen",)], "tok string"
+    )
+    est = {r["tok"]: r["est"] for r in cms_estimate(
+        sketch, queries, "tok", depth=4, width=4096
+    ).collect()}
+    exact = {"a": 50, "b": 20, "t0": 1, "never_seen": 0}
+    for tok, n in exact.items():
+        assert est[tok] >= n
+    # sparse regime: 32 distinct items in 4*4096 counters -> exact
+    assert est == exact
+
+
+def test_cms_narrow_width_still_overestimates(spark):
+    from chill_spark.llm_ops.cms import build_count_min, cms_estimate
+
+    rows = [f"t{i}" for i in range(200) for _ in (range(3) if i < 5 else range(1))]
+    df = spark.createDataFrame([(t,) for t in rows], "tok string")
+    sketch = build_count_min(df, "tok", depth=3, width=16)  # heavy collisions
+    queries = spark.createDataFrame([(f"t{i}",) for i in range(10)], "tok string")
+    est = {r["tok"]: r["est"] for r in cms_estimate(
+        sketch, queries, "tok", depth=3, width=16
+    ).collect()}
+    for i in range(10):
+        true = 3 if i < 5 else 1
+        assert est[f"t{i}"] >= true
+
+
 def test_heavy_hitters_rejects_bad_theta(spark):
     import pytest as _pytest
     from chill_spark.llm_ops.heavy import heavy_hitters
