@@ -38,12 +38,45 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import assign_centroid, hash_seed_centroids, kmeans_fit
-
-
 def _subvec(vec_col: str, j: int, sub: int) -> Column:
     """1-based slice of subspace ``j`` (length ``sub``)."""
     return F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+
+
+def _books_df(spark, books: list[np.ndarray]):
+    """The m codebooks as ONE broadcastable row of m struct-array
+    columns (__cmat0..__cmat{m-1}) — codebooks ride as DATA, so plans
+    stay value-free (analysis/codegen cost independent of k*dim, and
+    identical plans hit the codegen cache across Lloyd iterations)."""
+    row = [tuple(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(bk)]
+        for bk in books
+    )]
+    schema = ", ".join(
+        f"__cmat{j} array<struct<cid:int,c:array<double>>>"
+        for j in range(len(books))
+    )
+    return spark.createDataFrame(row, schema)
+
+
+def _near(cmat: Column, sv: Column) -> Column:
+    """Nearest codebook entry of ``sv`` in ``cmat`` (squared distance,
+    ties to the smaller cid) — the data-driven argmin shared by
+    training and encoding. (A factory function, not a 2-arg lambda:
+    F.transform would read a second lambda arg as the element index.)"""
+    return F.array_min(
+        F.transform(
+            cmat,
+            lambda e: F.struct(
+                F.aggregate(
+                    F.zip_with(sv, e["c"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                e["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
 
 
 def pq_train(
@@ -55,23 +88,87 @@ def pq_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> list[np.ndarray]:
-    """Train ``m`` per-subspace codebooks (each k x dim/m): an
-    independent portable Lloyd run per subspace, seeded by the same
-    md5-smallest-id rows (hash_seed_centroids) so an external oracle
-    can re-derive every codebook. ``dim`` must be divisible by m."""
+    """Train ``m`` per-subspace codebooks (each k x dim/m), seeded by
+    the md5-smallest-id rows (the hash_seed_centroids rule, shared
+    across subspaces) so an external oracle can re-derive every
+    codebook. ``dim`` must be divisible by m.
+
+    All m Lloyd runs advance JOINTLY — one Spark job per iteration
+    covers every subspace (assignment + per-(subspace, cluster, dim)
+    partial means in a single aggregate), instead of m independent
+    kmeans_fit loops paying m separate plan/codegen/job costs per
+    iteration. Numerically identical to the independent runs: each
+    subspace's argmin and mean updates never mix with another's."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    books = []
-    for j in range(m):
-        subdf = emb.select(id_col, _subvec(vec_col, j, sub).alias("__sv"))
-        seeds = hash_seed_centroids(subdf, k, "__sv", id_col)
-        books.append(
-            kmeans_fit(
-                subdf, "__sv", k=k, iters=iters,
-                init_centroids=seeds, round_means=9,
-            )
+    # seeds: ONE TakeOrdered collect of the k md5-smallest rows; the
+    # per-subspace seed slices come from the same rows by definition
+    seed_rows = (
+        emb.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__i"),
         )
+        .orderBy("__h", "__i")
+        .limit(k)
+        .collect()
+    )
+    books = [
+        np.array(
+            [r["__v"][j * sub:(j + 1) * sub] for r in seed_rows],
+            dtype=np.float64,
+        )
+        for j in range(m)
+    ]
+    return _pq_lloyd_joint(emb, vec_col, books, iters, round_means=9)
+
+
+def _pq_lloyd_joint(
+    emb: DataFrame,
+    vec_col: str,
+    books: list[np.ndarray],
+    iters: int,
+    round_means: int | None = None,
+) -> list[np.ndarray]:
+    """Advance all m codebooks ``iters`` Lloyd steps with ONE job per
+    iteration. The codebooks ride as broadcast DATA (a 1-row cross
+    join of m struct-array columns, the with_nearest_centroid trick),
+    so the compiled plan is value-free and reused across iterations;
+    the shuffle per iteration is m * k * sub partial-mean rows."""
+    spark = emb.sparkSession
+    m, sub = len(books), books[0].shape[1]
+    v = F.col(vec_col).cast("array<double>")
+
+    for _ in range(iters):
+        per_sub = []
+        for j in range(m):
+            sv = F.slice(v, j * sub + 1, sub)
+            near = _near(F.col(f"__cmat{j}"), sv)
+            per_sub.append(
+                F.struct(F.lit(j).alias("j"), near.alias("cid"), sv.alias("sv"))
+            )
+        stats = (
+            emb.crossJoin(F.broadcast(_books_df(spark, books)))
+            .select(F.explode(F.array(*per_sub)).alias("e"))
+            .select("e.j", "e.cid", F.posexplode("e.sv").alias("pos", "val"))
+            .groupBy("j", "cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums = [np.zeros_like(bk) for bk in books]
+        ns = [np.zeros(len(bk)) for bk in books]
+        for r in stats:
+            sums[r["j"]][r["cid"], r["pos"]] = r["s"]
+            ns[r["j"]][r["cid"]] = r["n"]
+        for j in range(m):
+            nz = ns[j] > 0
+            books[j][nz] = sums[j][nz] / ns[j][nz, None]
+            if round_means is not None:
+                # round ONLY updated rows (empty clusters keep their
+                # previous centroid bit-exact — same rule as
+                # _lloyd_iterate / the SQL oracle's coalesce)
+                books[j][nz] = np.round(books[j][nz], round_means)
     return books
 
 
@@ -81,15 +178,22 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, c0..c{m-1}) codes: nearest codebook entry per subspace,
-    as pure Column argmins — one executor-side pass, no shuffle."""
+    """(id, c0..c{m-1}) codes: nearest codebook entry per subspace —
+    one executor-side pass, no shuffle. The codebooks ride as a
+    broadcast 1-row DATA join (not inlined literals): at m=4, k=16,
+    sub=16 the literal form put ~1k doubles in the expression tree
+    and Catalyst analysis alone cost seconds; value-free plans also
+    reuse their compiled codegen across calls."""
     sub = books[0].shape[1]
-    return emb.select(
-        id_col,
-        *[
-            assign_centroid(_subvec(vec_col, j, sub), bk).alias(f"c{j}")
-            for j, bk in enumerate(books)
-        ],
+    return (
+        emb.crossJoin(F.broadcast(_books_df(emb.sparkSession, books)))
+        .select(
+            id_col,
+            *[
+                _near(F.col(f"__cmat{j}"), _subvec(vec_col, j, sub)).alias(f"c{j}")
+                for j in range(len(books))
+            ],
+        )
     )
 
 
