@@ -152,17 +152,17 @@ def heavy_hitters(
     if not 0 < theta <= 1:
         raise ValueError(f"theta must be in (0, 1], got {theta}")
     m = math.ceil(1.0 / theta)
-    summary = mg_merge_summaries(
-        mg_summaries(items, col, m), m
-    ).localCheckpoint()
-    # one pass over the corpus, reused twice (N + candidates)
-    total = summary.filter(F.col("tok").isNull()).agg(
-        F.sum("lb").alias("n")
-    ).collect()[0]["n"] or 0
+    # the merged summary is <= m+1 rows BY CONSTRUCTION — one collect
+    # serves both N (the sentinel row) and the candidate set, instead
+    # of a checkpoint + two more jobs over it
+    rows = mg_merge_summaries(mg_summaries(items, col, m), m).collect()
+    total = sum(r["lb"] for r in rows if r["tok"] is None)
+    cands = sorted({r["tok"] for r in rows if r["tok"] is not None})
     threshold = max(min_count, math.ceil(theta * total))
-    candidates = summary.filter(F.col("tok").isNotNull()).select(
-        F.col("tok").alias(col)
-    ).distinct()
+    spark = items.sparkSession
+    if not cands:
+        return spark.createDataFrame([], f"{col} string, n_tok bigint")
+    candidates = spark.createDataFrame([(t,) for t in cands], f"{col} string")
     return (
         items.join(F.broadcast(candidates), on=col, how="leftsemi")
         .groupBy(col)
