@@ -60,7 +60,7 @@ _PRIORITY: list[str] = [
     "q_scd2_asof", "q_psi_drift",
     "q_sessionize_stream", "q_classify_stream", "q_heavy_stream",
     "q_dedup_stream", "q_cms_freq", "q_hybrid_retrieval",
-    "q_ann_pq_topk",
+    "q_ann_pq_topk", "q_embedding_dedup_stream",
     # --- last driver check: round 2 (the full staleness tail) ---
     "q8_market_share", "q_cohort_retention", "q_decontaminate",
     "q_gapfill_hourly", "q_media_summary", "q_percentiles",
@@ -69,8 +69,8 @@ _PRIORITY: list[str] = [
     # --- sentinels (r5-green regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash",
-    # --- last driver check: round 3 (first 21 of 44; the remaining
-    #     23 — q_bm25_rank, q_vocab_coverage, q_bigram_pmi,
+    # --- last driver check: round 3 (first 20 of 44; the remaining
+    #     24 — q_tfidf, q_bm25_rank, q_vocab_coverage, q_bigram_pmi,
     #     q_quality_rules, q_repetition_filter, q_chunk_documents,
     #     q_corpus_prep_pipeline, q_corpus_embedding_assembly,
     #     q_jsonl_roundtrip, the dedup-cc family, media resize/audio,
@@ -84,7 +84,6 @@ _PRIORITY: list[str] = [
     "q_zscore_normalize", "q_minmax_grouped", "q_split_counts",
     "q_stratified_sample", "q_weighted_sample",
     "q_token_budget_by_split", "q_top_tokens_per_lang",
-    "q_tfidf",
 ]
 
 
@@ -1482,6 +1481,134 @@ def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+def _embedding_stream_oracle_sql(
+    planes: int = 6, bands: int = 8, dim: int = 64, seed: int = 42,
+    threshold: float = 0.4, cap: int = 1000, cut_frac: float = 0.8,
+) -> str:
+    """Two-wave embedding dedup stream replay: the banded-LSH verified
+    pairs (same plane literals / cap / verify as
+    _lsh_banded_oracle_sql) plus the stream's doom algebra — in-batch
+    pairs kill the larger id, wave-2 rows duplicating a STORED
+    survivor die regardless of id order, and wave-1 casualties never
+    enter the store."""
+    from .llm_ops.dedup import hyperplane_vectors
+
+    allv = hyperplane_vectors(dim, planes, bands, seed)
+    band_sel = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_lsh_bucket_sql(allv[b])} AS bkt "
+        "FROM embeddings"
+        for b in range(bands)
+    )
+    return f"""
+    WITH cut AS (SELECT CAST(floor(max(vec_id) * {cut_frac}) AS BIGINT) AS k
+                 FROM embeddings),
+    b AS MATERIALIZED (
+        {band_sel}
+    ),
+    ok AS (
+        SELECT band, bkt FROM b GROUP BY band, bkt
+        HAVING count(*) BETWEEN 2 AND {cap}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a
+        JOIN b c ON a.band = c.band AND a.bkt = c.bkt AND a.vec_id < c.vec_id
+        JOIN ok ON ok.band = a.band AND ok.bkt = a.bkt
+    ),
+    ver AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN embeddings x ON x.vec_id = cand.id_a
+        JOIN embeddings y ON y.vec_id = cand.id_b
+        WHERE list_cosine_similarity(
+            x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= {threshold}
+    ),
+    doomed1 AS (
+        SELECT DISTINCT id_b AS vec_id FROM ver
+        WHERE id_a < (SELECT k FROM cut) AND id_b < (SELECT k FROM cut)
+    ),
+    surv1 AS (
+        SELECT vec_id FROM embeddings WHERE vec_id < (SELECT k FROM cut)
+        EXCEPT SELECT vec_id FROM doomed1
+    ),
+    doomed2 AS (
+        SELECT DISTINCT CASE
+            WHEN id_a >= (SELECT k FROM cut) AND id_b >= (SELECT k FROM cut)
+                THEN id_b
+            WHEN id_a >= (SELECT k FROM cut) THEN id_a
+            ELSE id_b END AS vec_id
+        FROM ver
+        WHERE (id_a >= (SELECT k FROM cut) AND id_b >= (SELECT k FROM cut))
+           OR (id_a >= (SELECT k FROM cut)
+               AND id_b IN (SELECT vec_id FROM surv1))
+           OR (id_b >= (SELECT k FROM cut)
+               AND id_a IN (SELECT vec_id FROM surv1))
+    )
+    SELECT vec_id FROM surv1
+    UNION
+    SELECT vec_id FROM embeddings
+    WHERE vec_id >= (SELECT k FROM cut)
+      AND vec_id NOT IN (SELECT vec_id FROM doomed2)
+    ORDER BY vec_id
+    """
+
+
+@query("q_embedding_dedup_stream", oracle=_embedding_stream_oracle_sql())
+def q_embedding_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-deduplicating EMBEDDING intake through the REAL
+    checkpointed stream (streaming.dedup_stream.
+    run_embedding_dedup_stream) — the vector twin of q_dedup_stream:
+    the first 80% of vec_ids arrive as JSONL wave 1 (in-batch banded
+    hyperplane LSH + cosine verify against an empty store), the rest
+    as wave 2 against the survivors' persisted hyperplane store.
+    Embeddings are cast to double BEFORE the JSONL write so the JSON
+    round-trip is bit-exact with the oracle's ::DOUBLE[] cast of the
+    parquet floats. Returns surviving vec_ids; the oracle replays the
+    banded pipeline + the stream's doom algebra declaratively."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import drain
+    from .streaming.dedup_stream import run_embedding_dedup_stream
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    max_id = emb.agg(F.max("vec_id")).first()[0] or 0
+    k = int(math.floor(max_id * 0.8))
+    ser = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    tmp = tempfile.mkdtemp(prefix="chill_edst_")
+    try:
+        watch = os.path.join(tmp, "vecs")
+        out = os.path.join(tmp, "corpus")
+        store = os.path.join(tmp, "store")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(watch)
+        ser.filter(F.col("vec_id") < k).write.json(os.path.join(watch, "b1"))
+
+        def run_wave() -> None:
+            drain(run_embedding_dedup_stream(
+                spark, watch + "/*", "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+                out_dir=out, store_root=store, checkpoint_dir=ckpt,
+                threshold=0.4, planes=6, bands=8, seed=42,
+                available_now=True,
+            ))
+
+        run_wave()
+        ser.filter(F.col("vec_id") >= k).write.json(os.path.join(watch, "b2"))
+        run_wave()
+        return (
+            spark.read.parquet(out)
+            .select("vec_id")
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _embedding_cc_oracle_sql(
