@@ -103,6 +103,7 @@ HEADLINE = [
     "q_cms_freq",
     "q_hybrid_retrieval",
     "q_ann_pq_topk",
+    "q_ann_ivfpq_topk",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

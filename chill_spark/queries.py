@@ -60,7 +60,7 @@ _PRIORITY: list[str] = [
     "q_scd2_asof", "q_psi_drift",
     "q_sessionize_stream", "q_classify_stream", "q_heavy_stream",
     "q_dedup_stream", "q_cms_freq", "q_hybrid_retrieval",
-    "q_ann_pq_topk", "q_embedding_dedup_stream",
+    "q_ann_pq_topk", "q_embedding_dedup_stream", "q_ann_ivfpq_topk",
     # --- last driver check: round 2 (the full staleness tail) ---
     "q8_market_share", "q_cohort_retention", "q_decontaminate",
     "q_gapfill_hourly", "q_media_summary", "q_percentiles",
@@ -69,8 +69,9 @@ _PRIORITY: list[str] = [
     # --- sentinels (r5-green regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash",
-    # --- last driver check: round 3 (first 20 of 44; the remaining
-    #     24 — q_tfidf, q_bm25_rank, q_vocab_coverage, q_bigram_pmi,
+    # --- last driver check: round 3 (first 19 of 44; the remaining
+    #     25 — q_top_tokens_per_lang, q_tfidf, q_bm25_rank,
+    #     q_vocab_coverage, q_bigram_pmi,
     #     q_quality_rules, q_repetition_filter, q_chunk_documents,
     #     q_corpus_prep_pipeline, q_corpus_embedding_assembly,
     #     q_jsonl_roundtrip, the dedup-cc family, media resize/audio,
@@ -83,7 +84,7 @@ _PRIORITY: list[str] = [
     "q_histogram_prices", "q_approx_sketches", "q_asof_join_tolerance",
     "q_zscore_normalize", "q_minmax_grouped", "q_split_counts",
     "q_stratified_sample", "q_weighted_sample",
-    "q_token_budget_by_split", "q_top_tokens_per_lang",
+    "q_token_budget_by_split",
 ]
 
 
@@ -8213,6 +8214,100 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+def _ivfpq_oracle_sql(
+    cells: int = 8, probe: int = 2, m: int = 4, k: int = 16,
+    iters: int = 2, dim: int = 64, n: int = 10,
+) -> str:
+    """IVF-PQ replay: the full-dim coarse Lloyd run (_kmeans_ctes,
+    unprefixed names), the m per-subspace PQ Lloyd runs (prefixed),
+    the query's top-``probe`` cells (distances rounded to 9, ties by
+    cid), and ADC scoring restricted to rows assigned to probed
+    cells."""
+    coarse, cell_a, cell_m = _kmeans_ctes(cells, iters)
+    sub = dim // m
+    ctes = list(coarse)
+    lasts = []
+    for j in range(m):
+        c, la, lm = _kmeans_ctes_sub(k, iters, f"s{j}", j * sub + 1, sub)
+        ctes += c
+        lasts.append((la, lm))
+    ctes.append(f"""qcell AS (
+  SELECT mm.cid, round(sum((pp.x - mm.m) * (pp.x - mm.m)), 9) AS d
+  FROM pts pp JOIN {cell_m} mm USING (pos)
+  WHERE pp.vec_id = 0
+  GROUP BY mm.cid
+  ORDER BY d, mm.cid LIMIT {probe}
+)""")
+    for j, (_, lm) in enumerate(lasts):
+        ctes.append(f"""q{j}lut AS (
+  SELECT mm.cid, round(sum((pp.x - mm.m) * (pp.x - mm.m)), 9) AS v
+  FROM s{j}pts pp JOIN {lm} mm USING (pos)
+  WHERE pp.vec_id = 0
+  GROUP BY mm.cid
+)""")
+    joins = f"FROM {lasts[0][0]} c0" + "".join(
+        f"\nJOIN {lasts[j][0]} c{j} USING (vec_id)" for j in range(1, m)
+    )
+    lut_joins = "\n".join(
+        f"JOIN q{j}lut l{j} ON l{j}.cid = c{j}.cid" for j in range(m)
+    )
+    adc = "l0.v"
+    for j in range(1, m):
+        adc = f"({adc} + l{j}.v)"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT c0.vec_id, round({adc}, 9) AS approx_d2
+{joins}
+JOIN {cell_a} cell ON cell.vec_id = c0.vec_id
+{lut_joins}
+WHERE cell.cid IN (SELECT cid FROM qcell) AND c0.vec_id <> 0
+ORDER BY approx_d2, vec_id LIMIT {n}
+"""
+    )
+
+
+@query("q_ann_ivfpq_topk", oracle=_ivfpq_oracle_sql())
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN index shape (FAISS IVFx,PQy): a
+    full-dim coarse quantizer partitions the corpus into cells
+    (partition-prune the store by cell at scale); the query probes
+    its 2 nearest cells and ADC-scores ONLY those rows with the PQ
+    codebooks — cells * probed fraction of the corpus touched, m
+    lookups per row. Both quantizers are portable Lloyd runs, so the
+    oracle replays the coarse assignment, the probe choice (cell
+    distances rounded to 9, ties by cid), all four PQ codebooks, and
+    the fused ADC ranking."""
+    import numpy as np
+
+    from .llm_ops.pq import pq_adc_topk, pq_encode, pq_train
+    from .llm_ops.similarity import (
+        hash_seed_centroids,
+        kmeans_fit,
+        with_nearest_centroid,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = kmeans_fit(
+        emb, "embedding", k=8, iters=2,
+        init_centroids=hash_seed_centroids(emb, 8), round_means=9,
+    )
+    books = pq_train(emb, dim=64, m=4, k=16, iters=2)
+    qv = np.array(
+        [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]],
+        dtype=np.float64,
+    )
+    cell_d = np.round(((cents - qv) ** 2).sum(axis=1), 9)
+    probed = [int(c) for c in sorted(range(len(cents)),
+                                     key=lambda c: (cell_d[c], c))[:2]]
+    celled = with_nearest_centroid(
+        emb.filter(F.col("vec_id") != 0), "embedding", cents
+    ).withColumn("__cell", F.col("__near")["cid"])
+    cand = celled.filter(F.col("__cell").isin(probed)).select(
+        "vec_id", "embedding"
+    )
+    return pq_adc_topk(pq_encode(cand, books), books, qv, n=10)
 
 
 @query("q_ann_pq_topk", oracle=_pq_oracle_sql(m=4, k=16, iters=2))
