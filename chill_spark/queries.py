@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "q_sessionize_stream", "q_classify_stream", "q_heavy_stream",
     "q_dedup_stream", "q_cms_freq", "q_hybrid_retrieval",
     "q_ann_pq_topk", "q_embedding_dedup_stream", "q_ann_ivfpq_topk",
+    "q_trend_by_type", "q_anomaly_mad",
     # --- last driver check: round 2 (the full staleness tail) ---
     "q8_market_share", "q_cohort_retention", "q_decontaminate",
     "q_gapfill_hourly", "q_media_summary", "q_percentiles",
@@ -69,8 +70,9 @@ _PRIORITY: list[str] = [
     # --- sentinels (r5-green regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash",
-    # --- last driver check: round 3 (first 19 of 44; the remaining
-    #     25 — q_top_tokens_per_lang, q_tfidf, q_bm25_rank,
+    # --- last driver check: round 3 (first 17 of 44; the remaining
+    #     27 — q_weighted_sample, q_token_budget_by_split,
+    #     q_top_tokens_per_lang, q_tfidf, q_bm25_rank,
     #     q_vocab_coverage, q_bigram_pmi,
     #     q_quality_rules, q_repetition_filter, q_chunk_documents,
     #     q_corpus_prep_pipeline, q_corpus_embedding_assembly,
@@ -83,8 +85,7 @@ _PRIORITY: list[str] = [
     "q_ntile_revenue_deciles", "q_cube_events", "q_unpivot_measures",
     "q_histogram_prices", "q_approx_sketches", "q_asof_join_tolerance",
     "q_zscore_normalize", "q_minmax_grouped", "q_split_counts",
-    "q_stratified_sample", "q_weighted_sample",
-    "q_token_budget_by_split",
+    "q_stratified_sample",
 ]
 
 
@@ -6699,6 +6700,127 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_trend_by_type",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', ts::DATE) AS x,
+               count(*) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sx2
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           round((n * sxy - sx * sy) * 1.0
+                 / (n * sx2 - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) * 1.0
+                       / (n * sx2 - sx * sx) * sx) * 1.0 / n, 6)
+               AS intercept
+    FROM s ORDER BY event_type
+    """,
+)
+def q_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend (capacity-planning shape): daily event
+    counts per type -> OLS slope/intercept from the four INTEGER
+    moment sums (n, Σx, Σy, Σxy, Σx²) — the sums are exact and
+    order-free, so the only float ops are two divisions on finished
+    integers and the result is bit-stable across partitionings,
+    retries, and engines. One scan, one (type, day) pre-aggregate,
+    one type-level reduce; no window over the corpus."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    return s.select(
+        "event_type",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")).cast("double") / F.col("n"), 6
+        ).alias("intercept"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, median(y) AS med FROM daily GROUP BY event_type
+    ),
+    mad AS (
+        SELECT d.event_type, m.med, median(abs(d.y - m.med)) AS mad
+        FROM daily d JOIN med m USING (event_type)
+        GROUP BY d.event_type, m.med
+    )
+    SELECT d.event_type, d.d AS day, d.y AS n_events,
+           round(m.med, 6) AS med, round(m.mad, 6) AS mad,
+           (round(abs(d.y - m.med), 9)
+            > round(3 * 1.4826 * m.mad, 9)) AS is_anomaly
+    FROM daily d JOIN mad m USING (event_type)
+    ORDER BY d.event_type, d.d
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags on daily volumes: median/MAD (not
+    mean/stddev — a single spike inflates the stddev and hides
+    itself) with the 3-sigma-equivalent 1.4826 consistency constant.
+    Two group-level exact percentiles over (type, day) pre-aggregates
+    — profile-sized frames, never a corpus window; the threshold
+    comparison rounds both sides to 9 (engine float policy) so
+    flags replay exactly."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n_events, 0.5)").alias("med")
+    )
+    mad = (
+        daily.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(n_events - med), 0.5)").alias("mad"))
+    )
+    return (
+        daily.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type", "day", "n_events",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            (
+                F.round(F.abs(F.col("n_events") - F.col("med")), 9)
+                > F.round(F.lit(3 * 1.4826) * F.col("mad"), 9)
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
     )
 
 
