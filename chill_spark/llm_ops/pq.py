@@ -130,20 +130,32 @@ def _pq_lloyd_joint(
     books: list[np.ndarray],
     iters: int,
     round_means: int | None = None,
+    slices: list[tuple[int, int]] | None = None,
 ) -> list[np.ndarray]:
-    """Advance all m codebooks ``iters`` Lloyd steps with ONE job per
+    """Advance all codebooks ``iters`` Lloyd steps with ONE job per
     iteration. The codebooks ride as broadcast DATA (a 1-row cross
-    join of m struct-array columns, the with_nearest_centroid trick),
+    join of struct-array columns, the with_nearest_centroid trick),
     so the compiled plan is value-free and reused across iterations;
-    the shuffle per iteration is m * k * sub partial-mean rows."""
+    the shuffle per iteration is sum(k_j * len_j) partial-mean rows.
+
+    ``slices`` gives each codebook its vector slice as (1-based lo,
+    length) — defaults to the contiguous equal subspaces of PQ.
+    Heterogeneous entries are allowed (different k per book, different
+    slice lengths), which lets an IVF-PQ index train its full-vector
+    coarse quantizer in the same per-iteration job as the subspace
+    codebooks: each book's argmin and mean updates never mix with
+    another's, so the joint run equals the independent runs."""
     spark = emb.sparkSession
     m, sub = len(books), books[0].shape[1]
+    if slices is None:
+        slices = [(j * sub + 1, sub) for j in range(m)]
     v = F.col(vec_col).cast("array<double>")
 
     for _ in range(iters):
         per_sub = []
         for j in range(m):
-            sv = F.slice(v, j * sub + 1, sub)
+            lo, ln = slices[j]
+            sv = F.slice(v, lo, ln)
             near = _near(F.col(f"__cmat{j}"), sv)
             per_sub.append(
                 F.struct(F.lit(j).alias("j"), near.alias("cid"), sv.alias("sv"))
@@ -170,6 +182,50 @@ def _pq_lloyd_joint(
                 # _lloyd_iterate / the SQL oracle's coalesce)
                 books[j][nz] = np.round(books[j][nz], round_means)
     return books
+
+
+def ivfpq_train(
+    emb: DataFrame,
+    dim: int,
+    cells: int = 8,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Train the IVF coarse quantizer AND the m PQ codebooks together:
+    the coarse book is just one more (full-vector) entry in the joint
+    Lloyd run, so the whole index trains in 1 seed collect +
+    ``iters`` jobs instead of two independent training loops.
+    Returns (cell_centroids, pq_books). Seeding: the md5-smallest-id
+    rows — the coarse book takes the first ``cells`` of the same
+    ordering the PQ books take their first ``k`` from, identical to
+    seeding each run separately."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    seed_rows = (
+        emb.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__i"),
+        )
+        .orderBy("__h", "__i")
+        .limit(max(k, cells))
+        .collect()
+    )
+    books = [
+        np.array([r["__v"][j * sub:(j + 1) * sub] for r in seed_rows[:k]],
+                 dtype=np.float64)
+        for j in range(m)
+    ]
+    coarse = np.array([r["__v"] for r in seed_rows[:cells]], dtype=np.float64)
+    slices = [(j * sub + 1, sub) for j in range(m)] + [(1, dim)]
+    trained = _pq_lloyd_joint(
+        emb, vec_col, books + [coarse], iters, round_means=9, slices=slices
+    )
+    return trained[-1], trained[:-1]
 
 
 def pq_encode(

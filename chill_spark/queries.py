@@ -8403,19 +8403,14 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fused ADC ranking."""
     import numpy as np
 
-    from .llm_ops.pq import pq_adc_topk, pq_encode, pq_train
-    from .llm_ops.similarity import (
-        hash_seed_centroids,
-        kmeans_fit,
-        with_nearest_centroid,
-    )
+    from .llm_ops.pq import ivfpq_train, pq_adc_topk, pq_encode
+    from .llm_ops.similarity import with_nearest_centroid
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    cents = kmeans_fit(
-        emb, "embedding", k=8, iters=2,
-        init_centroids=hash_seed_centroids(emb, 8), round_means=9,
-    )
-    books = pq_train(emb, dim=64, m=4, k=16, iters=2)
+    # coarse quantizer + PQ codebooks train in ONE joint Lloyd run
+    # (1 seed collect + iters jobs); identical results to training
+    # them separately — see ivfpq_train
+    cents, books = ivfpq_train(emb, dim=64, cells=8, m=4, k=16, iters=2)
     qv = np.array(
         [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]],
         dtype=np.float64,
