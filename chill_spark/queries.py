@@ -61,7 +61,7 @@ _PRIORITY: list[str] = [
     "q_sessionize_stream", "q_classify_stream", "q_heavy_stream",
     "q_dedup_stream", "q_cms_freq", "q_hybrid_retrieval",
     "q_ann_pq_topk", "q_embedding_dedup_stream", "q_ann_ivfpq_topk",
-    "q_trend_by_type", "q_anomaly_mad",
+    "q_trend_by_type", "q_anomaly_mad", "q_cms_stream",
     # --- last driver check: round 2 (the full staleness tail) ---
     "q8_market_share", "q_cohort_retention", "q_decontaminate",
     "q_gapfill_hourly", "q_media_summary", "q_percentiles",
@@ -70,8 +70,9 @@ _PRIORITY: list[str] = [
     # --- sentinels (r5-green regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash",
-    # --- last driver check: round 3 (first 17 of 44; the remaining
-    #     27 — q_weighted_sample, q_token_budget_by_split,
+    # --- last driver check: round 3 (first 16 of 44; the remaining
+    #     28 — q_stratified_sample, q_weighted_sample,
+    #     q_token_budget_by_split,
     #     q_top_tokens_per_lang, q_tfidf, q_bm25_rank,
     #     q_vocab_coverage, q_bigram_pmi,
     #     q_quality_rules, q_repetition_filter, q_chunk_documents,
@@ -85,7 +86,6 @@ _PRIORITY: list[str] = [
     "q_ntile_revenue_deciles", "q_cube_events", "q_unpivot_measures",
     "q_histogram_prices", "q_approx_sketches", "q_asof_join_tolerance",
     "q_zscore_normalize", "q_minmax_grouped", "q_split_counts",
-    "q_stratified_sample",
 ]
 
 
@@ -4252,6 +4252,97 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "n_exact", "est")
         .orderBy(F.col("n_exact").desc(), "tok")
     )
+
+
+@query(
+    "q_cms_stream",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    exact AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok),
+    top AS (SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    rb AS (
+        SELECT r.row,
+               (('0x' || substring(md5('cms' || r.row::VARCHAR || ':' || t.tok), 1, 15))::BIGINT
+                % 1024) AS bucket
+        FROM toks t CROSS JOIN rows_ r
+    ),
+    sk AS (SELECT row, bucket, count(*) AS cnt FROM rb GROUP BY row, bucket),
+    qrb AS (
+        SELECT q.tok, q.n_exact, r.row,
+               (('0x' || substring(md5('cms' || r.row::VARCHAR || ':' || q.tok), 1, 15))::BIGINT
+                % 1024) AS bucket
+        FROM top q CROSS JOIN rows_ r
+    )
+    SELECT q.tok, q.n_exact,
+           min(coalesce(s.cnt, 0)) AS est
+    FROM qrb q LEFT JOIN sk s USING (row, bucket)
+    GROUP BY q.tok, q.n_exact
+    ORDER BY n_exact DESC, tok
+    """,
+)
+def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance through the REAL checkpointed
+    stream (streaming.cms_stream.run_cms_stream): the documents table
+    arrives as JSONL in two waves; each micro-batch's
+    depth*width-bounded counters ADD into the snapshot-per-batch
+    sketch store. Integer counter sums are exactly mergeable, so the
+    streamed sketch is bit-identical to the batch sketch of the full
+    corpus — the oracle is q_cms_freq's replay verbatim, now answered
+    from state built incrementally across drains."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm_ops.classifier import tokens as doc_tokens
+    from .streaming import drain
+    from .streaming.cms_stream import cms_stream_estimate, run_cms_stream
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tmp = tempfile.mkdtemp(prefix="chill_cms_")
+    try:
+        watch = os.path.join(tmp, "docs")
+        store = os.path.join(tmp, "store")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(watch)
+        docs = d.select("doc_id", "text")
+        docs.filter(F.col("doc_id") % 2 == 0).write.json(
+            os.path.join(watch, "b1")
+        )
+
+        def run_wave() -> None:
+            drain(run_cms_stream(
+                spark, watch + "/*", "doc_id BIGINT, text STRING",
+                store_root=store, checkpoint_dir=ckpt,
+                depth=4, width=1024, available_now=True,
+            ))
+
+        run_wave()
+        docs.filter(F.col("doc_id") % 2 == 1).write.json(
+            os.path.join(watch, "b2")
+        )
+        run_wave()
+        toks = doc_tokens(d, "doc_id", "text").select("tok")
+        top = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .orderBy(F.col("n_exact").desc(), "tok")
+            .limit(20)
+        )
+        est = cms_stream_estimate(
+            spark, store, top.select("tok"), "tok", depth=4, width=1024
+        )
+        return (
+            top.join(est, "tok")
+            .select("tok", "n_exact", "est")
+            .orderBy(F.col("n_exact").desc(), "tok")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(

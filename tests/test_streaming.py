@@ -1982,6 +1982,55 @@ def test_upsert_stream_jsonl_with_quarantine(spark, stream_dirs):
     assert [r["rejected_line"] for r in q.collect()] == ["this is not json"]
 
 
+def test_cms_stream_matches_batch_sketch(spark, stream_dirs):
+    """Streaming CMS: counters summed across two waves equal the
+    batch sketch of the whole feed (integer merges are exact), and
+    point estimates are exact in the sparse regime."""
+    import json
+
+    from chill_spark.llm_ops.cms import build_count_min
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.cms_stream import (
+        cms_stream_estimate,
+        run_cms_stream,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "cms_in"); os.makedirs(ind, exist_ok=True)
+    store = os.path.join(base, "cms_store")
+    ckpt = os.path.join(base, "cms_ckpt")
+
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "the the cat"}) + "\n")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", store_root=store,
+        checkpoint_dir=ckpt, depth=3, width=512, available_now=True,
+    )
+    drain(run_cms_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "the dog"}) + "\n")
+    drain(run_cms_stream(spark, ind, **kw))
+
+    q = spark.createDataFrame([("the",), ("cat",), ("emu",)], "tok string")
+    est = {r["tok"]: r["est"] for r in cms_stream_estimate(
+        spark, store, q, "tok", depth=3, width=512
+    ).collect()}
+    assert est == {"the": 3, "cat": 1, "emu": 0}
+    # stream sketch == batch sketch of the union, counter for counter
+    toks = spark.createDataFrame(
+        [(t,) for t in "the the cat the dog".split()], "tok string"
+    )
+    batch = {(r["row"], r["bucket"]): r["cnt"]
+             for r in build_count_min(toks, "tok", 3, 512).collect()}
+    latest_dir = os.path.join(store, "sketch")
+    snap = spark.read.parquet(latest_dir)
+    latest = snap.agg(F.max("BATCH_PART").alias("b")).collect()[0]["b"]
+    streamed = {(r["row"], r["bucket"]): r["cnt"]
+                for r in snap.filter(F.col("BATCH_PART") == latest)
+                .select("row", "bucket", "cnt").collect()}
+    assert streamed == batch
+
+
 def test_heavy_stream_merges_batches_and_bounds_state(spark, stream_dirs):
     """Streaming MG summary: two waves of docs; the summary holds at
     most m counters + the sentinel, the running N covers both waves,
