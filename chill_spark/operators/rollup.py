@@ -146,3 +146,91 @@ def estimate_distinct(
     return df.withColumn(
         out_col, F.hll_sketch_estimate(F.col(SKETCH_COL)).cast("long")
     ).drop(SKETCH_COL)
+
+
+def histogram_ladder(
+    base_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    levels: list[str],
+    bin_width: float,
+    datetime_col: str = "DATETIME",
+) -> dict[str, DataFrame]:
+    """Percentile ladder that RE-AGGREGATES — the quantile twin of
+    ``distinct_ladder``. Exact percentiles aren't decomposable (a
+    day's median can't be derived from hourly medians), so an exact
+    ladder re-scans the raw 100 TB per level. A fixed-width histogram
+    IS decomposable: the base level counts value occurrences per
+    (keys, window, bin = floor(value / bin_width)); every higher
+    level just SUMS the previous level's bin counts — raw rows
+    scanned once for any ladder depth, each level's shuffle bounded
+    by groups x occupied bins. ``estimate_percentile`` answers any
+    quantile at any level with error <= bin_width (the bin fully
+    contains the true order statistic), a DETERMINISTIC integer bound
+    — unlike rank-error sketches, the verdict "estimate within one
+    bin of exact" is checkable row-for-row by a SQL oracle.
+
+    Reference analog: extends the TRAggr sum-only ladder
+    (HlxTools.py:658-725) to order statistics, as distinct_ladder
+    extends it to distinct counts."""
+    out: dict[str, DataFrame] = {}
+    prev = None
+    bin_col = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    for i, g in enumerate(levels):
+        if i == 0:
+            prev = base_df.groupBy(
+                truncate_to(g, datetime_col).alias(datetime_col),
+                *keys,
+                bin_col.alias("bin"),
+            ).agg(F.count(F.lit(1)).alias("bin_n"))
+        else:
+            prev = prev.groupBy(
+                truncate_to(g, datetime_col).alias(datetime_col),
+                *keys,
+                "bin",
+            ).agg(F.sum("bin_n").alias("bin_n"))
+        out[g] = prev
+    return out
+
+
+def estimate_percentile(
+    hist: DataFrame,
+    keys: list[str],
+    p: float,
+    bin_width: float,
+    datetime_col: str = "DATETIME",
+    out_col: str = "pct_est",
+) -> DataFrame:
+    """Quantile estimate per (keys, window) from a histogram-ladder
+    level: the upper edge of the first bin whose cumulative count
+    reaches ceil(p * N). The rank target is INTEGER (ceil of an
+    exact product at the driver-free grain: p is a literal), the
+    cumulative walk is a window over the group's occupied bins
+    (bin-count-sized, never row-sized), and the returned edge is
+    bin-grid-exact — so the estimate replays bit-for-bit in SQL and
+    carries the deterministic |est - exact| <= bin_width bound."""
+    from pyspark.sql.window import Window
+
+    grp = [datetime_col, *keys]
+    w = (
+        Window.partitionBy(*grp)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*grp)
+    cum = hist.select(
+        *grp,
+        "bin",
+        F.sum("bin_n").over(w).alias("cum"),
+        F.sum("bin_n").over(tot).alias("n"),
+    )
+    target = F.ceil(F.lit(p) * F.col("n"))
+    return (
+        cum.filter(F.col("cum") >= target)
+        .groupBy(*grp)
+        .agg(F.min("bin").alias("__b"))
+        .select(
+            *grp,
+            ((F.col("__b") + 1) * F.lit(bin_width)).alias(out_col),
+        )
+    )

@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "q_dedup_stream", "q_cms_freq", "q_hybrid_retrieval",
     "q_ann_pq_topk", "q_embedding_dedup_stream", "q_ann_ivfpq_topk",
     "q_trend_by_type", "q_anomaly_mad", "q_cms_stream",
+    "q_percentile_ladder",
     # --- last driver check: round 2 (the full staleness tail) ---
     "q8_market_share", "q_cohort_retention", "q_decontaminate",
     "q_gapfill_hourly", "q_media_summary", "q_percentiles",
@@ -70,8 +71,8 @@ _PRIORITY: list[str] = [
     # --- sentinels (r5-green regression canaries) ---
     "q1_pricing_summary", "q_dsl_lookup", "q_reconcile_value_diff",
     "q_dedup_minhash",
-    # --- last driver check: round 3 (first 16 of 44; the remaining
-    #     28 — q_stratified_sample, q_weighted_sample,
+    # --- last driver check: round 3 (first 15 of 44; the remaining
+    #     29 — q_split_counts, q_stratified_sample, q_weighted_sample,
     #     q_token_budget_by_split,
     #     q_top_tokens_per_lang, q_tfidf, q_bm25_rank,
     #     q_vocab_coverage, q_bigram_pmi,
@@ -85,7 +86,7 @@ _PRIORITY: list[str] = [
     "q_session_window_native", "q_new_users_cumulative",
     "q_ntile_revenue_deciles", "q_cube_events", "q_unpivot_measures",
     "q_histogram_prices", "q_approx_sketches", "q_asof_join_tolerance",
-    "q_zscore_normalize", "q_minmax_grouped", "q_split_counts",
+    "q_zscore_normalize", "q_minmax_grouped",
 ]
 
 
@@ -7161,6 +7162,131 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("apx_nd_ok"),
         )
         .orderBy("column")
+    )
+
+
+@query(
+    "q_percentile_ladder",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, date_trunc('day', ts) AS DATETIME, value,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+               ) AS n
+        FROM events
+    ),
+    exact AS (
+        SELECT event_type, DATETIME, max(n) AS n,
+               max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50_exact,
+               max(CASE WHEN rn = ceil(0.95 * n) THEN value END) AS p95_exact
+        FROM ranked GROUP BY event_type, DATETIME
+    ),
+    hist AS (
+        SELECT event_type, date_trunc('day', ts) AS DATETIME,
+               CAST(floor(value / 2.0) AS BIGINT) AS bin,
+               count(*) AS bin_n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT event_type, DATETIME, bin,
+               sum(bin_n) OVER (PARTITION BY event_type, DATETIME
+                                ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(bin_n) OVER (PARTITION BY event_type, DATETIME) AS n
+        FROM hist
+    ),
+    est AS (
+        SELECT e50.event_type, e50.DATETIME,
+               (e50.b + 1) * 2.0 AS p50_est, (e95.b + 1) * 2.0 AS p95_est
+        FROM (SELECT event_type, DATETIME, min(bin) AS b FROM cum
+              WHERE cum >= ceil(0.5 * n) GROUP BY 1, 2) e50
+        JOIN (SELECT event_type, DATETIME, min(bin) AS b FROM cum
+              WHERE cum >= ceil(0.95 * n) GROUP BY 1, 2) e95
+          USING (event_type, DATETIME)
+    )
+    SELECT x.event_type, x.DATETIME, x.n,
+           x.p50_exact, e.p50_est,
+           (e.p50_est - x.p50_exact >= 0
+            AND e.p50_est - x.p50_exact <= 2.0) AS p50_ok,
+           x.p95_exact, e.p95_est,
+           (e.p95_est - x.p95_exact >= 0
+            AND e.p95_est - x.p95_exact <= 2.0) AS p95_ok
+    FROM exact x JOIN est e USING (event_type, DATETIME)
+    ORDER BY x.event_type, x.DATETIME
+    """,
+)
+def q_percentile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable percentile ladder (operators.rollup.
+    histogram_ladder): exact quantiles don't decompose across ladder
+    levels, but fixed-width histograms do — hourly bin counts SUM to
+    daily bin counts, so raw rows are scanned once for any depth and
+    any quantile at any level reads off the bin grid with a
+    DETERMINISTIC error bound (<= one bin width). The query rolls
+    hourly histograms of event values to days, estimates p50/p95 per
+    (type, day), and checks every estimate against the exact order
+    statistic with the in-plan |est - exact| <= bin_width verdict the
+    oracle expects TRUE row-for-row (the q_distinct_ladder pattern,
+    for order statistics). bin_width=2.0 (a power of two) keeps every
+    bin-edge product float-exact across engines."""
+    from pyspark.sql.window import Window
+
+    from .operators.rollup import estimate_percentile, histogram_ladder
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "event_type", F.col("ts").alias("DATETIME"), "value", "event_id"
+    )
+    ladder = histogram_ladder(
+        base, ["event_type"], "value", ["HR", "DY"], bin_width=2.0
+    )
+    day_hist = ladder["DY"].localCheckpoint(eager=True)  # reused by both reads
+    est50 = estimate_percentile(
+        day_hist, ["event_type"], 0.5, 2.0, out_col="p50_est"
+    )
+    est95 = estimate_percentile(
+        day_hist, ["event_type"], 0.95, 2.0, out_col="p95_est"
+    )
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("day", "DATETIME")
+    ).orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type", F.date_trunc("day", "DATETIME"))
+    ranked = base.select(
+        "event_type",
+        F.date_trunc("day", "DATETIME").alias("DATETIME"),
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    exact = ranked.groupBy("event_type", "DATETIME").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("value"))
+        ).alias("p50_exact"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")), F.col("value"))
+        ).alias("p95_exact"),
+    )
+    return (
+        exact.join(est50, ["event_type", "DATETIME"])
+        .join(est95, ["event_type", "DATETIME"])
+        .select(
+            "event_type", "DATETIME", "n",
+            "p50_exact", "p50_est",
+            (
+                (F.col("p50_est") - F.col("p50_exact") >= 0)
+                & (F.col("p50_est") - F.col("p50_exact") <= 2.0)
+            ).alias("p50_ok"),
+            "p95_exact", "p95_est",
+            (
+                (F.col("p95_est") - F.col("p95_exact") >= 0)
+                & (F.col("p95_est") - F.col("p95_exact") <= 2.0)
+            ).alias("p95_ok"),
+        )
+        .orderBy("event_type", "DATETIME")
     )
 
 
