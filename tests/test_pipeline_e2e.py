@@ -511,6 +511,42 @@ def test_distinct_ladder_reaggregates_sketches(spark):
     assert ladder["WK"].columns == ["DATETIME", "__hll"]
 
 
+def test_histogram_ladder_reaggregates_and_bounds_error(spark):
+    """histogram_ladder(): daily bins are the SUM of hourly bins (not
+    a raw re-scan), and estimate_percentile's answer is within one
+    bin width above the exact order statistic at every group."""
+    from chill_spark.operators.rollup import (
+        estimate_percentile, histogram_ladder,
+    )
+
+    rows = []
+    for day in (1, 2):
+        for i in range(100):
+            rows.append((f"2024-01-0{day} {i % 24:02d}:30:00", float(i)))
+    df = spark.createDataFrame(rows, ["DATETIME", "value"]).selectExpr(
+        "CAST(DATETIME AS timestamp) AS DATETIME", "value"
+    )
+    ladder = histogram_ladder(df, [], "value", ["HR", "DY"], bin_width=8.0)
+    dy = ladder["DY"]
+    # daily bins cover 0..99 in width-8 bins: 13 bins, counts sum to 100
+    got = {r["bin"]: r["bin_n"] for r in
+           dy.filter(F.col("DATETIME") == "2024-01-01").collect()}
+    assert sum(got.values()) == 100 and len(got) == 13
+    assert got[0] == 8 and got[12] == 4  # [96..100) has 4 values
+    # level-from-previous: DY carries only the histogram columns
+    assert set(dy.columns) == {"DATETIME", "bin", "bin_n"}
+    # p50 exact = value at rank 50 = 49.0 -> est must be in (49, 57]
+    est = {str(r["DATETIME"]): r["pct_est"] for r in
+           estimate_percentile(dy, [], 0.5, 8.0).collect()}
+    for v in est.values():
+        assert 49.0 < v <= 57.0
+    # p99 near the top of the range
+    est99 = {str(r["DATETIME"]): r["pct_est"] for r in
+             estimate_percentile(dy, [], 0.99, 8.0).collect()}
+    for v in est99.values():
+        assert 98.0 < v <= 106.0
+
+
 def _scd2_updates(spark, rows):
     return spark.createDataFrame(
         rows, "cust_id bigint, tier string, city string, eff_ts timestamp"
