@@ -1029,6 +1029,145 @@ def cmd_unimax(args) -> int:
     return 0
 
 
+def cmd_cms(args) -> int:
+    """Count-Min sketch over a token stream: build the counter table
+    once, answer point-frequency queries from it (or maintain it
+    continuously with --watch)."""
+    from pyspark.sql import functions as F
+
+    from .llm_ops.classifier import tokens
+    from .llm_ops.cms import build_count_min, cms_estimate
+    from .session import get_spark
+
+    spark = get_spark("chill-cms")
+    if args.watch:
+        from .streaming import drain
+        from .streaming.cms_stream import cms_stream_estimate, run_cms_stream
+
+        if not args.store:
+            raise SystemExit("cms --watch: --store required")
+        drain(run_cms_stream(
+            spark, args.watch, "doc_id BIGINT, text STRING",
+            store_root=args.store, checkpoint_dir=f"{args.store}/_ckpt",
+            depth=args.depth, width=args.width, text_col=args.text_col,
+            available_now=True,
+        ))
+        q = spark.createDataFrame(
+            [(t,) for t in args.query], "tok string"
+        )
+        rows = cms_stream_estimate(
+            spark, args.store, q, "tok", args.depth, args.width
+        ).orderBy("tok").collect()
+    else:
+        if not args.input:
+            raise SystemExit("cms: --input required (or use --watch)")
+        df = spark.read.parquet(args.input)
+        toks = tokens(df, args.id_col, args.text_col).select("tok")
+        sketch = build_count_min(toks, "tok", args.depth, args.width)
+        q = spark.createDataFrame([(t,) for t in args.query], "tok string")
+        rows = cms_estimate(
+            sketch, q, "tok", args.depth, args.width
+        ).orderBy("tok").collect()
+    for r in rows:
+        print(f"{r['tok']}\t{r['est']}")
+    print(f"{len(rows)} estimates (depth={args.depth}, width={args.width})")
+    return 0
+
+
+def cmd_pq(args) -> int:
+    """Product-quantization ANN: train codebooks (optionally with an
+    IVF coarse quantizer), encode the corpus, and answer a top-k
+    query by asymmetric distance."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .llm_ops.pq import ivfpq_train, pq_adc_topk, pq_encode, pq_train
+    from .session import get_spark
+
+    spark = get_spark("chill-pq")
+    emb = spark.read.parquet(args.input)
+    qrow = emb.filter(F.col(args.id_col) == args.query_id).first()
+    if qrow is None:
+        raise SystemExit(f"pq: query id {args.query_id} not found")
+    qv = np.array([float(x) for x in qrow[args.vec_col]], dtype=np.float64)
+    if args.cells:
+        from .llm_ops.similarity import with_nearest_centroid
+
+        cents, books = ivfpq_train(
+            emb, dim=len(qv), cells=args.cells, m=args.m, k=args.k,
+            iters=args.iters, vec_col=args.vec_col, id_col=args.id_col,
+        )
+        cell_d = np.round(((cents - qv) ** 2).sum(axis=1), 9)
+        probed = [int(c) for c in sorted(
+            range(len(cents)), key=lambda c: (cell_d[c], c)
+        )[:args.probe]]
+        base = with_nearest_centroid(
+            emb.filter(F.col(args.id_col) != args.query_id),
+            args.vec_col, cents,
+        ).withColumn("__cell", F.col("__near")["cid"])
+        base = base.filter(F.col("__cell").isin(probed)).select(
+            args.id_col, args.vec_col
+        )
+        label = f"IVF{args.cells},PQ{args.m} probe={probed}"
+    else:
+        books = pq_train(
+            emb, dim=len(qv), m=args.m, k=args.k, iters=args.iters,
+            vec_col=args.vec_col, id_col=args.id_col,
+        )
+        base = emb.filter(F.col(args.id_col) != args.query_id)
+        label = f"PQ{args.m}x{args.k}"
+    enc = pq_encode(base, books, args.vec_col, args.id_col)
+    rows = pq_adc_topk(enc, books, qv, n=args.n, id_col=args.id_col).collect()
+    for r in rows:
+        print(f"{r[args.id_col]}\t{r['approx_d2']}")
+    print(f"top-{len(rows)} by {label} ADC for id={args.query_id}")
+    return 0
+
+
+def cmd_trend(args) -> int:
+    """Per-group OLS trend + median/MAD anomaly flags over daily
+    volumes — the ops-diagnostics pair, from one (group, day)
+    pre-aggregate."""
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+
+    spark = get_spark("chill-trend")
+    df = spark.read.parquet(args.input)
+    daily = (
+        df.groupBy(
+            F.col(args.group_col).alias("g"),
+            F.date_trunc("day", args.ts_col).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .withColumn(
+            "x",
+            F.datediff(F.col("d").cast("date"), F.lit(args.epoch).cast("date")),
+        )
+    )
+    s = daily.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.expr("percentile(y, 0.5)").alias("med"),
+    )
+    mad = daily.join(s.select("g", "med"), "g").groupBy("g").agg(
+        F.expr("percentile(abs(y - med), 0.5)").alias("mad")
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    out = s.join(mad, "g").select(
+        "g",
+        F.round(num.cast("double") / den, 6).alias("slope"),
+        F.round("med", 2).alias("median"),
+        F.round("mad", 2).alias("mad"),
+    ).orderBy("g")
+    for r in out.collect():  # group-sized
+        print(f"{r['g']}\tslope={r['slope']}\tmed={r['median']}\tmad={r['mad']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="chill_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -1455,6 +1594,49 @@ def main(argv: list[str] | None = None) -> int:
     um.add_argument("--group-col", default="lang")
     um.add_argument("--text-col", default="text")
     um.set_defaults(fn=cmd_unimax)
+
+    cm = sub.add_parser(
+        "cms",
+        help="Count-Min sketch frequency estimation over tokens "
+             "(batch build or --watch streaming maintenance)",
+    )
+    cm.add_argument("--input")
+    cm.add_argument("--watch", help="JSONL watch dir (streaming mode)")
+    cm.add_argument("--store", help="sketch store root (watch mode)")
+    cm.add_argument("--query", nargs="+", required=True,
+                    help="tokens to estimate")
+    cm.add_argument("--depth", type=int, default=4)
+    cm.add_argument("--width", type=int, default=1024)
+    cm.add_argument("--id-col", default="doc_id")
+    cm.add_argument("--text-col", default="text")
+    cm.set_defaults(fn=cmd_cms)
+
+    pq = sub.add_parser(
+        "pq",
+        help="product-quantization ANN top-k (add --cells for IVF-PQ)",
+    )
+    pq.add_argument("--input", required=True)
+    pq.add_argument("--query-id", dest="query_id", type=int, required=True)
+    pq.add_argument("--n", type=int, default=10)
+    pq.add_argument("--m", type=int, default=4)
+    pq.add_argument("--k", type=int, default=16)
+    pq.add_argument("--iters", type=int, default=2)
+    pq.add_argument("--cells", type=int, default=0,
+                    help="IVF coarse cells (0 = plain PQ)")
+    pq.add_argument("--probe", type=int, default=2)
+    pq.add_argument("--vec-col", default="embedding")
+    pq.add_argument("--id-col", default="vec_id")
+    pq.set_defaults(fn=cmd_pq)
+
+    tr = sub.add_parser(
+        "trend",
+        help="per-group OLS slope + median/MAD of daily volumes",
+    )
+    tr.add_argument("--input", required=True)
+    tr.add_argument("--group-col", default="event_type")
+    tr.add_argument("--ts-col", default="ts")
+    tr.add_argument("--epoch", default="2024-01-01")
+    tr.set_defaults(fn=cmd_trend)
 
     args = p.parse_args(argv)
     return args.fn(args)

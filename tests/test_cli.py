@@ -892,6 +892,80 @@ def test_cli_unimax(cli_dirs, spark, capsys):
     assert "en: n=20 alloc=8 epochs=0.4" in out
 
 
+def test_cli_cms_batch_and_watch(cli_dirs, spark, capsys):
+    import json
+
+    src = os.path.join(cli_dirs["base"], "cms_in")
+    rows = [(1, "the the cat"), (2, "the dog")]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(src)
+    rc = main([
+        "cms", "--input", src, "--query", "the", "cat", "emu",
+        "--depth", "3", "--width", "512",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "the\t3" in out and "cat\t1" in out and "emu\t0" in out
+    # watch mode: same answers from the streamed store
+    watch = os.path.join(cli_dirs["base"], "cmsw_in")
+    store = os.path.join(cli_dirs["base"], "cmsw_store")
+    os.makedirs(watch, exist_ok=True)
+    with open(os.path.join(watch, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "the the cat"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "the dog"}) + "\n")
+    rc = main([
+        "cms", "--watch", watch, "--store", store,
+        "--query", "the", "cat", "emu", "--depth", "3", "--width", "512",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "the\t3" in out and "cat\t1" in out and "emu\t0" in out
+
+
+def test_cli_pq_and_ivfpq(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "pq_in")
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+            for i in range(30)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).write.parquet(src)
+    rc = main([
+        "pq", "--input", src, "--query-id", "0", "--n", "5",
+        "--m", "2", "--k", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "top-5 by PQ2x4 ADC for id=0" in out
+    assert len([ln for ln in out.splitlines() if "\t" in ln]) == 5
+    rc = main([
+        "pq", "--input", src, "--query-id", "0", "--n", "5",
+        "--m", "2", "--k", "4", "--cells", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "IVF4,PQ2 probe=" in out
+
+
+def test_cli_trend(cli_dirs, spark, capsys):
+    src = os.path.join(cli_dirs["base"], "tr_in")
+    rows = []
+    eid = 0
+    for day in range(1, 6):
+        for _ in range(day * 2):  # rising volume for 'a'
+            rows.append((eid, f"2024-01-{day:02d} 10:00:00", "a")); eid += 1
+        rows.append((eid, f"2024-01-{day:02d} 11:00:00", "b")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id bigint, ts string, event_type string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS timestamp) AS ts", "event_type"
+    ).write.parquet(src)
+    rc = main(["trend", "--input", src])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # 'a' rises 2/day (slope 2), 'b' is flat (slope 0, mad 0)
+    assert "a\tslope=2.0" in out
+    assert "b\tslope=0.0" in out and "mad=0.0" in out
+
+
 def test_cli_heavy_hitters_watch_mode(cli_dirs, spark, capsys):
     import json
     watch = os.path.join(cli_dirs["base"], "hhw_in")
