@@ -224,7 +224,11 @@ def estimate_percentile(
         F.sum("bin_n").over(w).alias("cum"),
         F.sum("bin_n").over(tot).alias("n"),
     )
-    target = F.ceil(F.lit(p) * F.col("n"))
+    # round before ceil (engine float policy): a double 0.95*n lands
+    # at 19.000000000000004 where a decimal engine gets exactly 19.00
+    # — without the round, the rank target differs whenever p*n is
+    # integral and the estimate silently shifts one bin
+    target = F.ceil(F.round(F.lit(p) * F.col("n"), 9))
     return (
         cum.filter(F.col("cum") >= target)
         .groupBy(*grp)

@@ -7181,8 +7181,8 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exact AS (
         SELECT event_type, DATETIME, max(n) AS n,
-               max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50_exact,
-               max(CASE WHEN rn = ceil(0.95 * n) THEN value END) AS p95_exact
+               max(CASE WHEN rn = ceil(round(0.5 * n, 9)) THEN value END) AS p50_exact,
+               max(CASE WHEN rn = ceil(round(0.95 * n, 9)) THEN value END) AS p95_exact
         FROM ranked GROUP BY event_type, DATETIME
     ),
     hist AS (
@@ -7201,11 +7201,11 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     est AS (
         SELECT e50.event_type, e50.DATETIME,
-               (e50.b + 1) * 2.0 AS p50_est, (e95.b + 1) * 2.0 AS p95_est
+               ((e50.b + 1) * 2.0)::DOUBLE AS p50_est, ((e95.b + 1) * 2.0)::DOUBLE AS p95_est
         FROM (SELECT event_type, DATETIME, min(bin) AS b FROM cum
-              WHERE cum >= ceil(0.5 * n) GROUP BY 1, 2) e50
+              WHERE cum >= ceil(round(0.5 * n, 9)) GROUP BY 1, 2) e50
         JOIN (SELECT event_type, DATETIME, min(bin) AS b FROM cum
-              WHERE cum >= ceil(0.95 * n) GROUP BY 1, 2) e95
+              WHERE cum >= ceil(round(0.95 * n, 9)) GROUP BY 1, 2) e95
           USING (event_type, DATETIME)
     )
     SELECT x.event_type, x.DATETIME, x.n,
@@ -7264,10 +7264,10 @@ def q_percentile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ranked.groupBy("event_type", "DATETIME").agg(
         F.max("n").alias("n"),
         F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("value"))
+            F.when(F.col("rn") == F.ceil(F.round(F.lit(0.5) * F.col("n"), 9)), F.col("value"))
         ).alias("p50_exact"),
         F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")), F.col("value"))
+            F.when(F.col("rn") == F.ceil(F.round(F.lit(0.95) * F.col("n"), 9)), F.col("value"))
         ).alias("p95_exact"),
     )
     return (
