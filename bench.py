@@ -104,6 +104,8 @@ HEADLINE = [
     "q_hybrid_retrieval",
     "q_ann_pq_topk",
     "q_ann_ivfpq_topk",
+    "q_ann_pq_stored",
+    "q_semantic_dedup_largek",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC
@@ -122,9 +124,45 @@ def _warm_identity(x: pd.Series) -> pd.Series:
     return x
 
 
+def load_gate(
+    max_load: float,
+    wait_s: float,
+    getloadavg=os.getloadavg,
+    sleep=time.sleep,
+    poll_s: float = 15.0,
+) -> tuple[float, bool, float]:
+    """Pre-flight machine-load gate: the r6 driver bench ran at load
+    4.7-8.9 and silently committed readings ~16% above the idle
+    medians. Wait (up to ``wait_s``, polling every ``poll_s``) for the
+    1-min load average to drop below ``max_load``; if it never does,
+    PROCEED but flag the run — the flag rides in the final JSON line
+    (``load_flagged``) so a loaded measurement can never masquerade as
+    an idle one. Returns (load_at_start_of_measurement, flagged,
+    seconds_waited)."""
+    waited = 0.0
+    load = float(getloadavg()[0])
+    while load > max_load and waited < wait_s:
+        step = min(poll_s, wait_s - waited)
+        sleep(step)
+        waited += step
+        load = float(getloadavg()[0])
+    return round(load, 2), load > max_load, round(waited, 1)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    start_load, load_flagged, load_waited = load_gate(
+        max_load=float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")),
+        wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300")),
+    )
+    if load_flagged:
+        print(
+            f"WARNING: starting bench at 1-min load {start_load} after "
+            f"waiting {load_waited}s — readings will be inflated; the "
+            "final line carries load_flagged=true",
+            file=sys.stderr,
+        )
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -153,7 +191,6 @@ def main() -> int:
     # the 1-min load average before/after are emitted alongside so a
     # noisy run is visible in the artifact itself.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    load_before = round(os.getloadavg()[0], 2)
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         runs = []
@@ -184,38 +221,60 @@ def main() -> int:
     # carries just totals + the top-10 slowest queries. Its length is
     # asserted < 1900 both here and in tests/test_bench_headline.py,
     # so headline-set growth can never overflow the window again.
-    detail = {
+    load_avg = [start_load, round(os.getloadavg()[0], 2)]
+    # medians (the authoritative per-query numbers, committed) and
+    # spread (reps min/max, uncommitted diagnostics) are DISJOINT
+    # sidecars — duplicating the full payload into both let them
+    # silently drift and left "which file is authoritative" ambiguous
+    medians_doc = {
         "medians": timings,
-        "spread": spread,
         "reps": reps,
-        "load_avg": [load_before, round(os.getloadavg()[0], 2)],
+        "load_avg": load_avg,
+        "load_flagged": load_flagged,
         "sf": sf,
         "total": total,
     }
+    spread_doc = {"spread": spread, "reps": reps, "sf": sf}
     here = os.path.dirname(os.path.abspath(__file__))
     for fname, payload in (
-        ("BENCH_MEDIANS.json", detail),
-        ("BENCH_SPREAD.json", detail),
+        ("BENCH_MEDIANS.json", medians_doc),
+        ("BENCH_SPREAD.json", spread_doc),
     ):
         try:
             with open(os.path.join(here, fname), "w") as fh:
                 json.dump(payload, fh, indent=1)
         except OSError:
             pass
-    print(json.dumps(detail), file=sys.stderr)
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
-    )
-    line = json.dumps({
-        "metric": "headline query wall time (noop sink, local)",
-        "value": total,
-        "unit": "sec",
-        "queries": slowest,
-        "n_queries": len(timings),
-        "medians_file": "BENCH_MEDIANS.json",
-        "sf": sf,
-    })
-    assert len(line) < 1900, f"headline line {len(line)} chars >= 1900"
+    print(json.dumps({**medians_doc, "spread": spread}), file=sys.stderr)
+    slowest = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+
+    def _line(top: list[tuple[str, float]]) -> str:
+        return json.dumps({
+            "metric": "headline query wall time (noop sink, local)",
+            "value": total,
+            "unit": "sec",
+            "queries": dict(top),
+            "n_queries": len(timings),
+            "medians_file": "BENCH_MEDIANS.json",
+            "load_avg": load_avg,
+            "load_flagged": load_flagged,
+            "sf": sf,
+        })
+
+    # the driver parses the LAST stdout line from a bounded 2000-char
+    # tail — degrade by trimming the slowest-queries payload instead
+    # of discarding the whole run (a bare assert also vanishes under
+    # python -O)
+    line = _line(slowest)
+    while len(line) >= 1900 and slowest:
+        slowest = slowest[:-1]
+        line = _line(slowest)
+    if len(line) >= 1900:
+        raise RuntimeError(
+            f"bench headline line is {len(line)} chars even with no "
+            "per-query payload — the driver tail-capture would truncate "
+            "it; shrink the metadata fields"
+        )
     print(line)
     return 0
 

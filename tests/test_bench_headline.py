@@ -1,12 +1,16 @@
 """Guard bench.py's final stdout line against the driver's 2000-char
-tail window.
+tail window, and pin the pre-flight load gate.
 
 Rounds 4 and 5 both lost their machine-readable bench because the
 last stdout line outgrew the window as the headline set grew. The
 line now carries only totals + the top-10 slowest queries; this test
 reconstructs it with worst-case widths (the 10 LONGEST query names in
 the headline set, maximal float widths) and asserts it stays under
-1900 chars no matter how many queries are added to HEADLINE.
+1900 chars no matter how many queries are added to HEADLINE. Round 6
+added the other silent failure mode: the driver's bench ran at load
+4.7-8.9 and committed ~16%-inflated readings with nothing flagging
+it — ``load_gate`` waits for idle and flags the run when it never
+comes.
 """
 
 import json
@@ -24,6 +28,8 @@ def _worst_case_line() -> str:
         "queries": slowest,
         "n_queries": len(bench.HEADLINE),
         "medians_file": "BENCH_MEDIANS.json",
+        "load_avg": [99.99, 99.99],
+        "load_flagged": False,
         "sf": 0.1,
     })
 
@@ -42,3 +48,38 @@ def test_headline_names_are_registered():
     registry = Q.queries()
     missing = [n for n in bench.HEADLINE if n not in registry]
     assert not missing, f"bench.HEADLINE names unregistered queries: {missing}"
+
+
+def test_load_gate_passes_idle_machine_immediately():
+    calls = []
+    load, flagged, waited = bench.load_gate(
+        max_load=2.0, wait_s=300,
+        getloadavg=lambda: (0.8, 1.0, 1.0),
+        sleep=calls.append,
+    )
+    assert (load, flagged, waited) == (0.8, False, 0.0)
+    assert not calls  # never slept
+
+
+def test_load_gate_waits_until_load_drops():
+    readings = iter([(6.0,), (4.0,), (1.5,)])
+    slept = []
+    load, flagged, waited = bench.load_gate(
+        max_load=2.0, wait_s=300,
+        getloadavg=lambda: next(readings),
+        sleep=slept.append, poll_s=15,
+    )
+    assert (load, flagged) == (1.5, False)
+    assert waited == 30.0 and slept == [15, 15]
+
+
+def test_load_gate_flags_persistently_loaded_machine():
+    slept = []
+    load, flagged, waited = bench.load_gate(
+        max_load=2.0, wait_s=60,
+        getloadavg=lambda: (5.5, 5.0, 5.0),
+        sleep=slept.append, poll_s=25,
+    )
+    assert flagged and load == 5.5
+    assert waited == 60.0  # capped at wait_s, final poll truncated
+    assert slept == [25, 25, 10]
