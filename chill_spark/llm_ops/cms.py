@@ -71,11 +71,16 @@ def cms_estimate(
     sketch: DataFrame, queries: DataFrame, col: str,
     depth: int = 4, width: int = 1024,
 ) -> DataFrame:
-    """Estimated count for every row of ``queries``: min over the
-    ``depth`` counters the item hashes to. The query set explodes to
-    depth rows and joins the broadcast sketch (depth*width rows —
-    model-sized); missing counters read as 0 (an item whose bucket
-    was never touched has true count 0)."""
+    """Estimated count for every DISTINCT item in ``queries``: min
+    over the ``depth`` counters the item hashes to. Duplicate query
+    rows collapse to one output row per item (estimates are per-ITEM
+    by definition — join back on the item to fan out per-row). A NULL
+    item gets a NULL estimate: concat_ws skips NULLs, so without the
+    guard it would hash the bare salt and return whatever count lives
+    in that arbitrary bucket. The query set explodes to depth rows
+    and joins the broadcast sketch (depth*width rows — model-sized);
+    missing counters read as 0 (an item whose bucket was never
+    touched has true count 0)."""
     rows = F.array(*[
         F.struct(
             F.lit(r).alias("row"),
@@ -83,11 +88,16 @@ def cms_estimate(
         )
         for r in range(depth)
     ])
-    exploded = queries.select(
+    exploded = queries.filter(F.col(col).isNotNull()).select(
         F.col(col), F.explode(rows).alias("rb")
     ).select(col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-    return (
+    est = (
         exploded.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+    null_row = (
+        queries.filter(F.col(col).isNull()).select(col).limit(1)
+        .withColumn("est", F.lit(None).cast("bigint"))
+    )
+    return est.unionByName(null_row)

@@ -161,7 +161,12 @@ def heavy_hitters(
     threshold = max(min_count, math.ceil(theta * total))
     spark = items.sparkSession
     if not cands:
-        return spark.createDataFrame([], f"{col} string, n_tok bigint")
+        # derive the empty frame from the INPUT schema so both return
+        # paths agree for non-string item columns (the non-empty path
+        # preserves the input type through the semi-join/groupBy)
+        return items.select(col).limit(0).withColumn(
+            "n_tok", F.lit(0).cast("bigint")
+        )
     candidates = spark.createDataFrame([(t,) for t in cands], f"{col} string")
     return (
         items.join(F.broadcast(candidates), on=col, how="leftsemi")

@@ -2115,6 +2115,70 @@ def test_cms_narrow_width_still_overestimates(spark):
         assert est[f"t{i}"] >= true
 
 
+def test_pairwise_distinct_overlap_sketch_leg_is_the_default(spark):
+    """The operator's default is the production sketch-only path (no
+    user-keyed self-join, no exact columns); ``include_exact=True``
+    opts into the verification rail with the est_ok verdict."""
+    from chill_spark.llm_ops.overlap import pairwise_distinct_overlap
+
+    rows = (
+        [("a", u) for u in range(40)]
+        + [("b", u) for u in range(20, 70)]
+        + [("c", u) for u in range(35, 45)]
+    )
+    df = spark.createDataFrame(rows, "t string, u bigint")
+    out = pairwise_distinct_overlap(df, "t", "u", lg_k=12)
+    assert set(out.columns) == {"type_a", "type_b", "est_overlap",
+                                "union_est"}
+    # exactly ONE join in the default leg — the C-row sketch pair
+    # join; the user-keyed self-join only exists on the opt-in rail
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "hll_union" in plan
+    assert plan.count("Join") == 1, plan
+    est = {(r["type_a"], r["type_b"]): r["est_overlap"]
+           for r in out.collect()}
+    # small cardinalities: HLL is near-exact
+    assert abs(est[("a", "b")] - 20) <= 2
+    assert abs(est[("a", "c")] - 5) <= 2
+    assert abs(est[("b", "c")] - 10) <= 2
+
+    full = pairwise_distinct_overlap(df, "t", "u", lg_k=12,
+                                     include_exact=True)
+    got = {(r["type_a"], r["type_b"]): (r["exact_overlap"], r["est_ok"])
+           for r in full.collect()}
+    assert got[("a", "b")] == (20, True)
+    assert got[("a", "c")] == (5, True) and got[("b", "c")] == (10, True)
+
+
+def test_cms_estimate_null_and_duplicate_query_rows(spark):
+    """A NULL query item must come back as a NULL estimate (not the
+    salt-only bucket's count), and duplicate query rows collapse to
+    one row per distinct item — the documented per-ITEM contract."""
+    from chill_spark.llm_ops.cms import build_count_min, cms_estimate
+
+    df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 2, "tok string")
+    sketch = build_count_min(df, "tok", depth=4, width=512)
+    queries = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), ("b",)], "tok string"
+    )
+    out = cms_estimate(sketch, queries, "tok", depth=4, width=512).collect()
+    est = {r["tok"]: r["est"] for r in out}
+    assert len(out) == 3  # a, b, NULL — duplicates collapsed
+    assert est["a"] == 7 and est["b"] == 2
+    assert est[None] is None
+
+
+def test_heavy_hitters_empty_candidates_preserves_item_type(spark):
+    """The empty-result early return must carry the INPUT column type
+    (bigint here), matching the non-empty path's schema."""
+    from chill_spark.llm_ops.heavy import heavy_hitters
+
+    df = spark.createDataFrame([], "tok bigint")
+    out = heavy_hitters(df, "tok", theta=0.5)  # no rows -> no candidates
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"tok": "bigint", "n_tok": "bigint"}
+
+
 def test_heavy_hitters_rejects_bad_theta(spark):
     import pytest as _pytest
     from chill_spark.llm_ops.heavy import heavy_hitters
