@@ -44,8 +44,9 @@ def query(name: str, oracle: str | None = None):
 # staleness; tests/test_priority_window.py now enforces a hard
 # max-staleness bound — any query whose last driver check is >= 4
 # rounds old MUST be scheduled). This round (r7):
-#   * the 2 r7 additions with no driver row yet, leading (persisted
-#     PQ store serve path; large-k SemDeDup broadcast-centroid path);
+#   * the 3 r7 additions with no driver row yet, leading (persisted
+#     PQ + IVF-PQ store serve paths; large-k SemDeDup
+#     broadcast-centroid path);
 #   * ALL 29 rows whose last check is ROUND 3 (the r6 verdict's
 #     rotation order #1 — after this no row is older than r4);
 #   * the first 19 (registration order) of the 45 ROUND-4-checked
@@ -55,7 +56,7 @@ def query(name: str, oracle: str | None = None):
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r7 additions) ---
-    "q_ann_pq_stored", "q_semantic_dedup_largek",
+    "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_semantic_dedup_largek",
     # --- last driver check: round 3 (all 29) ---
     "q_embedding_dedup_cc", "q_media_dedup", "q_top_tokens_per_lang",
     "q_tfidf", "q_split_counts", "q_stratified_sample",
@@ -67,8 +68,8 @@ _PRIORITY: list[str] = [
     "q_ann_quantized_topk", "q_jsonl_roundtrip", "q_embedding_centroids",
     "q_bigram_pmi", "q_corpus_embedding_assembly", "q_weighted_sample",
     "q_bpe_merges", "q_bpe_encode", "q_dedup_exact_priority",
-    # --- last driver check: round 4 (first 19 of 45 in registration
-    #     order; the other 26 — q_dedup_ngram_jaccard onward — are the
+    # --- last driver check: round 4 (first 18 of 45 in registration
+    #     order; the other 27 — q_dedup_exact_groups onward — are the
     #     r8 rotation, enforced by the max-staleness gate) ---
     "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q_customers_without_orders",
@@ -77,7 +78,6 @@ _PRIORITY: list[str] = [
     "q_rollup_ladder_daily", "q_cfg_table_users", "q_retention_expired",
     "q_reconcile_missing_rows", "q_reconcile_referential",
     "q_dsl_derive", "q3_top_orders", "q_dedup_exact",
-    "q_dedup_exact_groups",
 ]
 
 
@@ -2287,13 +2287,22 @@ def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_totalprice >= 100000 THEN 'big'
                 WHEN o_totalprice >= 10000 THEN 'mid'
                 ELSE 'small' END AS bucket,
-           round(o_totalprice / 1000.0, 3) AS price_k
+           round(o_totalprice / 1000.0, 6) AS price_k
     FROM orders ORDER BY o_orderkey
     """,
 )
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function surface (SURVEY §2.6): date part extraction,
-    string ops, CASE, numeric rounding — all JVM built-ins."""
+    string ops, CASE, numeric rounding — all JVM built-ins.
+
+    price_k rounds at 6 decimals, NOT 3: o_totalprice is 2-decimal
+    money, so /1000 yields exactly-5-decimal values and a 3-decimal
+    round lands ON the half boundary whenever the cents end in 5
+    (e.g. 258481.50 -> 258.4815), where Spark (BigDecimal HALF_UP on
+    the shortest string) and DuckDB (pure double math) legitimately
+    disagree by one ulp-side — the sf0.1 sweep caught exactly one
+    such row. At 6 decimals no money value can produce a tie, so
+    both engines round identically."""
     t = load_tables(spark, sf_dir, ["orders"])
     return (
         t["orders"]
@@ -2309,7 +2318,7 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("o_totalprice") >= 10000, "mid")
             .otherwise("small")
             .alias("bucket"),
-            F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+            F.round(F.col("o_totalprice") / 1000.0, 6).alias("price_k"),
         )
         .orderBy("o_orderkey")
     )
@@ -8717,6 +8726,38 @@ WHERE c0.vec_id <> 0
 ORDER BY approx_d2, vec_id LIMIT {n}
 """
     )
+
+
+@query("q_ann_ivfpq_stored",
+       oracle=_ivfpq_oracle_sql(cells=6, probe=2, m=8, k=8, iters=2))
+def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from the persisted store (llm_ops.pq_store):
+    build once (coarse quantizer + 8 PQ codebooks in one joint Lloyd
+    run), persist books + cell-partitioned codes, then answer the
+    query with ZERO training jobs — the probe's 2 nearest cells are
+    chosen driver-side from the stored coarse centroids and pushed as
+    a hive partition filter (only probed cells' files are read,
+    plan-gated in tests/test_pq_store.py), ADC = 8 lookups/row +
+    TakeOrdered. Distinct geometry from q_ann_ivfpq_topk (m=8, k=8,
+    cells=6) so this is an independent replay, not a re-hash of the
+    ad-hoc path. The oracle re-derives the joint training, the cell
+    assignment of every row, the probe choice, and the fused ADC
+    ranking."""
+    import tempfile
+
+    import numpy as np
+
+    from .llm_ops.pq_store import pq_store_topk, write_pq_store
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    root = tempfile.mkdtemp(prefix="chill_ivfpq_store_")
+    write_pq_store(emb, root, dim=64, m=8, k=8, iters=2, cells=6)
+    qv = np.array(
+        [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]],
+        dtype=np.float64,
+    )
+    return pq_store_topk(spark, root, qv, n=10, nprobe=2,
+                         where=F.col("vec_id") != 0)
 
 
 @query("q_ann_pq_stored", oracle=_pq_stored_oracle_sql())

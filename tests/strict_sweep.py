@@ -10,7 +10,14 @@ fetchall()-based local harness hides become visible:
 - DATE vs TIMESTAMP rendering.
 
 Run:  python tests/strict_sweep.py [sf_dir] [name_filter...]
-Prints one line per query: OK / MISMATCH(kind) / NO_ORACLE / ERROR.
+Prints one line per query (with spark/oracle wall seconds):
+OK / MISMATCH(kind) / NO_ORACLE / ERROR.
+
+Filters are substring INCLUDES; prefix with ``-`` to EXCLUDE instead
+(e.g. ``python tests/strict_sweep.py /root/testdata/sf0.1 -_cc_``
+sweeps everything but the chained-CC family, whose all-pairs
+verification oracle is deliberately quadratic and only sized for the
+sf0.01 driver gate).
 """
 
 from __future__ import annotations
@@ -112,16 +119,28 @@ def main() -> int:
         )
 
     reg = Q.queries()
-    names = [n for n in reg if not name_filter or any(f in n for f in name_filter)]
+    includes = [f for f in name_filter if not f.startswith("-")]
+    excludes = [f[1:] for f in name_filter if f.startswith("-")]
+    names = [
+        n for n in reg
+        if (not includes or any(f in n for f in includes))
+        and not any(f in n for f in excludes)
+    ]
     n_bad = 0
+    import time as _time
+
     for name in names:
         sql = Q.ORACLE_SQL.get(name)
         if sql is None:
-            print(f"{name}: NO_ORACLE")
+            print(f"{name}: NO_ORACLE", flush=True)
             continue
         try:
+            t0 = _time.perf_counter()
             sdf = reg[name](spark, sf_dir).toPandas()
+            t_spark = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             ddf = con.execute(sql).fetchdf()
+            t_duck = _time.perf_counter() - t0
             if sorted(sdf.columns) != sorted(ddf.columns):
                 print(
                     f"{name}: MISMATCH(schema {sorted(sdf.columns)} vs"
@@ -132,13 +151,15 @@ def main() -> int:
             # driver-parity step: must not raise (unhashable cells)
             sdf, ddf = driver_canon(sdf), driver_canon(ddf)
             kind = diff_kind(frame_lines(sdf), frame_lines(ddf))
+            timing = f"[spark {t_spark:.1f}s, oracle {t_duck:.1f}s]"
             if kind:
-                print(f"{name}: MISMATCH({kind})")
+                print(f"{name}: MISMATCH({kind}) {timing}", flush=True)
                 n_bad += 1
             else:
-                print(f"{name}: OK")
+                print(f"{name}: OK {timing}", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"{name}: ERROR({type(e).__name__}: {str(e)[:160]})")
+            print(f"{name}: ERROR({type(e).__name__}: {str(e)[:160]})",
+                  flush=True)
             n_bad += 1
     print(f"\n{n_bad} problematic / {len(names)} swept")
     return 0
