@@ -1104,6 +1104,20 @@ def cmd_pq(args) -> int:
             out = compact_pq_store(spark, args.store)
             print(f"compacted PQ store {args.store}: {out['codes']} files")
             return 0
+        if args.watch:
+            from .streaming import drain
+            from .streaming.pq_stream import run_pq_stream
+
+            drain(run_pq_stream(
+                spark, args.watch,
+                f"{args.id_col} BIGINT, {args.vec_col} ARRAY<DOUBLE>",
+                store_root=args.store,
+                checkpoint_dir=f"{args.store}/_ckpt",
+                vec_col=args.vec_col,
+                available_now=True,
+            ))
+            print(f"drained watched vectors into PQ store {args.store}")
+            return 0
         if args.append:
             new = spark.read.parquet(args.append)
             b = pq_store_append(new, args.store, vec_col=args.vec_col)
@@ -1686,6 +1700,10 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--compact", action="store_true",
                     help="with --store: collapse append history "
                          "(replays resolved, newest batch wins)")
+    pq.add_argument("--watch",
+                    help="with --store: drain JSONL vector rows from "
+                         "this dir into the store (encode-only stream "
+                         "maintainer, availableNow)")
     pq.add_argument("--n", type=int, default=10)
     pq.add_argument("--m", type=int, default=4)
     pq.add_argument("--k", type=int, default=16)

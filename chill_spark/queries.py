@@ -44,9 +44,10 @@ def query(name: str, oracle: str | None = None):
 # staleness; tests/test_priority_window.py now enforces a hard
 # max-staleness bound — any query whose last driver check is >= 4
 # rounds old MUST be scheduled). This round (r7):
-#   * the 3 r7 additions with no driver row yet, leading (persisted
-#     PQ + IVF-PQ store serve paths; large-k SemDeDup
-#     broadcast-centroid path);
+#   * the 4 r7 additions with no driver row yet, leading (persisted
+#     PQ + IVF-PQ store serve paths; the streaming PQ intake's
+#     stream==batch closure; large-k SemDeDup broadcast-centroid
+#     path);
 #   * ALL 29 rows whose last check is ROUND 3 (the r6 verdict's
 #     rotation order #1 — after this no row is older than r4);
 #   * the first 19 (registration order) of the 45 ROUND-4-checked
@@ -56,7 +57,8 @@ def query(name: str, oracle: str | None = None):
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r7 additions) ---
-    "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_semantic_dedup_largek",
+    "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_ann_pq_stream",
+    "q_semantic_dedup_largek",
     # --- last driver check: round 3 (all 29) ---
     "q_embedding_dedup_cc", "q_media_dedup", "q_top_tokens_per_lang",
     "q_tfidf", "q_split_counts", "q_stratified_sample",
@@ -68,16 +70,16 @@ _PRIORITY: list[str] = [
     "q_ann_quantized_topk", "q_jsonl_roundtrip", "q_embedding_centroids",
     "q_bigram_pmi", "q_corpus_embedding_assembly", "q_weighted_sample",
     "q_bpe_merges", "q_bpe_encode", "q_dedup_exact_priority",
-    # --- last driver check: round 4 (first 18 of 45 in registration
-    #     order; the other 27 — q_dedup_exact_groups onward — are the
-    #     r8 rotation, enforced by the max-staleness gate) ---
+    # --- last driver check: round 4 (first 17 of 45 in registration
+    #     order; the other 28 — q_dedup_exact onward — are the r8
+    #     rotation, enforced by the max-staleness gate) ---
     "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q_customers_without_orders",
     "q_distinct_agg", "q_window_topn_orders", "q_rollup_grouping",
     "q_pivot_daily_events", "q_json_props", "q_rollup_hourly",
     "q_rollup_ladder_daily", "q_cfg_table_users", "q_retention_expired",
     "q_reconcile_missing_rows", "q_reconcile_referential",
-    "q_dsl_derive", "q3_top_orders", "q_dedup_exact",
+    "q_dsl_derive", "q3_top_orders",
 ]
 
 
@@ -8796,6 +8798,72 @@ def q_ann_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pq_store_topk(spark, root, qv, n=10,
                          where=F.col("vec_id") != 0)
+
+
+@query("q_ann_pq_stream", oracle=_pq_stored_oracle_sql())
+def q_ann_pq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-encoded ANN index through the REAL checkpointed
+    stream (streaming.pq_stream.run_pq_stream): the store is built on
+    4/5 of the corpus, then the remaining fifth arrives as TWO JSONL
+    waves (vec_id % 10 == 4, then % 10 == 9); each micro-batch is
+    encoded with the FROZEN stored codebooks (map-only, no retrain)
+    and appended under its own batch leaf. Because encoding is a pure
+    function of (vector, frozen books), the stream-maintained store
+    answers the query BIT-IDENTICALLY to the batch-appended store —
+    this query shares q_ann_pq_stored's oracle by construction, which
+    is the stream==batch closure for the ANN-index intake. Embeddings
+    are cast to double BEFORE the JSONL write so the JSON round-trip
+    matches the oracle's ::DOUBLE[] cast of the parquet floats."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from .llm_ops.pq_store import pq_store_topk, write_pq_store
+    from .streaming import drain
+    from .streaming.pq_stream import run_pq_stream
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    tmp = tempfile.mkdtemp(prefix="chill_pqst_")
+    try:
+        watch = os.path.join(tmp, "vecs")
+        store = os.path.join(tmp, "store")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(watch)
+        write_pq_store(
+            emb.filter(F.col("vec_id") % 5 != 4), store, dim=64, m=4,
+            k=16, iters=2,
+        )
+        ser = emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+
+        def run_wave() -> None:
+            drain(run_pq_stream(
+                spark, watch + "/*",
+                "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+                store_root=store, checkpoint_dir=ckpt,
+                available_now=True,
+            ))
+
+        ser.filter(F.col("vec_id") % 10 == 4).write.json(
+            os.path.join(watch, "b1"))
+        run_wave()
+        ser.filter(F.col("vec_id") % 10 == 9).write.json(
+            os.path.join(watch, "b2"))
+        run_wave()
+        qv = np.array(
+            [float(x)
+             for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]],
+            dtype=np.float64,
+        )
+        return pq_store_topk(
+            spark, store, qv, n=10, where=F.col("vec_id") != 0
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(

@@ -26,3 +26,7 @@ from .dedup_stream import (  # noqa: E402
 )
 
 __all__ += ["run_dedup_stream", "run_embedding_dedup_stream"]
+
+from .pq_stream import run_pq_stream  # noqa: E402
+
+__all__ += ["run_pq_stream"]

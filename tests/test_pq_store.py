@@ -191,6 +191,91 @@ def test_pq_store_meta_fail_fast(spark, tmp_path):
         check_pq_meta(root, spark, dim=16)
 
 
+def test_pq_stream_equals_batch_append_and_quarantines(spark, tmp_path):
+    """The streaming maintainer's store must be BIT-IDENTICAL to batch
+    pq_store_append of the same feed (encoding is a pure function of
+    vector + frozen books), with null/wrong-dim rows quarantined."""
+    import json as _json
+    import os
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.pq_stream import run_pq_stream
+
+    emb = _emb_df(spark, n=40)
+    base = emb.filter(F.col("vec_id") < 30)
+    inc = emb.filter(F.col("vec_id") >= 30)
+
+    # batch twin
+    b_root = str(tmp_path / "batch_store")
+    write_pq_store(base, b_root, dim=8, m=2, k=4, iters=1)
+    pq_store_append(inc, b_root)
+    meta = check_pq_meta(spark=spark, root=b_root)
+    want = {
+        r["vec_id"]: (r["c0"], r["c1"])
+        for r in read_pq_codes(spark, b_root, meta).collect()
+    }
+
+    # streamed store: same build, the increment arrives as JSONL with
+    # one null-embedding and one wrong-dim row mixed in
+    s_root = str(tmp_path / "stream_store")
+    write_pq_store(base, s_root, dim=8, m=2, k=4, iters=1)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    lines = [
+        _json.dumps({"vec_id": r["vec_id"], "embedding": r["embedding"]})
+        for r in inc.collect()
+    ]
+    lines.append(_json.dumps({"vec_id": 900, "embedding": None}))
+    lines.append(_json.dumps({"vec_id": 901, "embedding": [1.0, 2.0]}))
+    (watch / "b1.json").write_text("\n".join(lines) + "\n")
+    drain(run_pq_stream(
+        spark, str(watch) + "/*", "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        store_root=s_root, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    ))
+    got = {
+        r["vec_id"]: (r["c0"], r["c1"])
+        for r in read_pq_codes(spark, s_root, meta).collect()
+    }
+    assert got == want  # stream == batch, rejects never encoded
+    q = spark.read.parquet(f"{s_root}/_quarantine")
+    assert q.count() == 2
+    # serving from the streamed store answers over base + increment
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 35).first()["embedding"],
+        dtype=np.float64,
+    )
+    assert pq_store_topk(spark, s_root, qv, n=3).count() == 3
+
+
+def test_pq_stream_fails_loud_on_wholesale_dim_drift(spark, tmp_path):
+    import json as _json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.pq_stream import run_pq_stream
+
+    root = str(tmp_path / "store")
+    write_pq_store(_emb_df(spark, n=20), root, dim=8, m=2, k=4, iters=1)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    rng = np.random.RandomState(5)
+    lines = [
+        _json.dumps({"vec_id": 100 + i,
+                     "embedding": [float(x) for x in rng.normal(size=16)]})
+        for i in range(5)
+    ]
+    (watch / "drift.json").write_text("\n".join(lines) + "\n")
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="model drift"):
+        drain(run_pq_stream(
+            spark, str(watch) + "/*",
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+            store_root=root, checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        ))
+
+
 def test_pq_store_cli_lifecycle(spark, tmp_path):
     """build -> search -> append -> search -> compact via the CLI."""
     from chill_spark.cli import main
@@ -211,5 +296,19 @@ def test_pq_store_cli_lifecycle(spark, tmp_path):
     ids = {r["vec_id"] for r in read_pq_codes(spark, root, meta).collect()}
     assert ids == set(range(30))
     assert main(["pq", "--store", root, "--compact"]) == 0
+    # stream maintainer via --watch: two more vectors arrive as JSONL
+    import json as _json
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    rng = np.random.RandomState(9)
+    (watch / "w.json").write_text("\n".join(
+        _json.dumps({"vec_id": 30 + i,
+                     "embedding": [float(x) for x in rng.normal(size=8)]})
+        for i in range(2)
+    ) + "\n")
+    assert main(["pq", "--store", root, "--watch", str(watch) + "/*"]) == 0
+    ids = {r["vec_id"] for r in read_pq_codes(spark, root, meta).collect()}
+    assert ids == set(range(32))
     with pytest.raises(SystemExit):
         main(["pq", "--store", root])  # search without --query-id
