@@ -308,6 +308,92 @@ def pq_store_topk(
                        id_col=meta.get("id_col", "vec_id"))
 
 
+def pq_store_topk_batch(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    n: int = 10,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    nprobe: int = 2,
+    exclude_self: bool = True,
+    resolve_replays: bool = True,
+) -> DataFrame:
+    """Batch ANN from the persisted index: EVERY query row answered in
+    ONE scan of the codes table (the serving shape for offline kNN —
+    per-query scans would read the corpus Q times).
+
+    The query set is collected driver-side (the broadcast-query-set
+    contract of ``similarity.topk_join`` — for huge query sets,
+    partition both sides by IVF cell instead) and turned into per-
+    query LUT rows (m arrays of k floats each, rounded to 9): a
+    Q-row broadcast table joined against the codes scan, scored by m
+    ``element_at`` lookups, ranked per query with a window. For an
+    IVF-PQ store the scan is pruned to the UNION of all queries'
+    probed cells (planning-time partition filter) and each (row,
+    query) pair additionally checks membership in THAT query's probed
+    cells. ``exclude_self`` drops corpus rows whose id equals the
+    query id (self-matches rank first and waste a result slot).
+
+    Returns ``(q_id, <id_col>, approx_d2)``, ``n`` rows per query."""
+    from pyspark.sql.window import Window
+
+    books, coarse, meta = read_pq_books(spark, root)
+    id_col = meta.get("id_col", "vec_id")
+    m, sub = len(books), books[0].shape[1]
+    qrows = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+    ).collect()
+    lut_rows = []
+    union_cells: set[int] = set()
+    for r in qrows:
+        q = np.asarray(r["__qv"], dtype=np.float64)
+        luts = [
+            [round(float(((q[j * sub:(j + 1) * sub] - c) ** 2).sum()), 9)
+             for c in bk]
+            for j, bk in enumerate(books)
+        ]
+        probed: list[int] = []
+        if coarse is not None:
+            cell_d = np.round(((coarse - q) ** 2).sum(axis=1), 9)
+            probed = sorted(range(len(coarse)),
+                            key=lambda c: (cell_d[c], c))[:nprobe]
+            union_cells.update(int(c) for c in probed)
+        lut_rows.append((r["__qid"], *luts, [int(c) for c in probed]))
+    q_id_type = queries.schema[q_id_col].dataType.simpleString()
+    lut_schema = (f"q_id {q_id_type}, "
+                  + ", ".join(f"lut{j} array<double>" for j in range(m))
+                  + ", probe_cells array<int>")
+    lut_df = spark.createDataFrame(lut_rows, lut_schema)
+
+    codes = read_pq_codes(spark, root, meta, resolve_replays)
+    if coarse is not None:
+        codes = codes.filter(
+            F.col(CELL_COL).isin(sorted(union_cells))  # pruned scan
+        )
+    scored = codes.crossJoin(F.broadcast(lut_df))
+    if coarse is not None:
+        scored = scored.filter(
+            F.array_contains(F.col("probe_cells"), F.col(CELL_COL))
+        )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("q_id"))
+    score = None
+    for j in range(m):
+        term = F.element_at(F.col(f"lut{j}"), F.col(f"c{j}") + 1)
+        score = term if score is None else score + term
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(score, 9).asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("approx_d2", F.round(score, 9))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select("q_id", id_col, "approx_d2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # append / compact
 # ---------------------------------------------------------------------------

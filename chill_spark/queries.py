@@ -44,10 +44,10 @@ def query(name: str, oracle: str | None = None):
 # staleness; tests/test_priority_window.py now enforces a hard
 # max-staleness bound — any query whose last driver check is >= 4
 # rounds old MUST be scheduled). This round (r7):
-#   * the 4 r7 additions with no driver row yet, leading (persisted
+#   * the 5 r7 additions with no driver row yet, leading (persisted
 #     PQ + IVF-PQ store serve paths; the streaming PQ intake's
-#     stream==batch closure; large-k SemDeDup broadcast-centroid
-#     path);
+#     stream==batch closure; one-scan batch ANN serving; large-k
+#     SemDeDup broadcast-centroid path);
 #   * ALL 29 rows whose last check is ROUND 3 (the r6 verdict's
 #     rotation order #1 — after this no row is older than r4);
 #   * the first 19 (registration order) of the 45 ROUND-4-checked
@@ -58,7 +58,7 @@ def query(name: str, oracle: str | None = None):
 _PRIORITY: list[str] = [
     # --- never driver-checked (r7 additions) ---
     "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_ann_pq_stream",
-    "q_semantic_dedup_largek",
+    "q_ann_pq_batch", "q_semantic_dedup_largek",
     # --- last driver check: round 3 (all 29) ---
     "q_embedding_dedup_cc", "q_media_dedup", "q_top_tokens_per_lang",
     "q_tfidf", "q_split_counts", "q_stratified_sample",
@@ -70,8 +70,8 @@ _PRIORITY: list[str] = [
     "q_ann_quantized_topk", "q_jsonl_roundtrip", "q_embedding_centroids",
     "q_bigram_pmi", "q_corpus_embedding_assembly", "q_weighted_sample",
     "q_bpe_merges", "q_bpe_encode", "q_dedup_exact_priority",
-    # --- last driver check: round 4 (first 17 of 45 in registration
-    #     order; the other 28 — q_dedup_exact onward — are the r8
+    # --- last driver check: round 4 (first 16 of 45 in registration
+    #     order; the other 29 — q3_top_orders onward — are the r8
     #     rotation, enforced by the max-staleness gate) ---
     "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q_customers_without_orders",
@@ -79,7 +79,7 @@ _PRIORITY: list[str] = [
     "q_pivot_daily_events", "q_json_props", "q_rollup_hourly",
     "q_rollup_ladder_daily", "q_cfg_table_users", "q_retention_expired",
     "q_reconcile_missing_rows", "q_reconcile_referential",
-    "q_dsl_derive", "q3_top_orders",
+    "q_dsl_derive",
 ]
 
 
@@ -8798,6 +8798,80 @@ def q_ann_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pq_store_topk(spark, root, qv, n=10,
                          where=F.col("vec_id") != 0)
+
+
+def _pq_batch_oracle_sql(
+    q_ids: tuple = (0, 7, 13), m: int = 4, k: int = 16, iters: int = 2,
+    dim: int = 64, n: int = 5,
+) -> str:
+    """Multi-query PQ replay: one set of per-subspace Lloyd runs, one
+    LUT per (query, subspace), and an independent top-``n`` ADC
+    ranking per query (self excluded), unioned."""
+    sub = dim // m
+    ctes: list[str] = []
+    lasts = []
+    for j in range(m):
+        c, la, lm = _kmeans_ctes_sub(k, iters, f"s{j}", j * sub + 1, sub)
+        ctes += c
+        lasts.append((la, lm))
+    for j, (_, lm) in enumerate(lasts):
+        for q in q_ids:
+            ctes.append(f"""q{q}x{j}lut AS (
+  SELECT mm.cid, round(sum((pp.x - mm.m) * (pp.x - mm.m)), 9) AS v
+  FROM s{j}pts pp JOIN {lm} mm USING (pos)
+  WHERE pp.vec_id = {q}
+  GROUP BY mm.cid
+)""")
+    joins = f"FROM {lasts[0][0]} c0" + "".join(
+        f"\nJOIN {lasts[j][0]} c{j} USING (vec_id)" for j in range(1, m)
+    )
+    selects = []
+    for q in q_ids:
+        lut_joins = "\n".join(
+            f"JOIN q{q}x{j}lut l{j} ON l{j}.cid = c{j}.cid" for j in range(m)
+        )
+        adc = "l0.v"
+        for j in range(1, m):
+            adc = f"({adc} + l{j}.v)"
+        selects.append(f"""(
+  SELECT {q} AS q_id, c0.vec_id, round({adc}, 9) AS approx_d2
+  {joins}
+  {lut_joins}
+  WHERE c0.vec_id <> {q}
+  ORDER BY approx_d2, c0.vec_id LIMIT {n}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY q_id, approx_d2, vec_id"
+    )
+
+
+@query("q_ann_pq_batch", oracle=_pq_batch_oracle_sql())
+def q_ann_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving from the persisted PQ store: three query
+    vectors answered in ONE scan of the codes table — per-query LUTs
+    (m arrays of k floats each) ride as a Q-row broadcast table, each
+    code row scores against every query with m element_at lookups,
+    and a per-query window keeps top-5 (self excluded). This is the
+    offline-kNN serving shape: Q queries cost one corpus scan, not Q
+    (llm_ops/pq_store.py pq_store_topk_batch). The oracle replays the
+    shared codebook training once and each query's LUTs + ranking
+    independently."""
+    import tempfile
+
+    from .llm_ops.pq_store import pq_store_topk_batch, write_pq_store
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    root = tempfile.mkdtemp(prefix="chill_pq_batch_")
+    write_pq_store(emb, root, dim=64, m=4, k=16, iters=2)
+    qset = emb.filter(F.col("vec_id").isin([0, 7, 13])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return (
+        pq_store_topk_batch(spark, root, qset, n=5)
+        .orderBy("q_id", "approx_d2", "vec_id")
+    )
 
 
 @query("q_ann_pq_stream", oracle=_pq_stored_oracle_sql())

@@ -175,6 +175,37 @@ def test_ivfpq_store_probe_prunes_cell_partitions(spark, tmp_path):
     ]
 
 
+def test_pq_store_topk_batch_matches_per_query_serving(spark, tmp_path):
+    """One-scan batch serving must return, for every query row,
+    exactly what the per-query serve path returns — including on an
+    IVF store, where each query sees only ITS probed cells (the scan
+    is pruned to the union)."""
+    from chill_spark.llm_ops.pq_store import pq_store_topk_batch
+
+    emb = _emb_df(spark, n=60)
+    root = str(tmp_path / "ivfpq")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=2, cells=4)
+    q_ids = [3, 17, 42]
+    qset = emb.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {
+        (r["q_id"], r["vec_id"]): r["approx_d2"]
+        for r in pq_store_topk_batch(spark, root, qset, n=4,
+                                     nprobe=2).collect()
+    }
+    want = {}
+    for q in q_ids:
+        qv = np.array(
+            emb.filter(F.col("vec_id") == q).first()["embedding"],
+            dtype=np.float64,
+        )
+        for r in pq_store_topk(spark, root, qv, n=4, nprobe=2,
+                               where=F.col("vec_id") != q).collect():
+            want[(q, r["vec_id"])] = r["approx_d2"]
+    assert got == want
+
+
 def test_pq_store_meta_fail_fast(spark, tmp_path):
     root = str(tmp_path / "pq")
     with pytest.raises(FileNotFoundError, match="no PQ store"):
