@@ -104,6 +104,12 @@ def write_pq_store(
     what makes a store-served answer hash-checkable
     (queries.q_ann_pq_stored)."""
     spark = emb.sparkSession
+    if emb.filter(F.col(vec_col).isNotNull()).head(1) == []:
+        raise ValueError(
+            "write_pq_store: corpus has no usable vectors (empty or "
+            "all-null embedding column) — an empty codebook store "
+            "would brick every later consumer"
+        )
     fs = StoreFS(root, spark)
     for side in ("books", "codes"):
         _heal_pq_side(fs, root, side)
