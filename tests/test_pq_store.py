@@ -206,6 +206,43 @@ def test_pq_store_topk_batch_matches_per_query_serving(spark, tmp_path):
     assert got == want
 
 
+def test_pq_store_serve_plan_is_scan_plus_heap(spark, tmp_path):
+    """The compacted-store serve plan (resolve_replays=False) must be
+    ONE codes scan feeding a TakeOrdered heap — no Exchange anywhere:
+    ADC scoring is a per-row projection against the broadcast LUTs,
+    and top-n is per-partition heaps + driver merge."""
+    emb = _emb_df(spark, n=30)
+    root = str(tmp_path / "pq")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=1)
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"],
+        dtype=np.float64,
+    )
+    df = pq_store_topk(spark, root, qv, n=5, resolve_replays=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_pq_store_batch_plan_prunes_union_of_probed_cells(spark, tmp_path):
+    """Batch serving on an IVF store must push the UNION of all
+    queries' probed cells as a planning-time partition filter and scan
+    the codes table exactly once."""
+    from chill_spark.llm_ops.pq_store import pq_store_topk_batch
+
+    emb = _emb_df(spark, n=60)
+    root = str(tmp_path / "ivfpq")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=1, cells=4)
+    qset = emb.filter(F.col("vec_id").isin([3, 17])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    df = pq_store_topk_batch(spark, root, qset, n=3, nprobe=2,
+                             resolve_replays=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [{CELL_COL}" in plan
+    assert plan.count("Scan parquet") == 1, plan  # one corpus scan for Q queries
+
+
 def test_pq_store_meta_fail_fast(spark, tmp_path):
     root = str(tmp_path / "pq")
     with pytest.raises(FileNotFoundError, match="no PQ store"):
