@@ -1197,6 +1197,55 @@ def cmd_pq(args) -> int:
     return 0
 
 
+def cmd_bloom(args) -> int:
+    """Bloom membership gate: --build persists a corpus filter,
+    --add folds a new batch in (idempotent — OR algebra), and
+    --probe classifies rows map-side, optionally writing the
+    definitely-new rows (the pre-shuffle dedup gate)."""
+    from pyspark.sql import functions as F
+
+    from .llm_ops.bloom import (
+        bloom_filter_new,
+        bloom_store_add,
+        read_bloom_store,
+        with_bloom_contains,
+        write_bloom_store,
+    )
+    from .session import get_spark
+
+    spark = get_spark("chill-bloom")
+    if args.build:
+        if not args.input:
+            raise SystemExit("bloom --build: --input required")
+        meta = write_bloom_store(
+            spark.read.parquet(args.input), args.key_col, args.store,
+            num_bits=args.bits, num_hashes=args.hashes,
+        )
+        print(f"built {args.store} (bits={meta['num_bits']}, "
+              f"hashes={meta['num_hashes']})")
+        return 0
+    if args.add:
+        bloom_store_add(spark.read.parquet(args.add), args.key_col, args.store)
+        print(f"added {args.add} into {args.store}")
+        return 0
+    if not args.probe:
+        raise SystemExit("bloom: one of --build / --add / --probe required")
+    probe = spark.read.parquet(args.probe)
+    words, meta = read_bloom_store(spark, args.store)
+    m, h = int(meta["num_bits"]), int(meta["num_hashes"])
+    flagged = with_bloom_contains(probe, args.key_col, words, m, h)
+    counts = flagged.groupBy("might_contain").count().collect()
+    by = {r["might_contain"]: r["count"] for r in counts}
+    print(f"definitely_new={by.get(False, 0)} possible_member={by.get(True, 0)} "
+          f"null_key={by.get(None, 0)}")
+    if args.out:
+        bloom_filter_new(probe, args.key_col, words, m, h).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(f"wrote definitely-new rows -> {args.out}")
+    return 0
+
+
 def cmd_trend(args) -> int:
     """Per-group OLS trend + median/MAD anomaly flags over daily
     volumes — the ops-diagnostics pair, from one (group, day)
@@ -1683,6 +1732,24 @@ def main(argv: list[str] | None = None) -> int:
     cm.add_argument("--id-col", default="doc_id")
     cm.add_argument("--text-col", default="text")
     cm.set_defaults(fn=cmd_cms)
+
+    bl = sub.add_parser(
+        "bloom",
+        help="Bloom membership gate: --build/--add a persisted corpus "
+             "filter, --probe rows map-side (definitely-new vs "
+             "possible-member)",
+    )
+    bl.add_argument("--store", required=True, help="filter store root")
+    bl.add_argument("--build", action="store_true",
+                    help="train a new filter from --input")
+    bl.add_argument("--input", help="corpus parquet (with --build)")
+    bl.add_argument("--add", help="fold this parquet's keys in (idempotent)")
+    bl.add_argument("--probe", help="parquet of rows to classify")
+    bl.add_argument("--out", help="write definitely-new probe rows here")
+    bl.add_argument("--key-col", default="text")
+    bl.add_argument("--bits", type=int, default=1 << 20)
+    bl.add_argument("--hashes", type=int, default=5)
+    bl.set_defaults(fn=cmd_bloom)
 
     pq = sub.add_parser(
         "pq",

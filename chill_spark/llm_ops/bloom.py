@@ -1,0 +1,256 @@
+"""Portable Bloom filter — the shuffle-free membership gate.
+
+The missing member of the sketch family (cms.py answers "how often",
+heavy.py answers "which are frequent"; a Bloom filter answers "have I
+seen THIS before" with zero false negatives and a tunable false-
+positive rate). Its 100 TB role is the **dedup gate**: before paying
+the fingerprint shuffle of an exact-dedup or store-join pass, probe a
+corpus-level Bloom filter map-side — rows that are *definitely new*
+(the overwhelming majority of a fresh crawl batch) skip the shuffle
+entirely, and only possible-members go through the exact check.
+
+Shapes:
+
+  build   one corpus pass: each key sets ``num_hashes`` bits. As a
+          DataFrame this is an explode to (word, mask) pairs and ONE
+          map-side-combinable ``bit_or`` groupBy — the shuffle is
+          bounded by ``ceil(num_bits / 63)`` words (a 2^30-bit filter
+          is ~17M longs = 136 MB, independent of corpus size).
+  probe   a pure projection: the dense word array rides as broadcast
+          DATA (1-row cross join — the ``with_nearest_centroid``
+          trick, so the plan is value-free and codegen-cacheable) and
+          each row ANDs ``num_hashes`` element_at lookups. No join,
+          no shuffle, no state: exactly what a 1000-executor map
+          stage wants.
+  merge   ``bit_or`` of two filters' words == the filter of the union
+          (bitwise OR commutes with set union) — so per-partition /
+          per-day filters compose without re-scanning history.
+
+Bits are laid out 63 per signed BIGINT (bit index 0..62), so every
+mask is a positive int64 in both Spark and DuckDB and the whole
+lifecycle — positions, masks, words, probes — replays bit-for-bit in
+an external SQL oracle (queries.q_bloom_dedup_gate)::
+
+    pos_i  = ('0x' || substring(md5('bf<i>:' || key), 1, 15))::BIGINT
+             % num_bits
+    word   = pos_i // 63,   mask = 1::BIGINT << (pos_i % 63)
+    words  = SELECT word, bit_or(mask) GROUP BY word
+
+Reference parity: no counterpart in the reference engine; added
+LLM-pipeline surface (membership gates for incremental dedup intake,
+stop-list probes, contamination pre-screens).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .portable import phash
+
+#: bits packed per signed 64-bit word — 63 keeps every mask
+#: (1 << bit) strictly positive in both Spark and DuckDB BIGINTs.
+BITS_PER_WORD = 63
+
+
+def bloom_num_words(num_bits: int) -> int:
+    return (num_bits + BITS_PER_WORD - 1) // BITS_PER_WORD
+
+
+def bloom_fpr(num_bits: int, num_hashes: int, n_keys: int) -> float:
+    """Analytic false-positive rate (1 - e^{-kn/m})^k for sizing."""
+    return (1.0 - math.exp(-num_hashes * n_keys / num_bits)) ** num_hashes
+
+
+def _position(col: Column | str, i: int, num_bits: int) -> Column:
+    """Hash ``i``'s bit position for a key: portable md5 of the salted
+    key, mod num_bits (same salting scheme as cms._bucket).
+    DuckDB: ('0x'||substring(md5('bf<i>:'||key),1,15))::BIGINT % num_bits
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(phash(F.concat_ws(":", F.lit(f"bf{i}"), c)), F.lit(num_bits))
+
+
+def _word_and_mask(pos: Column) -> tuple[Column, Column]:
+    """(word index, single-bit mask) for a position. floor() on the
+    double quotient is exact for num_bits < 2^52; DuckDB replays it
+    as integer division ``pos // 63``."""
+    word = F.floor(pos / F.lit(BITS_PER_WORD)).cast("bigint")
+    # call_function because F.shiftleft's python signature only takes a
+    # literal int shift; the SQL function shifts by a column fine.
+    mask = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("bigint"),
+        F.pmod(pos, F.lit(BITS_PER_WORD)).cast("int"),
+    )
+    return word, mask
+
+
+def bloom_build(
+    keys: DataFrame, col: str, num_bits: int = 1 << 14, num_hashes: int = 5
+) -> DataFrame:
+    """One-pass Bloom build over a key column: returns the sparse word
+    table ``(word, bits)`` of at most ``bloom_num_words(num_bits)``
+    rows. NULL keys set no bits (a NULL is never a member). The
+    explode-to-num_hashes stays map-side (a literal inline array); the
+    single shuffle carries ``bit_or`` partials bounded by the word
+    count per task — corpus size never enters the shuffle."""
+    positions = F.array(*[
+        _position(col, i, num_bits).alias(f"p{i}") for i in range(num_hashes)
+    ])
+    pos = (
+        keys.filter(F.col(col).isNotNull())
+        .select(F.explode(positions).alias("p"))
+    )
+    word, mask = _word_and_mask(F.col("p"))
+    return (
+        pos.select(word.alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Filter of the union of two filters' key sets: word-wise
+    ``bit_or``. Exact (not approximate) mergeability — the unit tests
+    pin bloom(A ∪ B) == merge(bloom(A), bloom(B)) bit-for-bit."""
+    return (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_words(bloom: DataFrame, num_bits: int) -> list[int]:
+    """Densify the sparse word table into the driver-held array the
+    probe broadcasts. Driver-bounded by construction: the collect is
+    ≤ bloom_num_words(num_bits) rows regardless of corpus size (size
+    num_bits for the memory you're willing to broadcast, exactly like
+    any other model artifact)."""
+    n = bloom_num_words(num_bits)
+    words = [0] * n
+    for r in bloom.select("word", "bits").collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def with_bloom_contains(
+    df: DataFrame,
+    col: str,
+    words: list[int],
+    num_bits: int,
+    num_hashes: int,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Append a membership verdict column: TRUE if every hash's bit is
+    set (possible member — false positives at the designed rate),
+    FALSE if any bit is clear (DEFINITELY not a member — Bloom filters
+    have no false negatives), NULL for a NULL key.
+
+    Map-only: the dense word array joins as a broadcast 1-row
+    DataFrame (plan stays value-free — swapping in tomorrow's filter
+    reuses the compiled plan), and the verdict is ``num_hashes``
+    element_at/AND lookups per row. The probe stage has no Exchange —
+    plan-gated in tests/test_bloom.py."""
+    spark: SparkSession = df.sparkSession
+    carrier = spark.createDataFrame(
+        [(list(map(int, words)),)], "__bloom_words array<bigint>"
+    )
+    checks = []
+    for i in range(num_hashes):
+        pos = _position(col, i, num_bits)
+        word, mask = _word_and_mask(pos)
+        checks.append(
+            F.element_at(F.col("__bloom_words"), (word + F.lit(1)).cast("int"))
+            .bitwiseAND(mask) != F.lit(0)
+        )
+    verdict = checks[0]
+    for c in checks[1:]:
+        verdict = verdict & c
+    verdict = F.when(F.col(col).isNotNull(), verdict)  # NULL key -> NULL
+    return (
+        df.crossJoin(F.broadcast(carrier))
+        .withColumn(out_col, verdict)
+        .drop("__bloom_words")
+    )
+
+
+def write_bloom_store(
+    keys: DataFrame, col: str, root: str,
+    num_bits: int = 1 << 20, num_hashes: int = 5,
+) -> dict:
+    """Persist a corpus-level filter under ``root`` (words parquet +
+    meta json), the membership-gate sibling of the PQ/dedup stores.
+    Unlike those, a Bloom store needs NO replay resolution: adding a
+    batch twice is a bitwise no-op (OR is idempotent), so crash-retry
+    semantics are free."""
+    from .storefs import write_store_json
+
+    spark = keys.sparkSession
+    bloom_build(keys, col, num_bits, num_hashes).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/words")
+    meta = {"num_bits": num_bits, "num_hashes": num_hashes}
+    write_store_json(root, meta, spark=spark)
+    return meta
+
+
+def read_bloom_store(spark: SparkSession, root: str) -> tuple[list[int], dict]:
+    """(dense word array, meta) from a persisted filter."""
+    from .storefs import read_store_json
+
+    meta = read_store_json(root, spark=spark)
+    if meta is None or "num_bits" not in meta:
+        raise FileNotFoundError(f"no Bloom store at {root}")
+    words = bloom_words(
+        spark.read.parquet(f"{root}/words"), int(meta["num_bits"])
+    )
+    return words, meta
+
+
+def bloom_store_add(keys: DataFrame, col: str, root: str) -> dict:
+    """Fold a new key batch into a persisted filter: build the batch's
+    word table under the STORED sizing and bit_or it with the stored
+    words (one small-table merge — history is never re-scanned).
+    Idempotent by algebra: replaying a batch ORs in bits already
+    set."""
+    from .storefs import read_store_json
+
+    spark = keys.sparkSession
+    meta = read_store_json(root, spark=spark)
+    if meta is None or "num_bits" not in meta:
+        raise FileNotFoundError(f"no Bloom store at {root}")
+    num_bits, num_hashes = int(meta["num_bits"]), int(meta["num_hashes"])
+    merged = bloom_merge(
+        spark.read.parquet(f"{root}/words"),
+        bloom_build(keys, col, num_bits, num_hashes),
+    ).localCheckpoint(eager=True)  # sever the self-referential read
+    merged.write.mode("overwrite").parquet(f"{root}/words")
+    return meta
+
+
+def bloom_filter_new(
+    df: DataFrame,
+    col: str,
+    words: list[int],
+    num_bits: int,
+    num_hashes: int,
+    keep_null: bool = True,
+) -> DataFrame:
+    """The dedup gate: keep only rows that are DEFINITELY NEW (no
+    false negatives means might_contain=FALSE is a proof of absence).
+    False positives drop genuinely-new rows into the expensive exact
+    path, never out of the pipeline — callers route might_contain=TRUE
+    rows to the store join, not to /dev/null. NULL keys pass through
+    by default (a NULL was never inserted, so it cannot be a member);
+    ``keep_null=False`` drops them for pipelines that quarantine NULLs
+    upstream."""
+    gated = with_bloom_contains(
+        df, col, words, num_bits, num_hashes, out_col="__mc"
+    )
+    cond = ~F.col("__mc") if not keep_null else (
+        F.col("__mc").isNull() | ~F.col("__mc")
+    )
+    return gated.filter(cond).drop("__mc")

@@ -44,21 +44,21 @@ def query(name: str, oracle: str | None = None):
 # staleness; tests/test_priority_window.py now enforces a hard
 # max-staleness bound — any query whose last driver check is >= 4
 # rounds old MUST be scheduled). This round (r7):
-#   * the 5 r7 additions with no driver row yet, leading (persisted
+#   * the 6 r7 additions with no driver row yet, leading (persisted
 #     PQ + IVF-PQ store serve paths; the streaming PQ intake's
 #     stream==batch closure; one-scan batch ANN serving; large-k
-#     SemDeDup broadcast-centroid path);
+#     SemDeDup broadcast-centroid path; the Bloom dedup gate);
 #   * ALL 29 rows whose last check is ROUND 3 (the r6 verdict's
 #     rotation order #1 — after this no row is older than r4);
-#   * the first 19 (registration order) of the 45 ROUND-4-checked
-#     rows; the remaining 26 MUST rotate in r8 (the staleness gate
+#   * the first 15 (registration order) of the 45 ROUND-4-checked
+#     rows; the remaining 30 MUST rotate in r8 (the staleness gate
 #     will fail the suite otherwise).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r7 additions) ---
     "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_ann_pq_stream",
-    "q_ann_pq_batch", "q_semantic_dedup_largek",
+    "q_ann_pq_batch", "q_semantic_dedup_largek", "q_bloom_dedup_gate",
     # --- last driver check: round 3 (all 29) ---
     "q_embedding_dedup_cc", "q_media_dedup", "q_top_tokens_per_lang",
     "q_tfidf", "q_split_counts", "q_stratified_sample",
@@ -70,16 +70,16 @@ _PRIORITY: list[str] = [
     "q_ann_quantized_topk", "q_jsonl_roundtrip", "q_embedding_centroids",
     "q_bigram_pmi", "q_corpus_embedding_assembly", "q_weighted_sample",
     "q_bpe_merges", "q_bpe_encode", "q_dedup_exact_priority",
-    # --- last driver check: round 4 (first 16 of 45 in registration
-    #     order; the other 29 — q3_top_orders onward — are the r8
-    #     rotation, enforced by the max-staleness gate) ---
+    # --- last driver check: round 4 (first 15 of 45 in registration
+    #     order; the other 30 — q_dsl_derive, then q3_top_orders
+    #     onward — are the r8 rotation, enforced by the max-staleness
+    #     gate) ---
     "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q_customers_without_orders",
     "q_distinct_agg", "q_window_topn_orders", "q_rollup_grouping",
     "q_pivot_daily_events", "q_json_props", "q_rollup_hourly",
     "q_rollup_ladder_daily", "q_cfg_table_users", "q_retention_expired",
     "q_reconcile_missing_rows", "q_reconcile_referential",
-    "q_dsl_derive",
 ]
 
 
@@ -4290,6 +4290,79 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.join(est, "tok")
         .select("tok", "n_exact", "est")
         .orderBy(F.col("n_exact").desc(), "tok")
+    )
+
+
+@query(
+    "q_bloom_dedup_gate",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 4
+    ),
+    hs AS (SELECT unnest(range(5)) AS i),
+    pos AS (
+        SELECT (('0x' || substring(md5('bf' || h.i::VARCHAR || ':' || c.text), 1, 15))::BIGINT
+                % 65536) AS p
+        FROM corpus c CROSS JOIN hs h
+    ),
+    words AS (
+        SELECT p // 63 AS word,
+               bit_or(1::BIGINT << (p % 63)::INTEGER) AS bits
+        FROM pos GROUP BY 1
+    ),
+    probe AS (
+        SELECT d.doc_id,
+               (('0x' || substring(md5('bf' || h.i::VARCHAR || ':' || d.text), 1, 15))::BIGINT
+                % 65536) AS p
+        FROM documents d CROSS JOIN hs h
+    ),
+    verdict AS (
+        SELECT p.doc_id,
+               bool_and(coalesce(
+                   (w.bits & (1::BIGINT << (p.p % 63)::INTEGER)) <> 0,
+                   FALSE)) AS might_contain
+        FROM probe p LEFT JOIN words w ON p.p // 63 = w.word
+        GROUP BY 1
+    )
+    SELECT v.doc_id, v.might_contain,
+           (c.text IS NOT NULL) AS in_corpus
+    FROM verdict v
+    JOIN documents d USING (doc_id)
+    LEFT JOIN corpus c ON d.text = c.text
+    ORDER BY doc_id
+    """,
+)
+def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup gate (llm_ops.bloom): build a 65536-bit /
+    5-hash filter over 4/5 of the corpus texts (ONE pass; the shuffle
+    is bit_or partials bounded by 1041 words, never the corpus), then
+    probe EVERY document map-side — the dense word array rides as
+    broadcast data and each row is 5 element_at/AND lookups, no join,
+    no shuffle (plan-gated in tests/test_bloom.py). might_contain is
+    exact under the portable md5 bit family, so the oracle replays
+    every position, word, and verdict bit-for-bit; the in_corpus
+    column makes the no-false-negative contract visible in the rows
+    (in_corpus=TRUE rows all probe TRUE). At 100 TB this is the cheap
+    pre-screen in front of the exact dedup store join: rows probing
+    FALSE are PROVEN new and skip the shuffle entirely."""
+    from .llm_ops.bloom import bloom_build, bloom_words, with_bloom_contains
+
+    m, h = 65536, 5
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = d.filter(F.col("doc_id") % 5 != 4).select("text").distinct()
+    words = bloom_words(bloom_build(corpus, "text", m, h), m)
+    probed = with_bloom_contains(
+        d.select("doc_id", "text"), "text", words, m, h
+    )
+    member = corpus.withColumn("__in", F.lit(True))
+    return (
+        probed.join(F.broadcast(member), "text", "left")
+        .select(
+            "doc_id",
+            "might_contain",
+            F.coalesce("__in", F.lit(False)).alias("in_corpus"),
+        )
+        .orderBy("doc_id")
     )
 
 
