@@ -44,14 +44,15 @@ def query(name: str, oracle: str | None = None):
 # staleness; tests/test_priority_window.py now enforces a hard
 # max-staleness bound — any query whose last driver check is >= 4
 # rounds old MUST be scheduled). This round (r7):
-#   * the 6 r7 additions with no driver row yet, leading (persisted
+#   * the 7 r7 additions with no driver row yet, leading (persisted
 #     PQ + IVF-PQ store serve paths; the streaming PQ intake's
 #     stream==batch closure; one-scan batch ANN serving; large-k
-#     SemDeDup broadcast-centroid path; the Bloom dedup gate);
+#     SemDeDup broadcast-centroid path; the Bloom dedup gate, batch
+#     + streaming);
 #   * ALL 29 rows whose last check is ROUND 3 (the r6 verdict's
 #     rotation order #1 — after this no row is older than r4);
-#   * the first 15 (registration order) of the 45 ROUND-4-checked
-#     rows; the remaining 30 MUST rotate in r8 (the staleness gate
+#   * the first 14 (registration order) of the 45 ROUND-4-checked
+#     rows; the remaining 31 MUST rotate in r8 (the staleness gate
 #     will fail the suite otherwise).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
@@ -59,6 +60,7 @@ _PRIORITY: list[str] = [
     # --- never driver-checked (r7 additions) ---
     "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_ann_pq_stream",
     "q_ann_pq_batch", "q_semantic_dedup_largek", "q_bloom_dedup_gate",
+    "q_bloom_stream",
     # --- last driver check: round 3 (all 29) ---
     "q_embedding_dedup_cc", "q_media_dedup", "q_top_tokens_per_lang",
     "q_tfidf", "q_split_counts", "q_stratified_sample",
@@ -70,16 +72,16 @@ _PRIORITY: list[str] = [
     "q_ann_quantized_topk", "q_jsonl_roundtrip", "q_embedding_centroids",
     "q_bigram_pmi", "q_corpus_embedding_assembly", "q_weighted_sample",
     "q_bpe_merges", "q_bpe_encode", "q_dedup_exact_priority",
-    # --- last driver check: round 4 (first 15 of 45 in registration
-    #     order; the other 30 — q_dsl_derive, then q3_top_orders
-    #     onward — are the r8 rotation, enforced by the max-staleness
-    #     gate) ---
+    # --- last driver check: round 4 (first 14 of 45 in registration
+    #     order; the other 31 — q_reconcile_referential + q_dsl_derive,
+    #     then q3_top_orders onward — are the r8 rotation, enforced by
+    #     the max-staleness gate) ---
     "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q_customers_without_orders",
     "q_distinct_agg", "q_window_topn_orders", "q_rollup_grouping",
     "q_pivot_daily_events", "q_json_props", "q_rollup_hourly",
     "q_rollup_ladder_daily", "q_cfg_table_users", "q_retention_expired",
-    "q_reconcile_missing_rows", "q_reconcile_referential",
+    "q_reconcile_missing_rows",
 ]
 
 
@@ -4293,9 +4295,10 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bloom_dedup_gate",
-    oracle=r"""
+# Shared by q_bloom_dedup_gate (batch build) and q_bloom_stream
+# (incremental build): bitwise OR is exactly mergeable, so both paths
+# must produce the identical filter and the identical verdicts.
+_BLOOM_GATE_ORACLE = r"""
     WITH corpus AS (
         SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 4
     ),
@@ -4330,8 +4333,10 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN documents d USING (doc_id)
     LEFT JOIN corpus c ON d.text = c.text
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("q_bloom_dedup_gate", oracle=_BLOOM_GATE_ORACLE)
 def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter dedup gate (llm_ops.bloom): build a 65536-bit /
     5-hash filter over 4/5 of the corpus texts (ONE pass; the shuffle
@@ -4364,6 +4369,72 @@ def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("q_bloom_stream", oracle=_BLOOM_GATE_ORACLE)
+def q_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained Bloom gate through the REAL
+    checkpointed stream (streaming.bloom_stream.run_bloom_stream): the
+    corpus slice (doc_id % 5 != 4) arrives as JSONL in two waves; each
+    micro-batch's word table OR-merges into the snapshot-per-batch
+    store. Bitwise OR is associative AND idempotent, so the streamed
+    filter is bit-identical to q_bloom_dedup_gate's batch build — the
+    oracle is shared verbatim, now answered from state built
+    incrementally across drains. The probe stays the map-only
+    broadcast lookup regardless of stream history."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm_ops.bloom import with_bloom_contains
+    from .streaming import drain
+    from .streaming.bloom_stream import bloom_stream_words, run_bloom_stream
+
+    m, h = 65536, 5
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    tmp = tempfile.mkdtemp(prefix="chill_bloom_")
+    try:
+        watch = os.path.join(tmp, "docs")
+        store = os.path.join(tmp, "store")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(watch)
+        feed = corpus.select("doc_id", "text")
+        feed.filter(F.col("doc_id") % 2 == 0).write.json(
+            os.path.join(watch, "b1")
+        )
+
+        def run_wave() -> None:
+            drain(run_bloom_stream(
+                spark, watch + "/*", "doc_id BIGINT, text STRING",
+                store_root=store, checkpoint_dir=ckpt,
+                num_bits=m, num_hashes=h, available_now=True,
+            ))
+
+        run_wave()
+        feed.filter(F.col("doc_id") % 2 == 1).write.json(
+            os.path.join(watch, "b2")
+        )
+        run_wave()
+        words = bloom_stream_words(spark, store, m)
+        probed = with_bloom_contains(
+            d.select("doc_id", "text"), "text", words, m, h
+        )
+        member = corpus.select("text").distinct().withColumn(
+            "__in", F.lit(True)
+        )
+        return (
+            probed.join(F.broadcast(member), "text", "left")
+            .select(
+                "doc_id",
+                "might_contain",
+                F.coalesce("__in", F.lit(False)).alias("in_corpus"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(

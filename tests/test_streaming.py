@@ -1982,6 +1982,52 @@ def test_upsert_stream_jsonl_with_quarantine(spark, stream_dirs):
     assert [r["rejected_line"] for r in q.collect()] == ["this is not json"]
 
 
+def test_bloom_stream_matches_batch_filter(spark, stream_dirs):
+    """Streaming Bloom intake: words OR-merged across two waves equal
+    the batch filter of the whole feed bit-for-bit, corrupt lines
+    quarantine, and a re-drained (replayed) feed leaves the words
+    unchanged — OR idempotency makes replay a bitwise no-op."""
+    import json
+
+    from chill_spark.llm_ops.bloom import bloom_build, bloom_words
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.bloom_stream import (
+        bloom_stream_words,
+        run_bloom_stream,
+    )
+
+    m, h = 1 << 12, 4
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "bf_in"); os.makedirs(ind, exist_ok=True)
+    store = os.path.join(base, "bf_store")
+    ckpt = os.path.join(base, "bf_ckpt")
+
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha doc"}) + "\n")
+        f.write("this is not json\n")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", store_root=store,
+        checkpoint_dir=ckpt, num_bits=m, num_hashes=h,
+        available_now=True,
+    )
+    drain(run_bloom_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "beta doc"}) + "\n")
+    drain(run_bloom_stream(spark, ind, **kw))
+
+    streamed = bloom_stream_words(spark, store, m)
+    batch = bloom_words(bloom_build(
+        spark.createDataFrame([("alpha doc",), ("beta doc",)], "text string"),
+        "text", m, h,
+    ), m)
+    assert streamed == batch
+    q = spark.read.parquet(os.path.join(store, "_quarantine"))
+    assert [r["rejected_line"] for r in q.collect()] == ["this is not json"]
+    # idle re-drain (no new files): words must be unchanged
+    drain(run_bloom_stream(spark, ind, **kw))
+    assert bloom_stream_words(spark, store, m) == batch
+
+
 def test_cms_stream_matches_batch_sketch(spark, stream_dirs):
     """Streaming CMS: counters summed across two waves equal the
     batch sketch of the whole feed (integer merges are exact), and
