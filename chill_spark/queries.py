@@ -44,15 +44,15 @@ def query(name: str, oracle: str | None = None):
 # staleness; tests/test_priority_window.py now enforces a hard
 # max-staleness bound — any query whose last driver check is >= 4
 # rounds old MUST be scheduled). This round (r7):
-#   * the 7 r7 additions with no driver row yet, leading (persisted
+#   * the 8 r7 additions with no driver row yet, leading (persisted
 #     PQ + IVF-PQ store serve paths; the streaming PQ intake's
 #     stream==batch closure; one-scan batch ANN serving; large-k
 #     SemDeDup broadcast-centroid path; the Bloom dedup gate, batch
-#     + streaming);
+#     + streaming; the near-dup-group leakage-safe split);
 #   * ALL 29 rows whose last check is ROUND 3 (the r6 verdict's
 #     rotation order #1 — after this no row is older than r4);
-#   * the first 14 (registration order) of the 45 ROUND-4-checked
-#     rows; the remaining 31 MUST rotate in r8 (the staleness gate
+#   * the first 13 (registration order) of the 45 ROUND-4-checked
+#     rows; the remaining 32 MUST rotate in r8 (the staleness gate
 #     will fail the suite otherwise).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
@@ -60,7 +60,7 @@ _PRIORITY: list[str] = [
     # --- never driver-checked (r7 additions) ---
     "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_ann_pq_stream",
     "q_ann_pq_batch", "q_semantic_dedup_largek", "q_bloom_dedup_gate",
-    "q_bloom_stream",
+    "q_bloom_stream", "q_split_by_neardup_group",
     # --- last driver check: round 3 (all 29) ---
     "q_embedding_dedup_cc", "q_media_dedup", "q_top_tokens_per_lang",
     "q_tfidf", "q_split_counts", "q_stratified_sample",
@@ -72,16 +72,16 @@ _PRIORITY: list[str] = [
     "q_ann_quantized_topk", "q_jsonl_roundtrip", "q_embedding_centroids",
     "q_bigram_pmi", "q_corpus_embedding_assembly", "q_weighted_sample",
     "q_bpe_merges", "q_bpe_encode", "q_dedup_exact_priority",
-    # --- last driver check: round 4 (first 14 of 45 in registration
-    #     order; the other 31 — q_reconcile_referential + q_dsl_derive,
-    #     then q3_top_orders onward — are the r8 rotation, enforced by
-    #     the max-staleness gate) ---
+    # --- last driver check: round 4 (first 13 of 45 in registration
+    #     order; the other 32 — q_reconcile_missing_rows,
+    #     q_reconcile_referential, q_dsl_derive, then q3_top_orders
+    #     onward — are the r8 rotation, enforced by the max-staleness
+    #     gate) ---
     "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q_customers_without_orders",
     "q_distinct_agg", "q_window_topn_orders", "q_rollup_grouping",
     "q_pivot_daily_events", "q_json_props", "q_rollup_hourly",
     "q_rollup_ladder_daily", "q_cfg_table_users", "q_retention_expired",
-    "q_reconcile_missing_rows",
 ]
 
 
@@ -3405,6 +3405,72 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("sz").alias("cluster_size"))
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
+    )
+
+
+@query(
+    "q_split_by_neardup_group",
+    oracle=_CHAINED_CC_SQL + f"""
+    , comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    g AS (
+        SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS grp
+        FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+    ),
+    sp AS (
+        SELECT doc_id, grp, {split_oracle_sql("g", "grp")} AS split FROM g
+    ),
+    gf AS (SELECT grp, split, count(*) AS n FROM sp GROUP BY grp, split),
+    leak AS (
+        SELECT count(*) AS leaked_groups FROM (
+            SELECT grp FROM gf GROUP BY grp HAVING count(*) > 1
+        )
+    )
+    SELECT split, CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_groups,
+           (SELECT leaked_groups FROM leak) AS leaked_groups
+    FROM gf GROUP BY split ORDER BY split
+    """,
+)
+def q_split_by_neardup_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splits, the NEAR-dup tier: q_split_by_content
+    keys the train/val/test hash on the exact content fingerprint, but
+    a truncated or lightly-edited copy still fingerprints differently
+    and can land across the eval boundary — the contamination vector
+    benchmark papers actually worry about. Here the split key is the
+    TRANSITIVE near-dup component (the q_dedup_components closure over
+    chained multi-hop Jaccard clusters; singletons key on their own
+    id), so every near-duplicate family lands in one split by
+    construction — the in-plan leaked_groups counter (components
+    spanning >1 split) must be 0 on a corpus where the id-keyed split
+    provably leaks. Costs one closure + one group-keyed pre-aggregate
+    on top of the dedup pipeline the corpus already runs."""
+    from .llm_ops.sampling import assign_split
+
+    corpus, comps = _chained_components(spark, sf_dir)
+    grouped = (
+        corpus.select("doc_id")
+        .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("grp", F.coalesce("component", F.col("doc_id")))
+    )
+    gf = (
+        assign_split(grouped, "grp")
+        .groupBy("grp", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    leak = (
+        gf.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_groups"))
+    )
+    return (
+        gf.groupBy("split")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
     )
 
 
