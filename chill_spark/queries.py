@@ -44,15 +44,16 @@ def query(name: str, oracle: str | None = None):
 # staleness; tests/test_priority_window.py now enforces a hard
 # max-staleness bound — any query whose last driver check is >= 4
 # rounds old MUST be scheduled). This round (r7):
-#   * the 8 r7 additions with no driver row yet, leading (persisted
+#   * the 9 r7 additions with no driver row yet, leading (persisted
 #     PQ + IVF-PQ store serve paths; the streaming PQ intake's
 #     stream==batch closure; one-scan batch ANN serving; large-k
 #     SemDeDup broadcast-centroid path; the Bloom dedup gate, batch
-#     + streaming; the near-dup-group leakage-safe split);
+#     + streaming; the near-dup-group leakage-safe split; the ANN
+#     recall@k evaluation);
 #   * ALL 29 rows whose last check is ROUND 3 (the r6 verdict's
 #     rotation order #1 — after this no row is older than r4);
-#   * the first 13 (registration order) of the 45 ROUND-4-checked
-#     rows; the remaining 32 MUST rotate in r8 (the staleness gate
+#   * the first 12 (registration order) of the 45 ROUND-4-checked
+#     rows; the remaining 33 MUST rotate in r8 (the staleness gate
 #     will fail the suite otherwise).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
@@ -60,7 +61,7 @@ _PRIORITY: list[str] = [
     # --- never driver-checked (r7 additions) ---
     "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_ann_pq_stream",
     "q_ann_pq_batch", "q_semantic_dedup_largek", "q_bloom_dedup_gate",
-    "q_bloom_stream", "q_split_by_neardup_group",
+    "q_bloom_stream", "q_split_by_neardup_group", "q_ann_recall",
     # --- last driver check: round 3 (all 29) ---
     "q_embedding_dedup_cc", "q_media_dedup", "q_top_tokens_per_lang",
     "q_tfidf", "q_split_counts", "q_stratified_sample",
@@ -72,16 +73,16 @@ _PRIORITY: list[str] = [
     "q_ann_quantized_topk", "q_jsonl_roundtrip", "q_embedding_centroids",
     "q_bigram_pmi", "q_corpus_embedding_assembly", "q_weighted_sample",
     "q_bpe_merges", "q_bpe_encode", "q_dedup_exact_priority",
-    # --- last driver check: round 4 (first 13 of 45 in registration
-    #     order; the other 32 — q_reconcile_missing_rows,
-    #     q_reconcile_referential, q_dsl_derive, then q3_top_orders
-    #     onward — are the r8 rotation, enforced by the max-staleness
-    #     gate) ---
+    # --- last driver check: round 4 (first 12 of 45 in registration
+    #     order; the other 33 — q_retention_expired,
+    #     q_reconcile_missing_rows, q_reconcile_referential,
+    #     q_dsl_derive, then q3_top_orders onward — are the r8
+    #     rotation, enforced by the max-staleness gate) ---
     "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q_customers_without_orders",
     "q_distinct_agg", "q_window_topn_orders", "q_rollup_grouping",
     "q_pivot_daily_events", "q_json_props", "q_rollup_hourly",
-    "q_rollup_ladder_daily", "q_cfg_table_users", "q_retention_expired",
+    "q_rollup_ladder_daily", "q_cfg_table_users",
 ]
 
 
@@ -8759,6 +8760,148 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
+    )
+
+
+def _ann_recall_oracle(n_q: int = 8, cand_n: int = 50, topk: int = 10) -> str:
+    from .llm_ops.projection import signs_sql
+
+    return f"""
+    WITH planes AS ({signs_sql(32, 64)}),
+    v AS (
+        SELECT vec_id, i AS d, embedding[i + 1]::DOUBLE AS x
+        FROM embeddings, unnest(range(len(embedding))) AS r(i)
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    vint AS (
+        SELECT vec_id, d, CAST(round(x * 1000000, 0) AS BIGINT) AS xi
+        FROM v
+    ),
+    proj AS (
+        SELECT vec_id, p.j,
+               round(sum(xi * p.s) * (sqrt(3.0 / 32) / 1000000), 6) AS val
+        FROM vint JOIN planes p ON p.d = vint.d
+        GROUP BY vec_id, p.j
+    ),
+    qp AS (SELECT vec_id AS q_id, j, val FROM proj WHERE vec_id < {n_q}),
+    coarse AS (
+        SELECT qp.q_id, p.vec_id,
+               round(sum(p.val * qp.val)
+                     / (sqrt(sum(p.val * p.val))
+                        * sqrt(sum(qp.val * qp.val))), 9) AS c
+        FROM proj p JOIN qp ON p.j = qp.j
+        GROUP BY qp.q_id, p.vec_id
+    ),
+    cand AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY c DESC, vec_id) AS rn
+            FROM coarse
+        ) WHERE rn <= {cand_n}
+    ),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {n_q}),
+    ex AS (
+        SELECT q.q_id, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                   AS cos
+        FROM embeddings e CROSS JOIN q
+    ),
+    exact10 AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM ex
+        ) WHERE rn <= {topk}
+    ),
+    funnel10 AS (
+        SELECT q_id, vec_id FROM (
+            SELECT ex.q_id, ex.vec_id,
+                   row_number() OVER (PARTITION BY ex.q_id
+                                      ORDER BY ex.cos DESC, ex.vec_id) AS rn
+            FROM ex JOIN cand USING (q_id, vec_id)
+        ) WHERE rn <= {topk}
+    )
+    SELECT e.q_id, count(f.vec_id) AS n_hits,
+           CAST(round(count(f.vec_id)::DOUBLE / {topk}, 6) AS DOUBLE)
+               AS recall_at_k
+    FROM exact10 e
+    LEFT JOIN funnel10 f USING (q_id, vec_id)
+    GROUP BY e.q_id ORDER BY e.q_id
+    """
+
+
+@query("q_ann_recall", oracle=_ann_recall_oracle())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality observability: recall@10 of the JL-coarse funnel
+    (q_ann_rerank's two-stage shape) against exact-cosine ground
+    truth, per query — THE metric you tune candidate depth / probe
+    width against before trusting an approximate index at scale. Both
+    legs are deterministic (coarse rank at round-9 on integer-exact
+    projected values; exact rank at round-6, ties by id) so the
+    oracle replays ground truth, funnel, and every per-query hit
+    count. The exact leg is a queries x corpus broadcast cross join —
+    inherent to recall EVALUATION, which at 100 TB you run on a
+    sampled eval slice exactly like this one, while serving stays on
+    the approximate path."""
+    from pyspark.sql import Window
+
+    from .llm_ops.dedup import cosine_sim
+    from .llm_ops.projection import project_to_vectors
+
+    n_q, cand_n, topk = 8, 50, 10
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    pv = project_to_vectors(emb, "embedding", "vec_id", k=32, dim=64)
+    qpv = (
+        pv.filter(F.col("vec_id") < n_q)
+        .select(F.col("vec_id").alias("q_id"), F.col("pvec").alias("q_pvec"))
+    )
+    coarse = pv.join(F.broadcast(qpv)).select(
+        "q_id", "vec_id",
+        F.round(cosine_sim(F.col("pvec"), F.col("q_pvec")), 9).alias("c"),
+    )
+    wq = Window.partitionBy("q_id")
+    cand = (
+        coarse.withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.col("c").desc(), "vec_id")),
+        )
+        .filter(F.col("rn") <= cand_n)
+        .select("q_id", "vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    ex = emb.join(F.broadcast(qv)).select(
+        "q_id", "vec_id",
+        F.round(
+            cosine_sim(F.col("embedding").cast("array<double>"), F.col("qv")),
+            6,
+        ).alias("cos"),
+    )
+    rank = F.row_number().over(wq.orderBy(F.col("cos").desc(), "vec_id"))
+    exact10 = (
+        ex.withColumn("rn", rank).filter(F.col("rn") <= topk)
+        .select("q_id", "vec_id")
+    )
+    funnel10 = (
+        ex.join(cand, ["q_id", "vec_id"])
+        .withColumn("rn", rank)
+        .filter(F.col("rn") <= topk)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        exact10.join(funnel10, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(topk), 6)
+            .cast("double").alias("recall_at_k"),
+        )
+        .orderBy("q_id")
     )
 
 
