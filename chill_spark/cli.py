@@ -1197,6 +1197,35 @@ def cmd_pq(args) -> int:
     return 0
 
 
+def cmd_forget(args) -> int:
+    """Right-to-be-forgotten: hard-delete subject keys from a DT_PART
+    fact (touched-partition rewrites + directory deletes), optionally
+    repairing a rollup ladder's touched windows."""
+    from .operators.forget import forget_and_repair, forget_keys
+    from .session import get_spark
+
+    spark = get_spark("chill-forget")
+    keys: list = [
+        int(k) if k.lstrip("-").isdigit() else k for k in args.keys
+    ]
+    if args.ladder_root:
+        cat = _load(args.catalog, Catalog)
+        rep = forget_and_repair(
+            spark, args.input, args.ladder_root, cat.tables[args.table],
+            args.key_col, keys,
+        )
+        repaired = {g: len(w) for g, w in rep["repaired"].items()}
+        print(f"repaired windows: {repaired}")
+    else:
+        rep = forget_keys(spark, args.input, args.key_col, keys)
+    print(
+        f"rows_forgotten={rep['rows_forgotten']} "
+        f"rewritten={len(rep['partitions_rewritten'])} "
+        f"deleted={len(rep['partitions_deleted'])}"
+    )
+    return 0
+
+
 def cmd_bloom(args) -> int:
     """Bloom membership gate: --build persists a corpus filter,
     --add folds a new batch in (idempotent — OR algebra), and
@@ -1366,6 +1395,21 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("--as-of", dest="as_of")
     rt.add_argument("--apply", action="store_true")
     rt.set_defaults(fn=cmd_retention)
+
+    fg = sub.add_parser(
+        "forget",
+        help="right-to-be-forgotten: delete subject keys from a "
+             "DT_PART fact; --ladder-root also repairs the rollup "
+             "ladder's touched windows",
+    )
+    fg.add_argument("--in", dest="input", required=True)
+    fg.add_argument("--key-col", required=True)
+    fg.add_argument("--keys", nargs="+", required=True,
+                    help="subject key values (ints auto-detected)")
+    fg.add_argument("--ladder-root", dest="ladder_root")
+    fg.add_argument("--catalog", help="required with --ladder-root")
+    fg.add_argument("--table", help="required with --ladder-root")
+    fg.set_defaults(fn=cmd_forget)
 
     dd = sub.add_parser("dedup", help="exact or near (LSH+CC) corpus dedup")
     dd.add_argument("--in", dest="input", required=True)

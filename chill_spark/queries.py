@@ -44,16 +44,16 @@ def query(name: str, oracle: str | None = None):
 # staleness; tests/test_priority_window.py now enforces a hard
 # max-staleness bound — any query whose last driver check is >= 4
 # rounds old MUST be scheduled). This round (r7):
-#   * the 9 r7 additions with no driver row yet, leading (persisted
+#   * the 10 r7 additions with no driver row yet, leading (persisted
 #     PQ + IVF-PQ store serve paths; the streaming PQ intake's
 #     stream==batch closure; one-scan batch ANN serving; large-k
 #     SemDeDup broadcast-centroid path; the Bloom dedup gate, batch
 #     + streaming; the near-dup-group leakage-safe split; the ANN
-#     recall@k evaluation);
+#     recall@k evaluation; the right-to-be-forgotten flow);
 #   * ALL 29 rows whose last check is ROUND 3 (the r6 verdict's
 #     rotation order #1 — after this no row is older than r4);
-#   * the first 12 (registration order) of the 45 ROUND-4-checked
-#     rows; the remaining 33 MUST rotate in r8 (the staleness gate
+#   * the first 11 (registration order) of the 45 ROUND-4-checked
+#     rows; the remaining 34 MUST rotate in r8 (the staleness gate
 #     will fail the suite otherwise).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_ann_pq_stream",
     "q_ann_pq_batch", "q_semantic_dedup_largek", "q_bloom_dedup_gate",
     "q_bloom_stream", "q_split_by_neardup_group", "q_ann_recall",
+    "q_forget_user",
     # --- last driver check: round 3 (all 29) ---
     "q_embedding_dedup_cc", "q_media_dedup", "q_top_tokens_per_lang",
     "q_tfidf", "q_split_counts", "q_stratified_sample",
@@ -73,8 +74,8 @@ _PRIORITY: list[str] = [
     "q_ann_quantized_topk", "q_jsonl_roundtrip", "q_embedding_centroids",
     "q_bigram_pmi", "q_corpus_embedding_assembly", "q_weighted_sample",
     "q_bpe_merges", "q_bpe_encode", "q_dedup_exact_priority",
-    # --- last driver check: round 4 (first 12 of 45 in registration
-    #     order; the other 33 — q_retention_expired,
+    # --- last driver check: round 4 (first 11 of 45 in registration
+    #     order; the other 34 — q_cfg_table_users, q_retention_expired,
     #     q_reconcile_missing_rows, q_reconcile_referential,
     #     q_dsl_derive, then q3_top_orders onward — are the r8
     #     rotation, enforced by the max-staleness gate) ---
@@ -82,7 +83,7 @@ _PRIORITY: list[str] = [
     "q6_forecast_revenue", "q_customers_without_orders",
     "q_distinct_agg", "q_window_topn_orders", "q_rollup_grouping",
     "q_pivot_daily_events", "q_json_props", "q_rollup_hourly",
-    "q_rollup_ladder_daily", "q_cfg_table_users",
+    "q_rollup_ladder_daily",
 ]
 
 
@@ -7232,6 +7233,93 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_splits") > 1)
         .orderBy("fingerprint")
     )
+
+
+@query(
+    "q_forget_user",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS dt_hour, event_type,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+           count(*) AS n_events
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+      AND user_id % 100 <> 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the REAL store path
+    (operators.forget): materialize day 1 of events as a 15-minute
+    DT_PART fact + its hourly rollup ladder, then hard-delete every
+    subject user (user_id % 100 == 7) with forget_and_repair — the
+    key-predicate-pushed locate scan, survivor-only rewrites of
+    touched partitions, directory deletes for fully-forgotten ones,
+    and re-aggregation of ONLY the ladder windows covering touched
+    partitions. The returned frame is the hourly ladder READ BACK
+    from disk, so a missed partition, a stale window, or an
+    over-delete all hash-mismatch the oracle's as-if-never-existed
+    replay. Counters are integer cents — order-free sums, bit-stable
+    across engines."""
+    import shutil
+    import tempfile
+
+    from .catalog import ColumnSpec, TableSpec
+    from .operators.forget import forget_and_repair
+    from .operators.incremental import maintain_ladder_increment
+    from .operators.writers import write_fact
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    fact = ev.select(
+        F.window("ts", "15 minutes").start.alias("DATETIME"),
+        F.col("user_id").alias("USER_ID"),
+        F.col("event_type").alias("EVENT_TYPE"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("CENTS"),
+        F.lit(1).cast("bigint").alias("N_EVENTS"),
+    )
+    table = TableSpec(
+        name="EV",
+        counter_group="OM_EV",
+        base_granularity="15M",
+        key_fields=["EVENT_TYPE"],
+        rollups=["HR"],
+        columns=[
+            ColumnSpec("EVENT_TYPE", raw_name="t", dtype="string", kind="KEY"),
+            ColumnSpec("CENTS", raw_name="c", dtype="long"),
+            ColumnSpec("N_EVENTS", raw_name="n", dtype="long"),
+        ],
+    )
+    tmp = tempfile.mkdtemp(prefix="chill_forget_")
+    try:
+        base = f"{tmp}/base"
+        out = f"{tmp}/ladder"
+        write_fact(fact, base)
+        all_dts = [
+            r["DATETIME"]
+            for r in fact.select("DATETIME").distinct().collect()
+        ]
+        maintain_ladder_increment(spark, base, out, table, all_dts)
+        subjects = [
+            r["USER_ID"]
+            for r in fact.filter(F.col("USER_ID") % 100 == 7)
+            .select("USER_ID").distinct().collect()
+        ]
+        forget_and_repair(spark, base, out, table, "USER_ID", subjects)
+        return (
+            spark.read.parquet(f"{out}/EV_HR")
+            .select(
+                F.col("DATETIME").alias("dt_hour"),
+                F.col("EVENT_TYPE").alias("event_type"),
+                F.col("CENTS").alias("cents"),
+                F.col("N_EVENTS").alias("n_events"),
+            )
+            .orderBy("dt_hour", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
