@@ -1231,8 +1231,6 @@ def cmd_bloom(args) -> int:
     --add folds a new batch in (idempotent — OR algebra), and
     --probe classifies rows map-side, optionally writing the
     definitely-new rows (the pre-shuffle dedup gate)."""
-    from pyspark.sql import functions as F
-
     from .llm_ops.bloom import (
         bloom_filter_new,
         bloom_store_add,

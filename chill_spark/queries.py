@@ -44,16 +44,17 @@ def query(name: str, oracle: str | None = None):
 # staleness; tests/test_priority_window.py now enforces a hard
 # max-staleness bound — any query whose last driver check is >= 4
 # rounds old MUST be scheduled). This round (r7):
-#   * the 10 r7 additions with no driver row yet, leading (persisted
+#   * the 11 r7 additions with no driver row yet, leading (persisted
 #     PQ + IVF-PQ store serve paths; the streaming PQ intake's
 #     stream==batch closure; one-scan batch ANN serving; large-k
 #     SemDeDup broadcast-centroid path; the Bloom dedup gate, batch
 #     + streaming; the near-dup-group leakage-safe split; the ANN
-#     recall@k evaluation; the right-to-be-forgotten flow);
+#     recall@k evaluation; the right-to-be-forgotten flow; the
+#     Bloom-gated exact-dedup intake);
 #   * ALL 29 rows whose last check is ROUND 3 (the r6 verdict's
 #     rotation order #1 — after this no row is older than r4);
-#   * the first 11 (registration order) of the 45 ROUND-4-checked
-#     rows; the remaining 34 MUST rotate in r8 (the staleness gate
+#   * the first 10 (registration order) of the 45 ROUND-4-checked
+#     rows; the remaining 35 MUST rotate in r8 (the staleness gate
 #     will fail the suite otherwise).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
@@ -62,7 +63,7 @@ _PRIORITY: list[str] = [
     "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_ann_pq_stream",
     "q_ann_pq_batch", "q_semantic_dedup_largek", "q_bloom_dedup_gate",
     "q_bloom_stream", "q_split_by_neardup_group", "q_ann_recall",
-    "q_forget_user",
+    "q_forget_user", "q_exact_dedup_stream",
     # --- last driver check: round 3 (all 29) ---
     "q_embedding_dedup_cc", "q_media_dedup", "q_top_tokens_per_lang",
     "q_tfidf", "q_split_counts", "q_stratified_sample",
@@ -74,8 +75,9 @@ _PRIORITY: list[str] = [
     "q_ann_quantized_topk", "q_jsonl_roundtrip", "q_embedding_centroids",
     "q_bigram_pmi", "q_corpus_embedding_assembly", "q_weighted_sample",
     "q_bpe_merges", "q_bpe_encode", "q_dedup_exact_priority",
-    # --- last driver check: round 4 (first 11 of 45 in registration
-    #     order; the other 34 — q_cfg_table_users, q_retention_expired,
+    # --- last driver check: round 4 (first 10 of 45 in registration
+    #     order; the other 35 — q_rollup_ladder_daily,
+    #     q_cfg_table_users, q_retention_expired,
     #     q_reconcile_missing_rows, q_reconcile_referential,
     #     q_dsl_derive, then q3_top_orders onward — are the r8
     #     rotation, enforced by the max-staleness gate) ---
@@ -83,7 +85,6 @@ _PRIORITY: list[str] = [
     "q6_forecast_revenue", "q_customers_without_orders",
     "q_distinct_agg", "q_window_topn_orders", "q_rollup_grouping",
     "q_pivot_daily_events", "q_json_props", "q_rollup_hourly",
-    "q_rollup_ladder_daily",
 ]
 
 
@@ -1114,6 +1115,79 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             spark.read.parquet(out)
             .select("doc_id")
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_exact_dedup_stream",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, fp,
+               row_number() OVER (
+                   PARTITION BY fp ORDER BY doc_id % 2, doc_id
+               ) AS rn
+        FROM f
+    )
+    SELECT doc_id, fp FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def q_exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated exact-dedup intake through the REAL checkpointed
+    stream (streaming.exact_dedup_stream): the documents table arrives
+    as JSONL in two waves (even ids first); each micro-batch keeps
+    only first occurrences of the content fingerprint across stream
+    history — in-batch via a min-id partial agg, cross-batch via the
+    Bloom gate (proof-of-absence rows SKIP the fingerprint-store join;
+    possible-members anti-join it). The accepted set is deterministic
+    (exact dedup has no tuning), so the oracle is a plain
+    first-occurrence replay in feed order — any gate false NEGATIVE
+    (impossible by construction), store miss, or replay double-admit
+    hash-mismatches."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm_ops.text import doc_fingerprint
+    from .streaming import drain
+    from .streaming.exact_dedup_stream import run_exact_dedup_stream
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tmp = tempfile.mkdtemp(prefix="chill_xdedup_")
+    try:
+        watch = os.path.join(tmp, "docs")
+        out = os.path.join(tmp, "out")
+        store = os.path.join(tmp, "store")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(watch)
+        feed = d.select("doc_id", "text")
+        feed.filter(F.col("doc_id") % 2 == 0).write.json(
+            os.path.join(watch, "b1")
+        )
+
+        def run_wave() -> None:
+            drain(run_exact_dedup_stream(
+                spark, watch + "/*", "doc_id BIGINT, text STRING",
+                out_dir=out, store_root=store, checkpoint_dir=ckpt,
+                num_bits=1 << 16, num_hashes=5, available_now=True,
+            ))
+
+        run_wave()
+        feed.filter(F.col("doc_id") % 2 == 1).write.json(
+            os.path.join(watch, "b2")
+        )
+        run_wave()
+        return (
+            spark.read.parquet(out)
+            .select("doc_id", doc_fingerprint("text").alias("fp"))
             .orderBy("doc_id")
             .localCheckpoint(eager=True)
         )

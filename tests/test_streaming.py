@@ -2028,6 +2028,55 @@ def test_bloom_stream_matches_batch_filter(spark, stream_dirs):
     assert bloom_stream_words(spark, store, m) == batch
 
 
+def test_exact_dedup_stream_first_occurrence_and_gate(spark, stream_dirs):
+    """Bloom-gated exact intake: first occurrence of a fingerprint
+    wins across waves (normalization collapses case/whitespace), the
+    duplicate is dropped, corrupt lines quarantine, NULL-text rows
+    pass through, and a re-drain admits nothing new."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.exact_dedup_stream import (
+        run_exact_dedup_stream,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "xd_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "xd_out")
+    store = os.path.join(base, "xd_store")
+    ckpt = os.path.join(base, "xd_ckpt")
+
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "Alpha  Doc"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "beta doc"}) + "\n")
+        f.write(json.dumps({"doc_id": 4, "text": "alpha doc"}) + "\n")
+        f.write("not json at all\n")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out,
+        store_root=store, checkpoint_dir=ckpt,
+        num_bits=1 << 12, num_hashes=4, available_now=True,
+    )
+    drain(run_exact_dedup_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "ALPHA   doc"}) + "\n")
+        f.write(json.dumps({"doc_id": 5, "text": "gamma doc"}) + "\n")
+        f.write(json.dumps({"doc_id": 6, "text": None}) + "\n")
+    drain(run_exact_dedup_stream(spark, ind, **kw))
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 1 beats 4 in-batch ("alpha doc" fp) and 3 cross-wave; NULL text
+    # (6) passes through; 2 and 5 are novel
+    assert got == {1, 2, 5, 6}
+    q = spark.read.parquet(os.path.join(out, "_quarantine"))
+    assert [r["rejected_line"] for r in q.collect()] == ["not json at all"]
+    # the registered fingerprints are exactly the 3 distinct contents
+    fps = spark.read.parquet(os.path.join(store, "fps"))
+    assert fps.select("__fp").distinct().count() == 3
+    # idle re-drain: nothing new admitted, store unchanged
+    drain(run_exact_dedup_stream(spark, ind, **kw))
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == got
+
+
 def test_cms_stream_matches_batch_sketch(spark, stream_dirs):
     """Streaming CMS: counters summed across two waves equal the
     batch sketch of the whole feed (integer merges are exact), and
