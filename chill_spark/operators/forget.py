@@ -76,7 +76,20 @@ def forget_keys(
             "partitions_deleted": [],
             "touched_datetimes": [],
         }
-    df = spark.read.parquet(path).withColumn(
+    df = spark.read.parquet(path)
+    from .writers import BATCH_COL
+
+    if BATCH_COL in df.columns:
+        # a (DT_PART, BATCH_PART) stream sink needs batch-aware
+        # rewrites; a flat partitionBy(DT_PART) overwrite here would
+        # silently demote BATCH_PART to a data column and break the
+        # sink's replay contract — fail loud instead
+        raise ValueError(
+            f"forget_keys requires the flat {PARTITION_COL} layout; "
+            f"{path} is {BATCH_COL}-sub-partitioned (compact it to a "
+            "flat fact first)"
+        )
+    df = df.withColumn(
         # partition discovery type-infers the yyyyMMddHHmm value as a
         # bigint; pin it to the string form the directory names use
         PARTITION_COL, F.col(PARTITION_COL).cast("string")

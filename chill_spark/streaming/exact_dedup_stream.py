@@ -30,6 +30,13 @@ overwrite; the Bloom OR-merge is idempotent outright.
 At 100 TB/day the per-batch cost is one fingerprint map pass, a
 word-bounded filter probe, an anti-join whose LEFT side is only the
 gate's possible-members, and model-sized store appends.
+
+Store maintenance: the Bloom snapshots self-prune (``prune_keep``);
+the per-batch ``fps`` leaves compact with the shared swap protocol —
+``incremental_dedup.compact_sketch_store(spark, store_root,
+sides=("fps",))`` under the sealed-store contract (no stream writing)
+— and the ``BATCH_PART=-1`` compacted leaf stays visible to the
+batch-pruned reader.
 """
 
 from __future__ import annotations

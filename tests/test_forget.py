@@ -79,6 +79,21 @@ def test_forget_keys_null_keys_never_match(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1  # the NULL row stays
 
 
+def test_forget_keys_rejects_batch_subpartitioned_store(spark, tmp_path):
+    import pytest
+
+    from chill_spark.operators.writers import append_batch_keyed
+
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(DT(2024, 1, 1), 1, "x", 1)],
+        "DATETIME timestamp, USER_ID bigint, EVENT_TYPE string, CENTS bigint",
+    ).withColumn("DT_PART", F.lit("202401010000"))
+    append_batch_keyed(df, path, 0, extra_partition_cols=["DT_PART"])
+    with pytest.raises(ValueError, match="flat DT_PART layout"):
+        forget_keys(spark, path, "USER_ID", [1])
+
+
 def test_cli_forget_fact_only(spark, tmp_path, capsys):
     from chill_spark.cli import main
 

@@ -2076,6 +2076,19 @@ def test_exact_dedup_stream_first_occurrence_and_gate(spark, stream_dirs):
     drain(run_exact_dedup_stream(spark, ind, **kw))
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == got
 
+    # fps-store compaction (sealed-store contract) reuses the shared
+    # swap protocol; the batch-pruned reader still sees every
+    # fingerprint afterwards, so a later wave keeps deduplicating
+    from chill_spark.llm_ops.incremental_dedup import compact_sketch_store
+
+    compact_sketch_store(spark, store, sides=("fps",))
+    with open(os.path.join(ind, "w3.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 9, "text": "beta DOC"}) + "\n")
+        f.write(json.dumps({"doc_id": 10, "text": "delta doc"}) + "\n")
+    drain(run_exact_dedup_stream(spark, ind, **kw))
+    got3 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got3 == got | {10}  # 9 still dedups against compacted fps
+
 
 def test_cms_stream_matches_batch_sketch(spark, stream_dirs):
     """Streaming CMS: counters summed across two waves equal the
