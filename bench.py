@@ -150,6 +150,32 @@ def load_gate(
     return round(load, 2), load > max_load, round(waited, 1)
 
 
+def cpu_calibration(reps: int = 5, loops: int = 150) -> float:
+    """Machine-speed canary: best-of-``reps`` wall time of a FIXED
+    single-threaded workload (150 md5 digests of the same 1 MiB
+    buffer, ~0.24 s on this box, ~3% run-to-run). Identical work every
+    run, so the ratio of two rounds' calib values is the machine-speed
+    ratio between them — the normalizer that separates real plan
+    regressions from VM drift (two same-code idle runs on this box
+    have read 10-15% apart; the canary moves with them, plans don't).
+    Single-threaded on purpose: a multi-core workload (e.g. BLAS
+    matmul) adds scheduler jitter that swamps the signal, while
+    per-core speed is what both the canary and the query latencies
+    scale with under CPU steal."""
+    import hashlib
+
+    buf = b"\xab" * (1 << 20)
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        d = b""
+        for _ in range(loops):
+            d = hashlib.md5(buf).digest()
+        runs.append(time.perf_counter() - t0)
+        assert len(d) == 16
+    return round(min(runs), 4)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -164,6 +190,7 @@ def main() -> int:
             "final line carries load_flagged=true",
             file=sys.stderr,
         )
+    calib_s = cpu_calibration()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -232,6 +259,7 @@ def main() -> int:
         "reps": reps,
         "load_avg": load_avg,
         "load_flagged": load_flagged,
+        "calib_s": calib_s,
         "sf": sf,
         "total": total,
     }
@@ -259,6 +287,7 @@ def main() -> int:
             "medians_file": "BENCH_MEDIANS.json",
             "load_avg": load_avg,
             "load_flagged": load_flagged,
+            "calib_s": calib_s,
             "sf": sf,
         })
 

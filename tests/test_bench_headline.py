@@ -30,6 +30,7 @@ def _worst_case_line() -> str:
         "medians_file": "BENCH_MEDIANS.json",
         "load_avg": [99.99, 99.99],
         "load_flagged": False,
+        "calib_s": 99.9999,
         "sf": 0.1,
     })
 
@@ -83,3 +84,14 @@ def test_load_gate_flags_persistently_loaded_machine():
     assert flagged and load == 5.5
     assert waited == 60.0  # capped at wait_s, final poll truncated
     assert slept == [25, 25, 10]
+
+
+def test_cpu_calibration_is_positive_and_repeatable():
+    """The canary's contract: fixed work, so two immediate readings
+    agree within the documented noise band (generous 25% bound — the
+    point is catching a broken/elided measurement, not re-measuring
+    the machine)."""
+    a = bench.cpu_calibration(reps=3, loops=40)
+    b = bench.cpu_calibration(reps=3, loops=40)
+    assert a > 0 and b > 0
+    assert abs(a - b) / max(a, b) < 0.25
