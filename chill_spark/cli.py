@@ -1096,10 +1096,19 @@ def cmd_pq(args) -> int:
         from .llm_ops.pq_store import (
             compact_pq_store,
             pq_store_append,
+            pq_store_forget,
             pq_store_topk,
             write_pq_store,
         )
 
+        if args.forget:
+            keys = [int(k) if k.lstrip("-").isdigit() else k
+                    for k in args.forget]
+            rep = pq_store_forget(spark, args.store, keys)
+            print(f"forgot {rep['rows_forgotten']} vector(s): "
+                  f"{rep['leaves_rewritten']} leaves rewritten, "
+                  f"{rep['leaves_deleted']} deleted")
+            return 0
         if args.compact:
             out = compact_pq_store(spark, args.store)
             print(f"compacted PQ store {args.store}: {out['codes']} files")
@@ -1809,6 +1818,9 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--compact", action="store_true",
                     help="with --store: collapse append history "
                          "(replays resolved, newest batch wins)")
+    pq.add_argument("--forget", nargs="+",
+                    help="with --store: right-to-be-forgotten — remove "
+                         "these vector ids from every batch leaf")
     pq.add_argument("--watch",
                     help="with --store: drain JSONL vector rows from "
                          "this dir into the store (encode-only stream "

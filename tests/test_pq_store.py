@@ -380,3 +380,75 @@ def test_pq_store_cli_lifecycle(spark, tmp_path):
     assert ids == set(range(32))
     with pytest.raises(SystemExit):
         main(["pq", "--store", root])  # search without --query-id
+
+
+def test_pq_store_forget_removes_ids_across_leaves(spark, tmp_path):
+    """Compliance delete reaches the index: forgotten ids vanish from
+    serving whichever leaf held them (base build or append), a leaf
+    whose every row is forgotten is deleted as a directory, untouched
+    leaves keep their physical files, and a replayed forget is a
+    no-op."""
+    import os
+
+    from chill_spark.llm_ops.pq_store import pq_store_forget
+
+    emb = _emb_df(spark, n=30)
+    root = str(tmp_path / "pq")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=1)
+    pq_store_append(_emb_df(spark, n=40).filter(F.col("vec_id") >= 30), root)
+    # a 2-row leaf that will be FULLY forgotten
+    pq_store_append(_emb_df(spark, n=42).filter(F.col("vec_id") >= 40), root)
+    base_leaf = os.path.join(root, "codes", "BATCH_PART=-1")
+    before = sorted(os.listdir(base_leaf))
+
+    rep = pq_store_forget(spark, root, [35, 40, 41])
+    assert rep == {"rows_forgotten": 3, "leaves_rewritten": 1,
+                   "leaves_deleted": 1}
+    assert not os.path.exists(os.path.join(root, "codes", "BATCH_PART=1"))
+    assert sorted(os.listdir(base_leaf)) == before  # base untouched
+    ids = {r["vec_id"] for r in read_pq_codes(spark, root).collect()}
+    assert ids == set(range(35)) | {36, 37, 38, 39}
+    qv = np.array(_emb_df(spark, n=30).first()["embedding"], dtype=np.float64)
+    served = {r["vec_id"]
+              for r in pq_store_topk(spark, root, qv, n=100).collect()}
+    assert not served & {35, 40, 41}
+
+    again = pq_store_forget(spark, root, [35, 40, 41])
+    assert again["rows_forgotten"] == 0
+
+
+def test_pq_store_forget_ivf_leaf_accounting(spark, tmp_path):
+    """IVF stores account leaves at (batch, cell) grain: forgetting
+    one id rewrites only its own cell leaf and serving at full probe
+    width never returns it."""
+    from chill_spark.llm_ops.pq_store import pq_store_forget
+
+    emb = _emb_df(spark, n=60)
+    root = str(tmp_path / "ivfpq")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=1, cells=4)
+    rep = pq_store_forget(spark, root, [17])
+    assert rep["rows_forgotten"] == 1
+    assert rep["leaves_rewritten"] + rep["leaves_deleted"] == 1
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 17).first()["embedding"],
+        dtype=np.float64,
+    )
+    served = {r["vec_id"] for r in
+              pq_store_topk(spark, root, qv, n=60, nprobe=4).collect()}
+    assert 17 not in served and len(served) == 59
+
+
+def test_cli_pq_store_forget(spark, tmp_path, capsys):
+    from chill_spark.cli import main
+
+    src = str(tmp_path / "corpus")
+    root = str(tmp_path / "store")
+    _emb_df(spark, n=20).write.parquet(src)
+    assert main(["pq", "--input", src, "--store", root, "--build",
+                 "--m", "2", "--k", "4"]) == 0
+    capsys.readouterr()
+    assert main(["pq", "--store", root, "--forget", "3", "7"]) == 0
+    out = capsys.readouterr().out
+    assert "forgot 2 vector(s)" in out
+    ids = {r["vec_id"] for r in read_pq_codes(spark, root).collect()}
+    assert ids == set(range(20)) - {3, 7}
