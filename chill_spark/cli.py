@@ -1217,6 +1217,26 @@ def cmd_forget(args) -> int:
     keys: list = [
         int(k) if k.lstrip("-").isdigit() else k for k in args.keys
     ]
+    if args.sketch_store or args.emb_store:
+        if args.sketch_store:
+            from .llm_ops.incremental_dedup import sketch_store_forget
+
+            rep = sketch_store_forget(spark, args.sketch_store, keys)
+        else:
+            from .llm_ops.incremental_embedding import (
+                embedding_store_forget,
+            )
+
+            rep = embedding_store_forget(spark, args.emb_store, keys)
+        for side, r in rep.items():
+            print(f"{side}: rows_forgotten={r['rows_forgotten']} "
+                  f"rewritten={r['leaves_rewritten']} "
+                  f"deleted={r['leaves_deleted']}")
+        return 0
+    if not args.input:
+        raise SystemExit(
+            "forget: --in required (or --sketch-store / --emb-store)"
+        )
     if args.ladder_root:
         cat = _load(args.catalog, Catalog)
         rep = forget_and_repair(
@@ -1409,13 +1429,19 @@ def main(argv: list[str] | None = None) -> int:
              "DT_PART fact; --ladder-root also repairs the rollup "
              "ladder's touched windows",
     )
-    fg.add_argument("--in", dest="input", required=True)
-    fg.add_argument("--key-col", required=True)
+    fg.add_argument("--in", dest="input")
+    fg.add_argument("--key-col", default="USER_ID")
     fg.add_argument("--keys", nargs="+", required=True,
                     help="subject key values (ints auto-detected)")
     fg.add_argument("--ladder-root", dest="ladder_root")
     fg.add_argument("--catalog", help="required with --ladder-root")
     fg.add_argument("--table", help="required with --ladder-root")
+    fg.add_argument("--sketch-store", dest="sketch_store",
+                    help="forget doc ids from a MinHash sketch store "
+                         "instead of a fact")
+    fg.add_argument("--emb-store", dest="emb_store",
+                    help="forget vector ids from an embedding dedup "
+                         "store instead of a fact")
     fg.set_defaults(fn=cmd_forget)
 
     dd = sub.add_parser("dedup", help="exact or near (LSH+CC) corpus dedup")

@@ -396,6 +396,43 @@ def incremental_minhash_dups(
     )
 
 
+def sketch_store_forget(
+    spark: SparkSession,
+    root: str,
+    ids: list,
+    sides: tuple[str, ...] = ("sets", "banded"),
+) -> dict:
+    """Right-to-be-forgotten for the MinHash sketch store: physically
+    remove the given doc ids from every side — a forgotten document
+    must stop generating near-dup candidates, or the pipeline keeps
+    matching (and thereby leaking the existence of) content it was
+    told to delete. Uses the shared leaf-rewrite primitive
+    (``storefs.forget_rows``): touched ``BATCH_PART`` (and, on a
+    bucket-partitioned banded side, ``BKT_PART``) leaves only.
+    Returns {side: report}. The exact intake's fps side can be
+    forgotten the same way by fingerprint:
+    ``forget_rows(spark, f"{root}/fps", "__fp", fps, ["BATCH_PART"])``.
+    """
+    from ..operators.writers import BATCH_COL
+    from .storefs import StoreFS, forget_rows
+
+    meta = read_sketch_meta(root) or {}
+    bkt_n = meta.get("bucket_partitions")
+    fs = StoreFS(root, spark)
+    out = {}
+    for side in sides:
+        path = f"{root}/{side}"
+        if not fs.is_dir(path):
+            out[side] = {"rows_forgotten": 0, "leaves_rewritten": 0,
+                         "leaves_deleted": 0}
+            continue
+        leaf_cols = [BATCH_COL]
+        if side == "banded" and bkt_n:
+            leaf_cols.append(BUCKET_PART_COL)
+        out[side] = forget_rows(spark, path, "id", ids, leaf_cols)
+    return out
+
+
 def compact_sketch_store(
     spark: SparkSession,
     root: str,

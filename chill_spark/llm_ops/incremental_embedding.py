@@ -231,6 +231,24 @@ def incremental_embedding_dups(
     )
 
 
+def embedding_store_forget(
+    spark: SparkSession,
+    root: str,
+    ids: list,
+) -> dict:
+    """Right-to-be-forgotten for the embedding dedup store: remove the
+    given vector ids from both sides (vectors + banded) via the shared
+    leaf-rewrite primitive — a forgotten embedding must stop surfacing
+    as anyone's near-duplicate. Returns {side: report}."""
+    from ..operators.writers import BATCH_COL
+    from .storefs import forget_rows
+
+    return {
+        side: forget_rows(spark, f"{root}/{side}", "id", ids, [BATCH_COL])
+        for side in ("vectors", "banded")
+    }
+
+
 def compact_embedding_store(
     spark: SparkSession,
     root: str,

@@ -479,63 +479,15 @@ def pq_store_forget(
     the same id legitimately reintroduces it (new data, not a ghost).
     Returns {"rows_forgotten", "leaves_rewritten", "leaves_deleted"}.
     """
+    from .storefs import forget_rows
+
     meta = check_pq_meta(root, spark)
     id_col = meta.get("id_col", "vec_id")
     ivf = int(meta.get("cells", 0)) > 0
-    empty = {"rows_forgotten": 0, "leaves_rewritten": 0,
-             "leaves_deleted": 0}
-    if not ids:
-        return empty
-    src = f"{root}/codes"
-    df = spark.read.parquet(src)
-    hit = F.col(id_col).isin(ids)
-    leaf_cols = [BATCH_COL] + ([CELL_COL] if ivf else [])
-    touched = {
-        tuple(r[c] for c in leaf_cols): r["n"]
-        for r in df.filter(hit).groupBy(*leaf_cols)
-        .agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if not touched:
-        return empty
-    fs = StoreFS(root, spark)
-
-    def _leaf_path(key: tuple) -> str:
-        parts = [f"{c}={v}" for c, v in zip(leaf_cols, key)]
-        return f"{src}/" + "/".join(parts)
-
-    def _leaf_pred(key: tuple):
-        pred = F.lit(True)
-        for c, v in zip(leaf_cols, key):
-            pred = pred & (F.col(c) == F.lit(v))
-        return pred
-
-    totals = {}
-    in_touched = None
-    for key in touched:
-        p = _leaf_pred(key)
-        in_touched = p if in_touched is None else (in_touched | p)
-    for r in (
-        df.filter(in_touched).groupBy(*leaf_cols)
-        .agg(F.count(F.lit(1)).alias("n")).collect()
-    ):
-        totals[tuple(r[c] for c in leaf_cols)] = r["n"]
-    doomed = [k for k in touched if touched[k] == totals[k]]
-    partial = [k for k in touched if touched[k] < totals[k]]
-    for key in doomed:
-        fs.delete(_leaf_path(key))
-    payload = [id_col] + [f"c{j}" for j in range(int(meta["m"]))]
-    for key in partial:
-        survivors = (
-            df.filter(_leaf_pred(key)).filter(~hit).select(*payload)
-            # sever lineage from the files this write replaces
-            .localCheckpoint(eager=True)
-        )
-        survivors.write.mode("overwrite").parquet(_leaf_path(key))
-    return {
-        "rows_forgotten": sum(touched.values()),
-        "leaves_rewritten": len(partial),
-        "leaves_deleted": len(doomed),
-    }
+    return forget_rows(
+        spark, f"{root}/codes", id_col, ids,
+        leaf_cols=[BATCH_COL] + ([CELL_COL] if ivf else []),
+    )
 
 
 def compact_pq_store(

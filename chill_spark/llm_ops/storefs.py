@@ -300,3 +300,80 @@ def write_store_json(root: str, payload: dict, name: str = "_meta.json",
             json.dump(payload, f)
         return
     StoreFS(root, spark).write_text(f"{root}/{name}", json.dumps(payload))
+
+
+def forget_rows(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    ids: list,
+    leaf_cols: list[str],
+) -> dict:
+    """Right-to-be-forgotten primitive shared by every batch-keyed
+    store: physically remove rows whose ``id_col`` is in ``ids`` from
+    a ``leaf_cols``-partitioned parquet table at cost proportional to
+    the ids' footprint.
+
+    - locate: ONE scan with the id predicate pushed to parquet
+      (row-group stats skip untouched files);
+    - leaves whose every row is forgotten are DELETED as directories;
+    - partially-touched leaves are rewritten survivor-only,
+      localCheckpointed first so the rewrite never overwrites files
+      its own plan is still reading;
+    - untouched leaves are never opened.
+
+    Idempotent: a replayed forget matches nothing. Returns
+    {"rows_forgotten", "leaves_rewritten", "leaves_deleted"}."""
+    from pyspark.sql import functions as F
+
+    empty = {"rows_forgotten": 0, "leaves_rewritten": 0,
+             "leaves_deleted": 0}
+    if not ids:
+        return empty
+    df = spark.read.parquet(path)
+    hit = F.col(id_col).isin(ids)
+    touched = {
+        tuple(r[c] for c in leaf_cols): r["n"]
+        for r in df.filter(hit).groupBy(*leaf_cols)
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not touched:
+        return empty
+    fs = StoreFS(path, spark)
+
+    def _leaf_path(key: tuple) -> str:
+        return f"{path}/" + "/".join(
+            f"{c}={v}" for c, v in zip(leaf_cols, key)
+        )
+
+    def _leaf_pred(key: tuple):
+        pred = F.lit(True)
+        for c, v in zip(leaf_cols, key):
+            pred = pred & (F.col(c) == F.lit(v))
+        return pred
+
+    in_touched = None
+    for key in touched:
+        p = _leaf_pred(key)
+        in_touched = p if in_touched is None else (in_touched | p)
+    totals = {
+        tuple(r[c] for c in leaf_cols): r["n"]
+        for r in df.filter(in_touched).groupBy(*leaf_cols)
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    doomed = [k for k in touched if touched[k] == totals[k]]
+    partial = [k for k in touched if touched[k] < totals[k]]
+    payload = [c for c in df.columns if c not in leaf_cols]
+    for key in doomed:
+        fs.delete(_leaf_path(key))
+    for key in partial:
+        survivors = (
+            df.filter(_leaf_pred(key)).filter(~hit).select(*payload)
+            .localCheckpoint(eager=True)
+        )
+        survivors.write.mode("overwrite").parquet(_leaf_path(key))
+    return {
+        "rows_forgotten": sum(touched.values()),
+        "leaves_rewritten": len(partial),
+        "leaves_deleted": len(doomed),
+    }

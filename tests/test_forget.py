@@ -162,3 +162,22 @@ def test_forget_and_repair_converges_ladder(spark, tmp_path):
         r["DATETIME"] for r in spark.read.parquet(f"{out}/EV_HR").collect()
     }
     assert hours == {DT(2024, 1, 1, 0, 0)}
+
+
+def test_cli_forget_sketch_store(spark, tmp_path, capsys):
+    from chill_spark.cli import main
+    from chill_spark.llm_ops.incremental_dedup import write_sketch_store
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id bigint, text string",
+    )
+    root = str(tmp_path / "sk")
+    write_sketch_store(docs, "text", "doc_id", root,
+                       num_hashes=8, bands=4, shingle_k=3)
+    rc = main(["forget", "--sketch-store", root, "--keys", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sets: rows_forgotten=1" in out
+    ids = {r["id"] for r in spark.read.parquet(f"{root}/sets").collect()}
+    assert ids == {2}

@@ -2590,3 +2590,75 @@ def test_ann_rerank_recall_vs_bruteforce(spark):
     true = {r["vec_id"] for r in _REGISTRY["q_ann_topk"](spark, sf).collect()}
     assert len(got & true) >= 6  # recall >= 0.6 through a 50-candidate funnel
     assert 0 in got  # the query vector itself always survives
+
+
+def test_sketch_store_forget_stops_matching(spark, tmp_path):
+    """Compliance delete reaches the MinHash store: after forgetting a
+    doc's id from both sides, an identical incoming doc no longer
+    generates a candidate pair against it, and the other docs still
+    match. Replayed forget is a no-op."""
+    from chill_spark.llm_ops.incremental_dedup import (
+        incremental_minhash_dups,
+        read_sketch_store,
+        sketch_store_forget,
+        write_sketch_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id bigint, text string",
+    )
+    root = str(tmp_path / "sk")
+    write_sketch_store(docs, "text", "doc_id", root,
+                       num_hashes=16, bands=8, shingle_k=3)
+    rep = sketch_store_forget(spark, root, [1])
+    assert rep["sets"]["rows_forgotten"] == 1
+    assert rep["banded"]["rows_forgotten"] > 0
+
+    incoming = docs.withColumn("doc_id", F.col("doc_id") + 100)
+    old_sets, old_banded = read_sketch_store(spark, root)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_minhash_dups(
+            incoming, old_sets, old_banded, "text", "doc_id",
+            threshold=0.5, num_hashes=16, bands=8, shingle_k=3,
+        ).collect()
+    }
+    assert pairs == {(2, 102)}  # doc 1 is gone; doc 2 still matches
+
+    again = sketch_store_forget(spark, root, [1])
+    assert again["sets"]["rows_forgotten"] == 0
+
+
+def test_embedding_store_forget_stops_matching(spark, tmp_path):
+    """Same contract for the embedding store: a forgotten vector stops
+    surfacing as anyone's near-duplicate."""
+    from chill_spark.llm_ops.incremental_embedding import (
+        embedding_store_forget,
+        incremental_embedding_dups,
+        read_embedding_store,
+        write_embedding_store,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    root = str(tmp_path / "emb")
+    write_embedding_store(vecs, "embedding", "vec_id", root,
+                          planes=8, bands=4)
+    rep = embedding_store_forget(spark, root, [1])
+    assert rep["vectors"]["rows_forgotten"] == 1
+    assert rep["banded"]["rows_forgotten"] > 0
+
+    incoming = vecs.withColumn("vec_id", F.col("vec_id") + 100)
+    old_vectors, old_banded = read_embedding_store(spark, root)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_embedding_dups(
+            incoming, old_vectors, old_banded, "embedding", "vec_id",
+            threshold=0.9, planes=8, bands=4,
+        ).collect()
+    }
+    assert pairs == {(2, 102)}
