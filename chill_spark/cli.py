@@ -762,6 +762,28 @@ def cmd_dedup_stream(args) -> int:
     return 0
 
 
+def cmd_exact_dedup_stream(args) -> int:
+    from .session import get_spark
+    from .streaming import drain
+    from .streaming.exact_dedup_stream import run_exact_dedup_stream
+
+    spark = get_spark("chill-exact-dedup-stream")
+    q = run_exact_dedup_stream(
+        spark, args.input, args.schema,
+        out_dir=args.out, store_root=args.store,
+        checkpoint_dir=args.checkpoint,
+        text_col=args.text_col, id_col=args.id_col,
+        num_bits=args.bits, num_hashes=args.hashes,
+        available_now=args.drain, trigger_seconds=args.trigger,
+        quarantine_dir=args.quarantine,
+    )
+    if args.drain:
+        drain(q)
+    else:
+        q.awaitTermination()
+    return 0
+
+
 def _default_columns(cat: Catalog) -> list[str]:
     """Every table's raw columns, deduped order-preserving."""
     return list(
@@ -1479,6 +1501,27 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--drain", action="store_true",
                     help="process available files then exit (availableNow)")
     ds.set_defaults(fn=cmd_dedup_stream)
+
+    xs = sub.add_parser(
+        "exact-dedup-stream",
+        help="Bloom-gated exact-dedup JSONL intake: only first "
+        "occurrences of a content fingerprint reach the corpus; "
+        "fingerprint store + filter maintained per batch",
+    )
+    xs.add_argument("--in", dest="input", required=True)
+    xs.add_argument("--schema", default="doc_id BIGINT, text STRING")
+    xs.add_argument("--out", required=True)
+    xs.add_argument("--store", required=True, help="fingerprint store root")
+    xs.add_argument("--checkpoint", required=True)
+    xs.add_argument("--text-col", dest="text_col", default="text")
+    xs.add_argument("--id-col", dest="id_col", default="doc_id")
+    xs.add_argument("--bits", type=int, default=1 << 20)
+    xs.add_argument("--hashes", type=int, default=5)
+    xs.add_argument("--trigger", type=int, default=5)
+    xs.add_argument("--quarantine")
+    xs.add_argument("--drain", action="store_true",
+                    help="process available files then exit (availableNow)")
+    xs.set_defaults(fn=cmd_exact_dedup_stream)
 
     sk = sub.add_parser(
         "sketch",

@@ -2351,3 +2351,25 @@ def test_classify_stream_replay_is_idempotent(spark, stream_dirs):
         (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
     )
     assert after == before  # lists, not sets: duplicates must fail
+
+
+def test_cli_exact_dedup_stream(spark, tmp_path, capsys):
+    import json
+
+    from chill_spark.cli import main
+
+    ind = str(tmp_path / "in"); os.makedirs(ind)
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    with open(os.path.join(ind, "w.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "same text"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "SAME   text"}) + "\n")
+    rc = main([
+        "exact-dedup-stream", "--in", ind, "--out", out,
+        "--store", store, "--checkpoint", ckpt,
+        "--bits", "4096", "--hashes", "4", "--drain",
+    ])
+    assert rc == 0
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {1}  # 2 normalizes to the same fingerprint
