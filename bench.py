@@ -107,6 +107,7 @@ HEADLINE = [
     "q_ann_pq_stored",
     "q_semantic_dedup_largek",
     "q_bloom_dedup_gate",
+    "q_ann_recall",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC
