@@ -22,9 +22,11 @@ ids, source domains) WITHOUT rewriting the table. Shape:
            at incremental cost.
 
 Idempotent end to end: a replayed forget finds zero matching rows and
-touches nothing; a crash between rewrite and repair is healed by
-re-running (the rewrite already happened or re-matches nothing, the
-repair recomputes from the current base).
+touches nothing; ``forget_and_repair`` journals the touched-window
+plan BEFORE mutating (``_forget_pending.json`` under the ladder root),
+so a crash anywhere between the base rewrite and the ladder repair is
+healed by re-running — the journaled windows re-enter the repair even
+though the re-run's own locate scan matches nothing.
 
 Requires the flat ``DT_PART`` layout (write_fact's) — the same
 contract as merge_upsert.
@@ -170,6 +172,7 @@ def forget_and_repair(
     converge to "as if the keys never existed" without a full
     rebuild. Returns the forget report plus {"repaired": {level:
     [window starts]}}."""
+    from ..llm_ops.storefs import StoreFS, read_store_json, write_store_json
     from .incremental import (
         base_periods,
         maintain_ladder_increment,
@@ -178,10 +181,36 @@ def forget_and_repair(
     )
     from .writers import read_fact
 
+    marker = "_forget_pending.json"
+    # Crash-healing journal: a replayed forget matches nothing, so
+    # WITHOUT a journal a crash anywhere between the base rewrite and
+    # the ladder repair would strand the touched windows stale forever
+    # (the re-run would see touched_datetimes=[]). So: locate the
+    # touched windows FIRST (same pushed scan forget_keys runs), merge
+    # any prior run's unfinished windows, persist the plan, and only
+    # then mutate; the marker is cleared after the repair (and the
+    # stale-window drop below) completed.
+    pending = read_store_json(out_root, name=marker, spark=spark) or {}
+    pre = {
+        datetime.strptime(str(r["p"]), "%Y%m%d%H%M")
+        for r in spark.read.parquet(base_path)
+        .filter(F.col(key_col).isin(keys) if keys else F.lit(False))
+        .select(F.col(PARTITION_COL).cast("string").alias("p"))
+        .distinct().collect()
+    }
+    dts = sorted(
+        pre | {datetime.fromisoformat(s) for s in pending.get("datetimes", [])}
+    )
+    if dts:
+        write_store_json(
+            out_root, {"datetimes": [d.isoformat() for d in dts]},
+            name=marker, spark=spark,
+        )
     report = forget_keys(spark, base_path, key_col, keys)
+    report["touched_datetimes"] = dts
     report["repaired"] = maintain_ladder_increment(
         spark, base_path, out_root, table,
-        report["touched_datetimes"], levels=levels, agg_map=agg_map,
+        dts, levels=levels, agg_map=agg_map,
     )
     # A window whose base rows were ALL forgotten re-aggregates to an
     # EMPTY frame, and dynamic partition overwrite never touches
@@ -210,4 +239,6 @@ def forget_and_repair(
                 )
             dropped[g] = stale
     report["ladder_partitions_deleted"] = dropped
+    if dts:
+        StoreFS(out_root, spark).delete(f"{out_root}/{marker}")
     return report

@@ -181,3 +181,46 @@ def test_cli_forget_sketch_store(spark, tmp_path, capsys):
     assert "sets: rows_forgotten=1" in out
     ids = {r["id"] for r in spark.read.parquet(f"{root}/sets").collect()}
     assert ids == {2}
+
+
+def test_forget_and_repair_heals_crash_between_rewrite_and_repair(
+    spark, tmp_path
+):
+    """Crash simulation: the base rewrite landed (forget_keys ran) but
+    the ladder repair never did. The journaled window plan must bring
+    the stale windows back into the NEXT forget_and_repair call even
+    though its own locate scan matches nothing — and the marker is
+    cleared once the repair completes."""
+    from chill_spark.llm_ops.storefs import write_store_json
+    from chill_spark.operators.incremental import maintain_ladder_increment
+
+    base = str(tmp_path / "base")
+    out = str(tmp_path / "ladder")
+    _write(spark, base)
+    table = _table()
+    all_dts = sorted({r[0] for r in _fact_rows()})
+    maintain_ladder_increment(spark, base, out, table, all_dts)
+
+    # the "crashed" first run: journal written, base mutated, NO repair
+    write_store_json(
+        out, {"datetimes": [DT(2024, 1, 1, 0, 0).isoformat(),
+                            DT(2024, 1, 1, 0, 30).isoformat()]},
+        name="_forget_pending.json", spark=spark,
+    )
+    forget_keys(spark, base, "USER_ID", [7])
+    # ladder is now stale: hour 00 still counts user 7's 600 cents
+    stale = {
+        (r["DATETIME"], r["EVENT_TYPE"]): r["CENTS"]
+        for r in spark.read.parquet(f"{out}/EV_HR").collect()
+    }
+    assert stale[(DT(2024, 1, 1, 0, 0), "click")] == 300  # 100 + 200
+
+    rep = forget_and_repair(spark, base, out, table, "USER_ID", [7])
+    assert rep["rows_forgotten"] == 0  # replay matched nothing...
+    assert sorted(rep["repaired"]["HR"]) == [DT(2024, 1, 1, 0, 0)]
+    healed = {
+        (r["DATETIME"], r["EVENT_TYPE"]): r["CENTS"]
+        for r in spark.read.parquet(f"{out}/EV_HR").collect()
+    }
+    assert healed[(DT(2024, 1, 1, 0, 0), "click")] == 100  # ...but healed
+    assert not os.path.exists(os.path.join(out, "_forget_pending.json"))
