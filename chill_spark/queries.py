@@ -4489,9 +4489,13 @@ def q_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact under the portable md5 bit family, so the oracle replays
     every position, word, and verdict bit-for-bit; the in_corpus
     column makes the no-false-negative contract visible in the rows
-    (in_corpus=TRUE rows all probe TRUE). At 100 TB this is the cheap
-    pre-screen in front of the exact dedup store join: rows probing
-    FALSE are PROVEN new and skip the shuffle entirely."""
+    (in_corpus=TRUE rows all probe TRUE) — it is the VERIFICATION
+    rail only: its broadcast of the corpus text set exists so the
+    oracle can grade the gate, and a production probe emits just
+    might_contain (map-only, nothing corpus-sized moves). At 100 TB
+    this is the cheap pre-screen in front of the exact dedup store
+    join: rows probing FALSE are PROVEN new and skip the shuffle
+    entirely."""
     from .llm_ops.bloom import bloom_build, bloom_words, with_bloom_contains
 
     m, h = 65536, 5
