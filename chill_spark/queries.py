@@ -9358,7 +9358,8 @@ def _ivfpq_recall_oracle_sql(
     joins = f"FROM {lasts[0][0]} c0" + "".join(
         f"\nJOIN {lasts[j][0]} c{j} USING (vec_id)" for j in range(1, m)
     )
-    approx_selects = []
+    cand_n = 5 * topk  # the funnel's ADC candidate depth
+    cand_selects = []
     for q in q_ids:
         lut_joins = "\n".join(
             f"JOIN q{q}x{j}lut l{j} ON l{j}.cid = c{j}.cid"
@@ -9368,17 +9369,19 @@ def _ivfpq_recall_oracle_sql(
         for j in range(1, m):
             adc = f"({adc} + l{j}.v)"
         for p in probes:
-            approx_selects.append(f"""(
-  SELECT {q} AS q_id, {p} AS nprobe, c0.vec_id
+            cand_selects.append(f"""(
+  SELECT {q} AS q_id, {p} AS nprobe, c0.vec_id,
+         row_number() OVER (ORDER BY round({adc}, 9), c0.vec_id)
+             AS adc_rank
   {joins}
   JOIN {cell_a} cell ON cell.vec_id = c0.vec_id
   JOIN q{q}cells qc ON qc.cid = cell.cid AND qc.rnk <= {p}
   {lut_joins}
   WHERE c0.vec_id <> {q}
-  ORDER BY round({adc}, 9), c0.vec_id LIMIT {topk}
+  ORDER BY round({adc}, 9), c0.vec_id LIMIT {cand_n}
 )""")
     ctes.append(
-        "approx AS (\n" + "\nUNION ALL\n".join(approx_selects) + "\n)"
+        "cand AS (\n" + "\nUNION ALL\n".join(cand_selects) + "\n)"
     )
     qlist = ", ".join(str(q) for q in q_ids)
     ctes.append(f"""exd AS (
@@ -9396,20 +9399,35 @@ def _ivfpq_recall_oracle_sql(
     FROM exd
   ) WHERE rn <= {topk}
 )""")
+    ctes.append(f"""rerank10 AS (
+  SELECT q_id, nprobe, vec_id FROM (
+    SELECT c.q_id, c.nprobe, c.vec_id,
+           row_number() OVER (PARTITION BY c.q_id, c.nprobe
+                              ORDER BY e.d2, c.vec_id) AS rn
+    FROM cand c JOIN exd e ON e.q_id = c.q_id AND e.vec_id = c.vec_id
+  ) WHERE rn <= {topk}
+)""")
     plist = ", ".join(str(p) for p in probes)
-    # force one evaluation per CTE: the 9 approx subqueries all
-    # reference the Lloyd chains, and DuckDB's default inlining
+    # force one evaluation per CTE: the per-(query, nprobe) subqueries
+    # all reference the Lloyd chains, and DuckDB's default inlining
     # re-executes them per reference (~9x the replay cost)
     ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
     return (
         "WITH " + ",\n".join(ctes) + f"""
-SELECT e.q_id, p.nprobe, count(a.vec_id) AS n_hits,
+SELECT e.q_id, p.nprobe,
+       count(a.vec_id) AS n_hits_adc,
        CAST(round(count(a.vec_id)::DOUBLE / {topk}, 6) AS DOUBLE)
-           AS recall_at_k
+           AS recall_adc,
+       count(r.vec_id) AS n_hits_rerank,
+       CAST(round(count(r.vec_id)::DOUBLE / {topk}, 6) AS DOUBLE)
+           AS recall_rerank
 FROM exact10 e
 CROSS JOIN (SELECT unnest([{plist}]) AS nprobe) p
-LEFT JOIN approx a
-  ON a.q_id = e.q_id AND a.nprobe = p.nprobe AND a.vec_id = e.vec_id
+LEFT JOIN cand a
+  ON a.q_id = e.q_id AND a.nprobe = p.nprobe
+ AND a.vec_id = e.vec_id AND a.adc_rank <= {topk}
+LEFT JOIN rerank10 r
+  ON r.q_id = e.q_id AND r.nprobe = p.nprobe AND r.vec_id = e.vec_id
 GROUP BY e.q_id, p.nprobe
 ORDER BY e.q_id, p.nprobe
 """
@@ -9419,29 +9437,34 @@ ORDER BY e.q_id, p.nprobe
 @query("q_ann_ivfpq_recall", oracle=_ivfpq_recall_oracle_sql())
 def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The nprobe recall curve for the PERSISTED IVF-PQ index — the
-    number you actually tune the index by: build the store once
-    (coarse quantizer + PQ codebooks in one joint Lloyd run), serve
-    every (query, nprobe) combination from it with
+    numbers you actually tune the index by: build the store once
+    (coarse quantizer + PQ codebooks in one joint Lloyd run), fetch
+    funnel-depth (5k) ADC candidates per (query, nprobe) with
     pq_store_topk_batch (ONE pruned codes scan per nprobe), and grade
-    each against exact-L2 ground truth over the full corpus. Note the
-    curve need NOT be monotone: probing more cells adds candidates,
-    but the top-k cut ranks by APPROXIMATE (ADC) distance, so a true
-    neighbor can be displaced by closer-ADC impostors from newly
-    probed cells — which is exactly why production funnels pair
-    nprobe tuning with an exact rerank stage (q_ann_rerank) and why
-    this eval exists. Absolute recall is low on this isotropic
-    fixture (quantization error dominates unclustered gaussians);
-    the metric is the comparison rail, not a quality claim. The
-    oracle replays the training, each query's cell RANKING, every ADC
-    cut, the exact leg, and the intersection counts; the exact leg is
-    the eval rail (queries x corpus), run on a sampled query set
-    exactly as you would at 100 TB."""
+    BOTH serving modes against exact-L2 ground truth: the raw ADC
+    top-k (recall_adc) and the exact-reranked top-k over the same
+    candidates (recall_rerank). recall_adc need NOT be monotone in
+    nprobe — the cut ranks by quantized distance, so newly probed
+    cells can displace a true neighbor with closer-ADC impostors —
+    while recall_rerank is monotone and dominates it on every row,
+    which is the measured argument for the two-stage funnel
+    (candidates were always there; the ranking lost them). Absolute
+    recall is low on this isotropic fixture (quantization error
+    dominates unclustered gaussians); the metric is the comparison
+    rail, not a quality claim. The oracle replays the training, each
+    query's cell RANKING, every ADC candidate cut, the rerank, the
+    exact leg, and the intersection counts; the exact leg is the eval
+    rail (queries x corpus), run on a sampled query set exactly as
+    you would at 100 TB."""
     import shutil
     import tempfile
 
     from .llm_ops.pq_store import pq_store_topk_batch, write_pq_store
 
+    from pyspark.sql import Window
+
     q_ids, probes, topk = [0, 7, 13], [1, 2, 4], 10
+    cand_n = 5 * topk
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     root = tempfile.mkdtemp(prefix="chill_ivfpq_recall_")
     try:
@@ -9450,12 +9473,21 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_vec"),
         )
-        approx = None
+        # ONE candidate fetch per nprobe at funnel depth; both legs
+        # (raw ADC top-k and exact-reranked top-k) derive from it
+        cand = None
         for p in probes:
             leg = pq_store_topk_batch(
-                spark, root, qset, n=topk, nprobe=p
+                spark, root, qset, n=cand_n, nprobe=p
             ).withColumn("nprobe", F.lit(p))
-            approx = leg if approx is None else approx.unionByName(leg)
+            cand = leg if cand is None else cand.unionByName(leg)
+        wqp = Window.partitionBy("q_id", "nprobe")
+        cand = cand.withColumn(
+            "adc_rank",
+            F.row_number().over(
+                wqp.orderBy(F.col("approx_d2").asc(), F.col("vec_id").asc())
+            ),
+        )
         qv = emb.filter(F.col("vec_id").isin(q_ids)).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").cast("array<double>").alias("qv"),
@@ -9468,14 +9500,14 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        from pyspark.sql import Window
-
-        wq = Window.partitionBy("q_id")
-        exact10 = (
+        exd = (
             emb.join(F.broadcast(qv))
             .filter(F.col("vec_id") != F.col("q_id"))
             .select("q_id", "vec_id", F.round(d2, 6).alias("d2"))
-            .withColumn(
+        )
+        wq = Window.partitionBy("q_id")
+        exact10 = (
+            exd.withColumn(
                 "rn",
                 F.row_number().over(
                     wq.orderBy(F.col("d2").asc(), F.col("vec_id").asc())
@@ -9484,20 +9516,34 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= topk)
             .select("q_id", "vec_id")
         )
+        rerank10 = (
+            cand.join(exd, ["q_id", "vec_id"])
+            .withColumn(
+                "rrn",
+                F.row_number().over(
+                    wqp.orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+                ),
+            )
+            .filter(F.col("rrn") <= topk)
+            .select("q_id", "nprobe", "vec_id", F.lit(1).alias("rhit"))
+        )
+        adc10 = (
+            cand.filter(F.col("adc_rank") <= topk)
+            .select("q_id", "nprobe", "vec_id", F.lit(1).alias("ahit"))
+        )
         pdf = spark.createDataFrame([(p,) for p in probes], "nprobe int")
         hits = (
             exact10.crossJoin(F.broadcast(pdf))
-            .join(
-                approx.withColumn("hit", F.lit(1))
-                .select("q_id", "vec_id", "nprobe", "hit"),
-                ["q_id", "vec_id", "nprobe"],
-                "left",
-            )
+            .join(adc10, ["q_id", "vec_id", "nprobe"], "left")
+            .join(rerank10, ["q_id", "vec_id", "nprobe"], "left")
             .groupBy("q_id", "nprobe")
             .agg(
-                F.count("hit").alias("n_hits"),
-                F.round(F.count("hit") / F.lit(topk), 6)
-                .cast("double").alias("recall_at_k"),
+                F.count("ahit").alias("n_hits_adc"),
+                F.round(F.count("ahit") / F.lit(topk), 6)
+                .cast("double").alias("recall_adc"),
+                F.count("rhit").alias("n_hits_rerank"),
+                F.round(F.count("rhit") / F.lit(topk), 6)
+                .cast("double").alias("recall_rerank"),
             )
             .orderBy("q_id", "nprobe")
         )
