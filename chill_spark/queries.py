@@ -39,53 +39,44 @@ def query(name: str, oracle: str | None = None):
 
 
 # The round driver records correctness for the FIRST 50 registered
-# queries only. All 170 r6-era queries are cumulatively driver-green,
+# queries only. All 182 r7-era queries are cumulatively driver-green,
 # so the window's job is FRESHNESS (the judge tracks per-query driver
-# staleness; tests/test_priority_window.py now enforces a hard
+# staleness; tests/test_priority_window.py enforces a hard
 # max-staleness bound — any query whose last driver check is >= 4
-# rounds old MUST be scheduled). This round (r7):
-#   * the 12 r7 additions with no driver row yet, leading (persisted
-#     PQ + IVF-PQ store serve paths; the streaming PQ intake's
-#     stream==batch closure; one-scan batch ANN serving; large-k
-#     SemDeDup broadcast-centroid path; the Bloom dedup gate, batch
-#     + streaming; the near-dup-group leakage-safe split; the ANN
-#     recall@k evaluation; the right-to-be-forgotten flow; the
-#     Bloom-gated exact-dedup intake; the IVF-PQ nprobe recall
-#     curve);
-#   * ALL 29 rows whose last check is ROUND 3 (the r6 verdict's
-#     rotation order #1 — after this no row is older than r4);
-#   * the first 9 (registration order) of the 45 ROUND-4-checked
-#     rows; the remaining 36 MUST rotate in r8 (the staleness gate
-#     will fail the suite otherwise).
+# rounds old MUST be scheduled). This round (r8):
+#   * any r8 additions with no driver row yet, leading (inserted at
+#     the head as they land; trailing r5-era rows drop to keep 50);
+#   * ALL 36 rows whose last check is ROUND 4 (the r7 verdict's
+#     rotation order #1 — after this no row is older than r5);
+#   * the first r5-era rows (registration order) fill the remaining
+#     slots, pre-rotating part of r9's mandatory 46-row r5 cohort.
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
-    # --- never driver-checked (r7 additions) ---
-    "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_ann_pq_stream",
-    "q_ann_pq_batch", "q_semantic_dedup_largek", "q_bloom_dedup_gate",
-    "q_bloom_stream", "q_split_by_neardup_group", "q_ann_recall",
-    "q_forget_user", "q_exact_dedup_stream", "q_ann_ivfpq_recall",
-    # --- last driver check: round 3 (all 29) ---
-    "q_embedding_dedup_cc", "q_media_dedup", "q_top_tokens_per_lang",
-    "q_tfidf", "q_split_counts", "q_stratified_sample",
-    "q_chunk_documents", "q_pack_sequences", "q_dedup_cc_keep_longest",
-    "q_dedup_cluster_sizes", "q_token_budget_by_split",
-    "q_kmeans_clusters", "q_repetition_filter", "q_dedup_minhash_cc",
-    "q_bm25_rank", "q_media_audio_features", "q_media_resize",
-    "q_vocab_coverage", "q_corpus_prep_pipeline", "q_quality_rules",
-    "q_ann_quantized_topk", "q_jsonl_roundtrip", "q_embedding_centroids",
-    "q_bigram_pmi", "q_corpus_embedding_assembly", "q_weighted_sample",
-    "q_bpe_merges", "q_bpe_encode", "q_dedup_exact_priority",
-    # --- last driver check: round 4 (first 9 of 45 in registration
-    #     order; the other 36 — q_rollup_hourly, q_rollup_ladder_daily,
-    #     q_cfg_table_users, q_retention_expired,
-    #     q_reconcile_missing_rows, q_reconcile_referential,
-    #     q_dsl_derive, then q3_top_orders onward — are the r8
-    #     rotation, enforced by the max-staleness gate) ---
-    "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q_customers_without_orders",
-    "q_distinct_agg", "q_window_topn_orders", "q_rollup_grouping",
-    "q_pivot_daily_events", "q_json_props",
+    # --- never driver-checked (r8 additions) ---
+    # --- last driver check: round 4 (all 36) ---
+    "q_rollup_hourly", "q_rollup_ladder_daily", "q_cfg_table_users",
+    "q_retention_expired", "q_reconcile_missing_rows",
+    "q_reconcile_referential", "q_dsl_derive", "q3_top_orders",
+    "q_dedup_exact", "q_dedup_exact_groups", "q_dedup_ngram_jaccard",
+    "q_dedup_simhash", "q_text_stats", "q_lang_id", "q_ann_topk",
+    "q_embedding_near_dups_lsh", "q_embedding_incremental",
+    "q2_top_supplier_per_nation", "q7_nation_pair_volume",
+    "q12_priority_class", "q13_order_count_distribution",
+    "q18_large_orders", "q19_disjunctive_filters",
+    "q22_idle_rich_customers", "q_window_running_sum",
+    "q_window_lag_delta", "q_sessionize", "q_winnowing_fingerprints",
+    "q_cluster_balanced_sample", "q_lm_perplexity", "q_source_caps",
+    "q_segment_dedup", "q_mixture_weights", "q_quality_budget",
+    "q_scd1_merge", "q_profile_lineitem",
+    # --- last driver check: round 5 (first 14 of 46 in registration
+    #     order; the rest rotate in r9, enforced by the gate) ---
+    "q_rollup_15m", "q_dedup_incremental", "q_ann_ivf_topk",
+    "q_embedding_near_dups", "q_media_image_meta",
+    "q_media_frame_sample", "q_stream_rollup_events",
+    "q14_promo_revenue", "q_setop_intersect", "q_asof_join",
+    "q_range_join", "q17_small_quantity_revenue", "q21_waiting_orders",
+    "q20_dominant_suppliers",
 ]
 
 
