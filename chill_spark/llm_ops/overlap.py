@@ -79,7 +79,15 @@ def pairwise_distinct_overlap(
         .agg(F.count(F.lit(1)).alias("exact_overlap"))
     )
     rsd = 1.04 / (2 ** (lg_k / 2))
-    return exact.join(ests, ["type_a", "type_b"]).select(
+    # LEFT join from the sketch side: a pair with zero shared users has
+    # no exact row at all — an inner join would silently drop it from
+    # the output and skip est_ok exactly where inclusion-exclusion
+    # noise is most likely to fabricate an overlap.
+    return ests.join(
+        exact, ["type_a", "type_b"], "left"
+    ).withColumn(
+        "exact_overlap", F.coalesce(F.col("exact_overlap"), F.lit(0))
+    ).select(
         "type_a",
         "type_b",
         "exact_overlap",

@@ -82,6 +82,19 @@ STORE_VERSION = 1
 # build
 # ---------------------------------------------------------------------------
 
+def _usable_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Drop rows whose vector is NULL or the wrong dimension before
+    they reach training or encode: a NULL vector crashes pq_train's
+    driver-side seeding, and a wrong-dim vector would be persisted
+    with meaningless/NULL codes that then poison every ADC scan —
+    the exact hazard run_pq_stream quarantines on the streaming
+    intake; the batch build/append paths enforce the same contract
+    by filtering (the batch caller owns its reject channel)."""
+    return df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(dim))
+    )
+
+
 def write_pq_store(
     emb: DataFrame,
     root: str,
@@ -104,11 +117,12 @@ def write_pq_store(
     what makes a store-served answer hash-checkable
     (queries.q_ann_pq_stored)."""
     spark = emb.sparkSession
-    if emb.filter(F.col(vec_col).isNotNull()).head(1) == []:
+    emb = _usable_vectors(emb, vec_col, dim)
+    if emb.head(1) == []:
         raise ValueError(
-            "write_pq_store: corpus has no usable vectors (empty or "
-            "all-null embedding column) — an empty codebook store "
-            "would brick every later consumer"
+            "write_pq_store: corpus has no usable vectors (empty, "
+            "all-null, or wrong-dimension embedding column) — an "
+            "empty codebook store would brick every later consumer"
         )
     fs = StoreFS(root, spark)
     for side in ("books", "codes"):
@@ -425,6 +439,7 @@ def pq_store_append(
     meta = check_pq_meta(root, spark)
     books, coarse, _ = read_pq_books(spark, root, meta)
     id_col = meta.get("id_col", "vec_id")
+    new_emb = _usable_vectors(new_emb, vec_col, int(meta["dim"]))
     if batch_id is None:
         fs = StoreFS(root, spark)
         existing = [

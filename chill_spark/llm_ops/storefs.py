@@ -367,8 +367,13 @@ def forget_rows(
     for key in doomed:
         fs.delete(_leaf_path(key))
     for key in partial:
+        # NULL-safe survivor predicate: ~isin(ids) is NULL (not true)
+        # for NULL-id rows, which would silently delete them during a
+        # forget of unrelated keys — keep them explicitly, matching
+        # operators/forget.py's forget_keys.
         survivors = (
-            df.filter(_leaf_pred(key)).filter(~hit).select(*payload)
+            df.filter(_leaf_pred(key))
+            .filter(~hit | F.col(id_col).isNull()).select(*payload)
             .localCheckpoint(eager=True)
         )
         survivors.write.mode("overwrite").parquet(_leaf_path(key))

@@ -6956,6 +6956,11 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pu AS (
         SELECT DISTINCT event_type, user_id FROM events
     ),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM ty a JOIN ty b ON a.event_type < b.event_type
+    ),
     ov AS (
         SELECT a.event_type AS type_a, b.event_type AS type_b,
                count(*) AS exact_overlap
@@ -6963,8 +6968,12 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY a.event_type, b.event_type
     )
-    SELECT type_a, type_b, exact_overlap, TRUE AS est_ok
-    FROM ov ORDER BY type_a, type_b
+    SELECT p.type_a, p.type_b,
+           COALESCE(ov.exact_overlap, 0) AS exact_overlap,
+           TRUE AS est_ok
+    FROM pairs p LEFT JOIN ov
+      ON ov.type_a = p.type_a AND ov.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b
     """,
 )
 def q_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9256,6 +9265,7 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ad-hoc path. The oracle re-derives the joint training, the cell
     assignment of every row, the probe choice, and the fused ADC
     ranking."""
+    import shutil
     import tempfile
 
     import numpy as np
@@ -9264,13 +9274,22 @@ def q_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     root = tempfile.mkdtemp(prefix="chill_ivfpq_store_")
-    write_pq_store(emb, root, dim=64, m=8, k=8, iters=2, cells=6)
-    qv = np.array(
-        [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]],
-        dtype=np.float64,
-    )
-    return pq_store_topk(spark, root, qv, n=10, nprobe=2,
-                         where=F.col("vec_id") != 0)
+    try:
+        write_pq_store(emb, root, dim=64, m=8, k=8, iters=2, cells=6)
+        qv = np.array(
+            [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).first()["embedding"]],
+            dtype=np.float64,
+        )
+        # materialize before the finally deletes the store the lazy
+        # plan reads from (every bench rep/sweep would otherwise leak
+        # a store directory under /tmp)
+        return pq_store_topk(
+            spark, root, qv, n=10, nprobe=2,
+            where=F.col("vec_id") != 0,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @query("q_ann_pq_stored", oracle=_pq_stored_oracle_sql())
@@ -9286,6 +9305,7 @@ def q_ann_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     and replays the LUTs and the ADC sum — so a wrong store read,
     a codebook drift on append, or a broken replay resolution all
     hash-mismatch."""
+    import shutil
     import tempfile
 
     import numpy as np
@@ -9298,17 +9318,24 @@ def q_ann_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     root = tempfile.mkdtemp(prefix="chill_pq_store_")
-    write_pq_store(
-        emb.filter(F.col("vec_id") % 5 != 4), root, dim=64, m=4, k=16,
-        iters=2,
-    )
-    pq_store_append(emb.filter(F.col("vec_id") % 5 == 4), root)
-    qv = np.array(
-        [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]],
-        dtype=np.float64,
-    )
-    return pq_store_topk(spark, root, qv, n=10,
-                         where=F.col("vec_id") != 0)
+    try:
+        write_pq_store(
+            emb.filter(F.col("vec_id") % 5 != 4), root, dim=64, m=4,
+            k=16, iters=2,
+        )
+        pq_store_append(emb.filter(F.col("vec_id") % 5 == 4), root)
+        qv = np.array(
+            [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).first()["embedding"]],
+            dtype=np.float64,
+        )
+        # materialize before the finally deletes the store the lazy
+        # plan reads from
+        return pq_store_topk(
+            spark, root, qv, n=10, where=F.col("vec_id") != 0
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _ivfpq_recall_oracle_sql(
@@ -9601,20 +9628,28 @@ def q_ann_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm_ops/pq_store.py pq_store_topk_batch). The oracle replays the
     shared codebook training once and each query's LUTs + ranking
     independently."""
+    import shutil
     import tempfile
 
     from .llm_ops.pq_store import pq_store_topk_batch, write_pq_store
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     root = tempfile.mkdtemp(prefix="chill_pq_batch_")
-    write_pq_store(emb, root, dim=64, m=4, k=16, iters=2)
-    qset = emb.filter(F.col("vec_id").isin([0, 7, 13])).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    return (
-        pq_store_topk_batch(spark, root, qset, n=5)
-        .orderBy("q_id", "approx_d2", "vec_id")
-    )
+    try:
+        write_pq_store(emb, root, dim=64, m=4, k=16, iters=2)
+        qset = emb.filter(F.col("vec_id").isin([0, 7, 13])).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        # materialize before the finally deletes the store the lazy
+        # plan reads from
+        return (
+            pq_store_topk_batch(spark, root, qset, n=5)
+            .orderBy("q_id", "approx_d2", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @query("q_ann_pq_stream", oracle=_pq_stored_oracle_sql())

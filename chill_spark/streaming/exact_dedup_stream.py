@@ -94,7 +94,11 @@ def run_exact_dedup_stream(
     Corrupt lines go to the quarantine reject channel. Rows with a
     NULL ``text_col`` have no content to compare — they pass through
     as survivors and register nothing (exact dedup of nothing is a
-    no-op, and a NULL never enters the filter by construction)."""
+    no-op, and a NULL never enters the filter by construction). Rows
+    with a non-null text but NULL ``id_col`` cannot play
+    first-occurrence-wins (no identity to pick a deterministic
+    winner); they are quarantined as JSON lines rather than silently
+    dropped by the semi-join."""
     if quarantine_dir is None:
         quarantine_dir = f"{out_dir}/_quarantine"
     fps_dir = f"{store_root}/fps"
@@ -113,6 +117,18 @@ def run_exact_dedup_stream(
         fpd = new.withColumn(_FP_COL, doc_fingerprint(text_col))
         nulls = fpd.filter(F.col(_FP_COL).isNull())
         fpd = fpd.filter(F.col(_FP_COL).isNotNull())
+        # NULL-id rows can't play first-occurrence-wins (min() skips
+        # NULLs and the [fp, id] semi-join never matches them) — route
+        # them to the reject channel instead of silently losing them
+        no_id = fpd.filter(F.col(id_col).isNull())
+        if no_id.head(1):
+            _append_batch_keyed(
+                no_id.drop(_FP_COL).select(
+                    F.to_json(F.struct("*")).alias("rejected_line")
+                ),
+                quarantine_dir, batch_id,
+            )
+        fpd = fpd.filter(F.col(id_col).isNotNull())
         # in-batch first occurrence: min id per fingerprint (a partial
         # agg + semi join — no window, no skew on the id)
         firsts = fpd.groupBy(_FP_COL).agg(F.min(id_col).alias(id_col))

@@ -224,3 +224,29 @@ def test_forget_and_repair_heals_crash_between_rewrite_and_repair(
     }
     assert healed[(DT(2024, 1, 1, 0, 0), "click")] == 100  # ...but healed
     assert not os.path.exists(os.path.join(out, "_forget_pending.json"))
+
+
+def test_forget_rows_preserves_null_id_survivors(spark, tmp_path):
+    """storefs.forget_rows rewrites partially-touched leaves with a
+    NULL-safe survivor predicate: ~isin(ids) is NULL for NULL-id rows,
+    so without the explicit isNull() keep-clause a forget of UNRELATED
+    keys would silently delete them (the r7 ADVICE finding)."""
+    from chill_spark.llm_ops.storefs import forget_rows
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, "a", 0), (None, "n", 0), (2, "b", 0), (3, "c", 1)],
+        "id bigint, v string, BATCH_PART int",
+    )
+    df.write.partitionBy("BATCH_PART").parquet(path)
+
+    out = forget_rows(spark, path, "id", [1], ["BATCH_PART"])
+    assert out == {"rows_forgotten": 1, "leaves_rewritten": 1,
+                   "leaves_deleted": 0}
+    left = spark.read.parquet(path).collect()
+    assert sorted(r["v"] for r in left) == ["b", "c", "n"], (
+        "NULL-id survivor was dropped by the leaf rewrite"
+    )
+    # replay matches nothing and rewrites nothing
+    again = forget_rows(spark, path, "id", [1], ["BATCH_PART"])
+    assert again["rows_forgotten"] == 0

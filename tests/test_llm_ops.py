@@ -2662,3 +2662,30 @@ def test_embedding_store_forget_stops_matching(spark, tmp_path):
         ).collect()
     }
     assert pairs == {(2, 102)}
+
+
+def test_pairwise_distinct_overlap_disjoint_pair_graded(spark):
+    """include_exact=True must grade EVERY pair: a pair with zero
+    shared users has no exact-leg row, and an inner join would drop
+    it from the output — precisely where inclusion-exclusion noise is
+    most likely to fabricate an overlap (the r7 ADVICE finding)."""
+    from chill_spark.llm_ops.overlap import pairwise_distinct_overlap
+
+    rows = (
+        [("a", u) for u in range(30)]
+        + [("b", u) for u in range(20, 50)]
+        + [("c", u) for u in range(100, 120)]  # disjoint from a and b
+    )
+    df = spark.createDataFrame(rows, "t string, u bigint")
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in pairwise_distinct_overlap(
+            df, "t", "u", lg_k=12, include_exact=True
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "c")]["exact_overlap"] == 0
+    assert out[("b", "c")]["exact_overlap"] == 0
+    assert out[("a", "b")]["exact_overlap"] == 10
+    # the verdict column is populated (graded), not NULL
+    assert all(r["est_ok"] is not None for r in out.values())

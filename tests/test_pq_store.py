@@ -452,3 +452,39 @@ def test_cli_pq_store_forget(spark, tmp_path, capsys):
     assert "forgot 2 vector(s)" in out
     ids = {r["vec_id"] for r in read_pq_codes(spark, root).collect()}
     assert ids == set(range(20)) - {3, 7}
+
+
+def test_pq_store_build_and_append_reject_unusable_vectors(spark, tmp_path):
+    """NULL or wrong-dim vectors must never reach training or the
+    codes table: a NULL vector crashes pq_train's seeding, a
+    wrong-dim one persists poisoned codes that surface in every ADC
+    scan (the r7 ADVICE finding). The batch build/append paths filter
+    them, mirroring run_pq_stream's usable-row handling."""
+    emb = _emb_df(spark, n=30, dim=8)
+    dirty = emb.unionByName(
+        spark.createDataFrame(
+            [(100, None), (101, [1.0, 2.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+    )
+    root = str(tmp_path / "pq")
+    write_pq_store(dirty, root, dim=8, m=2, k=4, iters=2)
+    ids = {r["vec_id"] for r in read_pq_codes(spark, root).collect()}
+    assert 100 not in ids and 101 not in ids and len(ids) == 30
+
+    appended = spark.createDataFrame(
+        [(200, [0.5] * 8), (201, None), (202, [9.9] * 3)],
+        "vec_id bigint, embedding array<double>",
+    )
+    pq_store_append(appended, root)
+    ids = {r["vec_id"] for r in read_pq_codes(spark, root).collect()}
+    assert 200 in ids and 201 not in ids and 202 not in ids
+
+    # an all-unusable corpus still fails fast
+    with pytest.raises(ValueError, match="no usable vectors"):
+        write_pq_store(
+            spark.createDataFrame(
+                [(1, None)], "vec_id bigint, embedding array<double>"
+            ),
+            str(tmp_path / "pq2"), dim=8, m=2, k=4, iters=2,
+        )

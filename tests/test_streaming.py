@@ -2373,3 +2373,37 @@ def test_cli_exact_dedup_stream(spark, tmp_path, capsys):
     assert rc == 0
     ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert ids == {1}  # 2 normalizes to the same fingerprint
+
+
+def test_exact_dedup_stream_null_id_quarantined(spark, stream_dirs):
+    """A row with non-null text but NULL id can't play
+    first-occurrence-wins (min() skips NULLs; the [fp, id] semi-join
+    never matches) — it must land in the reject channel, not vanish
+    (the r7 ADVICE finding). NULL-text rows still pass through."""
+    import json
+
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.exact_dedup_stream import (
+        run_exact_dedup_stream,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "xdn_in"); os.makedirs(ind, exist_ok=True)
+    out = os.path.join(base, "xdn_out")
+
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha doc"}) + "\n")
+        f.write(json.dumps({"doc_id": None, "text": "orphan doc"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": None}) + "\n")
+    drain(run_exact_dedup_stream(
+        spark, ind, schema="doc_id BIGINT, text STRING", out_dir=out,
+        store_root=os.path.join(base, "xdn_store"),
+        checkpoint_dir=os.path.join(base, "xdn_ckpt"),
+        num_bits=1 << 12, num_hashes=4, available_now=True,
+    ))
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}  # survivor + NULL-text passthrough
+    q = [json.loads(r["rejected_line"]) for r in
+         spark.read.parquet(os.path.join(out, "_quarantine")).collect()]
+    assert [r["text"] for r in q] == ["orphan doc"]
