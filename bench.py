@@ -108,6 +108,7 @@ HEADLINE = [
     "q_semantic_dedup_largek",
     "q_bloom_dedup_gate",
     "q_ann_recall",
+    "q_ann_pq_join",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC
@@ -177,7 +178,59 @@ def cpu_calibration(reps: int = 5, loops: int = 150) -> float:
     return round(min(runs), 4)
 
 
+def compare_medians(prev: dict, cur: dict) -> dict:
+    """Calib-normalized round-over-round comparison: divide the
+    shared-query wall-time ratio by the machine-speed ratio
+    (calib_cur/calib_prev) so "VM drift vs plan regression" is
+    arithmetic instead of argument (this box's same-code idle runs
+    read 10-15% apart; the md5 canary moves with them, plans don't).
+    normalized_ratio ~ 1.0 => the plans run the same; per-query
+    normalized deltas localize anything that doesn't."""
+    shared = sorted(set(prev["medians"]) & set(cur["medians"]))
+    prev_t = sum(prev["medians"][q] for q in shared)
+    cur_t = sum(cur["medians"][q] for q in shared)
+    calib_ratio = (
+        round(cur["calib_s"] / prev["calib_s"], 4)
+        if prev.get("calib_s") and cur.get("calib_s") else None
+    )
+    raw_ratio = round(cur_t / prev_t, 4) if prev_t else None
+    per_q = sorted(
+        (
+            (q, round(
+                (cur["medians"][q] / prev["medians"][q])
+                / (calib_ratio or 1.0), 3,
+            ))
+            for q in shared if prev["medians"][q] >= 0.05
+        ),
+        key=lambda kv: kv[1], reverse=True,
+    )
+    return {
+        "n_shared": len(shared),
+        "prev_shared_total": round(prev_t, 3),
+        "cur_shared_total": round(cur_t, 3),
+        "raw_ratio": raw_ratio,
+        "calib_ratio": calib_ratio,
+        "normalized_ratio": (
+            round(raw_ratio / calib_ratio, 4)
+            if raw_ratio and calib_ratio else raw_ratio
+        ),
+        "top_normalized_deltas": dict(per_q[:10]),
+    }
+
+
 def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--compare":
+        # bench.py --compare PREV_MEDIANS.json [CUR_MEDIANS.json]
+        # (extract a prior round's file with
+        #  `git show <round-commit>:BENCH_MEDIANS.json > /tmp/prev.json`)
+        prev = json.load(open(sys.argv[2]))
+        cur_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_MEDIANS.json",
+        )
+        cur = json.load(open(cur_path))
+        print(json.dumps(compare_medians(prev, cur), indent=1))
+        return 0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     start_load, load_flagged, load_waited = load_gate(
@@ -240,6 +293,41 @@ def main() -> int:
         spread[name] = [runs[0], runs[-1]]
 
     total = round(sum(timings.values()), 3)
+
+    # Store-backed queries: the HEADLINE rep times build+serve (the
+    # oracle-replayable shape), which buries a serving regression in
+    # ~10 s of in-query Lloyd noise. Build each store ONCE outside the
+    # timed region, then record a serve-only median — the number a
+    # cell-pruning or broadcast-LUT regression actually moves
+    # (chill_spark/bench_stores.py; plan-gated in tests).
+    import shutil
+
+    from chill_spark.bench_stores import store_cases
+
+    store_serve: dict[str, dict] = {}
+    roots: list[str] = []
+    for name, (build, serve) in store_cases().items():
+        t0 = time.perf_counter()
+        ctx = build(spark, sf_dir)
+        build_s = round(time.perf_counter() - t0, 3)
+        if "root" in ctx:
+            roots.append(ctx["root"])
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force(serve(spark, sf_dir, ctx))
+            runs.append(round(time.perf_counter() - t0, 3))
+        runs.sort()
+        mid = len(runs) // 2
+        med = (runs[mid] if len(runs) % 2
+               else round((runs[mid - 1] + runs[mid]) / 2, 3))
+        store_serve[name] = {
+            "build_s": build_s, "serve_s": med,
+            "serve_spread": [runs[0], runs[-1]],
+        }
+    for r in roots:
+        shutil.rmtree(r, ignore_errors=True)
+    serve_total = round(sum(v["serve_s"] for v in store_serve.values()), 3)
     # The driver captures a bounded 2000-char tail of stdout and
     # parses the LAST line as JSON. Rounds 4 AND 5 both lost their
     # machine-readable bench to that window: r4 put medians+spread on
@@ -257,12 +345,14 @@ def main() -> int:
     # silently drift and left "which file is authoritative" ambiguous
     medians_doc = {
         "medians": timings,
+        "store_serve": store_serve,
         "reps": reps,
         "load_avg": load_avg,
         "load_flagged": load_flagged,
         "calib_s": calib_s,
         "sf": sf,
         "total": total,
+        "serve_total": serve_total,
     }
     spread_doc = {"spread": spread, "reps": reps, "sf": sf}
     here = os.path.dirname(os.path.abspath(__file__))
@@ -285,6 +375,8 @@ def main() -> int:
             "unit": "sec",
             "queries": dict(top),
             "n_queries": len(timings),
+            "serve_total": serve_total,
+            "n_serve": len(store_serve),
             "medians_file": "BENCH_MEDIANS.json",
             "load_avg": load_avg,
             "load_flagged": load_flagged,

@@ -1,0 +1,168 @@
+"""Build-once / serve-many bench cases for store-backed queries.
+
+The driver queries (q_ann_pq_stored, q_ann_ivfpq_stored,
+q_ann_pq_batch, q_ann_pq_join, q_semantic_dedup_largek) rebuild their
+store/model INSIDE the query function — necessary for oracle
+replayability, but it makes the bench headline time training, not
+serving: a genuine serving regression (e.g. the cell-pruned scan
+losing its PartitionFilters) would drown inside +-10% Lloyd noise on
+a ~10 s build (the r7 verdict's finding #2).
+
+This module exposes the same workloads SPLIT at the store boundary so
+``bench.py`` can build each store once outside the timed region and
+record a serve-only median per query. Geometries mirror the driver
+queries exactly, so the serve number is the serving cost of that
+exact query shape.
+
+Each case is ``(build, serve)``:
+
+- ``build(spark, sf_dir) -> ctx`` — train + persist (untimed; its
+  one-off wall time is recorded separately as ``build_s``). ``ctx``
+  carries whatever the serve leg needs, plus ``ctx["root"]`` when a
+  temp directory must be removed after the bench.
+- ``serve(spark, sf_dir, ctx) -> DataFrame`` — the per-request plan,
+  answered entirely from the persisted/trained artifacts (timed,
+  median-of-reps through the noop sink).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import load_tables
+
+BuildFn = Callable[[SparkSession, str], dict]
+ServeFn = Callable[[SparkSession, str, dict], DataFrame]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+
+
+def _qv(emb: DataFrame, vec_id: int = 0):
+    import numpy as np
+
+    return np.array(
+        [float(x) for x in
+         emb.filter(F.col("vec_id") == vec_id).first()["embedding"]],
+        dtype=np.float64,
+    )
+
+
+def _build_pq_stored(spark: SparkSession, sf_dir: str) -> dict:
+    from .llm_ops.pq_store import pq_store_append, write_pq_store
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="chill_bench_pqst_")
+    write_pq_store(emb.filter(F.col("vec_id") % 5 != 4), root,
+                   dim=64, m=4, k=16, iters=2)
+    pq_store_append(emb.filter(F.col("vec_id") % 5 == 4), root)
+    return {"root": root, "qv": _qv(emb)}
+
+
+def _serve_pq_stored(spark: SparkSession, sf_dir: str,
+                     ctx: dict) -> DataFrame:
+    from .llm_ops.pq_store import pq_store_topk
+
+    return pq_store_topk(spark, ctx["root"], ctx["qv"], n=10,
+                         where=F.col("vec_id") != 0)
+
+
+def _build_ivfpq_stored(spark: SparkSession, sf_dir: str) -> dict:
+    from .llm_ops.pq_store import write_pq_store
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="chill_bench_ivfst_")
+    write_pq_store(emb, root, dim=64, m=8, k=8, iters=2, cells=6)
+    return {"root": root, "qv": _qv(emb)}
+
+
+def _serve_ivfpq_stored(spark: SparkSession, sf_dir: str,
+                        ctx: dict) -> DataFrame:
+    from .llm_ops.pq_store import pq_store_topk
+
+    return pq_store_topk(spark, ctx["root"], ctx["qv"], n=10, nprobe=2,
+                         where=F.col("vec_id") != 0)
+
+
+def _build_pq_batch(spark: SparkSession, sf_dir: str) -> dict:
+    from .llm_ops.pq_store import write_pq_store
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="chill_bench_pqb_")
+    write_pq_store(emb, root, dim=64, m=4, k=16, iters=2)
+    return {"root": root}
+
+
+def _qset(spark: SparkSession, sf_dir: str, ids: list[int]) -> DataFrame:
+    return _emb(spark, sf_dir).filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def _serve_pq_batch(spark: SparkSession, sf_dir: str,
+                    ctx: dict) -> DataFrame:
+    from .llm_ops.pq_store import pq_store_topk_batch
+
+    return pq_store_topk_batch(
+        spark, ctx["root"], _qset(spark, sf_dir, [0, 7, 13]), n=5
+    )
+
+
+def _build_pq_join(spark: SparkSession, sf_dir: str) -> dict:
+    from .llm_ops.pq_store import write_pq_store
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="chill_bench_pqj_")
+    write_pq_store(emb, root, dim=64, m=4, k=8, iters=2, cells=5)
+    return {"root": root}
+
+
+def _serve_pq_join(spark: SparkSession, sf_dir: str,
+                   ctx: dict) -> DataFrame:
+    from .llm_ops.pq_store import pq_store_topk_join
+
+    return pq_store_topk_join(
+        spark, ctx["root"], _qset(spark, sf_dir, [3, 9, 17]),
+        n=4, nprobe=2,
+    )
+
+
+def _build_semdedup_largek(spark: SparkSession, sf_dir: str) -> dict:
+    from .llm_ops.similarity import hash_seed_centroids, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    seeds = hash_seed_centroids(emb, k=72, vec_col="embedding",
+                                id_col="vec_id")
+    cents = kmeans_fit(emb, "embedding", k=72, iters=2,
+                       init_centroids=seeds, round_means=9)
+    return {"centroids": cents}
+
+
+def _serve_semdedup_largek(spark: SparkSession, sf_dir: str,
+                           ctx: dict) -> DataFrame:
+    from .llm_ops.semantic import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), tau=0.4, dim=64,
+        centroids=ctx["centroids"],
+    )
+
+
+def store_cases() -> dict[str, tuple[BuildFn, ServeFn]]:
+    """name -> (build, serve), keyed by the HEADLINE query whose
+    serving path each case isolates."""
+    return {
+        "q_ann_pq_stored": (_build_pq_stored, _serve_pq_stored),
+        "q_ann_ivfpq_stored": (_build_ivfpq_stored, _serve_ivfpq_stored),
+        "q_ann_pq_batch": (_build_pq_batch, _serve_pq_batch),
+        "q_ann_pq_join": (_build_pq_join, _serve_pq_join),
+        "q_semantic_dedup_largek": (
+            _build_semdedup_largek, _serve_semdedup_largek,
+        ),
+    }

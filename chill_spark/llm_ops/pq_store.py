@@ -260,6 +260,7 @@ def read_pq_codes(
     root: str,
     meta: dict | None = None,
     resolve_replays: bool = True,
+    cells: list[int] | None = None,
 ) -> DataFrame:
     """The serving table ``(<id_col>, c0..c{m-1}[, cell])``.
 
@@ -267,12 +268,24 @@ def read_pq_codes(
     newest batch's codes (``max_by`` over ``BATCH_PART`` — one
     code-width shuffle keyed on the id). Pass ``False`` when appends
     are known id-disjoint (or after ``compact_pq_store``) to keep the
-    read shuffle-free — the scan + ADC then stays one map-only stage."""
+    read shuffle-free — the scan + ADC then stays one map-only stage.
+
+    ``cells`` restricts the read to the given IVF cells BELOW the
+    replay resolution, i.e. as a planning-time PartitionFilters on
+    the hive ``cell`` column. Filtering the resolved frame instead
+    would sit ABOVE the ``max_by`` aggregate — Catalyst cannot push a
+    non-grouping-column predicate through it, so every probe would
+    scan and shuffle the FULL corpus (caught by the bench serve-plan
+    gate). Pruning first means a replayed vector that MOVED cells is
+    only shadowed inside probed cells — the documented store caveat
+    (compact after replay-heavy ingestion)."""
     if meta is None:
         meta = check_pq_meta(root, spark)
     m = int(meta["m"])
     id_col = meta.get("id_col", "vec_id")
     df = spark.read.parquet(f"{root}/codes")
+    if cells is not None:
+        df = df.filter(F.col(CELL_COL).isin([int(c) for c in cells]))
     payload = [f"c{j}" for j in range(m)]
     if int(meta.get("cells", 0)) > 0:
         payload.append(CELL_COL)
@@ -315,13 +328,15 @@ def pq_store_topk(
 
     books, coarse, meta = read_pq_books(spark, root)
     q = np.asarray(query_vec, dtype=np.float64)
-    codes = read_pq_codes(spark, root, meta, resolve_replays)
+    probe_cells = None
     if coarse is not None:
         cell_d = np.round(((coarse - q) ** 2).sum(axis=1), 9)
         probed = sorted(range(len(coarse)), key=lambda c: (cell_d[c], c))
-        codes = codes.filter(
-            F.col(CELL_COL).isin([int(c) for c in probed[:nprobe]])
-        )
+        probe_cells = [int(c) for c in probed[:nprobe]]
+    # the probe rides INTO the read (PartitionFilters below the replay
+    # resolution), never as a post-resolve filter — see read_pq_codes
+    codes = read_pq_codes(spark, root, meta, resolve_replays,
+                          cells=probe_cells)
     if where is not None:
         codes = codes.filter(where)
     return pq_adc_topk(codes, books, q, n=n,
@@ -387,11 +402,12 @@ def pq_store_topk_batch(
                   + ", probe_cells array<int>")
     lut_df = spark.createDataFrame(lut_rows, lut_schema)
 
-    codes = read_pq_codes(spark, root, meta, resolve_replays)
-    if coarse is not None:
-        codes = codes.filter(
-            F.col(CELL_COL).isin(sorted(union_cells))  # pruned scan
-        )
+    codes = read_pq_codes(
+        spark, root, meta, resolve_replays,
+        # union of all queries' probes as PartitionFilters, below the
+        # replay resolution — see read_pq_codes
+        cells=sorted(union_cells) if coarse is not None else None,
+    )
     scored = codes.crossJoin(F.broadcast(lut_df))
     if coarse is not None:
         scored = scored.filter(
@@ -399,6 +415,17 @@ def pq_store_topk_batch(
         )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col("q_id"))
+    return _adc_rank_per_query(scored, m, id_col, n)
+
+
+def _adc_rank_per_query(
+    scored: DataFrame, m: int, id_col: str, n: int
+) -> DataFrame:
+    """Shared batch-serving tail: ADC score = m ``element_at`` lookups
+    into that row's query LUTs, then an independent top-``n`` per
+    query (ties by id). One shuffle keyed on ``q_id``."""
+    from pyspark.sql.window import Window
+
     score = None
     for j in range(m):
         term = F.element_at(F.col(f"lut{j}"), F.col(f"c{j}") + 1)
@@ -412,6 +439,109 @@ def pq_store_topk_batch(
         .filter(F.col("__rn") <= n)
         .select("q_id", id_col, "approx_d2")
     )
+
+
+def pq_store_topk_join(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    n: int = 10,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    nprobe: int = 2,
+    exclude_self: bool = True,
+    resolve_replays: bool = True,
+) -> DataFrame:
+    """Batch ANN for HUGE query sets: the query TABLE never touches
+    the driver. Where ``pq_store_topk_batch`` collects the queries
+    into a broadcast LUT table (the right call up to broadcast size),
+    this variant keeps everything distributed — the offline "join a
+    100M-row query table against the index" shape:
+
+    1. one map-only pass over ``queries`` against the broadcast
+       codebooks computes, PER QUERY ROW, its m LUT arrays
+       (``transform`` over the codebook struct-arrays — entries land
+       in cid order because ``_books_df`` enumerates them that way)
+       and its ``nprobe`` nearest coarse cells (``array_sort`` on
+       (d2, cid) structs — same tie rule as the driver-side probe);
+    2. queries explode to one row per probed cell and EQUI-JOIN the
+       codes table on the cell — the IVF cell is the blocking key, so
+       each query row meets only its probed cells' codes (shuffle
+       keyed on the cell, or a broadcast of the query side when it is
+       small; Catalyst/AQE picks);
+    3. the shared ADC tail ranks top-``n`` per query.
+
+    Requires an IVF-PQ store (``cells > 0``): a flat PQ store has no
+    blocking key — every query would meet every code row, which is
+    the quadratic shape this function exists to avoid; use
+    ``pq_store_topk_batch`` (broadcast queries) there instead.
+
+    Returns ``(q_id, <id_col>, approx_d2)``, ``n`` rows per query."""
+    books, coarse, meta = read_pq_books(spark, root)
+    if coarse is None:
+        raise ValueError(
+            "pq_store_topk_join needs an IVF-PQ store (cells > 0): "
+            "without a coarse cell there is no blocking key and the "
+            "query-codes join degenerates to Q x N — use "
+            "pq_store_topk_batch for a flat PQ store"
+        )
+    id_col = meta.get("id_col", "vec_id")
+    m, sub = len(books), books[0].shape[1]
+
+    def _d2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _lut_entry(sv: Column):
+        # factory, not an inline 2-arg lambda: F.transform would read
+        # a second lambda argument as the element INDEX
+        def entry(e: Column) -> Column:
+            return F.round(_d2(sv, e["c"]), 9)
+
+        return entry
+
+    def _cell_dist(qv: Column):
+        def entry(e: Column) -> Column:
+            return F.struct(
+                F.round(_d2(qv, e["c"]), 9).alias("d"),
+                e["cid"].alias("cid"),
+            )
+
+        return entry
+
+    qv = F.col("__qv")
+    lut_cols = [
+        F.transform(F.col(f"__cmat{j}"),
+                    _lut_entry(F.slice(qv, j * sub + 1, sub)))
+        .alias(f"lut{j}")
+        for j in range(m)
+    ]
+    # lexicographic struct sort = (d, cid) — ties to the smaller cid,
+    # matching the driver-side probe choice exactly
+    probe_cells = F.transform(
+        F.slice(
+            F.array_sort(F.transform(F.col(f"__cmat{m}"), _cell_dist(qv))),
+            1, nprobe,
+        ),
+        lambda s: s["cid"],
+    )
+    qcells = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(q_vec_col).cast("array<double>").alias("__qv"),
+        )
+        .crossJoin(F.broadcast(_books_df(spark, list(books) + [coarse])))
+        .select("q_id", *lut_cols,
+                F.explode(probe_cells).alias(CELL_COL))
+    )
+    codes = read_pq_codes(spark, root, meta, resolve_replays)
+    scored = codes.join(qcells, CELL_COL)
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("q_id"))
+    return _adc_rank_per_query(scored, m, id_col, n)
 
 
 # ---------------------------------------------------------------------------

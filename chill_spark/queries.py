@@ -54,6 +54,7 @@ def query(name: str, oracle: str | None = None):
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r8 additions) ---
+    "q_ann_pq_join",
     # --- last driver check: round 4 (all 36) ---
     "q_rollup_hourly", "q_rollup_ladder_daily", "q_cfg_table_users",
     "q_retention_expired", "q_reconcile_missing_rows",
@@ -76,7 +77,6 @@ _PRIORITY: list[str] = [
     "q_media_frame_sample", "q_stream_rollup_events",
     "q14_promo_revenue", "q_setop_intersect", "q_asof_join",
     "q_range_join", "q17_small_quantity_revenue", "q21_waiting_orders",
-    "q20_dominant_suppliers",
 ]
 
 
@@ -9645,6 +9645,107 @@ def q_ann_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plan reads from
         return (
             pq_store_topk_batch(spark, root, qset, n=5)
+            .orderBy("q_id", "approx_d2", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _ivfpq_join_oracle_sql(
+    q_ids: tuple = (3, 9, 17), cells: int = 5, probe: int = 2,
+    m: int = 4, k: int = 8, iters: int = 2, dim: int = 64, n: int = 4,
+) -> str:
+    """Cell-keyed batch-serve replay: ONE coarse + m subspace Lloyd
+    runs, then PER QUERY its top-``probe`` cells (distances rounded
+    to 9, ties by cid), its m LUTs, and an ADC top-``n`` restricted
+    to rows whose cell is probed BY THAT QUERY — exactly the rows the
+    cell equi-join lets each query meet."""
+    coarse, cell_a, cell_m = _kmeans_ctes(cells, iters)
+    sub = dim // m
+    ctes = list(coarse)
+    lasts = []
+    for j in range(m):
+        c, la, lm = _kmeans_ctes_sub(k, iters, f"s{j}", j * sub + 1, sub)
+        ctes += c
+        lasts.append((la, lm))
+    for q in q_ids:
+        ctes.append(f"""q{q}cell AS (
+  SELECT mm.cid, round(sum((pp.x - mm.m) * (pp.x - mm.m)), 9) AS d
+  FROM pts pp JOIN {cell_m} mm USING (pos)
+  WHERE pp.vec_id = {q}
+  GROUP BY mm.cid
+  ORDER BY d, mm.cid LIMIT {probe}
+)""")
+        for j, (_, lm) in enumerate(lasts):
+            ctes.append(f"""q{q}x{j}lut AS (
+  SELECT mm.cid, round(sum((pp.x - mm.m) * (pp.x - mm.m)), 9) AS v
+  FROM s{j}pts pp JOIN {lm} mm USING (pos)
+  WHERE pp.vec_id = {q}
+  GROUP BY mm.cid
+)""")
+    joins = f"FROM {lasts[0][0]} c0" + "".join(
+        f"\nJOIN {lasts[j][0]} c{j} USING (vec_id)" for j in range(1, m)
+    )
+    selects = []
+    for q in q_ids:
+        lut_joins = "\n".join(
+            f"JOIN q{q}x{j}lut l{j} ON l{j}.cid = c{j}.cid"
+            for j in range(m)
+        )
+        adc = "l0.v"
+        for j in range(1, m):
+            adc = f"({adc} + l{j}.v)"
+        selects.append(f"""(
+  SELECT {q} AS q_id, c0.vec_id, round({adc}, 9) AS approx_d2
+  {joins}
+  JOIN {cell_a} cell ON cell.vec_id = c0.vec_id
+  {lut_joins}
+  WHERE cell.cid IN (SELECT cid FROM q{q}cell) AND c0.vec_id <> {q}
+  ORDER BY approx_d2, c0.vec_id LIMIT {n}
+)""")
+    # force one evaluation per CTE: every per-query subquery
+    # references the shared Lloyd chains, and DuckDB's default
+    # inlining re-executes them per reference
+    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY q_id, approx_d2, vec_id"
+    )
+
+
+@query("q_ann_pq_join", oracle=_ivfpq_join_oracle_sql())
+def q_ann_pq_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving for query sets too large to broadcast: the
+    query TABLE never touches the driver (llm_ops/pq_store.py
+    pq_store_topk_join). Each query row computes its own LUTs and
+    probed cells executor-side against the broadcast codebooks, then
+    explodes to (cell, luts) rows and EQUI-JOINS the cell-partitioned
+    codes table — the IVF cell is the blocking key, so the join is
+    the offline "kNN a 100M-row query table against the index" shape
+    with no driver collect anywhere (plan-gated in
+    tests/test_pq_store.py). Geometry (cells=5, m=4, k=8) is distinct
+    from every other IVF-PQ query, so the oracle is an independent
+    replay: per query it re-derives the probe choice, the LUTs, and
+    the cell-restricted ADC top-4."""
+    import shutil
+    import tempfile
+
+    from .llm_ops.pq_store import pq_store_topk_join, write_pq_store
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    root = tempfile.mkdtemp(prefix="chill_pq_join_")
+    try:
+        write_pq_store(emb, root, dim=64, m=4, k=8, iters=2, cells=5)
+        qset = emb.filter(F.col("vec_id").isin([3, 9, 17])).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        # materialize before the finally deletes the store the lazy
+        # plan reads from
+        return (
+            pq_store_topk_join(spark, root, qset, n=4, nprobe=2)
             .orderBy("q_id", "approx_d2", "vec_id")
             .localCheckpoint(eager=True)
         )

@@ -27,6 +27,8 @@ def _worst_case_line() -> str:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(bench.HEADLINE),
+        "serve_total": 99999.999,
+        "n_serve": 99,
         "medians_file": "BENCH_MEDIANS.json",
         "load_avg": [99.99, 99.99],
         "load_flagged": False,
@@ -95,3 +97,35 @@ def test_cpu_calibration_is_positive_and_repeatable():
     b = bench.cpu_calibration(reps=3, loops=40)
     assert a > 0 and b > 0
     assert abs(a - b) / max(a, b) < 0.25
+
+
+def test_compare_medians_normalizes_by_calib():
+    prev = {"medians": {"a": 1.0, "b": 2.0, "z": 0.01},
+            "calib_s": 0.24}
+    # machine 25% slower (calib 0.24 -> 0.30), queries 25% slower:
+    # pure VM drift, normalized ratio must come back ~1.0
+    cur = {"medians": {"a": 1.25, "b": 2.5, "z": 0.0125, "new": 9.9},
+           "calib_s": 0.30}
+    out = bench.compare_medians(prev, cur)
+    assert out["n_shared"] == 3
+    assert out["raw_ratio"] == 1.25
+    assert out["calib_ratio"] == 1.25
+    assert out["normalized_ratio"] == 1.0
+    # sub-50ms queries are excluded from per-query deltas (pure noise)
+    assert "z" not in out["top_normalized_deltas"]
+    assert out["top_normalized_deltas"]["a"] == 1.0
+
+
+def test_store_serve_cases_name_registered_queries():
+    """Every serve-only bench case isolates the serving path of a
+    REAL registered query (same geometry), so the serve_s numbers in
+    BENCH_MEDIANS.json are attributable — not to queries that must
+    also be HEADLINE rows (the in-query builds of q_ann_ivfpq_stored
+    / q_ann_pq_batch are deliberately kept out of the headline)."""
+    from chill_spark import queries as Q
+    from chill_spark.bench_stores import store_cases
+
+    for name in store_cases():
+        assert name in Q._REGISTRY, (
+            f"store-serve case {name} names no registered query"
+        )

@@ -488,3 +488,104 @@ def test_pq_store_build_and_append_reject_unusable_vectors(spark, tmp_path):
             ),
             str(tmp_path / "pq2"), dim=8, m=2, k=4, iters=2,
         )
+
+
+def test_pq_store_topk_join_matches_broadcast_batch(spark, tmp_path):
+    """The cell-keyed join serve (query set never collected) must
+    return exactly what the broadcast-LUT batch serve returns on the
+    same IVF-PQ store — same LUT rounding, same probe tie rule, same
+    per-query ranking."""
+    from chill_spark.llm_ops.pq_store import (
+        pq_store_topk_batch,
+        pq_store_topk_join,
+    )
+
+    emb = _emb_df(spark, n=60, dim=8)
+    root = str(tmp_path / "ivfpq")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=2, cells=4)
+    qset = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    want = sorted(
+        (r["q_id"], r["vec_id"], r["approx_d2"])
+        for r in pq_store_topk_batch(
+            spark, root, qset, n=3, nprobe=2
+        ).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["vec_id"], r["approx_d2"])
+        for r in pq_store_topk_join(
+            spark, root, qset, n=3, nprobe=2
+        ).collect()
+    )
+    assert got == want and len(got) == 15
+
+
+def test_pq_store_topk_join_keeps_queries_distributed(spark, tmp_path):
+    """Plan gate for the huge-query-set contract: the query relation
+    appears IN the serving plan (scanned, not collected driver-side),
+    joined to the codes scan on the cell blocking key."""
+    from chill_spark.llm_ops.pq_store import pq_store_topk_join
+
+    emb = _emb_df(spark, n=40, dim=8)
+    root = str(tmp_path / "ivfpq")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=2, cells=4)
+    qpath = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).write.parquet(qpath)
+    out = pq_store_topk_join(
+        spark, root, spark.read.parquet(qpath), n=3, nprobe=2
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the queries parquet is scanned inside the plan (its q_vec column
+    # shows as a parquet Relation) — nothing was materialized
+    # driver-side (topk_batch would show its LUTs as a LocalRelation)
+    assert "q_vec" in plan and plan.count("parquet") >= 2, plan
+    assert "LocalRelation" not in plan, plan
+    # the inner join carries the cell blocking key
+    assert "Join Inner" in plan and "cell" in plan, plan
+    assert out.count() == 12
+
+
+def test_pq_store_topk_join_rejects_flat_store(spark, tmp_path):
+    """No blocking key without IVF cells — the join variant must
+    refuse instead of silently going quadratic."""
+    from chill_spark.llm_ops.pq_store import pq_store_topk_join
+
+    emb = _emb_df(spark, n=20, dim=8)
+    root = str(tmp_path / "flat")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=2)
+    with pytest.raises(ValueError, match="IVF-PQ store"):
+        pq_store_topk_join(
+            spark, root,
+            emb.select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")),
+        )
+
+
+def test_bench_store_serve_plans_keep_partition_pruning(spark, tmp_path):
+    """The bench's serve-only legs exist to catch serving regressions
+    — so gate the plans here: the IVF-PQ serve must carry the cell
+    PartitionFilters (losing it = full-corpus scan at 100 TB), and
+    the flat-PQ serve must stay scan+heap. The serve callables take
+    their store from ctx, so a small-geometry store stands in for the
+    bench's sf-dir one with the identical plan shape."""
+    from chill_spark import bench_stores as B
+
+    emb = _emb_df(spark, n=50, dim=8)
+    root = str(tmp_path / "ivf")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=2, cells=4)
+    df = B._serve_ivfpq_stored(
+        spark, "", {"root": root, "qv": B._qv(emb)}
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [{CELL_COL}" in plan, plan
+
+    flat = str(tmp_path / "flat")
+    write_pq_store(emb, flat, dim=8, m=2, k=4, iters=2)
+    df2 = B._serve_pq_stored(
+        spark, "", {"root": flat, "qv": B._qv(emb)}
+    )
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan2, plan2
