@@ -1131,6 +1131,29 @@ def cmd_pq(args) -> int:
                   f"{rep['leaves_rewritten']} leaves rewritten, "
                   f"{rep['leaves_deleted']} deleted")
             return 0
+        if args.health:
+            import json as _json
+
+            from .llm_ops.pq_store import (
+                pq_store_footprint,
+                pq_store_recall_canary,
+            )
+
+            rep = pq_store_footprint(spark, args.store)
+            if args.input:
+                emb = spark.read.parquet(args.input)
+                rows = pq_store_recall_canary(
+                    spark, args.store, emb, sample=args.canary,
+                    topk=args.n, nprobe=args.probe,
+                    vec_col=args.vec_col, id_col=args.id_col,
+                ).collect()
+                rep["n_canary"] = len(rows)
+                rep["recall_avg"] = (
+                    round(sum(r["recall_at_k"] for r in rows)
+                          / len(rows), 6) if rows else None
+                )
+            print(_json.dumps(rep))
+            return 0
         if args.compact:
             out = compact_pq_store(spark, args.store)
             print(f"compacted PQ store {args.store}: {out['codes']} files")
@@ -1894,6 +1917,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --store: drain JSONL vector rows from "
                          "this dir into the store (encode-only stream "
                          "maintainer, availableNow)")
+    pq.add_argument("--health", action="store_true",
+                    help="with --store: staleness report — appended "
+                         "fraction since build, plus a recall canary "
+                         "vs exact ground truth when --input gives "
+                         "the corpus parquet")
+    pq.add_argument("--canary", type=int, default=4,
+                    help="with --health: number of md5-sampled canary "
+                         "queries")
     pq.add_argument("--n", type=int, default=10)
     pq.add_argument("--m", type=int, default=4)
     pq.add_argument("--k", type=int, default=16)

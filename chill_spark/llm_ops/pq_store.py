@@ -590,6 +590,141 @@ def pq_store_append(
     return int(batch_id)
 
 
+def pq_store_footprint(spark: SparkSession, root: str) -> dict:
+    """Staleness accounting for the frozen-codebook contract: appends
+    encode under the BUILD's books, so recall degrades silently as
+    the appended fraction grows — "rebuild now" needs a measured X.
+    One scan grouped by the batch leaf (row counts only, no payload
+    columns read):
+
+    ``{"rows_total", "rows_built", "rows_appended",
+       "appended_fraction", "n_append_batches"}``
+
+    rows are COUNTED per leaf (a replayed id contributes to both its
+    build and append leaves — the bytes the serve path actually
+    scans; run ``compact_pq_store`` to fold history)."""
+    check_pq_meta(root, spark)
+    per = {
+        int(r[BATCH_COL]): int(r["n"])
+        for r in spark.read.parquet(f"{root}/codes")
+        .groupBy(BATCH_COL).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    built = sum(n for b, n in per.items() if b < 0)
+    appended = sum(n for b, n in per.items() if b >= 0)
+    total = built + appended
+    return {
+        "rows_total": total,
+        "rows_built": built,
+        "rows_appended": appended,
+        "appended_fraction": round(appended / total, 6) if total else 0.0,
+        "n_append_batches": sum(1 for b in per if b >= 0),
+    }
+
+
+def pq_store_recall_canary(
+    spark: SparkSession,
+    root: str,
+    emb: DataFrame,
+    sample: int = 4,
+    topk: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@``topk`` of the stored index against exact ground truth
+    on a deterministic ``sample`` of held-out queries — the measured
+    side of the rebuild decision (``pq_store_footprint`` is the cheap
+    side). Query choice is the md5-smallest-id rule (engine-portable,
+    same as Lloyd seeding), so an external oracle can replay it. The
+    exact leg is queries x corpus — the documented eval-rail shape:
+    run it on a SAMPLE, never the full query load.
+
+    Returns ``(q_id, n_hits, recall_at_k)``, one row per canary."""
+    qset = (
+        emb.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        )
+        .orderBy(F.md5(F.col("q_id").cast("string")), "q_id")
+        .limit(sample)
+    )
+    adc = pq_store_topk_batch(
+        spark, root, qset, n=topk, nprobe=nprobe
+    ).select("q_id", F.col(id_col).alias("cand_id"))
+    from pyspark.sql.window import Window
+
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), F.col("q_vec"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ex = (
+        emb.join(F.broadcast(qset), F.col(id_col) != F.col("q_id"))
+        .select("q_id", id_col, F.round(d2, 6).alias("d2"))
+    )
+    wq = Window.partitionBy("q_id")
+    exact = (
+        ex.withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.col("d2").asc(),
+                                           F.col(id_col).asc())),
+        )
+        .filter(F.col("rn") <= topk)
+        .select("q_id", F.col(id_col).alias("cand_id"))
+    )
+    return (
+        exact.join(adc.withColumn("hit", F.lit(1)),
+                   ["q_id", "cand_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(topk), 6)
+            .cast("double").alias("recall_at_k"),
+        )
+    )
+
+
+def pq_store_health(
+    spark: SparkSession,
+    root: str,
+    emb: DataFrame | None = None,
+    sample: int = 4,
+    topk: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The store health report: footprint staleness (always) plus the
+    recall canary (when the corpus ``emb`` is supplied). One row per
+    canary query — or a single footprint row when ``emb`` is None —
+    with the footprint repeated as columns so the report reads as one
+    frame:
+
+    ``(q_id, n_hits, recall_at_k, rows_total, rows_appended,
+       appended_fraction)``"""
+    fp = pq_store_footprint(spark, root)
+    fp_cols = [
+        F.lit(fp["rows_total"]).cast("long").alias("rows_total"),
+        F.lit(fp["rows_appended"]).cast("long").alias("rows_appended"),
+        F.lit(fp["appended_fraction"]).cast("double")
+        .alias("appended_fraction"),
+    ]
+    if emb is None:
+        return spark.range(1).select(
+            F.lit(None).cast("long").alias("q_id"),
+            F.lit(None).cast("long").alias("n_hits"),
+            F.lit(None).cast("double").alias("recall_at_k"),
+            *fp_cols,
+        )
+    return pq_store_recall_canary(
+        spark, root, emb, sample=sample, topk=topk, nprobe=nprobe,
+        vec_col=vec_col, id_col=id_col,
+    ).select("q_id", "n_hits", "recall_at_k", *fp_cols)
+
+
 def _heal_pq_side(fs: StoreFS, root: str, side: str) -> None:
     heal_swap(
         fs,

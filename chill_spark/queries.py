@@ -54,7 +54,7 @@ def query(name: str, oracle: str | None = None):
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r8 additions) ---
-    "q_ann_pq_join",
+    "q_ann_pq_join", "q_pq_store_health",
     # --- last driver check: round 4 (all 36) ---
     "q_rollup_hourly", "q_rollup_ladder_daily", "q_cfg_table_users",
     "q_retention_expired", "q_reconcile_missing_rows",
@@ -76,7 +76,7 @@ _PRIORITY: list[str] = [
     "q_embedding_near_dups", "q_media_image_meta",
     "q_media_frame_sample", "q_stream_rollup_events",
     "q14_promo_revenue", "q_setop_intersect", "q_asof_join",
-    "q_range_join", "q17_small_quantity_revenue", "q21_waiting_orders",
+    "q_range_join", "q17_small_quantity_revenue",
 ]
 
 
@@ -9646,6 +9646,156 @@ def q_ann_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             pq_store_topk_batch(spark, root, qset, n=5)
             .orderBy("q_id", "approx_d2", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _pq_health_oracle_sql(
+    sample: int = 4, m: int = 4, k: int = 16, iters: int = 2,
+    dim: int = 64, topk: int = 10, train_pred: str = "vec_id % 5 <> 4",
+    appended_pred: str = "vec_id % 5 = 4",
+) -> str:
+    """Store-health replay: codebooks train on the BUILD subset, codes
+    cover the full corpus (build + frozen-book append), the canary
+    queries are the md5-smallest ids, and per canary the ADC top-k is
+    intersected with the exact top-k. Footprint columns re-derive the
+    appended-fraction math from the append predicate."""
+    sub = dim // m
+    src = f"(SELECT * FROM embeddings WHERE {train_pred})"
+    ctes: list[str] = []
+    lasts = []
+    for j in range(m):
+        c, _, lm = _kmeans_ctes_sub(k, iters, f"s{j}", j * sub + 1, sub,
+                                    src=src)
+        ctes += c
+        lasts.append(lm)
+    ctes.append(f"""canary AS (
+  SELECT vec_id AS q_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample}
+)""")
+    for j, lm in enumerate(lasts):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(f"""s{j}fp AS (
+  SELECT vec_id, generate_subscripts(sv, 1) AS pos, unnest(sv)::DOUBLE AS x
+  FROM (SELECT vec_id, list_slice(embedding::DOUBLE[], {lo}, {hi}) AS sv
+        FROM embeddings)
+)""")
+        ctes.append(f"""s{j}code AS (
+  SELECT vec_id, cid FROM (
+    SELECT pp.vec_id, mm.cid,
+           row_number() OVER (
+             PARTITION BY pp.vec_id
+             ORDER BY sum((pp.x - mm.m) * (pp.x - mm.m)), mm.cid) AS rn
+    FROM s{j}fp pp JOIN {lm} mm USING (pos)
+    GROUP BY pp.vec_id, mm.cid
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""q{j}lut AS (
+  SELECT pp.vec_id AS q_id, mm.cid,
+         round(sum((pp.x - mm.m) * (pp.x - mm.m)), 9) AS v
+  FROM s{j}fp pp JOIN {lm} mm USING (pos)
+  WHERE pp.vec_id IN (SELECT q_id FROM canary)
+  GROUP BY pp.vec_id, mm.cid
+)""")
+    joins = "FROM s0code c0" + "".join(
+        f"\nJOIN s{j}code c{j} USING (vec_id)" for j in range(1, m)
+    )
+    lut_joins = "JOIN q0lut l0 ON l0.cid = c0.cid" + "".join(
+        f"\nJOIN q{j}lut l{j} ON l{j}.cid = c{j}.cid"
+        f" AND l{j}.q_id = l0.q_id"
+        for j in range(1, m)
+    )
+    adc = "l0.v"
+    for j in range(1, m):
+        adc = f"({adc} + l{j}.v)"
+    ctes.append(f"""adck AS (
+  SELECT q_id, vec_id FROM (
+    SELECT l0.q_id, c0.vec_id,
+           row_number() OVER (
+             PARTITION BY l0.q_id
+             ORDER BY round({adc}, 9), c0.vec_id) AS rn
+    {joins}
+    {lut_joins}
+    WHERE c0.vec_id <> l0.q_id
+  ) WHERE rn <= {topk}
+)""")
+    ctes.append("""fpts AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+)""")
+    ctes.append(f"""exd AS (
+  SELECT qp.vec_id AS q_id, pp.vec_id,
+         round(sum((pp.x - qp.x) * (pp.x - qp.x)), 6) AS d2
+  FROM fpts pp JOIN fpts qp USING (pos)
+  WHERE qp.vec_id IN (SELECT q_id FROM canary)
+    AND pp.vec_id <> qp.vec_id
+  GROUP BY qp.vec_id, pp.vec_id
+)""")
+    ctes.append(f"""exactk AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY d2, vec_id) AS rn
+    FROM exd
+  ) WHERE rn <= {topk}
+)""")
+    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT e.q_id,
+       count(a.vec_id) AS n_hits,
+       CAST(round(count(a.vec_id)::DOUBLE / {topk}, 6) AS DOUBLE)
+           AS recall_at_k,
+       (SELECT count(*) FROM embeddings) AS rows_total,
+       (SELECT count(*) FROM embeddings WHERE {appended_pred})
+           AS rows_appended,
+       round((SELECT count(*) FROM embeddings WHERE {appended_pred})
+             ::DOUBLE / (SELECT count(*) FROM embeddings), 6)
+           AS appended_fraction
+FROM exactk e LEFT JOIN adck a
+  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+GROUP BY e.q_id
+ORDER BY e.q_id
+"""
+    )
+
+
+@query("q_pq_store_health", oracle=_pq_health_oracle_sql())
+def q_pq_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ store's staleness report (llm_ops/pq_store.py
+    pq_store_health): frozen-codebook appends degrade recall silently,
+    so "rebuild now" needs a measured X — this query pins both inputs
+    of that decision. Build on 4/5 of the corpus, append the rest
+    encoded under the FROZEN books (20% appended fraction from the
+    batch-leaf accounting), then grade an md5-sampled 4-query recall
+    canary against exact ground truth (the sampled eval-rail shape —
+    at 100 TB the canary runs on a handful of held-out queries, never
+    the query load). The oracle re-derives the build-subset training,
+    the full-corpus codes, the canary choice, both rank cuts, the
+    intersection, and the appended-fraction arithmetic."""
+    import shutil
+    import tempfile
+
+    from .llm_ops.pq_store import (
+        pq_store_append,
+        pq_store_health,
+        write_pq_store,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    root = tempfile.mkdtemp(prefix="chill_pq_health_")
+    try:
+        write_pq_store(
+            emb.filter(F.col("vec_id") % 5 != 4), root, dim=64, m=4,
+            k=16, iters=2,
+        )
+        pq_store_append(emb.filter(F.col("vec_id") % 5 == 4), root)
+        return (
+            pq_store_health(spark, root, emb, sample=4, topk=10)
+            .orderBy("q_id")
             .localCheckpoint(eager=True)
         )
     finally:

@@ -589,3 +589,51 @@ def test_bench_store_serve_plans_keep_partition_pruning(spark, tmp_path):
     )
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan2, plan2
+
+
+def test_pq_store_health_footprint_and_canary(spark, tmp_path, capsys):
+    """The rebuild decision's two inputs: appended-fraction math from
+    the batch leaves (cheap, always available) and the md5-sampled
+    recall canary vs exact ground truth (measured, needs the corpus).
+    Both deterministic, both exposed through `pq --store --health`."""
+    from chill_spark.cli import main
+    from chill_spark.llm_ops.pq_store import (
+        pq_store_footprint,
+        pq_store_health,
+    )
+
+    emb = _emb_df(spark, n=50, dim=8)
+    root = str(tmp_path / "store")
+    write_pq_store(emb.filter(F.col("vec_id") < 40), root,
+                   dim=8, m=2, k=4, iters=2)
+    pq_store_append(emb.filter(F.col("vec_id") >= 40), root)
+    assert pq_store_footprint(spark, root) == {
+        "rows_total": 50, "rows_built": 40, "rows_appended": 10,
+        "appended_fraction": 0.2, "n_append_batches": 1,
+    }
+
+    rows = pq_store_health(spark, root, emb, sample=3, topk=5).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert (r["rows_total"], r["rows_appended"],
+                r["appended_fraction"]) == (50, 10, 0.2)
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_at_k"] == round(r["n_hits"] / 5, 6)
+    # determinism: the md5 sample + both rank cuts replay exactly
+    again = pq_store_health(spark, root, emb, sample=3, topk=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # footprint-only mode (no corpus at hand): one row, null canary
+    only = pq_store_health(spark, root).collect()
+    assert len(only) == 1 and only[0]["q_id"] is None
+    assert only[0]["appended_fraction"] == 0.2
+
+    emb_p = str(tmp_path / "emb.parquet")
+    emb.write.parquet(emb_p)
+    assert main(["pq", "--store", root, "--health", "--input", emb_p,
+                 "--canary", "3", "--n", "5"]) == 0
+    import json as _json
+
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["appended_fraction"] == 0.2
+    assert rep["n_canary"] == 3 and 0.0 <= rep["recall_avg"] <= 1.0
