@@ -1,0 +1,218 @@
+"""Cross-document exact-substring span dedup.
+
+Finds every maximal run of >= L consecutive tokens that occurs more
+than once in the corpus (across documents OR repeated inside one) and
+marks all but one canonical occurrence for removal — the
+"deduplicating training data" substring pass (Lee et al. 2022),
+re-expressed for Spark.
+
+Scale design (the suffix-array of the paper is a single-machine
+structure; this is the distributed equivalent):
+
+1. **Offset fingerprints.** Each document emits one 60-bit portable
+   fingerprint per token offset — the L-token gram starting there —
+   built entirely from array expressions (tokenize once, slide with
+   ``transform(sequence)``), so the scan is one projection, no UDF.
+2. **One shuffle on the fingerprint.** ``count() over (fp)`` finds
+   duplicated grams and ``row_number() over (fp order by id, off)``
+   elects the canonical keeper occurrence in the same window pass —
+   the whole duplicate-detection stage is a single hash-partitioned
+   exchange on an 8-byte key (never the gram text), linear in corpus
+   tokens, no candidate-pair blowup.
+3. **One shuffle on the document.** Non-keeper offsets of duplicated
+   grams collapse into maximal spans with a gaps-and-islands window
+   per document (overlapping/adjacent L-grams merge), then a final
+   group-by emits (span_start, span_end).
+
+Both shuffles hash-distribute evenly at 100 TB (fingerprints are
+uniform; per-document island state is tiny). The fingerprint is
+``phash`` (md5-prefix), reproduced verbatim by the DuckDB oracle, so
+the span output is engine-exact — a production run can swap in
+``xxhash64`` for ~2x scan speed without touching the plan shape.
+
+Offsets are 1-based token positions; ``span_end`` is exclusive, so
+``span_end - span_start`` is the number of tokens removed. Documents
+shorter than L tokens emit no grams: they cannot share an L-token
+span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .portable import phash
+from .text import normalize_text
+
+#: DuckDB CTE template mirroring :func:`gram_offsets` — substitute
+#: ``{table}``, ``{id}``, ``{text}``, ``{L}``. Produces (id, off, fp).
+GRAM_OFFSETS_SQL = r"""
+  toks AS (
+    SELECT {id},
+           string_split(trim(regexp_replace(lower({text}), '\s+', ' ', 'g')), ' ') AS t
+    FROM {table}
+  ),
+  offs AS (
+    SELECT {id}, i AS off,
+           ('0x' || substring(md5(array_to_string(t[i : i + {L} - 1], ' ')), 1, 15))::BIGINT AS fp
+    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - {L} + 1, 0) + 1)) AS i) u(i)
+  )
+"""
+
+
+def gram_offsets(
+    df: DataFrame, text_col: str, id_col: str, L: int
+) -> DataFrame:
+    """(id, off, fp): one portable fingerprint per token offset.
+
+    The token array is anchored in its own projection so the
+    tokenizer runs once per document, not once per gram (interpreted
+    higher-order functions do no CSE — same hazard as
+    ``shingle_fingerprints``).
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    with_t = df.select(F.col(id_col), toks.alias("__t"))
+    t = F.col("__t")
+    starts = F.when(
+        F.size(t) >= L, F.sequence(F.lit(1), F.size(t) - L + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = with_t.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("off"),
+                    phash(F.concat_ws(" ", F.slice(t, i, L))).alias("fp"),
+                ),
+            )
+        ).alias("g"),
+    )
+    return grams.select(id_col, F.col("g.off").alias("off"), F.col("g.fp").alias("fp"))
+
+
+def duplicate_offsets(
+    df: DataFrame, text_col: str, id_col: str, L: int
+) -> DataFrame:
+    """(id, off) of every NON-canonical occurrence of a duplicated
+    L-gram. Canonical keeper = first occurrence in (id, off) order —
+    deterministic because (id, off) is unique per fingerprint."""
+    g = gram_offsets(df, text_col, id_col, L)
+    w = Window.partitionBy("fp")
+    marked = g.select(
+        id_col,
+        "off",
+        F.count(F.lit(1)).over(w).alias("__cnt"),
+        F.row_number()
+        .over(w.orderBy(F.col(id_col), F.col("off")))
+        .alias("__rn"),
+    )
+    return marked.filter((F.col("__cnt") > 1) & (F.col("__rn") > 1)).select(
+        id_col, "off"
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, L: int
+) -> DataFrame:
+    """Maximal duplicated spans per document: (id, span_start,
+    span_end, span_tokens), span_end exclusive. Overlapping or
+    adjacent duplicated L-grams merge into one span (gaps-and-islands
+    on the running max of span end)."""
+    dup = duplicate_offsets(df, text_col, id_col, L).select(
+        id_col, "off", (F.col("off") + L).alias("__e")
+    )
+    w = Window.partitionBy(id_col).orderBy("off")
+    prev_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.select(
+        id_col,
+        "off",
+        "__e",
+        F.when(F.col("off") > F.coalesce(prev_max, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("__new"),
+    ).select(
+        id_col,
+        "off",
+        "__e",
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__g"),
+    )
+    return (
+        isl.groupBy(id_col, "__g")
+        .agg(
+            F.min("off").alias("span_start"),
+            F.max("__e").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def substring_dedup_stats(
+    df: DataFrame, text_col: str, id_col: str, L: int
+) -> DataFrame:
+    """Per-document removal accounting over ALL documents: (id,
+    total_tokens, dup_tokens, n_spans, dup_frac). Documents with no
+    duplicated span report zeros — the keep-fraction view a pipeline
+    gates on before committing the rewrite."""
+    spans = duplicate_spans(df, text_col, id_col, L)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    totals = df.select(
+        id_col,
+        F.size(F.split(normalize_text(text_col), " ")).alias("total_tokens"),
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "total_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest("total_tokens", F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def remove_spans(
+    df: DataFrame, text_col: str, id_col: str, L: int
+) -> DataFrame:
+    """Rewrite: (id, cleaned) with every duplicated span's tokens
+    dropped (canonical occurrences survive). The span list per doc is
+    tiny (bounded by doc length / L), so it rides back to the
+    documents as an equi-join on the id and the token filter is one
+    array expression — no explode of the corpus tokens."""
+    spans = duplicate_spans(df, text_col, id_col, L).groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = df.select(
+        id_col, F.split(normalize_text(text_col), " ").alias("__t")
+    ).join(spans, id_col, "left")
+    t, sp = F.col("__t"), F.col("__spans")
+    # keep token at 1-based position p unless some span covers it
+    kept = F.filter(
+        F.transform(t, lambda x, i: F.struct(x.alias("tok"), (i + 1).alias("p"))),
+        lambda s: ~F.coalesce(
+            F.exists(
+                sp,
+                lambda r: (s["p"] >= r["span_start"]) & (s["p"] < r["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return toks.select(
+        id_col,
+        F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias("cleaned"),
+    )

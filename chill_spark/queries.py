@@ -54,7 +54,8 @@ def query(name: str, oracle: str | None = None):
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r8 additions) ---
-    "q_ann_pq_join", "q_pq_store_health",
+    "q_ann_pq_join", "q_pq_store_health", "q_substring_dedup_spans",
+    "q_substring_dedup_stats", "q_substring_dedup_clean",
     # --- last driver check: round 4 (all 36) ---
     "q_rollup_hourly", "q_rollup_ladder_daily", "q_cfg_table_users",
     "q_retention_expired", "q_reconcile_missing_rows",
@@ -70,13 +71,12 @@ _PRIORITY: list[str] = [
     "q_cluster_balanced_sample", "q_lm_perplexity", "q_source_caps",
     "q_segment_dedup", "q_mixture_weights", "q_quality_budget",
     "q_scd1_merge", "q_profile_lineitem",
-    # --- last driver check: round 5 (first 14 of 46 in registration
+    # --- last driver check: round 5 (first 11 of 46 in registration
     #     order; the rest rotate in r9, enforced by the gate) ---
     "q_rollup_15m", "q_dedup_incremental", "q_ann_ivf_topk",
     "q_embedding_near_dups", "q_media_image_meta",
     "q_media_frame_sample", "q_stream_rollup_events",
-    "q14_promo_revenue", "q_setop_intersect", "q_asof_join",
-    "q_range_join", "q17_small_quantity_revenue",
+    "q14_promo_revenue", "q_setop_intersect",
 ]
 
 
@@ -4225,6 +4225,156 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1, 120,
             ).alias("redacted"),
         )
+        .orderBy("doc_id")
+    )
+
+
+_SUBSTR_L = 8
+
+# Shared oracle CTE bodies for the substring-dedup family (Lee et al.
+# 2022 exact-substring pass; see llm_ops/substring.py). L = 8 tokens.
+_SUBSTR_OFFS_SQL = r"""
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, i AS off,
+             ('0x' || substring(md5(array_to_string(t[i : i + 7], ' ')), 1, 15))::BIGINT AS fp
+      FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) u(i)
+    ),
+    marked AS (
+      SELECT doc_id, off,
+             count(*)     OVER (PARTITION BY fp) AS cnt,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, off) AS rn
+      FROM offs
+    ),
+    dup AS (SELECT doc_id, off, off + 8 AS e FROM marked WHERE cnt > 1 AND rn > 1),
+    isl AS (
+      SELECT doc_id, off, e,
+             CASE WHEN off > coalesce(max(e) OVER (
+                 PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM dup
+    ),
+    grp AS (
+      SELECT doc_id, off, e,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(off) AS span_start, max(e) AS span_end,
+             max(e) - min(off) AS span_tokens
+      FROM grp GROUP BY doc_id, g
+    )
+"""
+
+
+@query(
+    "q_substring_dedup_spans",
+    oracle="WITH" + _SUBSTR_OFFS_SQL + """
+    SELECT doc_id, span_start, span_end, span_tokens
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, span detection: every maximal run of
+    >= 8 consecutive tokens occurring more than once in the corpus,
+    minus one canonical keeper occurrence per duplicated gram. Scale
+    shape: one shuffle on a 60-bit gram fingerprint (count + keeper
+    election in a single window pass), one shuffle on doc_id for the
+    gaps-and-islands merge — linear in corpus tokens, no pairwise
+    blowup (llm_ops/substring.py)."""
+    from .llm_ops.substring import duplicate_spans
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        duplicate_spans(d, "text", "doc_id", _SUBSTR_L)
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@query(
+    "q_substring_dedup_stats",
+    oracle="WITH" + _SUBSTR_OFFS_SQL + """
+    SELECT t.doc_id,
+           len(t.t) AS total_tokens,
+           coalesce(s.dup_tokens, 0) AS dup_tokens,
+           coalesce(s.n_spans, 0)    AS n_spans,
+           round(coalesce(s.dup_tokens, 0)::DOUBLE
+                 / greatest(len(t.t), 1), 6) AS dup_frac
+    FROM toks t
+    LEFT JOIN (
+      SELECT doc_id, sum(span_tokens)::BIGINT AS dup_tokens, count(*) AS n_spans
+      FROM spans GROUP BY doc_id
+    ) s USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q_substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document removal accounting for the substring pass: token
+    totals, duplicated-span token counts, and the removal fraction a
+    pipeline gates on before committing the rewrite. All documents
+    reported (zeros when clean)."""
+    from .llm_ops.substring import substring_dedup_stats
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        substring_dedup_stats(d, "text", "doc_id", _SUBSTR_L)
+        .select(
+            "doc_id",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            "dup_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_substring_dedup_clean",
+    oracle="WITH" + _SUBSTR_OFFS_SQL + """
+    , pos AS (
+      SELECT doc_id, p, t[p] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p) u(p)
+    ),
+    kept AS (
+      SELECT pos.doc_id, string_agg(pos.tok, ' ' ORDER BY pos.p) AS cleaned
+      FROM pos
+      LEFT JOIN spans s
+        ON s.doc_id = pos.doc_id
+       AND pos.p >= s.span_start AND pos.p < s.span_end
+      WHERE s.doc_id IS NULL
+      GROUP BY pos.doc_id
+    )
+    SELECT t.doc_id, coalesce(k.cleaned, '') AS cleaned
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup rewrite: documents with every duplicated
+    span's tokens removed (canonical occurrences survive; a fully
+    duplicated document collapses to ''). The per-doc span list is
+    tiny, so it equi-joins back on doc_id and the removal is one
+    array filter expression — the corpus tokens are never exploded
+    (llm_ops/substring.py remove_spans)."""
+    from .llm_ops.substring import remove_spans
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        remove_spans(d, "text", "doc_id", _SUBSTR_L)
+        .select("doc_id", "cleaned")
         .orderBy("doc_id")
     )
 
