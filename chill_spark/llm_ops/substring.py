@@ -13,12 +13,14 @@ structure; this is the distributed equivalent):
    fingerprint per token offset — the L-token gram starting there —
    built entirely from array expressions (tokenize once, slide with
    ``transform(sequence)``), so the scan is one projection, no UDF.
-2. **One shuffle on the fingerprint.** ``count() over (fp)`` finds
-   duplicated grams and ``row_number() over (fp order by id, off)``
-   elects the canonical keeper occurrence in the same window pass —
-   the whole duplicate-detection stage is a single hash-partitioned
-   exchange on an 8-byte key (never the gram text), linear in corpus
-   tokens, no candidate-pair blowup.
+2. **Keeper election by reduction, not window.** ``groupBy(fp).agg(
+   min(struct(id, off)), count)`` finds duplicated grams and elects
+   the canonical keeper in one partial-aggregating pass — a
+   boilerplate gram repeated billions of times collapses map-side
+   instead of pinning one window partition. The tiny
+   duplicated-grams frame joins back on the 8-byte fingerprint
+   (AQE skew-splittable), linear in corpus tokens, no candidate-pair
+   blowup.
 3. **One shuffle on the document.** Non-keeper offsets of duplicated
    grams collapse into maximal spans with a gaps-and-islands window
    per document (overlapping/adjacent L-grams merge), then a final
@@ -97,19 +99,37 @@ def duplicate_offsets(
 ) -> DataFrame:
     """(id, off) of every NON-canonical occurrence of a duplicated
     L-gram. Canonical keeper = first occurrence in (id, off) order —
-    deterministic because (id, off) is unique per fingerprint."""
+    deterministic because (id, off) is unique per fingerprint.
+
+    Hot-key-safe shape (same rationale as segment/span dedup): keeper
+    election is ``groupBy(fp).agg(min(struct(id, off)), count)`` — a
+    partial-aggregating reduction that collapses a corpus-scale
+    boilerplate gram map-side — never a window keyed by the
+    fingerprint (window partitions must colocate; AQE skew splitting
+    does not apply to them). The duplicated-gram frame (one row per
+    distinct duplicated fp) then equi-joins back, where AQE skew
+    handling DOES apply."""
     g = gram_offsets(df, text_col, id_col, L)
-    w = Window.partitionBy("fp")
-    marked = g.select(
-        id_col,
-        "off",
-        F.count(F.lit(1)).over(w).alias("__cnt"),
-        F.row_number()
-        .over(w.orderBy(F.col(id_col), F.col("off")))
-        .alias("__rn"),
+    firsts = (
+        g.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("off").alias("o"))
+            ).alias("__k"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .filter(F.col("__cnt") > 1)
+        .select("fp", "__k")
     )
-    return marked.filter((F.col("__cnt") > 1) & (F.col("__rn") > 1)).select(
-        id_col, "off"
+    return (
+        g.join(firsts, "fp")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__k.i"))
+                & (F.col("off") == F.col("__k.o"))
+            )
+        )
+        .select(id_col, "off")
     )
 
 

@@ -4284,8 +4284,10 @@ def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup, span detection: every maximal run of
     >= 8 consecutive tokens occurring more than once in the corpus,
     minus one canonical keeper occurrence per duplicated gram. Scale
-    shape: one shuffle on a 60-bit gram fingerprint (count + keeper
-    election in a single window pass), one shuffle on doc_id for the
+    shape: keeper election by groupBy(fp) partial-agg reduction (a
+    boilerplate gram collapses map-side, never pins a window
+    partition), join-back on the 60-bit fingerprint (AQE
+    skew-splittable), then one doc_id shuffle for the
     gaps-and-islands merge — linear in corpus tokens, no pairwise
     blowup (llm_ops/substring.py)."""
     from .llm_ops.substring import duplicate_spans
