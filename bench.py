@@ -109,6 +109,7 @@ HEADLINE = [
     "q_bloom_dedup_gate",
     "q_ann_recall",
     "q_ann_pq_join",
+    "q_substring_dedup_spans",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC
