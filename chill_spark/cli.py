@@ -1131,6 +1131,26 @@ def cmd_pq(args) -> int:
                   f"{rep['leaves_rewritten']} leaves rewritten, "
                   f"{rep['leaves_deleted']} deleted")
             return 0
+        if args.rebuild:
+            import json as _json
+
+            from .llm_ops.pq_store import pq_store_rebuild
+
+            if not args.input:
+                print("--rebuild needs --input (the corpus of record: "
+                      "the codes table holds codes, not vectors)",
+                      file=sys.stderr)
+                return 2
+            rep = pq_store_rebuild(
+                spark, args.store, spark.read.parquet(args.input),
+                force=args.force_rebuild,
+                max_appended_fraction=args.max_appended_fraction,
+                min_recall=args.min_recall,
+                sample=args.canary, topk=args.n, nprobe=args.probe,
+                vec_col=args.vec_col,
+            )
+            print(_json.dumps(rep))
+            return 0
         if args.health:
             import json as _json
 
@@ -1925,6 +1945,20 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--canary", type=int, default=4,
                     help="with --health: number of md5-sampled canary "
                          "queries")
+    pq.add_argument("--rebuild", action="store_true",
+                    help="with --store and --input: retrain + re-encode "
+                         "under the store's recorded geometry IF the "
+                         "health thresholds fire (use --force-rebuild "
+                         "to skip the decision)")
+    pq.add_argument("--force-rebuild", action="store_true",
+                    help="with --rebuild: rebuild unconditionally")
+    pq.add_argument("--max-appended-fraction", type=float, default=0.25,
+                    help="with --rebuild: appended-rows fraction above "
+                         "which the store retrains")
+    pq.add_argument("--min-recall", type=float, default=None,
+                    help="with --rebuild: run the recall canary and "
+                         "retrain when mean recall@n drops below this "
+                         "(omit for the cheap footprint-only decision)")
     pq.add_argument("--n", type=int, default=10)
     pq.add_argument("--m", type=int, default=4)
     pq.add_argument("--k", type=int, default=16)

@@ -31,7 +31,7 @@ surface (model-based quality filtering).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .portable import phash
@@ -119,6 +119,117 @@ def score_documents(
         F.coalesce(
             F.round(score, 9) >= F.lit(threshold), F.lit(False)
         ).alias("kept"),
+    )
+
+
+def _round_half_away(x: float) -> int:
+    """SQL-compatible rounding: Python's round() is banker's (ties to
+    even), while Spark F.round and DuckDB round() tie AWAY from zero —
+    a driver-side update must round the way the engines do or a
+    gradient landing exactly on .5 units diverges the replay."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def train_logreg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    iters: int = 2,
+    lr: float = 0.5,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed full-batch logistic-regression training for the
+    quality filter — the TRAINED side of ``score_documents``'s
+    "training happens offline" assumption, at corpus scale.
+
+    Model: ``p(doc) = sigmoid(sum_tok w[tok] * cnt / (scale *
+    n_toks))`` — the same length-normalized mean-token-weight logit
+    the inference path computes, so the trained table drops straight
+    into ``score_documents``.
+
+    Scale shape per iteration (T iterations = T jobs, like Lloyd):
+
+    - score: broadcast the (model-sized) weight table, ONE integer
+      per-doc sum — map-side combinable, exact, order-free;
+    - residual: fixed-point ``r = round((p - y) / n_toks * scale)``
+      per doc (one projection);
+    - gradient: ONE per-token integer sum of ``r * cnt`` — again
+      combiner-safe; summed as DECIMAL so a trillion-doc corpus
+      cannot silently overflow int64;
+    - update: the gradient table is VOCAB-sized (the k-means-partials
+      contract: model state may visit the driver, corpus rows never
+      do); ``w -= round(lr * g / N)`` in half-away rounding.
+
+    Every intermediate the engines aggregate is an INTEGER (the only
+    floats are per-row sigmoid/round projections and the driver-side
+    update arithmetic on exactly-representable ints), so the whole
+    training run replays bit-for-bit as unrolled SQL —
+    queries.q_train_quality_classifier hash-checks the final weights.
+
+    The token frame is computed once and persisted across the 2T
+    passes (at 100 TB this is the materialized feature layer you'd
+    write next to the corpus, not a cache)."""
+    S = weight_scale
+    spark = df.sparkSession
+    toks = (
+        df.select(
+            id_col,
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    per_doc = (
+        toks.groupBy(id_col)
+        .agg(F.sum("cnt").alias("__n"))
+        .join(df.select(id_col, label.cast("double").alias("__y")), id_col)
+        .persist()
+    )
+    n_docs = per_doc.count()
+    w: dict[str, int] = {
+        r["tok"]: 0 for r in toks.select("tok").distinct().collect()
+    }
+    try:
+        for _ in range(iters):
+            wdf = spark.createDataFrame(
+                sorted(w.items()), ["tok", "__w"]
+            )
+            su = (
+                toks.join(F.broadcast(wdf), "tok")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("__w") * F.col("cnt")).alias("__su"))
+            )
+            logit = F.round(
+                F.col("__su") / (F.lit(float(S)) * F.col("__n")), 9
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+            resid = per_doc.join(su, id_col).select(
+                id_col,
+                F.round(((p - F.col("__y")) / F.col("__n")) * S, 0)
+                .cast("long")
+                .alias("__r"),
+            )
+            grads = (
+                toks.join(resid, id_col)
+                .groupBy("tok")
+                .agg(
+                    F.sum(
+                        (F.col("__r") * F.col("cnt")).cast("decimal(38,0)")
+                    ).alias("__g")
+                )
+                .collect()
+            )
+            for r in grads:
+                w[r["tok"]] -= _round_half_away(lr * (int(r["__g"]) / n_docs))
+    finally:
+        toks.unpersist()
+        per_doc.unpersist()
+    return spark.createDataFrame(
+        sorted(w.items()), "tok string, w_units bigint"
     )
 
 

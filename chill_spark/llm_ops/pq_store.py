@@ -725,6 +725,96 @@ def pq_store_health(
     ).select("q_id", "n_hits", "recall_at_k", *fp_cols)
 
 
+def pq_store_rebuild_decision(
+    spark: SparkSession,
+    root: str,
+    emb: DataFrame | None = None,
+    max_appended_fraction: float = 0.25,
+    min_recall: float = 0.8,
+    sample: int = 4,
+    topk: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Turn the health report into an actionable verdict — the
+    measured "rebuild when X" the footprint/canary pair exists for.
+    Cheap side always runs (appended fraction from leaf counts);
+    the recall canary runs only when the corpus ``emb`` is supplied.
+    Returns the footprint dict plus ``{"rebuild": bool, "reasons":
+    [...], "mean_recall": float | None}`` — reasons name the exact
+    threshold crossed, so the decision is auditable."""
+    fp = pq_store_footprint(spark, root)
+    reasons: list[str] = []
+    if fp["appended_fraction"] > max_appended_fraction:
+        reasons.append(
+            f"appended_fraction {fp['appended_fraction']} > "
+            f"{max_appended_fraction}"
+        )
+    mean_recall = None
+    if emb is not None:
+        rows = pq_store_recall_canary(
+            spark, root, emb, sample=sample, topk=topk, nprobe=nprobe,
+            vec_col=vec_col, id_col=id_col,
+        ).collect()
+        if rows:
+            mean_recall = round(
+                sum(r["recall_at_k"] for r in rows) / len(rows), 6
+            )
+            if mean_recall < min_recall:
+                reasons.append(f"mean_recall {mean_recall} < {min_recall}")
+    return {
+        **fp,
+        "mean_recall": mean_recall,
+        "rebuild": bool(reasons),
+        "reasons": reasons,
+    }
+
+
+def pq_store_rebuild(
+    spark: SparkSession,
+    root: str,
+    emb: DataFrame,
+    force: bool = False,
+    max_appended_fraction: float = 0.25,
+    min_recall: float | None = None,
+    sample: int = 4,
+    topk: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> dict:
+    """Conditional retrain: if the decision fires (or ``force``),
+    retrain + re-encode the CURRENT corpus under the store's own
+    recorded geometry (dim/m/k/iters/cells from ``_meta.json``) via
+    ``write_pq_store`` — all append leaves fold into a fresh build
+    whose codebooks reflect the drifted distribution. The corpus of
+    record must come from the caller: the codes table holds codes,
+    not vectors, so a store can never rebuild itself.
+
+    ``min_recall=None`` skips the canary (footprint-only decision —
+    the cheap scheduled-maintenance mode); passing a threshold runs
+    it against ``emb``. Returns the decision dict plus ``action``
+    ("rebuilt" | "kept")."""
+    meta = read_store_json(root, spark=spark)
+    decision = pq_store_rebuild_decision(
+        spark, root,
+        emb=emb if min_recall is not None else None,
+        max_appended_fraction=max_appended_fraction,
+        min_recall=min_recall if min_recall is not None else 0.0,
+        sample=sample, topk=topk, nprobe=nprobe,
+        vec_col=vec_col, id_col=meta.get("id_col", "vec_id"),
+    )
+    if not (force or decision["rebuild"]):
+        return {**decision, "action": "kept"}
+    write_pq_store(
+        emb, root,
+        dim=meta["dim"], m=meta["m"], k=meta["k"],
+        iters=meta.get("iters", 2), cells=meta.get("cells", 0),
+        vec_col=vec_col, id_col=meta.get("id_col", "vec_id"),
+    )
+    return {**decision, "action": "rebuilt"}
+
+
 def _heal_pq_side(fs: StoreFS, root: str, side: str) -> None:
     heal_swap(
         fs,

@@ -56,6 +56,7 @@ _PRIORITY: list[str] = [
     # --- never driver-checked (r8 additions) ---
     "q_ann_pq_join", "q_pq_store_health", "q_substring_dedup_spans",
     "q_substring_dedup_stats", "q_substring_dedup_clean",
+    "q_decontam_bloom", "q_train_quality_classifier",
     # --- last driver check: round 4 (all 36) ---
     "q_rollup_hourly", "q_rollup_ladder_daily", "q_cfg_table_users",
     "q_retention_expired", "q_reconcile_missing_rows",
@@ -71,12 +72,11 @@ _PRIORITY: list[str] = [
     "q_cluster_balanced_sample", "q_lm_perplexity", "q_source_caps",
     "q_segment_dedup", "q_mixture_weights", "q_quality_budget",
     "q_scd1_merge", "q_profile_lineitem",
-    # --- last driver check: round 5 (first 11 of 46 in registration
+    # --- last driver check: round 5 (first 7 of 46 in registration
     #     order; the rest rotate in r9, enforced by the gate) ---
     "q_rollup_15m", "q_dedup_incremental", "q_ann_ivf_topk",
     "q_embedding_near_dups", "q_media_image_meta",
     "q_media_frame_sample", "q_stream_rollup_events",
-    "q14_promo_revenue", "q_setop_intersect",
 ]
 
 
@@ -4224,6 +4224,186 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 1, 120,
             ).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _logreg_oracle_sql(iters: int, lr: float, S: int) -> str:
+    """Unrolled-SQL replay of train_logreg (same pattern as the Lloyd
+    and BPE oracles): every aggregated intermediate is an integer, so
+    each iteration is four MATERIALIZED CTEs — score, fixed-point
+    residual, integer gradient, weight update."""
+    ctes = [
+        r"""toks AS MATERIALIZED (
+      SELECT doc_id, tok, count(*)::BIGINT AS cnt
+      FROM (SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    )""",
+        """per_doc AS MATERIALIZED (
+      SELECT t.doc_id, sum(t.cnt) AS n,
+             any_value(CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END) AS y
+      FROM toks t JOIN documents d USING (doc_id)
+      GROUP BY t.doc_id
+    )""",
+        "nn AS (SELECT count(*)::DOUBLE AS n_docs FROM per_doc)",
+        "w0 AS (SELECT DISTINCT tok, 0::BIGINT AS w FROM toks)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""s{t} AS MATERIALIZED (
+      SELECT t.doc_id, sum(w.w * t.cnt)::BIGINT AS su
+      FROM toks t JOIN w{t - 1} w USING (tok) GROUP BY t.doc_id
+    )""")
+        ctes.append(f"""r{t} AS MATERIALIZED (
+      SELECT p.doc_id,
+             CAST(round(((1.0 / (1.0 + exp(-round(s.su / ({S}.0 * p.n), 9)))) - p.y)
+                        / p.n * {S}) AS BIGINT) AS r
+      FROM per_doc p JOIN s{t} s USING (doc_id)
+    )""")
+        ctes.append(f"""g{t} AS MATERIALIZED (
+      SELECT t.tok, sum(r.r * t.cnt) AS g
+      FROM toks t JOIN r{t} r USING (doc_id) GROUP BY t.tok
+    )""")
+        ctes.append(f"""w{t} AS MATERIALIZED (
+      SELECT w.tok, w.w - CAST(round({lr} * (g.g / nn.n_docs)) AS BIGINT) AS w
+      FROM w{t - 1} w JOIN g{t} g USING (tok) CROSS JOIN nn
+    )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT tok, w AS w_units FROM w{iters} ORDER BY tok"
+    )
+
+
+@query(
+    "q_train_quality_classifier",
+    oracle=_logreg_oracle_sql(iters=2, lr=0.5, S=1_000_000),
+)
+def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING for the quality
+    filter (llm_ops.classifier.train_logreg): learn to predict
+    lang='en' from bag-of-token counts with full-batch gradient
+    descent — 2 iterations, each = one broadcast-weights integer
+    score pass + one combiner-safe integer gradient pass; only the
+    vocab-sized gradient table visits the driver (the
+    k-means-partials contract). Fixed-point residuals make every
+    aggregated value an exact integer, so the oracle replays both
+    iterations as unrolled SQL and hash-checks the final weight
+    table — the model that drops into q_quality_classifier's
+    inference plan."""
+    from .llm_ops.classifier import train_logreg
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return train_logreg(
+        d, "doc_id", "text", (F.col("lang") == "en"), iters=2, lr=0.5
+    ).orderBy("tok")
+
+
+@query(
+    "q_decontam_bloom",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 3, 0) + 2),
+                 i -> array_to_string(t[i : i + 2], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    hs AS (SELECT unnest(range(5)) AS i),
+    words AS (
+      SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INTEGER) AS bits
+      FROM (
+        SELECT (('0x' || substring(md5('bf' || h.i::VARCHAR || ':' || b.g), 1, 15))::BIGINT
+                % 131072) AS p
+        FROM bench b CROSS JOIN hs h
+      ) GROUP BY 1
+    ),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0),
+    probe AS (
+      SELECT t.doc_id, t.g,
+             (('0x' || substring(md5('bf' || h.i::VARCHAR || ':' || t.g), 1, 15))::BIGINT
+              % 131072) AS p
+      FROM train t CROSS JOIN hs h
+    ),
+    gram_verdict AS (
+      SELECT doc_id, g,
+             bool_and(coalesce(
+                 (w.bits & (1::BIGINT << (p.p % 63)::INTEGER)) <> 0,
+                 FALSE)) AS hit
+      FROM probe p LEFT JOIN words w ON p.p // 63 = w.word
+      GROUP BY doc_id, g
+    ),
+    exact AS (
+      SELECT t.doc_id, t.g, (b.g IS NOT NULL) AS ex
+      FROM train t LEFT JOIN bench b USING (g)
+    )
+    SELECT v.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN v.hit THEN 1 ELSE 0 END)::BIGINT AS bloom_hits,
+           sum(CASE WHEN e.ex THEN 1 ELSE 0 END)::BIGINT AS exact_hits,
+           bool_or(v.hit) AS flagged
+    FROM gram_verdict v JOIN exact e USING (doc_id, g)
+    GROUP BY v.doc_id
+    ORDER BY v.doc_id
+    """,
+)
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated benchmark decontamination — the 100 TB shape of
+    q_decontaminate. There the benchmark gram set is broadcast
+    EXACTLY, which stops scaling once the eval suites reach GBs of
+    distinct grams; here it compresses into a fixed-size Bloom filter
+    (131072 bits / 5 hashes — bounded by the bits you budget, not the
+    benchmark), and every training gram is screened MAP-ONLY: 5
+    element_at/AND lookups against the broadcast word array, no join,
+    no shuffle on the corpus side. No false negatives, so a FALSE
+    verdict proves the gram is clean and only the tiny flagged
+    remainder needs the exact confirm join. The exact_hits column is
+    the verification rail (bloom_hits >= exact_hits on every row, and
+    any gram in the benchmark MUST probe TRUE — graded by the
+    oracle's bit-for-bit replay); production emits just the verdict.
+    """
+    from .llm_ops.bloom import bloom_build, bloom_words, with_bloom_contains
+    from .llm_ops.text import normalize_text
+
+    m, h, n = 131072, 5, 3
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    with_t = d.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("__t")
+    )
+    t = F.col("__t")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = with_t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    words = bloom_words(bloom_build(bench, "g", m, h), m)
+    train = grams.filter(F.col("doc_id") % 20 != 0)
+    probed = with_bloom_contains(train, "g", words, m, h, out_col="hit")
+    exact = bench.withColumn("__ex", F.lit(True))
+    return (
+        probed.join(F.broadcast(exact), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("bloom_hits"),
+            F.sum(F.when(F.coalesce("__ex", F.lit(False)), 1).otherwise(0))
+            .cast("long")
+            .alias("exact_hits"),
+            F.bool_or("hit").alias("flagged"),
         )
         .orderBy("doc_id")
     )

@@ -2303,6 +2303,65 @@ def test_score_documents_plan_broadcasts_weights(spark):
     assert "BroadcastHashJoin" in buf.getvalue()
 
 
+def test_train_logreg_learns_separable_corpus(spark):
+    """On a linearly separable planted corpus the trainer must push
+    class-marker weights apart and the trained table must drop into
+    score_documents and separate the classes."""
+    from pyspark.sql import functions as F
+
+    from chill_spark.llm_ops.classifier import score_documents, train_logreg
+
+    rows = []
+    for i in range(40):
+        marker = "good" if i % 2 == 0 else "bad"
+        rows.append((i, f"{marker} filler one two three", i % 2 == 0))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, y boolean")
+
+    w = train_logreg(docs, "doc_id", "text", F.col("y"), iters=4, lr=2.0)
+    wm = {r["tok"]: r["w_units"] for r in w.collect()}
+    assert wm["good"] > 0 > wm["bad"]
+    # shared fillers carry no signal: balanced classes cancel them
+    assert wm["filler"] == 0 and wm["one"] == 0
+
+    scored = score_documents(
+        docs, "doc_id", "text",
+        w.select("tok", F.col("w_units").alias("weight")),
+        weight_scale=1_000_000,
+    )
+    out = {r["doc_id"]: r["score"] for r in scored.collect()}
+    assert all(out[i] > out[i + 1] for i in range(0, 40, 2))
+
+
+def test_train_logreg_deterministic_across_partitionings(spark):
+    """Integer residual/gradient sums: identical weights at any
+    partitioning — the property the fixed-point design buys."""
+    from pyspark.sql import functions as F
+
+    from chill_spark.llm_ops.classifier import train_logreg
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 11}" for j in range(3 + i % 5)),
+          i % 3 == 0)
+         for i in range(60)],
+        "doc_id bigint, text string, y boolean",
+    )
+    a = train_logreg(
+        docs.coalesce(1), "doc_id", "text", F.col("y"), iters=2
+    ).collect()
+    b = train_logreg(
+        docs.repartition(13), "doc_id", "text", F.col("y"), iters=2
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_round_half_away_matches_sql():
+    from chill_spark.llm_ops.classifier import _round_half_away
+
+    assert _round_half_away(0.5) == 1 and _round_half_away(2.5) == 3
+    assert _round_half_away(-0.5) == -1 and _round_half_away(-2.5) == -3
+    assert _round_half_away(1.4) == 1 and _round_half_away(-1.4) == -1
+
+
 # ---------------------------------------------------------------------------
 # UniMax budget allocation (sampling.unimax_budget)
 # ---------------------------------------------------------------------------

@@ -637,3 +637,82 @@ def test_pq_store_health_footprint_and_canary(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["appended_fraction"] == 0.2
     assert rep["n_canary"] == 3 and 0.0 <= rep["recall_avg"] <= 1.0
+
+
+def test_pq_store_rebuild_decision_and_fold(spark, tmp_path):
+    """The rebuild policy closes the health loop: the decision names
+    the exact threshold crossed, and a fired rebuild retrains under
+    the store's OWN recorded geometry, folding every append leaf into
+    a fresh build (appended_fraction returns to 0) while serving the
+    full current corpus."""
+    from chill_spark.llm_ops.pq_store import (
+        pq_store_footprint,
+        pq_store_rebuild,
+        pq_store_rebuild_decision,
+    )
+    from chill_spark.llm_ops.storefs import read_store_json
+
+    emb = _emb_df(spark, n=50, dim=8)
+    root = str(tmp_path / "store")
+    write_pq_store(emb.filter(F.col("vec_id") < 30), root,
+                   dim=8, m=2, k=4, iters=2)
+    pq_store_append(emb.filter(F.col("vec_id") >= 30), root)
+
+    # 20/50 appended = 0.4: above the default 0.25 threshold
+    dec = pq_store_rebuild_decision(spark, root)
+    assert dec["rebuild"] and dec["appended_fraction"] == 0.4
+    assert any("appended_fraction" in r for r in dec["reasons"])
+    assert dec["mean_recall"] is None  # no corpus given -> no canary
+
+    # below-threshold store keeps itself
+    calm = pq_store_rebuild(spark, root, emb,
+                            max_appended_fraction=0.5)
+    assert calm["action"] == "kept" and not calm["rebuild"]
+    assert pq_store_footprint(spark, root)["appended_fraction"] == 0.4
+
+    # fired rebuild folds appends and preserves the recorded geometry
+    before = read_store_json(root, spark=spark)
+    rep = pq_store_rebuild(spark, root, emb)
+    assert rep["action"] == "rebuilt"
+    fp = pq_store_footprint(spark, root)
+    assert fp == {
+        "rows_total": 50, "rows_built": 50, "rows_appended": 0,
+        "appended_fraction": 0.0, "n_append_batches": 0,
+    }
+    after = read_store_json(root, spark=spark)
+    assert {k: after[k] for k in ("dim", "m", "k", "cells")} == \
+           {k: before[k] for k in ("dim", "m", "k", "cells")}
+    ids = {r["vec_id"] for r in read_pq_codes(spark, root).collect()}
+    assert ids == set(range(50))
+
+
+def test_pq_store_rebuild_canary_threshold_and_cli(spark, tmp_path, capsys):
+    """min_recall wires the canary into the decision; the CLI surfaces
+    the whole loop as `pq --store --rebuild --input corpus`."""
+    from chill_spark.cli import main
+    from chill_spark.llm_ops.pq_store import pq_store_rebuild
+
+    emb = _emb_df(spark, n=40, dim=8)
+    root = str(tmp_path / "store")
+    write_pq_store(emb, root, dim=8, m=2, k=4, iters=2)
+
+    # an impossible recall bar fires the rebuild even with 0 appends
+    rep = pq_store_rebuild(spark, root, emb, min_recall=1.01,
+                           sample=3, topk=5)
+    assert rep["action"] == "rebuilt"
+    assert any("mean_recall" in r for r in rep["reasons"])
+    assert rep["mean_recall"] is not None
+
+    emb_p = str(tmp_path / "emb.parquet")
+    emb.write.parquet(emb_p)
+    capsys.readouterr()
+    assert main(["pq", "--store", root, "--rebuild",
+                 "--input", emb_p]) == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["action"] == "kept"  # fresh build, nothing appended
+    assert main(["pq", "--store", root, "--rebuild", "--force-rebuild",
+                 "--input", emb_p]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["action"] == "rebuilt"
