@@ -255,6 +255,76 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_substring_dedup(args) -> int:
+    """Exact-substring span dedup (duplicated >= L-token runs,
+    corpus-wide, one canonical keeper). Batch mode writes spans /
+    cleaned docs / per-doc stats; ``--store`` maintains the
+    incremental gram-fingerprint index (--build / --append /
+    --compact / default: span-check --in against history)."""
+    from .session import get_spark
+
+    spark = get_spark("chill-substring")
+    df = spark.read.parquet(args.input) if args.input else None
+    if args.store:
+        from .llm_ops.incremental_substring import (
+            compact_substring_store,
+            incremental_duplicate_spans,
+            substring_store_append,
+            write_substring_store,
+        )
+
+        if args.compact:
+            compact_substring_store(spark, args.store)
+            print(f"compacted substring store {args.store}")
+            return 0
+        if df is None:
+            print("substring-dedup: --in required", file=sys.stderr)
+            return 2
+        if args.build:
+            write_substring_store(
+                df, args.text_col, args.id_col, args.store,
+                L=args.length, bucket_partitions=args.buckets,
+            )
+            print(f"built substring store {args.store} (L={args.length})")
+            return 0
+        if args.append:
+            b = substring_store_append(
+                df, args.text_col, args.id_col, args.store
+            )
+            print(f"appended batch {b} to {args.store}")
+            return 0
+        spans = incremental_duplicate_spans(
+            spark, args.store, df, args.text_col, args.id_col
+        )
+        if args.out:
+            spans.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+        else:
+            n = spans.count()
+        print(f"{n} duplicated span(s) in the new batch vs history")
+        return 0
+    if df is None or not args.out:
+        print("substring-dedup: --in and --out required", file=sys.stderr)
+        return 2
+    from .llm_ops.substring import (
+        duplicate_spans,
+        remove_spans,
+        substring_dedup_stats,
+    )
+
+    fn = {
+        "spans": duplicate_spans,
+        "clean": remove_spans,
+        "stats": substring_dedup_stats,
+    }[args.mode]
+    fn(df, args.text_col, args.id_col, args.length).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote {n} {args.mode} row(s) to {args.out}")
+    return 0
+
+
 def cmd_profile(args) -> int:
     """One-pass table profile: per-column non-null/null/distinct
     counts and min/max (see operators.profile). With ``--diff B``,
@@ -1523,6 +1593,31 @@ def main(argv: list[str] | None = None) -> int:
         "signatures); skips are reported on stderr",
     )
     dd.set_defaults(fn=cmd_dedup)
+
+    sd = sub.add_parser(
+        "substring-dedup",
+        help="exact-substring span dedup (duplicated >= L-token runs); "
+             "--store maintains the incremental gram index",
+    )
+    sd.add_argument("--in", dest="input")
+    sd.add_argument("--out")
+    sd.add_argument("--mode", choices=["spans", "clean", "stats"],
+                    default="spans")
+    sd.add_argument("--text-col", dest="text_col", default="text")
+    sd.add_argument("--id-col", dest="id_col", default="doc_id")
+    sd.add_argument("--length", type=int, default=8,
+                    help="minimum duplicated run, in tokens (L)")
+    sd.add_argument("--store", help="incremental gram-index root")
+    sd.add_argument("--build", action="store_true",
+                    help="with --store: bootstrap the index from --in")
+    sd.add_argument("--append", action="store_true",
+                    help="with --store: admit --in's grams to history")
+    sd.add_argument("--compact", action="store_true",
+                    help="with --store: fold append leaves")
+    sd.add_argument("--buckets", type=int, default=None,
+                    help="with --build: BKT_PART hash partitions for "
+                         "planning-time probe pruning")
+    sd.set_defaults(fn=cmd_substring_dedup)
 
     ds = sub.add_parser(
         "dedup-stream",

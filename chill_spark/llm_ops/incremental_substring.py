@@ -1,0 +1,285 @@
+"""Incremental exact-substring dedup against a persisted gram index.
+
+``llm_ops.substring`` finds duplicated >= L-token spans with a full
+corpus pass. At 100 TB you cannot re-fingerprint history every time a
+crawl batch lands; this module persists the DISTINCT gram
+fingerprints of the accepted corpus (the materialized "suffix index"
+layer — one 60-bit BIGINT per distinct gram) and answers, for a new
+batch only:
+
+  which spans of the NEW documents duplicate the historical corpus,
+  or repeat inside the new batch itself?
+
+Semantics are **history-wins** (first-arrival keeps, like the
+exact-dedup intake): any new occurrence of a gram already in the
+store is a duplicate; for grams new to this batch, the batch-local
+minimum (id, off) keeps. That is exactly the batch
+``duplicate_spans`` over (history UNION new) with the keeper order
+(in_history DESC, id, off), restricted to new ids — the replay the
+oracle of ``queries.q_substring_dedup_incremental`` runs.
+
+Scale shapes:
+
+- probe: new-batch gram offsets (one array projection) equi-join the
+  store on the fingerprint. With ``bucket_partitions=N`` the store is
+  hash-partitioned by ``BKT_PART = pmod(fp, N)`` and the probe reads
+  ONLY the partitions the batch touches — a planning-time
+  PartitionFilters prune, never a full-store scan.
+- append: the batch's distinct fps land under their own
+  ``BATCH_PART`` leaf (idempotent dynamic overwrite under replay —
+  the same exactly-once convention as every other streamed store);
+  re-appended fps are resolved by DISTINCT at read time and folded by
+  compaction.
+- the store never holds positions or text: membership is enough,
+  because history-wins makes every historical occurrence a keeper.
+
+``forget``: a gram fingerprint is shared evidence, not per-document
+data — removing a document's rows from the corpus does not license
+removing its grams from the index (other documents may carry them).
+A compliance forget therefore REBUILDS the store from the surviving
+corpus (``write_substring_store`` over the post-forget table); the
+store is derived state, cheap to rebuild relative to the corpus scan
+the forget already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.writers import BATCH_COL
+from .storefs import StoreFS, read_store_json, write_store_json
+from .substring import gram_offsets
+
+#: hash-partition column for planning-time probe pruning
+BKT_PART_COL = "BKT_PART"
+
+
+def _bkt_expr(n: int):
+    return F.pmod(F.col("fp"), F.lit(n)).cast("int")
+
+
+def write_substring_store(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    root: str,
+    L: int = 8,
+    bucket_partitions: int | None = None,
+) -> None:
+    """Materialize the distinct-gram index of the accepted corpus
+    under a ``BATCH_PART=-1`` leaf (the bootstrap batch — identical
+    layout to what appends add, so partition discovery never sees a
+    mixed tree)."""
+    from .storefs import heal_swap
+
+    spark = df.sparkSession
+    fs = StoreFS(root, spark)
+    heal_swap(
+        fs,
+        live=f"{root}/grams",
+        tmp=f"{root}/grams__compacting",
+        aside=f"{root}/grams__old",
+        marker=f"{root}/grams__COMMIT",
+    )
+    fs.delete(f"{root}/grams")
+    fps = gram_offsets(df, text_col, id_col, L).select("fp").distinct()
+    if bucket_partitions:
+        (
+            fps.withColumn(BKT_PART_COL, _bkt_expr(bucket_partitions))
+            .write.mode("overwrite")
+            .partitionBy(BKT_PART_COL)
+            .parquet(f"{root}/grams/{BATCH_COL}=-1")
+        )
+    else:
+        fps.write.mode("overwrite").parquet(f"{root}/grams/{BATCH_COL}=-1")
+    write_store_json(
+        root,
+        {"L": L, "bucket_partitions": bucket_partitions},
+        spark=spark,
+    )
+
+
+def check_substring_meta(root: str, spark: SparkSession) -> dict:
+    meta = read_store_json(root, spark=spark)
+    if meta is None or "L" not in meta:
+        raise ValueError(
+            f"substring store at {root} has no _meta.json — not a "
+            "substring store (or a partial write); rebuild it"
+        )
+    return meta
+
+
+def read_substring_fps(spark: SparkSession, root: str) -> DataFrame:
+    """Distinct historical fingerprints (folds replayed appends)."""
+    return (
+        spark.read.parquet(f"{root}/grams")
+        .select("fp")
+        .distinct()
+    )
+
+
+def substring_store_append(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    root: str,
+    batch_id: int | None = None,
+) -> int:
+    """Admit a batch's grams into history under its own BATCH_PART
+    leaf. Idempotent per batch_id (dynamic overwrite rewrites exactly
+    that leaf on replay). Appends the batch's DISTINCT fps without
+    anti-joining history — duplicates across leaves are resolved by
+    the DISTINCT read and folded by ``compact_substring_store``, so
+    the append stays one map pass + one tiny shuffle."""
+    spark = new_docs.sparkSession
+    meta = check_substring_meta(root, spark)
+    L = int(meta["L"])
+    nbkt = meta.get("bucket_partitions")
+    if batch_id is None:
+        fs = StoreFS(root, spark)
+        existing = [
+            int(name.split("=", 1)[1])
+            for name in fs.list_dirs(f"{root}/grams")
+            if name.startswith(f"{BATCH_COL}=")
+        ]
+        batch_id = (max(existing) + 1) if existing else 0
+    fps = (
+        gram_offsets(new_docs, text_col, id_col, L)
+        .select("fp").distinct()
+        .withColumn(BATCH_COL, F.lit(int(batch_id)))
+    )
+    part_cols = [BATCH_COL] + ([BKT_PART_COL] if nbkt else [])
+    if nbkt:
+        fps = fps.withColumn(BKT_PART_COL, _bkt_expr(int(nbkt)))
+    (
+        fps.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*part_cols)
+        .parquet(f"{root}/grams")
+    )
+    return int(batch_id)
+
+
+def incremental_duplicate_spans(
+    spark: SparkSession,
+    root: str,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Maximal duplicated spans of the NEW documents under
+    history-wins keeper semantics: (id, span_start, span_end,
+    span_tokens), span_end exclusive.
+
+    One pass over the new batch: gram offsets -> left join the store
+    fps (probe pruned to the touched BKT_PART partitions when the
+    store is bucketed) -> batch-local keeper election for
+    store-missed grams (the hot-key-safe groupBy(fp) reduction of
+    ``substring.duplicate_offsets``) -> gaps-and-islands merge. The
+    historical corpus is never re-read beyond its fingerprint set."""
+    meta = check_substring_meta(root, spark)
+    L = int(meta["L"])
+    nbkt = meta.get("bucket_partitions")
+    g = gram_offsets(new_docs, text_col, id_col, L)
+    hist = spark.read.parquet(f"{root}/grams")
+    if nbkt:
+        touched = sorted(
+            r["b"]
+            for r in g.select(_bkt_expr(int(nbkt)).alias("b"))
+            .distinct().collect()
+        )
+        hist = hist.filter(F.col(BKT_PART_COL).isin(touched))
+    hist = hist.select("fp").distinct().withColumn("__hist", F.lit(True))
+    probed = g.join(hist, "fp", "left")
+    # store hits: EVERY new occurrence duplicates a historical keeper
+    hits = probed.filter(F.col("__hist").isNotNull()).select(id_col, "off")
+    # store misses: batch-local first occurrence keeps
+    misses = probed.filter(F.col("__hist").isNull())
+    firsts = (
+        misses.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("off").alias("o"))
+            ).alias("__k"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .filter(F.col("__cnt") > 1)
+        .select("fp", "__k")
+    )
+    local = (
+        misses.join(firsts, "fp")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__k.i"))
+                & (F.col("off") == F.col("__k.o"))
+            )
+        )
+        .select(id_col, "off")
+    )
+    dup = hits.unionByName(local).select(
+        id_col, "off", (F.col("off") + L).alias("__e")
+    )
+    w = Window.partitionBy(id_col).orderBy("off")
+    prev_max = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup.select(
+        id_col,
+        "off",
+        "__e",
+        F.when(F.col("off") > F.coalesce(prev_max, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("__new"),
+    ).select(
+        id_col,
+        "off",
+        "__e",
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__g"),
+    )
+    return (
+        isl.groupBy(id_col, "__g")
+        .agg(
+            F.min("off").alias("span_start"),
+            F.max("__e").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def compact_substring_store(spark: SparkSession, root: str) -> dict:
+    """Fold all batch leaves into a fresh ``BATCH_PART=-1`` bootstrap
+    leaf (distinct fps), via the shared swap/heal protocol so a crash
+    mid-compaction never strands a half store."""
+    from .storefs import heal_swap, rename_is_atomic, swap_dir
+
+    meta = check_substring_meta(root, spark)
+    nbkt = meta.get("bucket_partitions")
+    fs = StoreFS(root, spark)
+    live = f"{root}/grams"
+    tmp = f"{root}/grams__compacting"
+    aside = f"{root}/grams__old"
+    marker = f"{root}/grams__COMMIT"
+    heal_swap(fs, live=live, tmp=tmp, aside=aside, marker=marker)
+    fps = read_substring_fps(spark, root)
+    leaf = f"{tmp}/{BATCH_COL}=-1"
+    if nbkt:
+        (
+            fps.withColumn(BKT_PART_COL, _bkt_expr(int(nbkt)))
+            .write.mode("overwrite")
+            .partitionBy(BKT_PART_COL)
+            .parquet(leaf)
+        )
+    else:
+        fps.write.mode("overwrite").parquet(leaf)
+    swap_dir(
+        fs, live=live, tmp=tmp, aside=aside, marker=marker,
+        atomic=rename_is_atomic(root),
+    )
+    return {"grams": live}

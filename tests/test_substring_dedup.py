@@ -108,3 +108,126 @@ def test_two_shuffle_plan_shape(docs):
     plan = duplicate_spans(docs, "text", "doc_id", L)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# incremental store (llm_ops/incremental_substring.py)
+# ---------------------------------------------------------------------------
+
+def _inc_mod(tmp_path):
+    from chill_spark.llm_ops import incremental_substring as m
+    return m, str(tmp_path / "store")
+
+
+def test_incremental_history_wins_even_against_smaller_new_ids(spark, tmp_path):
+    """A new doc whose gram is already in history is flagged even when
+    its doc_id sorts BEFORE every historical id — arrival order, not
+    id order, elects the keeper."""
+    m, root = _inc_mod(tmp_path)
+    hist = spark.createDataFrame(
+        [(100, "w0 w1 a b c d w2 w3 w4 w5")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "w6 w7 a b c d w8 w9 w0 w1")], ["doc_id", "text"]
+    )
+    m.write_substring_store(hist, "text", "doc_id", root, L=4)
+    spans = m.incremental_duplicate_spans(
+        spark, root, new, "text", "doc_id"
+    ).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"]) for r in spans] == [
+        (1, 3, 7)
+    ]
+
+
+def test_incremental_batch_local_keeper_for_store_misses(spark, tmp_path):
+    """Grams unseen by history elect a batch-local keeper: the min
+    (id, off) occurrence keeps, later ones are spans."""
+    m, root = _inc_mod(tmp_path)
+    hist = spark.createDataFrame(
+        [(0, "h0 h1 h2 h3 h4 h5 h6 h7 h8 h9")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(3, "x0 x1 p q r s x2 x3 x4 x5"),
+         (6, "x6 x7 x8 p q r s x9 x0 x1")],
+        ["doc_id", "text"],
+    )
+    m.write_substring_store(hist, "text", "doc_id", root, L=4)
+    spans = m.incremental_duplicate_spans(
+        spark, root, new, "text", "doc_id"
+    ).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"]) for r in spans] == [
+        (6, 4, 8)
+    ]
+
+
+def test_incremental_append_idempotent_and_compaction_folds(spark, tmp_path):
+    from chill_spark.operators.writers import BATCH_COL
+
+    m, root = _inc_mod(tmp_path)
+    w1 = spark.createDataFrame([(0, "a b c d e f g h")], ["doc_id", "text"])
+    w2 = spark.createDataFrame([(1, "i j k l m n o p")], ["doc_id", "text"])
+    m.write_substring_store(w1, "text", "doc_id", root, L=4,
+                            bucket_partitions=4)
+    b = m.substring_store_append(w2, "text", "doc_id", root)
+    n1 = m.read_substring_fps(spark, root).count()
+    # replayed append (same batch id) rewrites its own leaf, no growth
+    m.substring_store_append(w2, "text", "doc_id", root, batch_id=b)
+    assert m.read_substring_fps(spark, root).count() == n1
+    # compaction folds to the single bootstrap leaf, content unchanged
+    m.compact_substring_store(spark, root)
+    assert m.read_substring_fps(spark, root).count() == n1
+    batches = (
+        spark.read.parquet(f"{root}/grams")
+        .select(BATCH_COL).distinct().collect()
+    )
+    assert [r[BATCH_COL] for r in batches] == [-1]
+
+
+def test_incremental_probe_prunes_bucket_partitions(spark, tmp_path):
+    """With a bucketed store the probe scan must carry planning-time
+    PartitionFilters on BKT_PART, not filter a full read."""
+    m, root = _inc_mod(tmp_path)
+    hist = spark.createDataFrame(
+        [(i, f"h{i} a b c d t{i} u{i} v{i} w{i} z{i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100, "q0 q1 a b c d q2 q3 q4 q5")], ["doc_id", "text"]
+    )
+    m.write_substring_store(hist, "text", "doc_id", root, L=4,
+                            bucket_partitions=8)
+    df = m.incremental_duplicate_spans(spark, root, new, "text", "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re
+
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l
+          and "BKT_PART" in l]
+    assert pf, "store scan lost its BKT_PART partition filter"
+    assert df.count() >= 1
+
+
+def test_cli_substring_dedup_lifecycle(spark, tmp_path, capsys):
+    from chill_spark.cli import main
+
+    src1 = str(tmp_path / "w1"); src2 = str(tmp_path / "w2")
+    out = str(tmp_path / "spans"); root = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(0, "w0 w1 a b c d w2 w3 w4 w5")], ["doc_id", "text"]
+    ).write.parquet(src1)
+    spark.createDataFrame(
+        [(9, "q0 q1 q2 a b c d q3 q4 q5")], ["doc_id", "text"]
+    ).write.parquet(src2)
+    # batch mode
+    assert main(["substring-dedup", "--in", src1, "--out", out,
+                 "--mode", "stats", "--length", "4"]) == 0
+    assert "wrote 1 stats row(s)" in capsys.readouterr().out
+    # store lifecycle: build from wave1, span-check wave2
+    assert main(["substring-dedup", "--in", src1, "--store", root,
+                 "--build", "--length", "4", "--buckets", "4"]) == 0
+    capsys.readouterr()
+    assert main(["substring-dedup", "--in", src2, "--store", root]) == 0
+    assert "1 duplicated span(s)" in capsys.readouterr().out
+    assert main(["substring-dedup", "--in", src2, "--store", root,
+                 "--append"]) == 0
+    assert main(["substring-dedup", "--store", root, "--compact"]) == 0
