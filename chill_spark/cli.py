@@ -265,6 +265,26 @@ def cmd_substring_dedup(args) -> int:
 
     spark = get_spark("chill-substring")
     df = spark.read.parquet(args.input) if args.input else None
+    if args.store and args.watch:
+        from .streaming import drain
+        from .streaming.substring_stream import run_substring_stream
+
+        if not args.out:
+            print("substring-dedup --watch: --out required",
+                  file=sys.stderr)
+            return 2
+        q = run_substring_stream(
+            spark, args.watch, "doc_id BIGINT, text STRING",
+            out_dir=args.out, store_root=args.store,
+            checkpoint_dir=f"{args.store}/_ckpt",
+            text_col=args.text_col, id_col=args.id_col,
+            L=args.length, bucket_partitions=args.buckets,
+            available_now=True,
+        )
+        drain(q)
+        print(f"drained watched docs: span-cleaned corpus at {args.out}, "
+              f"gram index at {args.store}")
+        return 0
     if args.store:
         from .llm_ops.incremental_substring import (
             compact_substring_store,
@@ -1617,6 +1637,10 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--buckets", type=int, default=None,
                     help="with --build: BKT_PART hash partitions for "
                          "planning-time probe pruning")
+    sd.add_argument("--watch",
+                    help="with --store and --out: drain JSONL docs from "
+                         "this dir through the span-cleaning intake "
+                         "(availableNow)")
     sd.set_defaults(fn=cmd_substring_dedup)
 
     ds = sub.add_parser(

@@ -101,6 +101,31 @@ def write_substring_store(
     )
 
 
+def init_substring_store(
+    spark: SparkSession,
+    root: str,
+    L: int = 8,
+    bucket_partitions: int | None = None,
+) -> dict:
+    """Stamp an EMPTY store (meta only, no leaves) — the streaming
+    maintainer's bootstrap: batch 0 probes an empty history and its
+    append creates the first leaf. Idempotent when the meta already
+    matches; a mismatched L/bucketing fails loud (grams fingerprinted
+    at a different L can never match)."""
+    meta = read_store_json(root, spark=spark)
+    want = {"L": L, "bucket_partitions": bucket_partitions}
+    if meta is not None:
+        got = {k: meta.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                f"substring store at {root} is stamped {got}, "
+                f"asked for {want} — rebuild instead of re-init"
+            )
+        return meta
+    write_store_json(root, want, spark=spark)
+    return want
+
+
 def check_substring_meta(root: str, spark: SparkSession) -> dict:
     meta = read_store_json(root, spark=spark)
     if meta is None or "L" not in meta:
@@ -111,13 +136,34 @@ def check_substring_meta(root: str, spark: SparkSession) -> dict:
     return meta
 
 
-def read_substring_fps(spark: SparkSession, root: str) -> DataFrame:
+def _read_grams(
+    spark: SparkSession, root: str, before_batch: int | None = None
+) -> DataFrame:
+    """The raw store frame; empty (with the store's schema shape)
+    when no leaf exists yet — a stream's first batch probes an empty
+    history. ``before_batch`` prunes to BATCH_PART < it at planning
+    time (replay safety: a replayed batch dedups against its original
+    predecessor state, never its own half-written append)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(f"{root}/grams")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame(
+                [], f"fp bigint, {BATCH_COL} int, {BKT_PART_COL} int"
+            )
+        raise
+    if before_batch is not None:
+        df = df.filter(F.col(BATCH_COL) < before_batch)
+    return df
+
+
+def read_substring_fps(
+    spark: SparkSession, root: str, before_batch: int | None = None
+) -> DataFrame:
     """Distinct historical fingerprints (folds replayed appends)."""
-    return (
-        spark.read.parquet(f"{root}/grams")
-        .select("fp")
-        .distinct()
-    )
+    return _read_grams(spark, root, before_batch).select("fp").distinct()
 
 
 def substring_store_append(
@@ -168,6 +214,7 @@ def incremental_duplicate_spans(
     new_docs: DataFrame,
     text_col: str,
     id_col: str,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans of the NEW documents under
     history-wins keeper semantics: (id, span_start, span_end,
@@ -183,7 +230,7 @@ def incremental_duplicate_spans(
     L = int(meta["L"])
     nbkt = meta.get("bucket_partitions")
     g = gram_offsets(new_docs, text_col, id_col, L)
-    hist = spark.read.parquet(f"{root}/grams")
+    hist = _read_grams(spark, root, before_batch)
     if nbkt:
         touched = sorted(
             r["b"]

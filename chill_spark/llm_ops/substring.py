@@ -210,11 +210,25 @@ def remove_spans(
     df: DataFrame, text_col: str, id_col: str, L: int
 ) -> DataFrame:
     """Rewrite: (id, cleaned) with every duplicated span's tokens
-    dropped (canonical occurrences survive). The span list per doc is
-    tiny (bounded by doc length / L), so it rides back to the
-    documents as an equi-join on the id and the token filter is one
-    array expression — no explode of the corpus tokens."""
-    spans = duplicate_spans(df, text_col, id_col, L).groupBy(id_col).agg(
+    dropped (canonical occurrences survive)."""
+    return apply_span_removal(
+        df, duplicate_spans(df, text_col, id_col, L), text_col, id_col
+    )
+
+
+def apply_span_removal(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, cleaned) with the GIVEN spans' tokens dropped — the
+    apply half of ``remove_spans``, reused by the incremental and
+    streaming paths whose spans come from a store probe. The span
+    list per doc is tiny (bounded by doc length / L), so it rides
+    back to the documents as an equi-join on the id and the token
+    filter is one array expression — no explode of the corpus
+    tokens. Docs with no spans keep their normalized text; a NULL
+    text renders as '' (concat_ws never returns NULL) — callers that
+    must preserve NULLs route them around the rewrite."""
+    spans = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     toks = df.select(

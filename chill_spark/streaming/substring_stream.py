@@ -1,0 +1,118 @@
+"""Continuously span-deduplicating intake: the streaming closure of
+the exact-substring pass.
+
+JSONL documents land in a watched directory; each micro-batch is
+span-checked against the persisted gram index of EVERYTHING seen
+before it (plus batch-local history-wins keepers), the duplicated
+spans are removed from the admitted text, and the batch's ORIGINAL
+grams are registered so later batches dedup against all content
+seen — which makes the store after N batches bit-identical to a
+batch build over the concatenated feed (the compaction invariant),
+and the admitted corpus equal to replaying the whole feed through
+the (arrival, id, off) keeper order.
+
+Exactly-once posture: the store probe is pruned to BATCH_PART <
+current batch (a replayed batch dedups against its original
+predecessor state, never its own half-written append), and both the
+corpus sink and the gram append are batch-keyed dynamic overwrites.
+
+Routing: corrupt lines quarantine; NULL-text rows pass through
+unchanged (nothing to span-check, and the rewrite would render NULL
+as ''); non-null text with a NULL id cannot play keeper election —
+quarantined as JSON lines, mirroring the exact-dedup intake.
+
+Per-batch cost at 100 TB/day: one gram projection over the batch, a
+probe join pruned to the touched BKT_PART partitions, the
+gaps-and-islands merge on the batch's own doc ids, and one
+batch-sized leaf append. History is never re-fingerprinted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..llm_ops.incremental_substring import (
+    incremental_duplicate_spans,
+    init_substring_store,
+    substring_store_append,
+)
+from ..llm_ops.substring import apply_span_removal
+from ..operators.writers import append_batch_keyed as _append_batch_keyed
+from ..sources.jsonl import CORRUPT_COL, read_jsonl_stream
+
+
+def run_substring_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    out_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = 8,
+    bucket_partitions: int | None = None,
+    available_now: bool = False,
+    trigger_seconds: int = 5,
+    quarantine_dir: str | None = None,
+) -> StreamingQuery:
+    """Watch ``input_dir`` for JSONL docs; append span-cleaned docs
+    (original columns, ``text_col`` rewritten) to ``out_dir``;
+    maintain the gram index at ``store_root``. The store may be
+    pre-built (``write_substring_store`` over an accepted corpus —
+    its bootstrap leaf is BATCH_PART=-1, visible to every batch) or
+    absent, in which case it is stamped empty here."""
+    if quarantine_dir is None:
+        quarantine_dir = f"{out_dir}/_quarantine"
+    init_substring_store(spark, store_root, L, bucket_partitions)
+
+    src = read_jsonl_stream(spark, input_dir, schema)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bad = batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("rejected_line")
+        )
+        _append_batch_keyed(bad, quarantine_dir, batch_id)
+        new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        if not new.head(1):
+            return
+        null_text = new.filter(F.col(text_col).isNull())
+        docs = new.filter(F.col(text_col).isNotNull())
+        no_id = docs.filter(F.col(id_col).isNull())
+        if no_id.head(1):
+            _append_batch_keyed(
+                no_id.select(
+                    F.to_json(F.struct("*")).alias("rejected_line")
+                ),
+                quarantine_dir, batch_id,
+            )
+        docs = docs.filter(F.col(id_col).isNotNull())
+        spans = incremental_duplicate_spans(
+            spark, store_root, docs, text_col, id_col,
+            before_batch=batch_id,
+        )
+        cleaned = apply_span_removal(docs, spans, text_col, id_col)
+        admitted = (
+            docs.drop(text_col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("cleaned", text_col)
+            .unionByName(null_text, allowMissingColumns=False)
+        )
+        _append_batch_keyed(admitted, out_dir, batch_id)
+        # register the batch's ORIGINAL grams (all content seen) so
+        # the store stays equal to a batch build over the whole feed;
+        # idempotent per batch_id (dynamic overwrite of its own leaf)
+        substring_store_append(
+            docs, text_col, id_col, store_root, batch_id=batch_id
+        )
+
+    writer = src.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -231,3 +231,64 @@ def test_cli_substring_dedup_lifecycle(spark, tmp_path, capsys):
     assert main(["substring-dedup", "--in", src2, "--store", root,
                  "--append"]) == 0
     assert main(["substring-dedup", "--store", root, "--compact"]) == 0
+
+
+def test_substring_stream_spans_quarantine_and_redrain(spark, tmp_path):
+    """The streaming intake: wave-2 spans duplicated vs wave-1 content
+    are removed from admitted text, original grams register (store ==
+    batch build over the feed), corrupt and NULL-id rows quarantine,
+    NULL-text rows pass through, and a re-drain admits nothing new."""
+    import json
+    import os
+
+    from chill_spark.llm_ops.incremental_substring import read_substring_fps
+    from chill_spark.llm_ops.substring import gram_offsets
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.substring_stream import run_substring_stream
+
+    ind = str(tmp_path / "in"); os.makedirs(ind)
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out,
+        store_root=store, checkpoint_dir=ckpt, L=4,
+        bucket_partitions=4, available_now=True,
+    )
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"doc_id": 10, "text": "w0 w1 a b c d w2 w3 w4 w5"}) + "\n")
+        f.write("corrupt {line\n")
+    drain(run_substring_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"doc_id": 1, "text": "q0 q1 a b c d q2 q3 q4 q5"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": None}) + "\n")
+        f.write(json.dumps({"doc_id": None, "text": "x y z zz"}) + "\n")
+    drain(run_substring_stream(spark, ind, **kw))
+
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # wave 1 keeps its text (history-wins); wave 2's copied span is
+    # cut even though its doc_id sorts first; NULL text passes through
+    assert got[10] == "w0 w1 a b c d w2 w3 w4 w5"
+    assert got[1] == "q0 q1 q2 q3 q4 q5"
+    assert got[2] is None
+    assert set(got) == {10, 1, 2}
+    q = spark.read.parquet(os.path.join(out, "_quarantine"))
+    rej = [r["rejected_line"] for r in q.collect()]
+    assert "corrupt {line" in rej
+    assert any('"text": "x y z zz"' in r or '"text":"x y z zz"' in r
+               for r in rej)
+    # store == distinct grams of the ORIGINAL feed (both docs)
+    both = spark.createDataFrame(
+        [(10, "w0 w1 a b c d w2 w3 w4 w5"),
+         (1, "q0 q1 a b c d q2 q3 q4 q5")], ["doc_id", "text"]
+    )
+    want = {r["fp"] for r in gram_offsets(both, "text", "doc_id", 4)
+            .select("fp").distinct().collect()}
+    assert {r["fp"] for r in read_substring_fps(spark, store).collect()} \
+        == want
+    # idle re-drain: nothing new
+    drain(run_substring_stream(spark, ind, **kw))
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} \
+        == {10, 1, 2}
