@@ -110,6 +110,9 @@ HEADLINE = [
     "q_ann_recall",
     "q_ann_pq_join",
     "q_substring_dedup_spans",
+    "q_substring_dedup_incremental",
+    "q_decontam_bloom",
+    "q_train_quality_classifier",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

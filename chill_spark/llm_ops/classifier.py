@@ -172,34 +172,89 @@ def train_logreg(
     The token frame is computed once and persisted across the 2T
     passes (at 100 TB this is the materialized feature layer you'd
     write next to the corpus, not a cache)."""
-    S = weight_scale
-    spark = df.sparkSession
-    toks = (
+    feats = (
         df.select(
             id_col,
             F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
         )
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
     )
+    labels = df.select(id_col, label.cast("double").alias("__y"))
+    return _gd_train(
+        feats, labels, id_col, "tok", "tok string",
+        iters=iters, lr=lr, weight_scale=weight_scale,
+    )
+
+
+def train_logreg_hashed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    n_buckets: int = 4096,
+    iters: int = 2,
+    lr: float = 0.5,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """The hash-trick variant of :func:`train_logreg` — the shape that
+    survives 100 TB. A raw-token vocabulary grows with the corpus
+    (billions of distinct tokens), which breaks both the model-sized
+    broadcast and the vocab-sized driver collect; hashing unigrams +
+    bigrams into ``n_buckets`` (the fastText trick, reusing DSIR's
+    ``hashed_ngram_features``) bounds the model at a constant you
+    budget, independent of corpus size. Same fixed-point GD loop,
+    identical determinism guarantees. Returns (bucket, w_units).
+    NULL-text docs carry no features and drop out of training (they
+    have no gradient to contribute)."""
+    from .selection import hashed_ngram_features
+
+    feats = (
+        hashed_ngram_features(df, text_col, id_col, n_buckets)
+        .filter(F.col("bkt").isNotNull())
+        .groupBy(F.col("id").alias(id_col), F.col("bkt").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    labels = df.select(id_col, label.cast("double").alias("__y"))
+    return _gd_train(
+        feats, labels, id_col, "bucket", "bucket bigint",
+        iters=iters, lr=lr, weight_scale=weight_scale,
+    )
+
+
+def _gd_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    feat_col: str,
+    feat_schema: str,
+    iters: int,
+    lr: float,
+    weight_scale: int,
+) -> DataFrame:
+    """The shared fixed-point full-batch GD loop over a (id, feat,
+    cnt) frame. Every aggregated value is an exact integer (see
+    train_logreg's docstring for the per-stage shapes)."""
+    S = weight_scale
+    spark = feats.sparkSession
+    feats = feats.persist()
     per_doc = (
-        toks.groupBy(id_col)
+        feats.groupBy(id_col)
         .agg(F.sum("cnt").alias("__n"))
-        .join(df.select(id_col, label.cast("double").alias("__y")), id_col)
+        .join(labels, id_col)
         .persist()
     )
     n_docs = per_doc.count()
-    w: dict[str, int] = {
-        r["tok"]: 0 for r in toks.select("tok").distinct().collect()
+    w: dict = {
+        r[feat_col]: 0 for r in feats.select(feat_col).distinct().collect()
     }
     try:
         for _ in range(iters):
             wdf = spark.createDataFrame(
-                sorted(w.items()), ["tok", "__w"]
+                sorted(w.items()), [feat_col, "__w"]
             )
             su = (
-                toks.join(F.broadcast(wdf), "tok")
+                feats.join(F.broadcast(wdf), feat_col)
                 .groupBy(id_col)
                 .agg(F.sum(F.col("__w") * F.col("cnt")).alias("__su"))
             )
@@ -214,8 +269,8 @@ def train_logreg(
                 .alias("__r"),
             )
             grads = (
-                toks.join(resid, id_col)
-                .groupBy("tok")
+                feats.join(resid, id_col)
+                .groupBy(feat_col)
                 .agg(
                     F.sum(
                         (F.col("__r") * F.col("cnt")).cast("decimal(38,0)")
@@ -224,12 +279,14 @@ def train_logreg(
                 .collect()
             )
             for r in grads:
-                w[r["tok"]] -= _round_half_away(lr * (int(r["__g"]) / n_docs))
+                w[r[feat_col]] -= _round_half_away(
+                    lr * (int(r["__g"]) / n_docs)
+                )
     finally:
-        toks.unpersist()
+        feats.unpersist()
         per_doc.unpersist()
     return spark.createDataFrame(
-        sorted(w.items()), "tok string, w_units bigint"
+        sorted(w.items()), f"{feat_schema}, w_units bigint"
     )
 
 

@@ -2354,6 +2354,35 @@ def test_train_logreg_deterministic_across_partitionings(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_train_logreg_hashed_learns_and_bounds_model(spark):
+    """The hash-trick variant learns the same separable corpus with a
+    model bounded at n_buckets regardless of vocabulary."""
+    from pyspark.sql import functions as F
+
+    from chill_spark.llm_ops.classifier import train_logreg_hashed
+
+    rows = []
+    for i in range(40):
+        marker = "good" if i % 2 == 0 else "bad"
+        rows.append((i, f"{marker} filler one two three", i % 2 == 0))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, y boolean")
+    w = train_logreg_hashed(docs, "doc_id", "text", F.col("y"),
+                            n_buckets=64, iters=4, lr=2.0)
+    rows = w.collect()
+    assert len(rows) <= 64
+    wm = {r["bucket"]: r["w_units"] for r in rows}
+    # score each doc through the hashed features: classes separate
+    from chill_spark.llm_ops.selection import hashed_ngram_features
+
+    f = hashed_ngram_features(docs, "text", "doc_id", 64)
+    scored = (
+        f.groupBy("id").agg(F.collect_list("bkt").alias("bs")).collect()
+    )
+    for r in scored:
+        s = sum(wm.get(b, 0) for b in r["bs"])
+        assert (s > 0) == (r["id"] % 2 == 0), (r["id"], s)
+
+
 def test_round_half_away_matches_sql():
     from chill_spark.llm_ops.classifier import _round_half_away
 
