@@ -104,10 +104,17 @@ def test_remove_spans_rewrite(docs):
 
 def test_two_shuffle_plan_shape(docs):
     """The span plan must stay linear: exchanges only on fp (hash of
-    the gram) and doc_id — no cartesian/broadcast-nested-loop."""
+    the gram) and doc_id — no cartesian/broadcast-nested-loop, and
+    NO window keyed by the fingerprint (a boilerplate gram repeated
+    billions of times must collapse in a combiner-safe aggregate,
+    never pin one window partition — AQE skew splitting does not
+    apply to windows). The only windows allowed are the per-document
+    island merge."""
     plan = duplicate_spans(docs, "text", "doc_id", L)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(fp" not in plan
+    assert "partial_min" in plan  # keeper election combines map-side
 
 
 # ---------------------------------------------------------------------------
@@ -292,3 +299,87 @@ def test_substring_stream_spans_quarantine_and_redrain(spark, tmp_path):
     drain(run_substring_stream(spark, ind, **kw))
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} \
         == {10, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (random small-vocab corpora maximize
+# duplicated grams)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as hyp  # noqa: E402
+
+_doc = hyp.lists(
+    hyp.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+).map(" ".join)
+_corpus = hyp.lists(_doc, min_size=1, max_size=8)
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs=_corpus)
+def test_span_invariants_hold_on_random_corpora(spark, docs):
+    """Spans are disjoint, sorted, >= L tokens, inside the doc; stats
+    reconcile with the span list; the keeper's occurrence of every
+    duplicated gram survives somewhere (no content is lost corpus-
+    wide: removal only ever drops REPEATED content)."""
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    spans = duplicate_spans(df, "text", "doc_id", L).collect()
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    n_toks = {i: len(d.split()) if d else 1 for i, d in enumerate(docs)}
+    for i, ss in per_doc.items():
+        ss.sort()
+        for (a, b), nxt in zip(ss, ss[1:] + [None]):
+            assert b - a >= L and a >= 1 and b <= n_toks[i] + 1
+            if nxt is not None:
+                assert b < nxt[0]  # disjoint AND non-adjacent (merged)
+    st = {r["doc_id"]: r for r in
+          substring_dedup_stats(df, "text", "doc_id", L).collect()}
+    for i in range(len(docs)):
+        want = sum(b - a for a, b in per_doc.get(i, []))
+        assert st[i]["dup_tokens"] == want
+        assert st[i]["n_spans"] == len(per_doc.get(i, []))
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_corpus)
+def test_incremental_equals_batch_when_history_ids_lead(spark, tmp_path_factory, docs):
+    """With history ids strictly below new ids, history-wins keeper
+    order coincides with global (id, off) order — so the incremental
+    probe must reproduce the batch span pipeline restricted to the
+    new docs, exactly."""
+    import shutil
+
+    from chill_spark.llm_ops.incremental_substring import (
+        incremental_duplicate_spans,
+        write_substring_store,
+    )
+
+    half = max(1, len(docs) // 2)
+    hist = list(enumerate(docs[:half]))
+    new = [(100 + i, d) for i, d in enumerate(docs[half:])]
+    if not new:
+        return
+    hist_df = spark.createDataFrame(hist, ["doc_id", "text"])
+    new_df = spark.createDataFrame(new, ["doc_id", "text"])
+    root = str(tmp_path_factory.mktemp("substr")) + "/store"
+    try:
+        write_substring_store(hist_df, "text", "doc_id", root, L=L,
+                              bucket_partitions=4)
+        inc = sorted(
+            map(tuple, incremental_duplicate_spans(
+                spark, root, new_df, "text", "doc_id").collect())
+        )
+        batch = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+            for r in duplicate_spans(
+                hist_df.unionByName(new_df), "text", "doc_id", L
+            ).collect()
+            if r["doc_id"] >= 100
+        )
+        assert inc == batch
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
