@@ -274,7 +274,8 @@ def cmd_substring_dedup(args) -> int:
                   file=sys.stderr)
             return 2
         q = run_substring_stream(
-            spark, args.watch, "doc_id BIGINT, text STRING",
+            spark, args.watch,
+            f"{args.id_col} BIGINT, {args.text_col} STRING",
             out_dir=args.out, store_root=args.store,
             checkpoint_dir=f"{args.store}/_ckpt",
             text_col=args.text_col, id_col=args.id_col,

@@ -46,8 +46,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from ..operators.writers import BATCH_COL
 from .storefs import StoreFS, read_store_json, write_store_json
 from .substring import gram_offsets
@@ -172,13 +170,16 @@ def substring_store_append(
     id_col: str,
     root: str,
     batch_id: int | None = None,
+    grams: DataFrame | None = None,
 ) -> int:
     """Admit a batch's grams into history under its own BATCH_PART
     leaf. Idempotent per batch_id (dynamic overwrite rewrites exactly
     that leaf on replay). Appends the batch's DISTINCT fps without
     anti-joining history — duplicates across leaves are resolved by
     the DISTINCT read and folded by ``compact_substring_store``, so
-    the append stays one map pass + one tiny shuffle."""
+    the append stays one map pass + one tiny shuffle. ``grams``
+    short-circuits the gram projection when the caller already
+    computed it."""
     spark = new_docs.sparkSession
     meta = check_substring_meta(root, spark)
     L = int(meta["L"])
@@ -191,8 +192,10 @@ def substring_store_append(
             if name.startswith(f"{BATCH_COL}=")
         ]
         batch_id = (max(existing) + 1) if existing else 0
+    if grams is None:
+        grams = gram_offsets(new_docs, text_col, id_col, L)
     fps = (
-        gram_offsets(new_docs, text_col, id_col, L)
+        grams
         .select("fp").distinct()
         .withColumn(BATCH_COL, F.lit(int(batch_id)))
     )
@@ -215,6 +218,7 @@ def incremental_duplicate_spans(
     text_col: str,
     id_col: str,
     before_batch: int | None = None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans of the NEW documents under
     history-wins keeper semantics: (id, span_start, span_end,
@@ -223,13 +227,22 @@ def incremental_duplicate_spans(
     One pass over the new batch: gram offsets -> left join the store
     fps (probe pruned to the touched BKT_PART partitions when the
     store is bucketed) -> batch-local keeper election for
-    store-missed grams (the hot-key-safe groupBy(fp) reduction of
-    ``substring.duplicate_offsets``) -> gaps-and-islands merge. The
-    historical corpus is never re-read beyond its fingerprint set."""
+    store-missed grams (``substring.local_keeper_dups``) ->
+    gaps-and-islands merge (``substring.merge_spans``) — the same
+    building blocks as the batch path, so the two can never silently
+    diverge. The historical corpus is never re-read beyond its
+    fingerprint set. ``grams`` short-circuits the gram projection
+    when the caller (the streaming intake) already computed it."""
+    from .substring import local_keeper_dups, merge_spans
+
     meta = check_substring_meta(root, spark)
     L = int(meta["L"])
     nbkt = meta.get("bucket_partitions")
-    g = gram_offsets(new_docs, text_col, id_col, L)
+    g = (
+        grams
+        if grams is not None
+        else gram_offsets(new_docs, text_col, id_col, L)
+    )
     hist = _read_grams(spark, root, before_batch)
     if nbkt:
         touched = sorted(
@@ -243,61 +256,11 @@ def incremental_duplicate_spans(
     # store hits: EVERY new occurrence duplicates a historical keeper
     hits = probed.filter(F.col("__hist").isNotNull()).select(id_col, "off")
     # store misses: batch-local first occurrence keeps
-    misses = probed.filter(F.col("__hist").isNull())
-    firsts = (
-        misses.groupBy("fp")
-        .agg(
-            F.min(
-                F.struct(F.col(id_col).alias("i"), F.col("off").alias("o"))
-            ).alias("__k"),
-            F.count(F.lit(1)).alias("__cnt"),
-        )
-        .filter(F.col("__cnt") > 1)
-        .select("fp", "__k")
-    )
-    local = (
-        misses.join(firsts, "fp")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col("__k.i"))
-                & (F.col("off") == F.col("__k.o"))
-            )
-        )
-        .select(id_col, "off")
-    )
-    dup = hits.unionByName(local).select(
-        id_col, "off", (F.col("off") + L).alias("__e")
-    )
-    w = Window.partitionBy(id_col).orderBy("off")
-    prev_max = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = dup.select(
+    local = local_keeper_dups(
+        probed.filter(F.col("__hist").isNull()).select(id_col, "off", "fp"),
         id_col,
-        "off",
-        "__e",
-        F.when(F.col("off") > F.coalesce(prev_max, F.lit(-1)), 1)
-        .otherwise(0)
-        .alias("__new"),
-    ).select(
-        id_col,
-        "off",
-        "__e",
-        F.sum("__new")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("__g"),
     )
-    return (
-        isl.groupBy(id_col, "__g")
-        .agg(
-            F.min("off").alias("span_start"),
-            F.max("__e").alias("span_end"),
-        )
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
-        )
-    )
+    return merge_spans(hits.unionByName(local), id_col, L)
 
 
 def compact_substring_store(spark: SparkSession, root: str) -> dict:

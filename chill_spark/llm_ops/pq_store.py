@@ -795,7 +795,7 @@ def pq_store_rebuild(
     the cheap scheduled-maintenance mode); passing a threshold runs
     it against ``emb``. Returns the decision dict plus ``action``
     ("rebuilt" | "kept")."""
-    meta = read_store_json(root, spark=spark)
+    meta = check_pq_meta(root, spark)  # loud error on a non-store
     decision = pq_store_rebuild_decision(
         spark, root,
         emb=emb if min_recall is not None else None,

@@ -47,22 +47,6 @@ from pyspark.sql.window import Window
 from .portable import phash
 from .text import normalize_text
 
-#: DuckDB CTE template mirroring :func:`gram_offsets` — substitute
-#: ``{table}``, ``{id}``, ``{text}``, ``{L}``. Produces (id, off, fp).
-GRAM_OFFSETS_SQL = r"""
-  toks AS (
-    SELECT {id},
-           string_split(trim(regexp_replace(lower({text}), '\s+', ' ', 'g')), ' ') AS t
-    FROM {table}
-  ),
-  offs AS (
-    SELECT {id}, i AS off,
-           ('0x' || substring(md5(array_to_string(t[i : i + {L} - 1], ' ')), 1, 15))::BIGINT AS fp
-    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - {L} + 1, 0) + 1)) AS i) u(i)
-  )
-"""
-
-
 def gram_offsets(
     df: DataFrame, text_col: str, id_col: str, L: int
 ) -> DataFrame:
@@ -109,7 +93,14 @@ def duplicate_offsets(
     does not apply to them). The duplicated-gram frame (one row per
     distinct duplicated fp) then equi-joins back, where AQE skew
     handling DOES apply."""
-    g = gram_offsets(df, text_col, id_col, L)
+    return local_keeper_dups(gram_offsets(df, text_col, id_col, L), id_col)
+
+
+def local_keeper_dups(g: DataFrame, id_col: str) -> DataFrame:
+    """The keeper-election reduction over an (id, off, fp) frame:
+    (id, off) of every non-first occurrence of a duplicated fp (first
+    by (id, off) order). Shared by the batch and incremental paths —
+    the incremental probe runs it on store-missed grams only."""
     firsts = (
         g.groupBy("fp")
         .agg(
@@ -140,9 +131,14 @@ def duplicate_spans(
     span_end, span_tokens), span_end exclusive. Overlapping or
     adjacent duplicated L-grams merge into one span (gaps-and-islands
     on the running max of span end)."""
-    dup = duplicate_offsets(df, text_col, id_col, L).select(
-        id_col, "off", (F.col("off") + L).alias("__e")
-    )
+    return merge_spans(duplicate_offsets(df, text_col, id_col, L), id_col, L)
+
+
+def merge_spans(dup: DataFrame, id_col: str, L: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated L-gram offsets (id, off)
+    into maximal spans — the per-document window half of the span
+    pipeline, shared by the batch and incremental paths."""
+    dup = dup.select(id_col, "off", (F.col("off") + L).alias("__e"))
     w = Window.partitionBy(id_col).orderBy("off")
     prev_max = F.max("__e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -4681,7 +4681,13 @@ def q_substring_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
         return (
             spark.read.parquet(out)
-            .select("doc_id", F.col("text").alias("cleaned"))
+            # the intake passes NULL text through; the oracle's
+            # positional rewrite renders a token-less doc as '' —
+            # align here so a NULL-text fixture row can't diverge
+            .select(
+                "doc_id",
+                F.coalesce(F.col("text"), F.lit("")).alias("cleaned"),
+            )
             .orderBy("doc_id")
             .localCheckpoint(eager=True)
         )

@@ -110,24 +110,28 @@ def run_exact_dedup_stream(
         bad = batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("rejected_line")
         )
-        _append_batch_keyed(bad, quarantine_dir, batch_id)
         new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         if not new.head(1):
+            _append_batch_keyed(bad, quarantine_dir, batch_id)
             return
         fpd = new.withColumn(_FP_COL, doc_fingerprint(text_col))
         nulls = fpd.filter(F.col(_FP_COL).isNull())
         fpd = fpd.filter(F.col(_FP_COL).isNotNull())
         # NULL-id rows can't play first-occurrence-wins (min() skips
         # NULLs and the [fp, id] semi-join never matches them) — route
-        # them to the reject channel instead of silently losing them
+        # them to the reject channel instead of silently losing them.
+        # ONE quarantine write per batch, corrupt lines included: a
+        # second append_batch_keyed to the same dir would
+        # dynamic-overwrite (i.e. DELETE) the first one's leaf.
         no_id = fpd.filter(F.col(id_col).isNull())
-        if no_id.head(1):
-            _append_batch_keyed(
+        _append_batch_keyed(
+            bad.unionByName(
                 no_id.drop(_FP_COL).select(
                     F.to_json(F.struct("*")).alias("rejected_line")
-                ),
-                quarantine_dir, batch_id,
-            )
+                )
+            ),
+            quarantine_dir, batch_id,
+        )
         fpd = fpd.filter(F.col(id_col).isNotNull())
         # in-batch first occurrence: min id per fingerprint (a partial
         # agg + semi join — no window, no skew on the id)

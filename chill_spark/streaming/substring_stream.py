@@ -38,7 +38,7 @@ from ..llm_ops.incremental_substring import (
     init_substring_store,
     substring_store_append,
 )
-from ..llm_ops.substring import apply_span_removal
+from ..llm_ops.substring import apply_span_removal, gram_offsets
 from ..operators.writers import append_batch_keyed as _append_batch_keyed
 from ..sources.jsonl import CORRUPT_COL, read_jsonl_stream
 
@@ -66,47 +66,56 @@ def run_substring_stream(
     absent, in which case it is stamped empty here."""
     if quarantine_dir is None:
         quarantine_dir = f"{out_dir}/_quarantine"
-    init_substring_store(spark, store_root, L, bucket_partitions)
+    meta = init_substring_store(spark, store_root, L, bucket_partitions)
 
     src = read_jsonl_stream(spark, input_dir, schema)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        bad = batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
-            F.col(CORRUPT_COL).alias("rejected_line")
-        )
-        _append_batch_keyed(bad, quarantine_dir, batch_id)
         new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        if not new.head(1):
-            return
         null_text = new.filter(F.col(text_col).isNull())
         docs = new.filter(F.col(text_col).isNotNull())
-        no_id = docs.filter(F.col(id_col).isNull())
-        if no_id.head(1):
-            _append_batch_keyed(
-                no_id.select(
-                    F.to_json(F.struct("*")).alias("rejected_line")
-                ),
-                quarantine_dir, batch_id,
+        # ONE quarantine write per batch: corrupt lines plus NULL-id
+        # rows together — a second append_batch_keyed to the same dir
+        # would dynamic-overwrite (i.e. DELETE) the first one's leaf
+        rejects = batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("rejected_line")
+        ).unionByName(
+            docs.filter(F.col(id_col).isNull()).select(
+                F.to_json(F.struct("*")).alias("rejected_line")
             )
+        )
+        _append_batch_keyed(rejects, quarantine_dir, batch_id)
+        if not new.head(1):
+            return
         docs = docs.filter(F.col(id_col).isNotNull())
-        spans = incremental_duplicate_spans(
-            spark, store_root, docs, text_col, id_col,
-            before_batch=batch_id,
-        )
-        cleaned = apply_span_removal(docs, spans, text_col, id_col)
-        admitted = (
-            docs.drop(text_col)
-            .join(cleaned, id_col)
-            .withColumnRenamed("cleaned", text_col)
-            .unionByName(null_text, allowMissingColumns=False)
-        )
-        _append_batch_keyed(admitted, out_dir, batch_id)
-        # register the batch's ORIGINAL grams (all content seen) so
-        # the store stays equal to a batch build over the whole feed;
-        # idempotent per batch_id (dynamic overwrite of its own leaf)
-        substring_store_append(
-            docs, text_col, id_col, store_root, batch_id=batch_id
-        )
+        # fingerprint the batch ONCE; the probe and the register
+        # actions share the persisted frame instead of re-tokenizing
+        grams = gram_offsets(
+            docs, text_col, id_col, int(meta["L"])
+        ).persist()
+        try:
+            spans = incremental_duplicate_spans(
+                spark, store_root, docs, text_col, id_col,
+                before_batch=batch_id, grams=grams,
+            )
+            cleaned = apply_span_removal(docs, spans, text_col, id_col)
+            admitted = (
+                docs.drop(text_col)
+                .join(cleaned, id_col)
+                .withColumnRenamed("cleaned", text_col)
+                .unionByName(null_text, allowMissingColumns=False)
+            )
+            _append_batch_keyed(admitted, out_dir, batch_id)
+            # register the batch's ORIGINAL grams (all content seen)
+            # so the store stays equal to a batch build over the
+            # whole feed; idempotent per batch_id (dynamic overwrite
+            # of its own leaf)
+            substring_store_append(
+                docs, text_col, id_col, store_root, batch_id=batch_id,
+                grams=grams,
+            )
+        finally:
+            grams.unpersist()
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -2395,6 +2395,7 @@ def test_exact_dedup_stream_null_id_quarantined(spark, stream_dirs):
         f.write(json.dumps({"doc_id": 1, "text": "alpha doc"}) + "\n")
         f.write(json.dumps({"doc_id": None, "text": "orphan doc"}) + "\n")
         f.write(json.dumps({"doc_id": 2, "text": None}) + "\n")
+        f.write("corrupt {line\n")
     drain(run_exact_dedup_stream(
         spark, ind, schema="doc_id BIGINT, text STRING", out_dir=out,
         store_root=os.path.join(base, "xdn_store"),
@@ -2404,6 +2405,12 @@ def test_exact_dedup_stream_null_id_quarantined(spark, stream_dirs):
 
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1, 2}  # survivor + NULL-text passthrough
-    q = [json.loads(r["rejected_line"]) for r in
-         spark.read.parquet(os.path.join(out, "_quarantine")).collect()]
-    assert [r["text"] for r in q] == ["orphan doc"]
+    # corrupt line and NULL-id row land in the SAME batch: both must
+    # survive in quarantine (one write — a second dynamic overwrite
+    # of the leaf would delete the first reject set)
+    rej = sorted(
+        r["rejected_line"] for r in
+        spark.read.parquet(os.path.join(out, "_quarantine")).collect()
+    )
+    assert len(rej) == 2 and rej[0] == "corrupt {line"
+    assert json.loads(rej[1])["text"] == "orphan doc"

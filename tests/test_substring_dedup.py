@@ -272,6 +272,7 @@ def test_substring_stream_spans_quarantine_and_redrain(spark, tmp_path):
             {"doc_id": 1, "text": "q0 q1 a b c d q2 q3 q4 q5"}) + "\n")
         f.write(json.dumps({"doc_id": 2, "text": None}) + "\n")
         f.write(json.dumps({"doc_id": None, "text": "x y z zz"}) + "\n")
+        f.write("also corrupt }\n")
     drain(run_substring_stream(spark, ind, **kw))
 
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
@@ -284,8 +285,13 @@ def test_substring_stream_spans_quarantine_and_redrain(spark, tmp_path):
     q = spark.read.parquet(os.path.join(out, "_quarantine"))
     rej = [r["rejected_line"] for r in q.collect()]
     assert "corrupt {line" in rej
+    # same-batch corrupt + NULL-id rejects must BOTH survive (single
+    # quarantine write per batch; a second dynamic overwrite of the
+    # leaf would delete the first reject set)
+    assert "also corrupt }" in rej
     assert any('"text": "x y z zz"' in r or '"text":"x y z zz"' in r
                for r in rej)
+    assert len(rej) == 3
     # store == distinct grams of the ORIGINAL feed (both docs)
     both = spark.createDataFrame(
         [(10, "w0 w1 a b c d w2 w3 w4 w5"),
