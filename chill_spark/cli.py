@@ -875,6 +875,27 @@ def cmd_exact_dedup_stream(args) -> int:
     return 0
 
 
+def cmd_decontam_stream(args) -> int:
+    from .session import get_spark
+    from .streaming import drain
+    from .streaming.decontam_stream import run_decontam_stream
+
+    spark = get_spark("chill-decontam-stream")
+    q = run_decontam_stream(
+        spark, args.input, args.schema,
+        out_dir=args.out, bloom_root=args.bloom,
+        checkpoint_dir=args.checkpoint,
+        text_col=args.text_col, id_col=args.id_col, n=args.n,
+        available_now=args.drain, trigger_seconds=args.trigger,
+        flagged_dir=args.flagged, quarantine_dir=args.quarantine,
+    )
+    if args.drain:
+        drain(q)
+    else:
+        q.awaitTermination()
+    return 0
+
+
 def _default_columns(cat: Catalog) -> list[str]:
     """Every table's raw columns, deduped order-preserving."""
     return list(
@@ -1614,6 +1635,31 @@ def main(argv: list[str] | None = None) -> int:
         "signatures); skips are reported on stderr",
     )
     dd.set_defaults(fn=cmd_dedup)
+
+    dc = sub.add_parser(
+        "decontam-stream",
+        help="benchmark-decontamination JSONL intake: docs sharing a "
+             "gram with the persisted benchmark Bloom flag; proven-"
+             "clean docs reach the corpus",
+    )
+    dc.add_argument("--in", dest="input", required=True)
+    dc.add_argument("--schema", default="doc_id BIGINT, text STRING")
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--bloom", required=True,
+                    help="benchmark Bloom store root (bloom --build "
+                         "over the benchmark's distinct grams)")
+    dc.add_argument("--checkpoint", required=True)
+    dc.add_argument("--text-col", dest="text_col", default="text")
+    dc.add_argument("--id-col", dest="id_col", default="doc_id")
+    dc.add_argument("--n", type=int, default=3,
+                    help="gram length the filter was built at")
+    dc.add_argument("--trigger", type=int, default=5)
+    dc.add_argument("--flagged", help="possible-contaminated channel "
+                                      "(default OUT/_flagged)")
+    dc.add_argument("--quarantine")
+    dc.add_argument("--drain", action="store_true",
+                    help="process available files then exit")
+    dc.set_defaults(fn=cmd_decontam_stream)
 
     sd = sub.add_parser(
         "substring-dedup",

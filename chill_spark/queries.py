@@ -58,6 +58,7 @@ _PRIORITY: list[str] = [
     "q_substring_dedup_stats", "q_substring_dedup_clean",
     "q_decontam_bloom", "q_train_quality_classifier",
     "q_substring_dedup_incremental", "q_substring_stream",
+    "q_decontam_stream",
     # --- last driver check: round 4 (all 36) ---
     "q_rollup_hourly", "q_rollup_ladder_daily", "q_cfg_table_users",
     "q_retention_expired", "q_reconcile_missing_rows",
@@ -73,10 +74,10 @@ _PRIORITY: list[str] = [
     "q_cluster_balanced_sample", "q_lm_perplexity", "q_source_caps",
     "q_segment_dedup", "q_mixture_weights", "q_quality_budget",
     "q_scd1_merge", "q_profile_lineitem",
-    # --- last driver check: round 5 (first 5 of 46 in registration
+    # --- last driver check: round 5 (first 4 of 46 in registration
     #     order; the rest rotate in r9, enforced by the gate) ---
     "q_rollup_15m", "q_dedup_incremental", "q_ann_ivf_topk",
-    "q_embedding_near_dups", "q_media_image_meta",
+    "q_embedding_near_dups",
 ]
 
 
@@ -4300,10 +4301,11 @@ def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tok")
 
 
-@query(
-    "q_decontam_bloom",
-    oracle=r"""
-    WITH toks AS (
+#: shared decontamination-oracle CTEs: benchmark = distinct 3-grams of
+#: doc_id % 20 == 0 docs, compressed into the 131072-bit/5-hash Bloom,
+#: every training gram probed bit-for-bit, exact rail alongside.
+_DECONTAM_CTES = r"""
+    toks AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
       FROM documents
@@ -4344,6 +4346,12 @@ def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.doc_id, t.g, (b.g IS NOT NULL) AS ex
       FROM train t LEFT JOIN bench b USING (g)
     )
+"""
+
+
+@query(
+    "q_decontam_bloom",
+    oracle="WITH" + _DECONTAM_CTES + """
     SELECT v.doc_id,
            count(*) AS n_grams,
            sum(CASE WHEN v.hit THEN 1 ELSE 0 END)::BIGINT AS bloom_hits,
@@ -4407,6 +4415,81 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_decontam_stream",
+    oracle="WITH" + _DECONTAM_CTES + """
+    SELECT doc_id, bool_or(hit) AS flagged
+    FROM gram_verdict GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_decontam_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination gate as a REAL checkpointed intake
+    (streaming.decontam_stream): the benchmark's distinct 3-grams are
+    persisted ONCE as a Bloom store, then the training docs arrive as
+    JSONL in two waves; each micro-batch probes the frozen filter
+    map-only and routes proven-clean docs to the corpus, possible
+    hits to the flagged channel. Stateless per batch by construction,
+    so stream == batch trivially — the oracle is q_decontam_bloom's
+    bit-for-bit replay reduced to the per-doc verdict, answered from
+    the two channels' union."""
+    import os
+    import shutil
+    import tempfile
+
+    from .llm_ops.bloom import write_bloom_store
+    from .llm_ops.text import normalize_text
+    from .streaming import drain
+    from .streaming.decontam_stream import run_decontam_stream
+
+    m, h, n = 131072, 5, 3
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    with_t = d.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("__t")
+    )
+    t = F.col("__t")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = with_t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    tmp = tempfile.mkdtemp(prefix="chill_decontam_stream_")
+    try:
+        watch = os.path.join(tmp, "docs")
+        out = os.path.join(tmp, "out")
+        bloom = os.path.join(tmp, "bloom")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(watch)
+        write_bloom_store(bench, "g", bloom, num_bits=m, num_hashes=h)
+        for k in (0, 1):
+            train.filter(F.col("doc_id") % 2 == k).select(
+                "doc_id", "text"
+            ).write.json(os.path.join(watch, f"w{k}"))
+            drain(run_decontam_stream(
+                spark, watch + "/*", "doc_id BIGINT, text STRING",
+                out_dir=out, bloom_root=bloom, checkpoint_dir=ckpt,
+                n=n, available_now=True,
+            ))
+        clean = spark.read.parquet(out).select(
+            "doc_id", F.lit(False).alias("flagged")
+        )
+        flagged = spark.read.parquet(os.path.join(out, "_flagged")).select(
+            "doc_id", F.lit(True).alias("flagged")
+        )
+        return (
+            clean.unionByName(flagged)
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _SUBSTR_L = 8

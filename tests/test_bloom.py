@@ -195,3 +195,52 @@ def test_bloom_fpr_analytic():
     assert bloom_fpr(1 << 20, 7, 1) == pytest.approx(0.0, abs=1e-5)
     # classic optimum: m/n = 10 bits/key, k = 7 -> ~0.8%
     assert bloom_fpr(10_000, 7, 1_000) == pytest.approx(0.0082, abs=2e-3)
+
+
+def test_decontam_stream_routes_and_redrains(spark, tmp_path):
+    """The streaming decontamination gate: docs sharing a benchmark
+    gram flag (with hit accounting), proven-clean docs admit, NULL
+    text admits (nothing to be contaminated by), corrupt + NULL-id
+    rows land in ONE quarantine leaf, and a re-drain is a no-op."""
+    import json
+    import os
+
+    from chill_spark.llm_ops.bloom import write_bloom_store
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.decontam_stream import run_decontam_stream
+
+    bench = spark.createDataFrame(
+        [("the forbidden phrase",)], ["g"]
+    )
+    bloom = str(tmp_path / "bloom")
+    write_bloom_store(bench, "g", bloom, num_bits=1 << 14, num_hashes=5)
+
+    ind = str(tmp_path / "in"); os.makedirs(ind)
+    out = str(tmp_path / "out")
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"doc_id": 1, "text": "contains the forbidden phrase here"}
+        ) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "totally novel words"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "text": None}) + "\n")
+        f.write(json.dumps({"doc_id": None, "text": "lost row"}) + "\n")
+        f.write("corrupt{\n")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out,
+        bloom_root=bloom, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    drain(run_decontam_stream(spark, ind, **kw))
+
+    clean = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert clean == {2, 3}
+    fl = spark.read.parquet(os.path.join(out, "_flagged")).collect()
+    assert [r["doc_id"] for r in fl] == [1]
+    assert fl[0]["bloom_hits"] >= 1 and fl[0]["n_grams"] >= 3
+    rej = sorted(r["rejected_line"] for r in
+                 spark.read.parquet(os.path.join(out, "_quarantine")).collect())
+    assert len(rej) == 2 and rej[0] == "corrupt{"
+    assert json.loads(rej[1])["text"] == "lost row"
+    # idle re-drain: no growth anywhere
+    drain(run_decontam_stream(spark, ind, **kw))
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {2, 3}
