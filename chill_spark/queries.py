@@ -58,7 +58,7 @@ _PRIORITY: list[str] = [
     "q_substring_dedup_stats", "q_substring_dedup_clean",
     "q_decontam_bloom", "q_train_quality_classifier",
     "q_substring_dedup_incremental", "q_substring_stream",
-    "q_decontam_stream",
+    "q_decontam_stream", "q_lm_bigram_perplexity",
     # --- last driver check: round 4 (all 36) ---
     "q_rollup_hourly", "q_rollup_ladder_daily", "q_cfg_table_users",
     "q_retention_expired", "q_reconcile_missing_rows",
@@ -74,10 +74,9 @@ _PRIORITY: list[str] = [
     "q_cluster_balanced_sample", "q_lm_perplexity", "q_source_caps",
     "q_segment_dedup", "q_mixture_weights", "q_quality_budget",
     "q_scd1_merge", "q_profile_lineitem",
-    # --- last driver check: round 5 (first 4 of 46 in registration
+    # --- last driver check: round 5 (first 3 of 46 in registration
     #     order; the rest rotate in r9, enforced by the gate) ---
     "q_rollup_15m", "q_dedup_incremental", "q_ann_ivf_topk",
-    "q_embedding_near_dups",
 ]
 
 
@@ -5881,6 +5880,80 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+
+
+@query(
+    "q_lm_bigram_perplexity",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, source,
+               CASE WHEN i = 1 THEN chr(2) || 'bos' ELSE t[i - 1] END AS prev,
+               t[i] AS tok
+        FROM norm, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u(i)
+        WHERE length(t[i]) > 0
+    ),
+    uni AS (SELECT tok, count(*)::DOUBLE AS c1 FROM pairs
+            WHERE source = 'src0' GROUP BY tok),
+    bi  AS (SELECT prev, tok, count(*)::DOUBLE AS c2 FROM pairs
+            WHERE source = 'src0' GROUP BY prev, tok),
+    ctx AS (SELECT prev, count(*)::DOUBLE AS cc FROM pairs
+            WHERE source = 'src0' GROUP BY prev),
+    tot AS (SELECT sum(c1) AS n, count(*)::DOUBLE AS v FROM uni),
+    sc AS (
+        SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
+               -avg(ln(
+                   0.7 * ((coalesce(b.c2, 0) + 0.5)
+                          / (coalesce(x.cc, 0) + (SELECT 0.5 * (v + 1) FROM tot)))
+                   + 0.30000000000000004 * ((coalesce(u.c1, 0) + 0.5)
+                          / (SELECT n + 0.5 * (v + 1) FROM tot))
+               )) AS ce
+        FROM pairs p
+        LEFT JOIN bi  b ON b.prev = p.prev AND b.tok = p.tok
+        LEFT JOIN ctx x ON x.prev = p.prev
+        LEFT JOIN uni u ON u.tok = p.tok
+        GROUP BY p.doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+           round(s.ce, 6) AS cross_entropy,
+           round(exp(s.ce), 6) AS perplexity
+    FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-grade LM quality scoring under a Jelinek-Mercer
+    interpolated BIGRAM model (lam=0.7 bigram leg, add-0.5 smoothing,
+    BOS-anchored first pairs) trained on the source='src0' reference —
+    context-aware perplexity separates boilerplate from in-domain
+    text far more sharply than the unigram stand-in
+    (q_lm_perplexity). Training is one reference pass for three
+    broadcast-eligible count tables; scoring is one pair projection +
+    three broadcast left joins + a doc-keyed agg
+    (llm_ops/text.py bigram_cross_entropy). The oracle retrains all
+    three tables and re-scores every document — interpolation,
+    backoff, and BOS handling value-hashed (the 0.3000...4 literal is
+    the exact double 1.0 - 0.7, matching the Spark plan
+    bit-for-bit)."""
+    from .llm_ops.text import bigram_cross_entropy
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        bigram_cross_entropy(
+            d, d.filter(F.col("source") == "src0"), "text", "doc_id"
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("cross_entropy", 6).alias("cross_entropy"),
+            F.round("perplexity", 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -1604,6 +1604,38 @@ def test_lm_perplexity_ranks_in_domain_text_lower(spark):
     assert got[3]["n_tokens"] == 0 and got[3]["cross_entropy"] is None
 
 
+def test_bigram_lm_context_beats_unigram_on_scrambled_text(spark):
+    """The interpolated bigram LM must (a) rank in-domain text below
+    OOV gibberish, and (b) — the reason it exists — score a SCRAMBLED
+    permutation of in-domain tokens worse than the original, which a
+    unigram model cannot do (same bag, same unigram score)."""
+    from chill_spark.llm_ops.text import bigram_cross_entropy
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog")
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),    # in-domain, in order
+            (2, "fox the brown quick"),    # same bag, scrambled
+            (3, "zxqv wvut kjhg plmn"),    # all-OOV gibberish
+            (4, ""),                        # empty -> null score
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bigram_cross_entropy(
+            docs, ref, "text", "doc_id"
+        ).collect()
+    }
+    assert got[1]["perplexity"] < got[2]["perplexity"]
+    assert got[2]["perplexity"] < got[3]["perplexity"]
+    assert got[4]["n_tokens"] == 0 and got[4]["cross_entropy"] is None
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup (semantic dedup)
 # ---------------------------------------------------------------------------
