@@ -1450,12 +1450,45 @@ def cmd_bloom(args) -> int:
     if args.build:
         if not args.input:
             raise SystemExit("bloom --build: --input required")
+        keys = spark.read.parquet(args.input)
+        key_col, extra = args.key_col, None
+        if args.grams:
+            # benchmark-gram filter: explode the key column's distinct
+            # n-grams first and stamp n so a mismatched consumer
+            # (decontam-stream --n) fails loud instead of probing a
+            # disjoint key space
+            from pyspark.sql import functions as F2
+
+            from .llm_ops.text import normalize_text
+
+            t = F2.split(normalize_text(args.key_col), " ")
+            anchored = keys.select(t.alias("__t"))
+            tt = F2.col("__t")
+            starts = F2.sequence(
+                F2.lit(0), F2.greatest(F2.size(tt) - args.grams, F2.lit(0))
+            )
+            keys = anchored.select(
+                F2.explode(
+                    F2.array_distinct(
+                        F2.transform(
+                            starts,
+                            lambda i: F2.concat_ws(
+                                " ", F2.slice(tt, i + 1, args.grams)
+                            ),
+                        )
+                    )
+                ).alias("g")
+            ).distinct()
+            key_col, extra = "g", {"grams_n": args.grams}
         meta = write_bloom_store(
-            spark.read.parquet(args.input), args.key_col, args.store,
+            keys, key_col, args.store,
             num_bits=args.bits, num_hashes=args.hashes,
+            extra_meta=extra,
         )
         print(f"built {args.store} (bits={meta['num_bits']}, "
-              f"hashes={meta['num_hashes']})")
+              f"hashes={meta['num_hashes']}"
+              + (f", grams_n={meta['grams_n']}" if args.grams else "")
+              + ")")
         return 0
     if args.add:
         bloom_store_add(spark.read.parquet(args.add), args.key_col, args.store)
@@ -2078,6 +2111,11 @@ def main(argv: list[str] | None = None) -> int:
     bl.add_argument("--key-col", default="text")
     bl.add_argument("--bits", type=int, default=1 << 20)
     bl.add_argument("--hashes", type=int, default=5)
+    bl.add_argument("--grams", type=int, default=None,
+                    help="with --build: key the filter on the key "
+                         "column's distinct N-grams (benchmark "
+                         "decontamination filter); N is stamped in "
+                         "the store meta")
     bl.set_defaults(fn=cmd_bloom)
 
     pq = sub.add_parser(

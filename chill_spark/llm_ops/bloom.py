@@ -180,19 +180,27 @@ def with_bloom_contains(
 def write_bloom_store(
     keys: DataFrame, col: str, root: str,
     num_bits: int = 1 << 20, num_hashes: int = 5,
+    extra_meta: dict | None = None,
 ) -> dict:
     """Persist a corpus-level filter under ``root`` (words parquet +
     meta json), the membership-gate sibling of the PQ/dedup stores.
     Unlike those, a Bloom store needs NO replay resolution: adding a
     batch twice is a bitwise no-op (OR is idempotent), so crash-retry
-    semantics are free."""
+    semantics are free.
+
+    ``extra_meta`` records how the KEYS were derived (e.g.
+    ``{"grams_n": 3}`` for a benchmark gram filter) so a consumer
+    whose preprocessing disagrees can fail loud instead of silently
+    probing a disjoint key space — the same mismatched-consumer
+    hazard check_sketch_meta guards for the sketch stores."""
     from .storefs import write_store_json
 
     spark = keys.sparkSession
     bloom_build(keys, col, num_bits, num_hashes).write.mode(
         "overwrite"
     ).parquet(f"{root}/words")
-    meta = {"num_bits": num_bits, "num_hashes": num_hashes}
+    meta = {"num_bits": num_bits, "num_hashes": num_hashes,
+            **(extra_meta or {})}
     write_store_json(root, meta, spark=spark)
     return meta
 

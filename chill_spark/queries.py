@@ -4466,7 +4466,10 @@ def q_decontam_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom = os.path.join(tmp, "bloom")
         ckpt = os.path.join(tmp, "ckpt")
         os.makedirs(watch)
-        write_bloom_store(bench, "g", bloom, num_bits=m, num_hashes=h)
+        write_bloom_store(
+            bench, "g", bloom, num_bits=m, num_hashes=h,
+            extra_meta={"grams_n": n},
+        )
         for k in (0, 1):
             train.filter(F.col("doc_id") % 2 == k).select(
                 "doc_id", "text"

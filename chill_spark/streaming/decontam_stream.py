@@ -103,6 +103,14 @@ def run_decontam_stream(
         flagged_dir = f"{out_dir}/_flagged"
     words, meta = read_bloom_store(spark, bloom_root)
     num_bits, num_hashes = int(meta["num_bits"]), int(meta["num_hashes"])
+    if "grams_n" in meta and int(meta["grams_n"]) != n:
+        # probing a filter built at a different gram length finds a
+        # DISJOINT key space: every doc would pass as proven-clean
+        raise ValueError(
+            f"decontam stream asked for n={n} but the filter at "
+            f"{bloom_root} was built over {meta['grams_n']}-grams — "
+            "rebuild the filter or match --n"
+        )
 
     src = read_jsonl_stream(spark, input_dir, schema)
 

@@ -244,3 +244,47 @@ def test_decontam_stream_routes_and_redrains(spark, tmp_path):
     # idle re-drain: no growth anywhere
     drain(run_decontam_stream(spark, ind, **kw))
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {2, 3}
+
+
+def test_cli_bloom_gram_build_feeds_decontam_stream(spark, tmp_path, capsys):
+    """`bloom --build --grams N` persists a benchmark gram filter with
+    N stamped in meta; decontam-stream honors a matching --n and fails
+    loud on a mismatch (a disjoint key space would pass everything as
+    proven-clean)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from chill_spark.cli import main
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.decontam_stream import run_decontam_stream
+
+    bench_p = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(1, "the forbidden phrase appears here")], ["doc_id", "text"]
+    ).write.parquet(bench_p)
+    bloom = str(tmp_path / "bloom")
+    assert main(["bloom", "--build", "--input", bench_p,
+                 "--store", bloom, "--key-col", "text",
+                 "--grams", "3", "--bits", str(1 << 14)]) == 0
+    assert "grams_n=3" in capsys.readouterr().out
+
+    ind = str(tmp_path / "in"); os.makedirs(ind)
+    out = str(tmp_path / "out")
+    with open(os.path.join(ind, "w.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"doc_id": 7, "text": "quoting the forbidden phrase verbatim"}
+        ) + "\n")
+        f.write(json.dumps({"doc_id": 8, "text": "novel words only"}) + "\n")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out,
+        bloom_root=bloom, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    with _pytest.raises(ValueError, match="built over 3-grams"):
+        run_decontam_stream(spark, ind, n=4, **kw)
+    drain(run_decontam_stream(spark, ind, n=3, **kw))
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {8}
+    fl = spark.read.parquet(os.path.join(out, "_flagged")).collect()
+    assert [r["doc_id"] for r in fl] == [7]
