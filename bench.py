@@ -113,6 +113,7 @@ HEADLINE = [
     "q_substring_dedup_incremental",
     "q_decontam_bloom",
     "q_train_quality_classifier",
+    "q_lm_bigram_perplexity",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC
