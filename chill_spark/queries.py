@@ -58,7 +58,7 @@ _PRIORITY: list[str] = [
     "q_substring_dedup_stats", "q_substring_dedup_clean",
     "q_decontam_bloom", "q_train_quality_classifier",
     "q_substring_dedup_incremental", "q_substring_stream",
-    "q_decontam_stream", "q_lm_bigram_perplexity",
+    "q_decontam_stream", "q_lm_bigram_perplexity", "q_corpus_prep_v2",
     # --- last driver check: round 4 (all 36) ---
     "q_rollup_hourly", "q_rollup_ladder_daily", "q_cfg_table_users",
     "q_retention_expired", "q_reconcile_missing_rows",
@@ -74,9 +74,9 @@ _PRIORITY: list[str] = [
     "q_cluster_balanced_sample", "q_lm_perplexity", "q_source_caps",
     "q_segment_dedup", "q_mixture_weights", "q_quality_budget",
     "q_scd1_merge", "q_profile_lineitem",
-    # --- last driver check: round 5 (first 3 of 46 in registration
+    # --- last driver check: round 5 (first 2 of 46 in registration
     #     order; the rest rotate in r9, enforced by the gate) ---
-    "q_rollup_15m", "q_dedup_incremental", "q_ann_ivf_topk",
+    "q_rollup_15m", "q_dedup_incremental",
 ]
 
 
@@ -4720,6 +4720,115 @@ def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_corpus_prep_v2",
+    oracle=("WITH" + _substr_spans_ctes() + """
+    , pos AS (
+      SELECT doc_id, p, t[p] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p) u(p)
+    ),
+    kept AS (
+      SELECT pos.doc_id, string_agg(pos.tok, ' ' ORDER BY pos.p) AS cleaned
+      FROM pos
+      LEFT JOIN spans s
+        ON s.doc_id = pos.doc_id
+       AND pos.p >= s.span_start AND pos.p < s.span_end
+      WHERE s.doc_id IS NULL
+      GROUP BY pos.doc_id
+    ),
+    cdocs AS (
+      SELECT t.doc_id, d.source, coalesce(k.cleaned, '') AS text
+      FROM toks t
+      JOIN documents d USING (doc_id)
+      LEFT JOIN kept k ON k.doc_id = t.doc_id
+    ),
+    toks2 AS (
+        SELECT doc_id, source, text,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t2
+        FROM cdocs
+    ),
+    grams2 AS (
+        SELECT doc_id, source, text, len(t2) AS n_tok,
+               list_transform(range(1, greatest(len(t2) - 3, 0) + 2),
+                              i -> array_to_string(t2[i : i + 2], ' ')) AS g
+        FROM toks2
+    ),
+    filtered AS (
+        SELECT doc_id, source, text, n_tok
+        FROM grams2
+        WHERE n_tok >= 30
+          AND 1 - len(list_distinct(g))::DOUBLE / len(g) < 0.2
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, any_value(source) AS source,
+               any_value(n_tok) AS n_tok
+        FROM (SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM filtered)
+        GROUP BY fp
+    ),
+    split AS (
+        SELECT doc_id, source, n_tok,
+               {SPLIT_CASE} AS split
+        FROM deduped
+    )
+    SELECT doc_id, split,
+           CASE WHEN split = 'train' THEN
+               CAST(floor((sum(CASE WHEN split = 'train' THEN n_tok ELSE 0 END)
+                               OVER (PARTITION BY source, split ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0)
+                    AS BIGINT)
+           END AS seq_id
+    FROM split
+    ORDER BY doc_id
+    """).replace("{SPLIT_CASE}", split_oracle_sql("deduped", "doc_id")),
+)
+def q_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prep pipeline with the r8 substring pass as stage zero:
+    exact-substring span removal (canonical keepers survive) -> the
+    v1 chain recomputed over the CLEANED text — repetition/length
+    quality filter, exact dedup, deterministic split, 512-token
+    train packing. Ordering matters and is the production order: a
+    doc whose bulk was duplicated boilerplate now FAILS the length
+    gate (its cleaned form is short), and exact dedup collapses docs
+    that became identical after span removal — both invisible to the
+    v1 pipeline. One more fingerprint shuffle + one doc-keyed window
+    on top of v1's plan; the oracle replays the whole chain from the
+    span election to the packed sequence ids."""
+    from pyspark.sql import Window
+
+    from .llm_ops.dedup import dedup_exact
+    from .llm_ops.sampling import assign_split
+    from .llm_ops.substring import remove_spans
+    from .llm_ops.text import with_repetition_stats
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cleaned = remove_spans(d, "text", "doc_id", _SUBSTR_L)
+    docs2 = (
+        d.select("doc_id", "source")
+        .join(cleaned, "doc_id")
+        .withColumnRenamed("cleaned", "text")
+    )
+    filtered = with_repetition_stats(docs2, "text").filter(
+        (F.col("n_tok") >= 30) & (F.col("rep_ratio") < 0.2)
+    )
+    deduped = dedup_exact(filtered, "text", "doc_id")
+    split = assign_split(deduped, "doc_id")
+    w = (
+        Window.partitionBy("source", "split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    train_tok = F.when(F.col("split") == "train", F.col("n_tok")).otherwise(0)
+    seq = F.when(
+        F.col("split") == "train",
+        F.floor((F.sum(train_tok).over(w) - F.col("n_tok")) / 512.0),
+    )
+    return (
+        split.select("doc_id", "split", seq.alias("seq_id"))
+        .orderBy("doc_id")
+    )
 
 
 @query(
