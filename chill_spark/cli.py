@@ -291,12 +291,30 @@ def cmd_substring_dedup(args) -> int:
             compact_substring_store,
             incremental_duplicate_spans,
             substring_store_append,
+            substring_store_forget,
+            substring_store_stats,
             write_substring_store,
         )
 
         if args.compact:
             compact_substring_store(spark, args.store)
             print(f"compacted substring store {args.store}")
+            return 0
+        if args.health:
+            import json as _json
+
+            print(_json.dumps(substring_store_stats(spark, args.store)))
+            return 0
+        if args.forget_rebuild:
+            if df is None:
+                print("substring-dedup --forget-rebuild: --in must be "
+                      "the SURVIVING corpus", file=sys.stderr)
+                return 2
+            rep = substring_store_forget(
+                df, args.text_col, args.id_col, args.store
+            )
+            print(f"rebuilt gram index from surviving corpus: "
+                  f"{rep['fps_distinct']} distinct fingerprints")
             return 0
         if df is None:
             print("substring-dedup: --in required", file=sys.stderr)
@@ -1721,6 +1739,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --store and --out: drain JSONL docs from "
                          "this dir through the span-cleaning intake "
                          "(availableNow)")
+    sd.add_argument("--health", action="store_true",
+                    help="with --store: leaf bloat report (compact "
+                         "when the appended fraction grows)")
+    sd.add_argument("--forget-rebuild", dest="forget_rebuild",
+                    action="store_true",
+                    help="with --store: right-to-be-forgotten — rebuild "
+                         "the gram index from --in (the SURVIVING "
+                         "corpus) under the store's own geometry")
     sd.set_defaults(fn=cmd_substring_dedup)
 
     ds = sub.add_parser(

@@ -263,6 +263,67 @@ def incremental_duplicate_spans(
     return merge_spans(hits.unionByName(local), id_col, L)
 
 
+def substring_store_stats(spark: SparkSession, root: str) -> dict:
+    """Staleness/health accounting for the gram index, the substring
+    sibling of ``pq_store_footprint``: per-leaf fingerprint counts
+    from one count scan (no payload columns read). ``appended
+    fraction`` here measures LEAF bloat, not quality decay (frozen
+    grams never degrade — membership is exact), so its action is
+    "compact when X", not "rebuild when X":
+
+    ``{"fps_distinct", "fps_rows", "rows_bootstrap", "rows_appended",
+       "appended_fraction", "n_append_batches"}``
+
+    fps_rows counts duplicate registrations across leaves (the bytes
+    every probe scans); compaction folds them to fps_distinct."""
+    check_substring_meta(root, spark)
+    per = {
+        int(r[BATCH_COL]): int(r["n"])
+        for r in _read_grams(spark, root)
+        .groupBy(BATCH_COL).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    boot = sum(n for b, n in per.items() if b < 0)
+    appended = sum(n for b, n in per.items() if b >= 0)
+    total = boot + appended
+    return {
+        "fps_distinct": read_substring_fps(spark, root).count(),
+        "fps_rows": total,
+        "rows_bootstrap": boot,
+        "rows_appended": appended,
+        "appended_fraction": round(appended / total, 6) if total else 0.0,
+        "n_append_batches": sum(1 for b in per if b >= 0),
+    }
+
+
+def substring_store_forget(
+    df_surviving: DataFrame,
+    text_col: str,
+    id_col: str,
+    root: str,
+) -> dict:
+    """Right-to-be-forgotten for the gram index = REBUILD from the
+    surviving corpus. A gram fingerprint is shared evidence — other
+    documents may carry the same gram, so deleting a subject's fps
+    would break dedup for everyone else, and keeping them all leaks
+    nothing (a bare 60-bit hash of an 8-token window is not subject
+    data once no surviving document contains it... but the
+    conservative contract is: the index derives ONLY from surviving
+    rows). The store records its own L/bucketing, so the rebuild
+    cannot drift geometry. Cost is one corpus pass — the same scan
+    the forget already paid on the corpus itself."""
+    spark = df_surviving.sparkSession
+    meta = check_substring_meta(root, spark)
+    write_substring_store(
+        df_surviving, text_col, id_col, root,
+        L=int(meta["L"]),
+        bucket_partitions=meta.get("bucket_partitions"),
+    )
+    return {
+        "action": "rebuilt",
+        "fps_distinct": read_substring_fps(spark, root).count(),
+    }
+
+
 def compact_substring_store(spark: SparkSession, root: str) -> dict:
     """Fold all batch leaves into a fresh ``BATCH_PART=-1`` bootstrap
     leaf (distinct fps), via the shared swap/heal protocol so a crash

@@ -389,3 +389,60 @@ def test_incremental_equals_batch_when_history_ids_lead(spark, tmp_path_factory,
         assert inc == batch
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_substring_store_stats_and_forget_rebuild(spark, tmp_path, capsys):
+    """Health = leaf bloat accounting (compact-when-X); forget =
+    rebuild from the surviving corpus under the store's own geometry —
+    a forgotten doc's unique grams stop matching, shared grams keep
+    protecting the survivors."""
+    import json
+
+    from chill_spark.cli import main
+    from chill_spark.llm_ops.incremental_substring import (
+        incremental_duplicate_spans,
+        substring_store_forget,
+        substring_store_stats,
+        write_substring_store,
+    )
+
+    root = str(tmp_path / "store")
+    corpus = spark.createDataFrame(
+        [(0, "shared a b c d shared2 u0 u1 u2 u3"),
+         (1, "secret p q r s only1 v0 v1 v2 v3")],
+        ["doc_id", "text"],
+    )
+    write_substring_store(corpus, "text", "doc_id", root, L=4,
+                          bucket_partitions=4)
+    from chill_spark.llm_ops.incremental_substring import (
+        substring_store_append,
+    )
+
+    substring_store_append(
+        spark.createDataFrame([(2, "m n o p q r s t")], ["doc_id", "text"]),
+        "text", "doc_id", root,
+    )
+    st = substring_store_stats(spark, root)
+    assert st["n_append_batches"] == 1 and st["rows_appended"] > 0
+    assert st["fps_distinct"] <= st["fps_rows"]
+    capsys.readouterr()
+    assert main(["substring-dedup", "--store", root, "--health"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["appended_fraction"] > 0
+
+    # forget doc 1: its grams must stop matching new arrivals
+    survivors = corpus.filter("doc_id <> 1")
+    out = substring_store_forget(survivors, "text", "doc_id", root)
+    assert out["action"] == "rebuilt"
+    probe = spark.createDataFrame(
+        [(9, "copy of secret p q r s here x0 x1"),
+         (10, "has shared a b c d too y0 y1 y2")],
+        ["doc_id", "text"],
+    )
+    spans = incremental_duplicate_spans(
+        spark, root, probe, "text", "doc_id"
+    ).collect()
+    hit_docs = {r["doc_id"] for r in spans}
+    assert hit_docs == {10}  # forgotten grams gone; shared grams kept
+    st2 = substring_store_stats(spark, root)
+    assert st2["n_append_batches"] == 0  # rebuild folded everything
