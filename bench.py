@@ -114,6 +114,7 @@ HEADLINE = [
     "q_decontam_bloom",
     "q_train_quality_classifier",
     "q_lm_bigram_perplexity",
+    "q_corpus_prep_v2",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC
