@@ -238,6 +238,22 @@ def _gd_train(
     S = weight_scale
     spark = feats.sparkSession
     feats = feats.persist()
+    # A NULL label would propagate to a NULL residual that F.sum
+    # silently skips, quietly diverging the trained weights from any
+    # total-label replay — fail loud in the same projection instead
+    # (no extra pass; the error surfaces in the first scoring job).
+    labels = labels.select(
+        id_col,
+        F.when(
+            F.col("__y").isNull(),
+            F.raise_error(
+                "_gd_train: NULL label — coalesce the label expression "
+                "(e.g. F.coalesce(cond, F.lit(False)))"
+            ),
+        )
+        .otherwise(F.col("__y"))
+        .alias("__y"),
+    )
     per_doc = (
         feats.groupBy(id_col)
         .agg(F.sum("cnt").alias("__n"))

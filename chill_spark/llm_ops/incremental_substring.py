@@ -69,29 +69,43 @@ def write_substring_store(
     """Materialize the distinct-gram index of the accepted corpus
     under a ``BATCH_PART=-1`` leaf (the bootstrap batch — identical
     layout to what appends add, so partition discovery never sees a
-    mixed tree)."""
-    from .storefs import heal_swap
+    mixed tree).
+
+    Rebuilds (forget, re-bootstrap) go through the same tmp/swap
+    protocol as ``compact_substring_store`` — the replacement leaf is
+    fully written under ``grams__compacting`` and committed by
+    ``swap_dir``, so a crash mid-rebuild leaves either the old index
+    or the new one, never a meta-stamped store that silently reads as
+    empty history (r8 ADVICE). Sharing the exact tmp/aside/marker
+    names means either function's ``heal_swap`` repairs a crash of
+    the other."""
+    from .storefs import heal_swap, rename_is_atomic, swap_dir
 
     spark = df.sparkSession
     fs = StoreFS(root, spark)
-    heal_swap(
-        fs,
-        live=f"{root}/grams",
-        tmp=f"{root}/grams__compacting",
-        aside=f"{root}/grams__old",
-        marker=f"{root}/grams__COMMIT",
-    )
-    fs.delete(f"{root}/grams")
+    live = f"{root}/grams"
+    tmp = f"{root}/grams__compacting"
+    aside = f"{root}/grams__old"
+    marker = f"{root}/grams__COMMIT"
+    heal_swap(fs, live=live, tmp=tmp, aside=aside, marker=marker)
     fps = gram_offsets(df, text_col, id_col, L).select("fp").distinct()
+    leaf = f"{tmp}/{BATCH_COL}=-1"
     if bucket_partitions:
         (
             fps.withColumn(BKT_PART_COL, _bkt_expr(bucket_partitions))
             .write.mode("overwrite")
             .partitionBy(BKT_PART_COL)
-            .parquet(f"{root}/grams/{BATCH_COL}=-1")
+            .parquet(leaf)
         )
     else:
-        fps.write.mode("overwrite").parquet(f"{root}/grams/{BATCH_COL}=-1")
+        fps.write.mode("overwrite").parquet(leaf)
+    if fs.is_dir(live):
+        swap_dir(
+            fs, live=live, tmp=tmp, aside=aside, marker=marker,
+            atomic=rename_is_atomic(root),
+        )
+    else:
+        fs.rename(tmp, live)  # first build: nothing to swap out
     write_store_json(
         root,
         {"L": L, "bucket_partitions": bucket_partitions},
@@ -179,19 +193,29 @@ def substring_store_append(
     the DISTINCT read and folded by ``compact_substring_store``, so
     the append stays one map pass + one tiny shuffle. ``grams``
     short-circuits the gram projection when the caller already
-    computed it."""
+    computed it.
+
+    Id namespaces: a stream passes its checkpoint-issued batch_id
+    (>= 0); manual/CLI appends (batch_id=None) are auto-numbered
+    DOWNWARD from the bootstrap leaf (-2, -3, ...). The two ranges
+    are disjoint by construction, so a store can serve both a CLI
+    append and a stream: the stream's dynamic overwrite can never
+    delete a manual leaf, and its replay-safety prune
+    (``BATCH_COL < current``) always keeps manual leaves visible as
+    history (r8 ADVICE — previously manual ids continued the stream's
+    numbering and could collide with or be hidden by it)."""
     spark = new_docs.sparkSession
     meta = check_substring_meta(root, spark)
     L = int(meta["L"])
     nbkt = meta.get("bucket_partitions")
     if batch_id is None:
         fs = StoreFS(root, spark)
-        existing = [
-            int(name.split("=", 1)[1])
-            for name in fs.list_dirs(f"{root}/grams")
+        manual = [
+            b for name in fs.list_dirs(f"{root}/grams")
             if name.startswith(f"{BATCH_COL}=")
+            and (b := int(name.split("=", 1)[1])) < -1
         ]
-        batch_id = (max(existing) + 1) if existing else 0
+        batch_id = (min(manual) - 1) if manual else -2
     if grams is None:
         grams = gram_offsets(new_docs, text_col, id_col, L)
     fps = (
@@ -282,16 +306,18 @@ def substring_store_stats(spark: SparkSession, root: str) -> dict:
         for r in _read_grams(spark, root)
         .groupBy(BATCH_COL).agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    boot = sum(n for b, n in per.items() if b < 0)
-    appended = sum(n for b, n in per.items() if b >= 0)
-    total = boot + appended
+    # bootstrap is exactly leaf -1; stream appends number upward from
+    # 0, manual appends downward from -2 — both are compactable bloat
+    boot = per.get(-1, 0)
+    total = sum(per.values())
+    appended = total - boot
     return {
         "fps_distinct": read_substring_fps(spark, root).count(),
         "fps_rows": total,
         "rows_bootstrap": boot,
         "rows_appended": appended,
         "appended_fraction": round(appended / total, 6) if total else 0.0,
-        "n_append_batches": sum(1 for b in per if b >= 0),
+        "n_append_batches": sum(1 for b in per if b != -1),
     }
 
 

@@ -77,10 +77,13 @@ def test_never_driver_checked_queries_lead_the_window():
 
 
 def test_no_query_exceeds_max_driver_staleness_unscheduled():
-    """Any query whose last driver check would be >= MAX_STALE_ROUNDS
-    rounds old at the UPCOMING round must be in the window. This turns
-    the rotation from memory discipline into a gate: skipping a
-    rotation makes the suite red at the next round's build."""
+    """Any CORE query whose last driver check would be >=
+    MAX_STALE_ROUNDS rounds old at the UPCOMING round must be in the
+    window. This turns the rotation from memory discipline into a
+    gate: skipping a rotation makes the suite red at the next round's
+    build. ``_EXTENDED`` names are exempt — their standing gate is
+    the full-inventory strict sweep (see
+    test_extended_tier_invariants)."""
     last, latest = _last_checked()
     if not last:
         return
@@ -90,11 +93,68 @@ def test_no_query_exceeds_max_driver_staleness_unscheduled():
         (n, upcoming - r)
         for n, r in sorted(last.items())
         if n in Q._REGISTRY
+        and n not in Q._EXTENDED
         and upcoming - r >= MAX_STALE_ROUNDS
         and n not in window
     ]
     assert not overdue, (
-        f"{len(overdue)} queries are >= {MAX_STALE_ROUNDS} rounds "
+        f"{len(overdue)} core queries are >= {MAX_STALE_ROUNDS} rounds "
         f"driver-stale and NOT scheduled in _PRIORITY: {overdue} — "
         "rotate them into the window"
+    )
+
+
+def test_extended_tier_invariants():
+    """The strict-sweep-only tier (the r8 verdict's capacity policy)
+    may only hold names that (a) are registered, (b) have a DuckDB
+    oracle — the sweep is a weaker gate without one, (c) have been
+    driver-green at least once — a query can never be BORN extended,
+    and (d) do not waste a rotation slot by also sitting in the
+    window."""
+    checked, _ = _last_checked()
+    assert not [n for n in Q._EXTENDED if n not in Q._REGISTRY], (
+        "extended names must be registered"
+    )
+    no_oracle = [n for n in Q._EXTENDED if n not in Q.ORACLE_SQL]
+    assert not no_oracle, (
+        f"extended-tier queries without an oracle (sweep can't check "
+        f"them): {no_oracle}"
+    )
+    if checked:
+        never = [n for n in Q._EXTENDED if n not in checked]
+        assert not never, (
+            f"extended-tier queries never driver-checked: {never} — "
+            "a query must earn at least one driver-green row before "
+            "demotion"
+        )
+    in_window = sorted(Q._EXTENDED & set(Q._PRIORITY))
+    assert not in_window, f"extended names wasting window slots: {in_window}"
+
+
+def test_projected_next_round_window_has_headroom():
+    """Capacity, not just correctness: assuming the current window
+    goes green at the upcoming round, the round AFTER it must be able
+    to cover its overdue core cohort with >= 10 slots to spare for
+    new queries. This is the gate that fires at BUILD time of the
+    round where the registry outgrows the rotation scheme, instead of
+    discovering it as an unrotatable red suite one round later."""
+    last, latest = _last_checked()
+    if not last:
+        return
+    upcoming = latest + 1
+    sim = dict(last)
+    for n in Q._PRIORITY:
+        sim[n] = upcoming  # the driver will (must) check the window
+    overdue_next = [
+        n
+        for n in Q._REGISTRY
+        if n not in Q._EXTENDED
+        and (upcoming + 1) - sim.get(n, upcoming) >= MAX_STALE_ROUNDS
+    ]
+    headroom = 50 - len(overdue_next)
+    assert headroom >= 10, (
+        f"projected r{upcoming + 1} window holds {len(overdue_next)} "
+        f"mandatory core rows (headroom {headroom} < 10) — demote "
+        "geometry variants to _EXTENDED or pre-refresh more of the "
+        "cohort this round"
     )
