@@ -154,6 +154,85 @@ def _serve_semdedup_largek(spark: SparkSession, sf_dir: str,
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+def _build_substring_inc(spark: SparkSession, sf_dir: str) -> dict:
+    """Mirror of q_substring_dedup_incremental's store: bootstrap on
+    doc_id%3==1, one append of %3==2, bucketed 8 ways (L=8)."""
+    from .llm_ops.incremental_substring import (
+        substring_store_append,
+        write_substring_store,
+    )
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="chill_bench_substr_")
+    store = f"{root}/store"
+    write_substring_store(
+        d.filter(F.col("doc_id") % 3 == 1), "text", "doc_id", store,
+        L=8, bucket_partitions=8,
+    )
+    substring_store_append(
+        d.filter(F.col("doc_id") % 3 == 2), "text", "doc_id", store
+    )
+    return {"root": root, "store": store}
+
+
+def _serve_substring_inc(spark: SparkSession, sf_dir: str,
+                         ctx: dict) -> DataFrame:
+    """The probe leg alone: new-batch gram offsets equi-join the
+    BKT_PART-pruned store + span merge — the per-crawl-batch cost
+    once the index is built (plan-gated: PartitionFilters on
+    BKT_PART, tests/test_substring_dedup.py)."""
+    from .llm_ops.incremental_substring import incremental_duplicate_spans
+
+    d = _docs(spark, sf_dir)
+    return incremental_duplicate_spans(
+        spark, ctx["store"], d.filter(F.col("doc_id") % 3 == 0),
+        "text", "doc_id",
+    )
+
+
+def _build_decontam_bloom(spark: SparkSession, sf_dir: str) -> dict:
+    """Mirror of q_decontam_bloom's filter: distinct 3-grams of the
+    doc_id%20==0 benchmark docs in a 131072-bit / 5-hash filter."""
+    from .llm_ops.bloom import read_bloom_store, write_bloom_store
+    from .llm_ops.text import normalize_text
+
+    d = _docs(spark, sf_dir)
+    n = 3
+    t = F.split(normalize_text("text"), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    bench = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode(F.array_distinct(F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))
+        ))).alias("g"))
+        .distinct()
+    )
+    root = tempfile.mkdtemp(prefix="chill_bench_bloom_")
+    write_bloom_store(bench, "g", root, num_bits=131072, num_hashes=5,
+                      extra_meta={"grams_n": n})
+    words, meta = read_bloom_store(spark, root)
+    return {"root": root, "words": words, "meta": meta}
+
+
+def _serve_decontam_bloom(spark: SparkSession, sf_dir: str,
+                          ctx: dict) -> DataFrame:
+    """The gate leg alone: per-doc verdict over the training corpus,
+    zero shuffle (doc_bloom_verdicts — plan-gated no-Exchange in
+    tests/test_bloom.py)."""
+    from .llm_ops.bloom import doc_bloom_verdicts
+
+    d = _docs(spark, sf_dir)
+    return doc_bloom_verdicts(
+        d.filter(F.col("doc_id") % 20 != 0), "text", "doc_id",
+        ctx["words"], int(ctx["meta"]["num_bits"]),
+        int(ctx["meta"]["num_hashes"]), n=int(ctx["meta"]["grams_n"]),
+    )
+
+
 def store_cases() -> dict[str, tuple[BuildFn, ServeFn]]:
     """name -> (build, serve), keyed by the HEADLINE query whose
     serving path each case isolates."""
@@ -164,5 +243,11 @@ def store_cases() -> dict[str, tuple[BuildFn, ServeFn]]:
         "q_ann_pq_join": (_build_pq_join, _serve_pq_join),
         "q_semantic_dedup_largek": (
             _build_semdedup_largek, _serve_semdedup_largek,
+        ),
+        "q_substring_dedup_incremental": (
+            _build_substring_inc, _serve_substring_inc,
+        ),
+        "q_decontam_bloom": (
+            _build_decontam_bloom, _serve_decontam_bloom,
         ),
     }

@@ -177,6 +177,70 @@ def with_bloom_contains(
     )
 
 
+def doc_bloom_verdicts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    words: list[int],
+    num_bits: int,
+    num_hashes: int,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document decontamination verdict with ZERO shuffle — the
+    pure serving shape of the Bloom gate. Same output columns and
+    values, row for row, as ``streaming.decontam_stream
+    .doc_gram_flags`` ``(id, n_grams, bloom_hits, flagged)`` —
+    including its edge convention that a NULL/empty text normalizes
+    to the single ``''`` gram — but the gram set, the probe, and the
+    per-doc reduction all happen inside ONE projection over the doc
+    row (array expressions: the probe is an ``F.filter`` lambda of
+    ``num_hashes`` element_at/AND lookups), so the plan is scan ->
+    broadcast 1-row carrier -> project: no explode, no groupBy
+    Exchange, nothing leaves the input partition. At 100 TB this
+    screens the whole corpus map-only; the flagged sliver then feeds
+    the exact-confirm join. Plan-gated (no Exchange) in
+    tests/test_bloom.py; value parity with doc_gram_flags is pinned
+    there too."""
+    from .text import normalize_text
+
+    spark: SparkSession = df.sparkSession
+    carrier = spark.createDataFrame(
+        [(list(map(int, words)),)], "__bloom_words array<bigint>"
+    )
+
+    def _hit(g: Column) -> Column:
+        checks = []
+        for i in range(num_hashes):
+            pos = _position(g, i, num_bits)
+            word, mask = _word_and_mask(pos)
+            checks.append(
+                F.element_at(
+                    F.col("__bloom_words"), (word + F.lit(1)).cast("int")
+                ).bitwiseAND(mask)
+                != F.lit(0)
+            )
+        v = checks[0]
+        for c in checks[1:]:
+            v = v & c
+        return v
+
+    t = F.split(normalize_text(text_col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    )
+    hits = F.size(F.filter(grams, _hit))
+    return (
+        df.crossJoin(F.broadcast(carrier))
+        .select(
+            id_col,
+            F.size(grams).cast("long").alias("n_grams"),
+            hits.cast("long").alias("bloom_hits"),
+            (hits > 0).alias("flagged"),
+        )
+    )
+
+
 def write_bloom_store(
     keys: DataFrame, col: str, root: str,
     num_bits: int = 1 << 20, num_hashes: int = 5,

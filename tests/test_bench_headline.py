@@ -129,3 +129,40 @@ def test_store_serve_cases_name_registered_queries():
         assert name in Q._REGISTRY, (
             f"store-serve case {name} names no registered query"
         )
+
+
+def test_new_store_serve_cases_run_and_keep_their_plans(spark, sf_dir):
+    """The r8 verdict's order #3: the gram-index probe and the Bloom
+    gate get serve-only bench coverage WITH plan gates bound to the
+    exact serve legs bench.py times — a probe-plan regression (lost
+    BKT_PART pruning; a shuffle sneaking into the gate) must fail
+    here, not hide inside build noise."""
+    import shutil
+
+    from chill_spark.bench_stores import store_cases
+
+    cases = store_cases()
+
+    build, serve = cases["q_substring_dedup_incremental"]
+    ctx = build(spark, sf_dir)
+    try:
+        df = serve(spark, sf_dir, ctx)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = [l for l in plan.splitlines()
+              if "PartitionFilters" in l and "BKT_PART" in l]
+        assert pf, "serve probe lost its BKT_PART partition filter"
+        assert df.count() >= 0
+    finally:
+        shutil.rmtree(ctx["root"], ignore_errors=True)
+
+    build, serve = cases["q_decontam_bloom"]
+    ctx = build(spark, sf_dir)
+    try:
+        df = serve(spark, sf_dir, ctx)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row carrier
+        assert df.count() > 0
+    finally:
+        shutil.rmtree(ctx["root"], ignore_errors=True)

@@ -288,3 +288,46 @@ def test_cli_bloom_gram_build_feeds_decontam_stream(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {8}
     fl = spark.read.parquet(os.path.join(out, "_flagged")).collect()
     assert [r["doc_id"] for r in fl] == [7]
+
+
+def test_doc_bloom_verdicts_matches_doc_gram_flags(spark):
+    """The zero-shuffle serving shape must agree row-for-row with the
+    streaming gate's explode+groupBy shape over every text edge case
+    (NULL or empty text = one '' gram, short doc = whole text as one
+    gram), and its plan must stay Exchange-free."""
+    from chill_spark.llm_ops.bloom import doc_bloom_verdicts
+    from chill_spark.streaming.decontam_stream import doc_gram_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),  # dup of 1 -> flagged
+            (3, "completely different words here now"),
+            (4, "ab"),            # shorter than n: whole text one gram
+            (5, ""),              # empty: one '' gram
+            (6, None),            # NULL text: normalizes to one '' gram
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown",), ("brown fox jumps",)], ["g"]
+    )
+    words = bloom_words(bloom_build(bench, "g", M, H), M)
+    a = sorted(
+        doc_bloom_verdicts(docs, "text", "doc_id", words, M, H, n=3)
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        doc_gram_flags(docs, "text", "doc_id", words, M, H, n=3).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert [r["doc_id"] for r in a] == [1, 2, 3, 4, 5, 6]
+    assert [r["flagged"] for r in a][:2] == [True, True]
+    plan = (
+        doc_bloom_verdicts(docs, "text", "doc_id", words, M, H, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
