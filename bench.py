@@ -184,6 +184,47 @@ def cpu_calibration(reps: int = 5, loops: int = 150) -> float:
     return round(min(runs), 4)
 
 
+def cpu_calibration_parallel(
+    reps: int = 3, loops: int = 60, workers: int | None = None
+) -> float:
+    """Multi-core machine-speed canary: best-of-``reps`` wall time of
+    ``N = os.cpu_count()`` CONCURRENT copies of the serial canary's
+    fixed workload (60 md5 digests of the same 1 MiB buffer each).
+    hashlib releases the GIL above 2 KiB, so a thread pool genuinely
+    saturates every core — no fork cost, no scheduler fan-out noise
+    beyond what the measurement is FOR.
+
+    Why it exists (r8 verdict, What's-wrong #3): the workload runs
+    local[32], and the single-core canary cannot see multi-core
+    contention (CPU steal across all cores, SMT siblings, thermal
+    clamps) — r8 recorded raw 0.74x against serial-calib 1.16, a
+    contradiction the serial canary cannot arbitrate. The ratio of
+    two rounds' PARALLEL calib values is the machine-speed ratio
+    under full-width load, which is the load the bench itself
+    applies; ``compare_medians`` prefers it whenever both rounds
+    recorded one."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = workers or os.cpu_count() or 1
+    buf = b"\xab" * (1 << 20)
+
+    def one() -> int:
+        d = b""
+        for _ in range(loops):
+            d = hashlib.md5(buf).digest()
+        return len(d)
+
+    runs = []
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sizes = list(pool.map(lambda _: one(), range(n)))
+            runs.append(time.perf_counter() - t0)
+            assert sizes == [16] * n
+    return round(min(runs), 4)
+
+
 def compare_medians(prev: dict, cur: dict) -> dict:
     """Calib-normalized round-over-round comparison: divide the
     shared-query wall-time ratio by the machine-speed ratio
@@ -195,10 +236,17 @@ def compare_medians(prev: dict, cur: dict) -> dict:
     shared = sorted(set(prev["medians"]) & set(cur["medians"]))
     prev_t = sum(prev["medians"][q] for q in shared)
     cur_t = sum(cur["medians"][q] for q in shared)
-    calib_ratio = (
-        round(cur["calib_s"] / prev["calib_s"], 4)
-        if prev.get("calib_s") and cur.get("calib_s") else None
-    )
+    # prefer the parallel canary (matches the 32-way workload's
+    # contention profile) whenever both rounds recorded one; fall
+    # back to the serial canary for comparisons against pre-r9 rounds
+    if prev.get("calib_par_s") and cur.get("calib_par_s"):
+        calib_ratio = round(cur["calib_par_s"] / prev["calib_par_s"], 4)
+        calib_source = "parallel"
+    elif prev.get("calib_s") and cur.get("calib_s"):
+        calib_ratio = round(cur["calib_s"] / prev["calib_s"], 4)
+        calib_source = "serial"
+    else:
+        calib_ratio, calib_source = None, None
     raw_ratio = round(cur_t / prev_t, 4) if prev_t else None
     per_q = sorted(
         (
@@ -216,6 +264,7 @@ def compare_medians(prev: dict, cur: dict) -> dict:
         "cur_shared_total": round(cur_t, 3),
         "raw_ratio": raw_ratio,
         "calib_ratio": calib_ratio,
+        "calib_source": calib_source,
         "normalized_ratio": (
             round(raw_ratio / calib_ratio, 4)
             if raw_ratio and calib_ratio else raw_ratio
@@ -251,6 +300,7 @@ def main() -> int:
             file=sys.stderr,
         )
     calib_s = cpu_calibration()
+    calib_par_s = cpu_calibration_parallel()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -356,6 +406,7 @@ def main() -> int:
         "load_avg": load_avg,
         "load_flagged": load_flagged,
         "calib_s": calib_s,
+        "calib_par_s": calib_par_s,
         "sf": sf,
         "total": total,
         "serve_total": serve_total,
@@ -387,6 +438,7 @@ def main() -> int:
             "load_avg": load_avg,
             "load_flagged": load_flagged,
             "calib_s": calib_s,
+            "calib_par_s": calib_par_s,
             "sf": sf,
         })
 

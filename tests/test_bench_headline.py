@@ -33,6 +33,7 @@ def _worst_case_line() -> str:
         "load_avg": [99.99, 99.99],
         "load_flagged": False,
         "calib_s": 99.9999,
+        "calib_par_s": 99.9999,
         "sf": 0.1,
     })
 
@@ -166,3 +167,32 @@ def test_new_store_serve_cases_run_and_keep_their_plans(spark, sf_dir):
         assert df.count() > 0
     finally:
         shutil.rmtree(ctx["root"], ignore_errors=True)
+
+
+def test_cpu_calibration_parallel_positive_and_repeatable():
+    """Same contract as the serial canary, full-width: fixed work on
+    every core, so two immediate readings agree within a generous
+    noise band (the multi-core path has more scheduler jitter than
+    the serial one, hence 40%)."""
+    a = bench.cpu_calibration_parallel(reps=2, loops=15)
+    b = bench.cpu_calibration_parallel(reps=2, loops=15)
+    assert a > 0 and b > 0
+    assert abs(a - b) / max(a, b) < 0.40
+
+
+def test_compare_medians_prefers_parallel_calib():
+    """When both rounds carry calib_par_s the normalization must use
+    it (the serial canary cannot see multi-core contention — the r8
+    raw-0.74x/calib-1.16 contradiction); without it on either side,
+    fall back to the serial canary and say so."""
+    prev = {"medians": {"a": 1.0}, "calib_s": 0.24, "calib_par_s": 0.40}
+    cur = {"medians": {"a": 1.5}, "calib_s": 0.24, "calib_par_s": 0.60}
+    out = bench.compare_medians(prev, cur)
+    assert out["calib_source"] == "parallel"
+    assert out["calib_ratio"] == 1.5
+    assert out["normalized_ratio"] == 1.0
+    out2 = bench.compare_medians(
+        {"medians": {"a": 1.0}, "calib_s": 0.24}, cur
+    )
+    assert out2["calib_source"] == "serial"
+    assert out2["calib_ratio"] == 1.0
