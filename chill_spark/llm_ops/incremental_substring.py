@@ -287,7 +287,9 @@ def incremental_duplicate_spans(
     return merge_spans(hits.unionByName(local), id_col, L)
 
 
-def substring_store_stats(spark: SparkSession, root: str) -> dict:
+def substring_store_stats(
+    spark: SparkSession, root: str, with_distinct: bool = True
+) -> dict:
     """Staleness/health accounting for the gram index, the substring
     sibling of ``pq_store_footprint``: per-leaf fingerprint counts
     from one count scan (no payload columns read). ``appended
@@ -299,7 +301,12 @@ def substring_store_stats(spark: SparkSession, root: str) -> dict:
        "appended_fraction", "n_append_batches"}``
 
     fps_rows counts duplicate registrations across leaves (the bytes
-    every probe scans); compaction folds them to fps_distinct."""
+    every probe scans); compaction folds them to fps_distinct.
+
+    ``with_distinct=False`` skips the fps_distinct count (reports
+    None) — that one is a full-store distinct shuffle, fine for a CLI
+    health sweep but NOT for a per-micro-batch epoch report; the
+    leaf counts alone are a zero-payload-column scan."""
     check_substring_meta(root, spark)
     per = {
         int(r[BATCH_COL]): int(r["n"])
@@ -312,13 +319,45 @@ def substring_store_stats(spark: SparkSession, root: str) -> dict:
     total = sum(per.values())
     appended = total - boot
     return {
-        "fps_distinct": read_substring_fps(spark, root).count(),
+        "fps_distinct": (
+            read_substring_fps(spark, root).count() if with_distinct
+            else None
+        ),
         "fps_rows": total,
         "rows_bootstrap": boot,
         "rows_appended": appended,
         "appended_fraction": round(appended / total, 6) if total else 0.0,
         "n_append_batches": sum(1 for b in per if b != -1),
     }
+
+
+def substring_store_compact_decision(
+    spark: SparkSession,
+    root: str,
+    max_appended_fraction: float = 0.5,
+    max_append_batches: int = 64,
+) -> dict:
+    """Turn ``substring_store_stats`` into an actionable verdict, the
+    gram-index sibling of ``pq_store_rebuild_decision``. Frozen grams
+    never decay (membership is exact), so the action here is COMPACT,
+    not rebuild: appended leaves bloat every probe (duplicate fp rows
+    scanned + per-leaf file listing). Reasons name the exact
+    threshold crossed, so the decision is auditable. Cheap by
+    construction (per-epoch-safe): leaf counts only, no full-store
+    distinct."""
+    stats = substring_store_stats(spark, root, with_distinct=False)
+    reasons: list[str] = []
+    if stats["appended_fraction"] > max_appended_fraction:
+        reasons.append(
+            f"appended_fraction {stats['appended_fraction']} > "
+            f"{max_appended_fraction}"
+        )
+    if stats["n_append_batches"] > max_append_batches:
+        reasons.append(
+            f"n_append_batches {stats['n_append_batches']} > "
+            f"{max_append_batches}"
+        )
+    return {**stats, "compact": bool(reasons), "reasons": reasons}
 
 
 def substring_store_forget(

@@ -295,11 +295,56 @@ def write_store_json(root: str, payload: dict, name: str = "_meta.json",
     import os
 
     if SparkSession.getActiveSession() is None and "://" not in root:
-        os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, name), "w") as f:
+        path = os.path.join(root, name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
             json.dump(payload, f)
         return
     StoreFS(root, spark).write_text(f"{root}/{name}", json.dumps(payload))
+
+
+def write_health_event(
+    root: str,
+    batch_id: int,
+    payload: dict,
+    spark: SparkSession | None = None,
+) -> None:
+    """Append a per-epoch health verdict to the store's ``_health/``
+    journal — the in-band "rebuild/compact now" signal a streaming
+    maintainer emits so the operator doesn't need a side-channel CLI
+    sweep to learn the store has drifted. One small JSON object per
+    epoch, keyed by batch id, so a replayed micro-batch overwrites
+    its OWN event instead of duplicating it (the same exactly-once
+    convention as every batch-keyed leaf). Latest state = the event
+    with the highest batch id."""
+    write_store_json(
+        root, {"batch_id": int(batch_id), **payload},
+        name=f"_health/batch-{int(batch_id)}.json", spark=spark,
+    )
+
+
+def read_health_events(
+    root: str, spark: SparkSession | None = None
+) -> list[dict]:
+    """The health journal, sorted by batch id (empty when none)."""
+    import json
+    import os
+
+    events: list[dict] = []
+    if SparkSession.getActiveSession() is None and "://" not in root:
+        hdir = os.path.join(root, "_health")
+        if os.path.isdir(hdir):
+            for name in os.listdir(hdir):
+                if name.endswith(".json"):
+                    with open(os.path.join(hdir, name)) as f:
+                        events.append(json.load(f))
+        return sorted(events, key=lambda e: e.get("batch_id", -1))
+    fs = StoreFS(root, spark)
+    hdir = f"{root}/_health"
+    if fs.is_dir(hdir):
+        for path, _size in fs.list_files(hdir, suffix=".json"):
+            events.append(json.loads(fs.read_text(path)))
+    return sorted(events, key=lambda e: e.get("batch_id", -1))
 
 
 def forget_rows(

@@ -52,13 +52,25 @@ def run_pq_stream(
     available_now: bool = False,
     trigger_seconds: int = 5,
     quarantine_dir: str | None = None,
+    health_every: int | None = 1,
+    max_appended_fraction: float = 0.25,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for JSONL vector rows and keep the PQ store
     at ``store_root`` continuously encoded. The store must already be
     built (``write_pq_store``) — codebooks are train-once by contract,
     so they are loaded ONCE at stream start (model-sized collect) and
     ride every micro-batch as broadcast data; drift is a rebuild, not
-    a stream concern."""
+    a stream concern.
+
+    The stream is the component that CAUSES staleness (every admitted
+    batch encodes under the frozen build-time books), so it also
+    reports it in-band: every ``health_every``-th appended batch, the
+    footprint side of ``pq_store_rebuild_decision`` (leaf counts
+    only — no recall canary, the corpus isn't on the stream) lands in
+    the store's ``_health/`` journal, batch-keyed so replays
+    overwrite their own event. A 100 TB operator watches the journal
+    for ``rebuild: true`` instead of running a side-channel CLI
+    sweep; ``health_every=None`` disables it."""
     if quarantine_dir is None:
         quarantine_dir = f"{store_root}/_quarantine"
     meta = check_pq_meta(store_root, spark)
@@ -113,6 +125,18 @@ def run_pq_stream(
                              *([CELL_COL] if coarse is not None else []))
                 .parquet(f"{store_root}/codes")
             )
+            if health_every and batch_id % health_every == 0:
+                from ..llm_ops.pq_store import pq_store_rebuild_decision
+                from ..llm_ops.storefs import write_health_event
+
+                write_health_event(
+                    store_root, batch_id,
+                    pq_store_rebuild_decision(
+                        spark, store_root,
+                        max_appended_fraction=max_appended_fraction,
+                    ),
+                    spark=spark,
+                )
         finally:
             parsed.unpersist()
 

@@ -57,13 +57,22 @@ def run_substring_stream(
     available_now: bool = False,
     trigger_seconds: int = 5,
     quarantine_dir: str | None = None,
+    health_every: int | None = 1,
+    max_appended_fraction: float = 0.5,
+    max_append_batches: int = 64,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for JSONL docs; append span-cleaned docs
     (original columns, ``text_col`` rewritten) to ``out_dir``;
     maintain the gram index at ``store_root``. The store may be
     pre-built (``write_substring_store`` over an accepted corpus —
     its bootstrap leaf is BATCH_PART=-1, visible to every batch) or
-    absent, in which case it is stamped empty here."""
+    absent, in which case it is stamped empty here.
+
+    Every ``health_every``-th appended batch also drops a
+    ``substring_store_compact_decision`` verdict into the store's
+    ``_health/`` journal (batch-keyed, replay-overwrites-itself) —
+    the in-band "compact now" signal, since the stream is what grows
+    the leaf count. ``health_every=None`` disables it."""
     if quarantine_dir is None:
         quarantine_dir = f"{out_dir}/_quarantine"
     meta = init_substring_store(spark, store_root, L, bucket_partitions)
@@ -114,6 +123,21 @@ def run_substring_stream(
                 docs, text_col, id_col, store_root, batch_id=batch_id,
                 grams=grams,
             )
+            if health_every and batch_id % health_every == 0:
+                from ..llm_ops.incremental_substring import (
+                    substring_store_compact_decision,
+                )
+                from ..llm_ops.storefs import write_health_event
+
+                write_health_event(
+                    store_root, batch_id,
+                    substring_store_compact_decision(
+                        spark, store_root,
+                        max_appended_fraction=max_appended_fraction,
+                        max_append_batches=max_append_batches,
+                    ),
+                    spark=spark,
+                )
         finally:
             grams.unpersist()
 

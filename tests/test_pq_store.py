@@ -716,3 +716,39 @@ def test_pq_store_rebuild_canary_threshold_and_cli(spark, tmp_path, capsys):
                  "--input", emb_p]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["action"] == "rebuilt"
+
+
+def test_pq_stream_emits_health_journal(spark, tmp_path):
+    """In-band staleness verdict from the appender itself (r8 verdict
+    order #6): one streamed append against a threshold of zero must
+    land a rebuild=true event (footprint side only — no recall canary
+    on the stream) in the store's _health/ journal."""
+    import json as _json
+
+    from chill_spark.llm_ops.storefs import read_health_events
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.pq_stream import run_pq_stream
+
+    emb = _emb_df(spark, n=40)
+    root = str(tmp_path / "store")
+    write_pq_store(emb.filter(F.col("vec_id") < 30), root,
+                   dim=8, m=2, k=4, iters=1)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "b1.json").write_text("\n".join(
+        _json.dumps({"vec_id": r["vec_id"], "embedding": r["embedding"]})
+        for r in emb.filter(F.col("vec_id") >= 30).collect()
+    ) + "\n")
+    drain(run_pq_stream(
+        spark, str(watch) + "/*", "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        store_root=root, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True, max_appended_fraction=0.0,
+    ))
+    events = read_health_events(root, spark=spark)
+    assert len(events) == 1
+    ev = events[0]
+    assert ev["batch_id"] == 0
+    assert ev["rows_built"] == 30 and ev["rows_appended"] == 10
+    assert ev["rebuild"] is True
+    assert any("appended_fraction" in r for r in ev["reasons"])
+    assert ev["mean_recall"] is None  # canary needs the corpus; not on-stream

@@ -446,3 +446,47 @@ def test_substring_store_stats_and_forget_rebuild(spark, tmp_path, capsys):
     assert hit_docs == {10}  # forgotten grams gone; shared grams kept
     st2 = substring_store_stats(spark, root)
     assert st2["n_append_batches"] == 0  # rebuild folded everything
+
+
+def test_substring_stream_emits_health_journal(spark, tmp_path):
+    """The r8 verdict's order #6: the maintainer that GROWS the store
+    also reports its bloat in-band. Drive two waves through the
+    stream with a compact threshold of zero and pin the emitted
+    verdict fields on the (by then drifted) store."""
+    import json
+    import os
+
+    from chill_spark.llm_ops.storefs import read_health_events
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.substring_stream import run_substring_stream
+
+    ind = str(tmp_path / "in"); os.makedirs(ind)
+    store = str(tmp_path / "store")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING",
+        out_dir=str(tmp_path / "out"), store_root=store,
+        checkpoint_dir=str(tmp_path / "ckpt"), L=4,
+        bucket_partitions=4, available_now=True,
+        max_appended_fraction=0.0,
+    )
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "a b c d e f"}) + "\n")
+    drain(run_substring_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "g h i j k l"}) + "\n")
+    drain(run_substring_stream(spark, ind, **kw))
+
+    events = read_health_events(store, spark=spark)
+    assert len(events) == 2
+    last = events[-1]
+    assert last["batch_id"] == 1
+    # empty-bootstrapped store: every row is appended bloat
+    assert last["rows_bootstrap"] == 0 and last["rows_appended"] > 0
+    assert last["appended_fraction"] == 1.0
+    assert last["compact"] is True
+    assert any("appended_fraction" in r for r in last["reasons"])
+    # the per-epoch report must NOT pay the full-store distinct
+    assert last["fps_distinct"] is None
+    # replay-idempotent: re-draining overwrites events, not appends
+    drain(run_substring_stream(spark, ind, **kw))
+    assert len(read_health_events(store, spark=spark)) == 2
