@@ -115,6 +115,9 @@ HEADLINE = [
     "q_train_quality_classifier",
     "q_lm_bigram_perplexity",
     "q_corpus_prep_v2",
+    "q_bloom_doc_verdicts",
+    "q_classifier_calibration",
+    "q_dup_rate_by_source",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

@@ -54,6 +54,9 @@ def query(name: str, oracle: str | None = None):
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
+    # --- never driver-checked (r9 additions) ---
+    "q_substring_store_health", "q_bloom_doc_verdicts",
+    "q_classifier_calibration", "q_dup_rate_by_source",
     # --- last driver check: round 5 (all 36 core rows; the other 8
     #     r5-era rows moved to the strict-sweep _EXTENDED tier) ---
     "q14_promo_revenue", "q17_small_quantity_revenue",
@@ -78,8 +81,7 @@ _PRIORITY: list[str] = [
     "q1_pricing_summary", "q_reconcile_value_diff", "q_dsl_lookup",
     "q_dedup_minhash", "q_dedup_stream", "q_embedding_dedup_stream",
     "q_setop_except", "q_scalar_funcs", "q10_returned_revenue",
-    "q_percentiles", "q8_market_share", "q15_top_supplier",
-    "q11_important_parts", "q16_supplier_part_counts",
+    "q_percentiles",
 ]
 
 # Driver-rotation capacity policy (the r8 verdict's order #2). The
@@ -4314,6 +4316,14 @@ def _logreg_oracle_sql(iters: int, lr: float, S: int) -> str:
     )
 
 
+def _logreg_oracle_ctes(iters: int, lr: float, S: int) -> str:
+    """The training replay as a bare CTE chain (final weights =
+    ``w{iters}``), for oracles that score with the trained model
+    instead of returning it."""
+    full = _logreg_oracle_sql(iters, lr, S)
+    return full[len("WITH "):full.rindex("\nSELECT")]
+
+
 @query(
     "q_train_quality_classifier",
     oracle=_logreg_oracle_sql(iters=2, lr=0.5, S=1_000_000),
@@ -4424,7 +4434,11 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m, h, n = 131072, 5, 3
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    with_t = d.select(
+    # gram source excludes NULL-text docs to mirror the oracle's
+    # grams CTE exactly: DuckDB's list_distinct drops the NULL entry
+    # a NULL text produces, while Spark's projection would yield one
+    # '' gram — the one asymmetry left in this family (r9)
+    with_t = d.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split(normalize_text("text"), " ").alias("__t")
     )
     t = F.col("__t")
@@ -4497,7 +4511,11 @@ def q_decontam_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m, h, n = 131072, 5, 3
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    with_t = d.select(
+    # gram source excludes NULL-text docs to mirror the oracle's
+    # grams CTE exactly: DuckDB's list_distinct drops the NULL entry
+    # a NULL text produces, while Spark's projection would yield one
+    # '' gram — the one asymmetry left in this family (r9)
+    with_t = d.filter(F.col("text").isNotNull()).select(
         "doc_id", F.split(normalize_text("text"), " ").alias("__t")
     )
     t = F.col("__t")
@@ -10929,6 +10947,233 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tb").alias("n_b"),
             "psi",
             "drifted",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r9 additions: store health under the driver gate, the zero-shuffle
+# Bloom gate, classifier calibration, per-source dedup-rate report
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_substring_store_health",
+    oracle="WITH" + _SUBSTR_OFFS_SQL + """
+    , b AS (SELECT count(DISTINCT fp) AS n FROM offs WHERE doc_id % 3 = 1),
+    a1 AS (SELECT count(DISTINCT fp) AS n FROM offs WHERE doc_id % 3 = 2),
+    a2 AS (SELECT count(DISTINCT fp) AS n FROM offs WHERE doc_id % 3 = 0),
+    alld AS (SELECT count(DISTINCT fp) AS n FROM offs)
+    SELECT alld.n                        AS fps_distinct,
+           b.n + a1.n + a2.n             AS fps_rows,
+           b.n                           AS rows_bootstrap,
+           a1.n + a2.n                   AS rows_appended,
+           round((a1.n + a2.n)::DOUBLE / (b.n + a1.n + a2.n), 6)
+                                         AS appended_fraction,
+           2::BIGINT                     AS n_append_batches,
+           (round((a1.n + a2.n)::DOUBLE / (b.n + a1.n + a2.n), 6) > 0.5)
+                                         AS compact
+    FROM b, a1, a2, alld
+    """,
+)
+def q_substring_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-index health accounting + the compact verdict — the
+    substring sibling of q_pq_store_health, now under the driver
+    gate: bootstrap the store on a third of the corpus, land two
+    manual appends (auto-numbered -2, -3 — the CLI namespace, below
+    the bootstrap leaf), then report substring_store_stats plus
+    substring_store_compact_decision. The oracle replays every count
+    from the gram fingerprints directly: per-leaf rows are the
+    DISTINCT fps of each wave (appends register batch-distinct sets),
+    fps_distinct folds the union, and the compact flag is the
+    appended-fraction threshold (0.5) on the same rounded value."""
+    import shutil
+    import tempfile
+
+    from .llm_ops.incremental_substring import (
+        substring_store_append,
+        substring_store_compact_decision,
+        substring_store_stats,
+        write_substring_store,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tmp = tempfile.mkdtemp(prefix="chill_substr_health_")
+    try:
+        root = f"{tmp}/store"
+        write_substring_store(
+            d.filter(F.col("doc_id") % 3 == 1), "text", "doc_id", root,
+            L=_SUBSTR_L, bucket_partitions=8,
+        )
+        substring_store_append(
+            d.filter(F.col("doc_id") % 3 == 2), "text", "doc_id", root
+        )
+        substring_store_append(
+            d.filter(F.col("doc_id") % 3 == 0), "text", "doc_id", root
+        )
+        st = substring_store_stats(spark, root)
+        dec = substring_store_compact_decision(spark, root)
+        row = [(
+            int(st["fps_distinct"]), int(st["fps_rows"]),
+            int(st["rows_bootstrap"]), int(st["rows_appended"]),
+            float(st["appended_fraction"]), int(st["n_append_batches"]),
+            bool(dec["compact"]),
+        )]
+        return spark.createDataFrame(
+            row,
+            "fps_distinct bigint, fps_rows bigint, rows_bootstrap bigint, "
+            "rows_appended bigint, appended_fraction double, "
+            "n_append_batches bigint, compact boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_bloom_doc_verdicts",
+    oracle="WITH" + _DECONTAM_CTES + """
+    SELECT doc_id,
+           count(*)::BIGINT                          AS n_grams,
+           sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS bloom_hits,
+           bool_or(hit)                              AS flagged
+    FROM gram_verdict GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_bloom_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination gate in its pure serving shape
+    (llm_ops.bloom.doc_bloom_verdicts): per-document verdict over the
+    training corpus with ZERO shuffle — gram set, probe, and per-doc
+    reduction are ONE projection of array expressions against the
+    broadcast word array (no explode, no groupBy Exchange; plan-gated
+    in tests/test_bloom.py). Same filter geometry as q_decontam_bloom
+    (131072-bit / 5-hash over the doc_id%20==0 benchmark's distinct
+    3-grams); the oracle replays the probe bit-for-bit and reduces
+    per doc."""
+    from .llm_ops.bloom import bloom_build, bloom_words, doc_bloom_verdicts
+    from .llm_ops.text import normalize_text
+
+    m, h, n = 131072, 5, 3
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    nn = d.filter(F.col("text").isNotNull())
+    t = F.split(normalize_text("text"), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    bench = (
+        nn.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode(F.array_distinct(F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))
+        ))).alias("g"))
+        .distinct()
+    )
+    words = bloom_words(bloom_build(bench, "g", m, h), m)
+    return (
+        doc_bloom_verdicts(
+            nn.filter(F.col("doc_id") % 20 != 0), "text", "doc_id",
+            words, m, h, n=n,
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_classifier_calibration",
+    oracle="WITH " + _logreg_oracle_ctes(iters=2, lr=0.5, S=1_000_000) + """
+    , s3 AS MATERIALIZED (
+      SELECT t.doc_id, sum(w.w * t.cnt)::BIGINT AS su
+      FROM toks t JOIN w2 w USING (tok) GROUP BY t.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             round(1.0 / (1.0 + exp(-(s3.su / (1000000.0 * p.n)))), 6)
+               AS score
+      FROM per_doc p JOIN s3 USING (doc_id)
+    )
+    SELECT coalesce(d.lang = 'en', FALSE) AS is_en,
+           count(*)                        AS n_docs,
+           count(s.score)                  AS n_scored,
+           round(avg(s.score), 6)          AS mean_score
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-serve calibration check for the quality filter: the
+    2-iteration fixed-point logreg weights drop straight into
+    score_documents (broadcast model join, one per-doc integer sum),
+    and the report is the mean predicted probability per TRUE label —
+    the first thing you read before trusting a filter threshold at
+    corpus scale (well-calibrated means mean_score splits cleanly by
+    label). TOTAL over documents: token-less docs stay in n_docs with
+    a NULL score (score_documents' explode_outer contract), so the
+    calibration can't silently drop the unscorable slice. The oracle
+    replays training (exact integers), the scoring join, and the
+    per-label reduction."""
+    from .llm_ops.classifier import score_documents, train_logreg
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    label = F.coalesce(F.col("lang") == "en", F.lit(False))
+    weights = train_logreg(
+        d, "doc_id", "text", label, iters=2, lr=0.5
+    ).select("tok", F.col("w_units").alias("weight"))
+    scored = score_documents(
+        d, "doc_id", "text", weights, weight_scale=1_000_000
+    )
+    return (
+        d.select("doc_id", label.alias("is_en"))
+        .join(scored.select("doc_id", "score"), "doc_id", "left")
+        .groupBy("is_en")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("score").alias("n_scored"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+        )
+        .orderBy("is_en")
+    )
+
+
+@query(
+    "q_dup_rate_by_source",
+    oracle="WITH" + _SUBSTR_OFFS_SQL + """
+    , per_doc AS (
+      SELECT t.doc_id, len(t.t) AS total_tokens,
+             coalesce(s.dup_tokens, 0) AS dup_tokens
+      FROM toks t
+      LEFT JOIN (SELECT doc_id, sum(span_tokens)::BIGINT AS dup_tokens
+                 FROM spans GROUP BY doc_id) s USING (doc_id)
+    )
+    SELECT d.source,
+           count(*)                       AS n_docs,
+           sum(p.total_tokens)::BIGINT    AS total_tokens,
+           sum(p.dup_tokens)::BIGINT      AS dup_tokens,
+           round(sum(p.dup_tokens)::DOUBLE
+                 / greatest(sum(p.total_tokens), 1), 6) AS dup_frac
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate attribution: the exact-substring pass's
+    removal fraction aggregated per crawl source — the ops report
+    that tells a 100 TB pipeline WHICH feed is rotting (a source
+    whose dup_frac spikes is re-crawling itself). Over the linear
+    fingerprint pass this adds one column-pruned (doc_id, source)
+    join on the doc key — co-partitioned with the stats' own doc_id
+    shuffle — and a source-bounded reduction; nothing pairwise."""
+    from .llm_ops.substring import substring_dedup_stats
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    st = substring_dedup_stats(d, "text", "doc_id", _SUBSTR_L)
+    return (
+        st.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+            F.round(
+                F.sum("dup_tokens")
+                / F.greatest(F.sum("total_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
         )
         .orderBy("source")
     )
