@@ -305,6 +305,14 @@ def cmd_substring_dedup(args) -> int:
 
             print(_json.dumps(substring_store_stats(spark, args.store)))
             return 0
+        if args.journal:
+            import json as _json
+
+            from .llm_ops.storefs import read_health_events
+
+            for ev in read_health_events(args.store, spark=spark):
+                print(_json.dumps(ev))
+            return 0
         if args.forget_rebuild:
             if df is None:
                 print("substring-dedup --forget-rebuild: --in must be "
@@ -1281,6 +1289,14 @@ def cmd_pq(args) -> int:
             )
             print(_json.dumps(rep))
             return 0
+        if args.journal:
+            import json as _json
+
+            from .llm_ops.storefs import read_health_events
+
+            for ev in read_health_events(args.store, spark=spark):
+                print(_json.dumps(ev))
+            return 0
         if args.health:
             import json as _json
 
@@ -1742,6 +1758,10 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--health", action="store_true",
                     help="with --store: leaf bloat report (compact "
                          "when the appended fraction grows)")
+    sd.add_argument("--journal", action="store_true",
+                    help="with --store: print the _health/ journal the "
+                         "streaming maintainer emits per epoch (one "
+                         "JSON line per event, newest last)")
     sd.add_argument("--forget-rebuild", dest="forget_rebuild",
                     action="store_true",
                     help="with --store: right-to-be-forgotten — rebuild "
@@ -2172,6 +2192,10 @@ def main(argv: list[str] | None = None) -> int:
                          "fraction since build, plus a recall canary "
                          "vs exact ground truth when --input gives "
                          "the corpus parquet")
+    pq.add_argument("--journal", action="store_true",
+                    help="with --store: print the _health/ journal the "
+                         "streaming maintainer emits per epoch (one "
+                         "JSON line per event, newest last)")
     pq.add_argument("--canary", type=int, default=4,
                     help="with --health: number of md5-sampled canary "
                          "queries")

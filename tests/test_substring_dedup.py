@@ -490,3 +490,21 @@ def test_substring_stream_emits_health_journal(spark, tmp_path):
     # replay-idempotent: re-draining overwrites events, not appends
     drain(run_substring_stream(spark, ind, **kw))
     assert len(read_health_events(store, spark=spark)) == 2
+
+
+def test_cli_substring_journal_prints_events(spark, tmp_path, capsys):
+    """`substring-dedup --store X --journal` surfaces the maintainer's
+    _health journal, one JSON line per epoch, newest last."""
+    import json
+
+    from chill_spark.cli import main
+    from chill_spark.llm_ops.storefs import write_health_event
+
+    store = str(tmp_path / "store")
+    write_health_event(store, 3, {"compact": True}, spark=spark)
+    write_health_event(store, 1, {"compact": False}, spark=spark)
+    assert main(["substring-dedup", "--store", store, "--journal"]) == 0
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [e["batch_id"] for e in lines] == [1, 3]
+    assert lines[-1]["compact"] is True
