@@ -331,3 +331,40 @@ def test_doc_bloom_verdicts_matches_doc_gram_flags(spark):
     )
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_word = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(_doc, min_size=1, max_size=8),
+       bench=st.lists(_doc, min_size=1, max_size=4))
+def test_doc_bloom_verdicts_parity_property(spark, docs, bench):
+    """Property: the one-projection verdict equals the
+    explode+groupBy verdict on arbitrary small-vocab corpora (tiny
+    vocab maximizes shared grams and filter saturation)."""
+    from chill_spark.llm_ops.bloom import doc_bloom_verdicts
+    from chill_spark.streaming.decontam_stream import doc_gram_flags
+
+    ddf = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string"
+    )
+    bdf = spark.createDataFrame([(b,) for b in bench], ["g"])
+    words = bloom_words(bloom_build(bdf, "g", M, H), M)
+    a = sorted(
+        (r.asDict() for r in
+         doc_bloom_verdicts(ddf, "text", "doc_id", words, M, H, n=3)
+         .collect()),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        (r.asDict() for r in
+         doc_gram_flags(ddf, "text", "doc_id", words, M, H, n=3)
+         .collect()),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
