@@ -118,6 +118,7 @@ HEADLINE = [
     "q_bloom_doc_verdicts",
     "q_classifier_calibration",
     "q_dup_rate_by_source",
+    "q_decontam_scrub_spans",
 ]
 # q_scd1_merge, q_scd2_merge and q_upsert_stream are deliberately NOT here: they
 # benchmark real partitioned parquet writes (merge_upsert / the CDC

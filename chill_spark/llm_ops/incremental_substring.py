@@ -287,6 +287,48 @@ def incremental_duplicate_spans(
     return merge_spans(hits.unionByName(local), id_col, L)
 
 
+def store_overlap_spans(
+    spark: SparkSession,
+    root: str,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal spans of ``docs`` whose >= L-token grams exist in the
+    PERSISTED gram index — the serving shape of
+    ``substring.benchmark_overlap_spans`` for suites too large to
+    re-fingerprint per probe: build the store ONCE over the benchmark
+    (``write_substring_store``), then each training batch pays one
+    offset projection + the BKT_PART-pruned probe join + the islands
+    merge. No keeper election and no batch-local dedup: the store is
+    frozen evidence, every hit is a contaminated offset. Returns
+    (id, span_start, span_end, span_tokens)."""
+    from .substring import merge_spans
+
+    meta = check_substring_meta(root, spark)
+    L = int(meta["L"])
+    nbkt = meta.get("bucket_partitions")
+    g = (
+        grams
+        if grams is not None
+        else gram_offsets(docs, text_col, id_col, L)
+    )
+    hist = _read_grams(spark, root)
+    if nbkt:
+        touched = sorted(
+            r["b"]
+            for r in g.select(_bkt_expr(int(nbkt)).alias("b"))
+            .distinct().collect()
+        )
+        hist = hist.filter(F.col(BKT_PART_COL).isin(touched))
+    hits = (
+        g.join(hist.select("fp").distinct(), "fp")
+        .select(id_col, "off")
+    )
+    return merge_spans(hits, id_col, L)
+
+
 def substring_store_stats(
     spark: SparkSession, root: str, with_distinct: bool = True
 ) -> dict:

@@ -202,6 +202,67 @@ def substring_dedup_stats(
     )
 
 
+def benchmark_overlap_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    L: int,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Span-level contamination: every maximal run of >= L consecutive
+    tokens in the TRAINING docs that appears verbatim anywhere in the
+    BENCHMARK corpus — the substring pass turned cross-corpus. Unlike
+    dedup there is no keeper election: benchmark text is frozen
+    evidence, so EVERY training occurrence is contaminated.
+
+    Scale shape: the benchmark reduces to its DISTINCT gram
+    fingerprints (eval-suite-sized, not corpus-sized — broadcast by
+    default; pass ``broadcast_bench=False`` for GB-scale suites and
+    let the equi-join shuffle on the uniform fp key), the corpus side
+    is one offset-fingerprint projection + the probe join + the
+    per-doc islands merge. Linear in corpus tokens, same as the dedup
+    pass. Returns (id, span_start, span_end, span_tokens).
+
+    This is the scrub-don't-drop decontamination: where the Bloom
+    gate flags whole documents (doc-level verdicts,
+    ``llm_ops/bloom.py``), this locates the exact overlapping spans
+    so the rest of the document survives
+    (``scrub_benchmark_spans``)."""
+    fps = gram_offsets(bench, text_col, id_col, L).select("fp").distinct()
+    if broadcast_bench:
+        fps = F.broadcast(fps)
+    hits = (
+        gram_offsets(docs, text_col, id_col, L)
+        .join(fps, "fp")
+        .select(id_col, "off")
+    )
+    return merge_spans(hits, id_col, L)
+
+
+def scrub_benchmark_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    L: int,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """(id, cleaned): training docs with every benchmark-overlapping
+    span's tokens removed — the rewrite half of
+    ``benchmark_overlap_spans``, through the shared
+    ``apply_span_removal`` array-filter (corpus never exploded)."""
+    return apply_span_removal(
+        docs,
+        benchmark_overlap_spans(
+            docs, bench, text_col, id_col, L,
+            broadcast_bench=broadcast_bench,
+        ),
+        text_col,
+        id_col,
+    )
+
+
 def remove_spans(
     df: DataFrame, text_col: str, id_col: str, L: int
 ) -> DataFrame:

@@ -57,6 +57,7 @@ _PRIORITY: list[str] = [
     # --- never driver-checked (r9 additions) ---
     "q_substring_store_health", "q_bloom_doc_verdicts",
     "q_classifier_calibration", "q_dup_rate_by_source",
+    "q_decontam_scrub_spans", "q_decontam_scrub_clean",
     # --- last driver check: round 5 (all 36 core rows; the other 8
     #     r5-era rows moved to the strict-sweep _EXTENDED tier) ---
     "q14_promo_revenue", "q17_small_quantity_revenue",
@@ -80,8 +81,7 @@ _PRIORITY: list[str] = [
     #     land at the head) ---
     "q1_pricing_summary", "q_reconcile_value_diff", "q_dsl_lookup",
     "q_dedup_minhash", "q_dedup_stream", "q_embedding_dedup_stream",
-    "q_setop_except", "q_scalar_funcs", "q10_returned_revenue",
-    "q_percentiles",
+    "q_setop_except", "q_scalar_funcs",
 ]
 
 # Driver-rotation capacity policy (the r8 verdict's order #2). The
@@ -11176,4 +11176,126 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
         .orderBy("source")
+    )
+
+
+#: scrub-decontamination oracle: benchmark = distinct 8-gram fps of
+#: doc_id%20==0 docs; EVERY training occurrence of a benchmark gram is
+#: contaminated (no keeper election), islands-merged per doc.
+_SCRUB_CTES = r"""
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, i AS off,
+             ('0x' || substring(md5(array_to_string(t[i : i + 7], ' ')), 1, 15))::BIGINT AS fp
+      FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) u(i)
+    ),
+    bfp AS (SELECT DISTINCT fp FROM offs WHERE doc_id % 20 = 0),
+    dup AS (
+      SELECT o.doc_id, o.off, o.off + 8 AS e
+      FROM offs o JOIN bfp USING (fp)
+      WHERE o.doc_id % 20 <> 0
+    ),
+    isl AS (
+      SELECT doc_id, off, e,
+             CASE WHEN off > coalesce(max(e) OVER (
+                 PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM dup
+    ),
+    grp AS (
+      SELECT doc_id, off, e,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(off) AS span_start, max(e) AS span_end,
+             max(e) - min(off) AS span_tokens
+      FROM grp GROUP BY doc_id, g
+    )
+"""
+
+
+@query(
+    "q_decontam_scrub_spans",
+    oracle="WITH" + _SCRUB_CTES + """
+    SELECT doc_id, span_start, span_end, span_tokens
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def q_decontam_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination, locate phase
+    (llm_ops.substring.benchmark_overlap_spans): every maximal run of
+    >= 8 training tokens that appears verbatim in the benchmark —
+    scrub-don't-drop, where the Bloom gate's doc verdict would discard
+    the whole document. The benchmark collapses to its distinct gram
+    fingerprints and broadcasts (eval-suite-sized); the corpus side is
+    one offset projection + the probe join + the per-doc islands
+    merge — linear, no keeper election (benchmark text is frozen
+    evidence, every training occurrence is contaminated)."""
+    from .llm_ops.substring import benchmark_overlap_spans
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        benchmark_overlap_spans(
+            d.filter(F.col("doc_id") % 20 != 0),
+            d.filter(F.col("doc_id") % 20 == 0),
+            "text", "doc_id", _SUBSTR_L,
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@query(
+    "q_decontam_scrub_clean",
+    oracle="WITH" + _SCRUB_CTES + """
+    , pos AS (
+      SELECT doc_id, p, t[p] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p) u(p)
+      WHERE doc_id % 20 <> 0
+    ),
+    kept AS (
+      SELECT pos.doc_id, string_agg(pos.tok, ' ' ORDER BY pos.p) AS cleaned
+      FROM pos
+      LEFT JOIN spans s
+        ON s.doc_id = pos.doc_id
+       AND pos.p >= s.span_start AND pos.p < s.span_end
+      WHERE s.doc_id IS NULL
+      GROUP BY pos.doc_id
+    )
+    SELECT t.doc_id, coalesce(k.cleaned, '') AS cleaned
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    WHERE t.doc_id % 20 <> 0
+    ORDER BY t.doc_id
+    """,
+)
+def q_decontam_scrub_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination, rewrite phase
+    (llm_ops.substring.scrub_benchmark_spans): the training corpus
+    with every benchmark-overlapping span's tokens removed — the rest
+    of each document survives. TOTAL over training docs (a doc fully
+    made of benchmark text collapses to ''); the per-doc span list is
+    tiny, so the removal is the shared array-filter rewrite, corpus
+    tokens never exploded."""
+    from .llm_ops.substring import scrub_benchmark_spans
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        scrub_benchmark_spans(
+            d.filter(F.col("doc_id") % 20 != 0),
+            d.filter(F.col("doc_id") % 20 == 0),
+            "text", "doc_id", _SUBSTR_L,
+        )
+        .orderBy("doc_id")
     )

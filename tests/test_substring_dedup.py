@@ -508,3 +508,68 @@ def test_cli_substring_journal_prints_events(spark, tmp_path, capsys):
              capsys.readouterr().out.strip().splitlines()]
     assert [e["batch_id"] for e in lines] == [1, 3]
     assert lines[-1]["compact"] is True
+
+
+def test_benchmark_overlap_spans_and_scrub(spark, tmp_path):
+    """Cross-corpus scrub semantics: EVERY training occurrence of a
+    benchmark gram is contaminated (no keeper election — contrast
+    duplicate_spans), overlapping grams merge, and the rewrite drops
+    exactly the covered tokens. The store-backed probe
+    (store_overlap_spans) must return the identical span set."""
+    from chill_spark.llm_ops.incremental_substring import (
+        store_overlap_spans,
+        write_substring_store,
+    )
+    from chill_spark.llm_ops.substring import (
+        benchmark_overlap_spans,
+        scrub_benchmark_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f"), (101, "p q r s")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            # two separate occurrences of benchmark grams -> two spans
+            (1, "x a b c d y z w p q r s k"),
+            # overlapping benchmark grams merge into one span
+            (2, "a b c d e f g h"),
+            (3, "nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = benchmark_overlap_spans(train, bench, "text", "doc_id", 4)
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect()
+    )
+    # doc 1: 'a b c d' at 2..6, 'p q r s' at 9..13; doc 2: 1..7
+    # ('a b c d','b c d e','c d e f' overlap-merge; trailing 'g h'
+    # survives)
+    assert got == [(1, 2, 6), (1, 9, 13), (2, 1, 7)]
+    cleaned = {
+        r["doc_id"]: r["cleaned"]
+        for r in scrub_benchmark_spans(
+            train, bench, "text", "doc_id", 4
+        ).collect()
+    }
+    assert cleaned == {
+        1: "x y z w k",
+        2: "g h",
+        3: "nothing shared here at all",
+    }
+    # store-backed serving path: same spans from a persisted index
+    root = str(tmp_path / "bench_store")
+    write_substring_store(bench, "text", "doc_id", root, L=4,
+                          bucket_partitions=4)
+    got_store = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in store_overlap_spans(
+            spark, root, train, "text", "doc_id"
+        ).collect()
+    )
+    assert got_store == got
+    # and the probe scan keeps its planning-time partition pruning
+    df = store_overlap_spans(spark, root, train, "text", "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any("PartitionFilters" in l and "BKT_PART" in l
+               for l in plan.splitlines())
