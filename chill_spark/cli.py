@@ -265,6 +265,26 @@ def cmd_substring_dedup(args) -> int:
 
     spark = get_spark("chill-substring")
     df = spark.read.parquet(args.input) if args.input else None
+    if args.store and args.watch and args.scrub:
+        from .streaming import drain
+        from .streaming.scrub_stream import run_scrub_stream
+
+        if not args.out:
+            print("substring-dedup --watch --scrub: --out required",
+                  file=sys.stderr)
+            return 2
+        q = run_scrub_stream(
+            spark, args.watch,
+            f"{args.id_col} BIGINT, {args.text_col} STRING",
+            out_dir=args.out, store_root=args.store,
+            checkpoint_dir=f"{args.out}/_ckpt",
+            text_col=args.text_col, id_col=args.id_col,
+            available_now=True,
+        )
+        drain(q)
+        print(f"drained watched docs: benchmark-scrubbed corpus at "
+              f"{args.out} (index {args.store} frozen)")
+        return 0
     if args.store and args.watch:
         from .streaming import drain
         from .streaming.substring_stream import run_substring_stream
@@ -323,6 +343,30 @@ def cmd_substring_dedup(args) -> int:
             )
             print(f"rebuilt gram index from surviving corpus: "
                   f"{rep['fps_distinct']} distinct fingerprints")
+            return 0
+        if args.scrub:
+            if df is None or not args.out:
+                print("substring-dedup --scrub: --in and --out required",
+                      file=sys.stderr)
+                return 2
+            from .llm_ops.incremental_substring import store_overlap_spans
+            from .llm_ops.substring import apply_span_removal
+
+            spans = store_overlap_spans(
+                spark, args.store, df, args.text_col, args.id_col
+            )
+            cleaned = apply_span_removal(
+                df, spans, args.text_col, args.id_col
+            )
+            out = (
+                df.drop(args.text_col)
+                .join(cleaned, args.id_col)
+                .withColumnRenamed("cleaned", args.text_col)
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"scrubbed {n} doc(s) against benchmark index "
+                  f"{args.store} -> {args.out}")
             return 0
         if df is None:
             print("substring-dedup: --in required", file=sys.stderr)
@@ -1762,6 +1806,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --store: print the _health/ journal the "
                          "streaming maintainer emits per epoch (one "
                          "JSON line per event, newest last)")
+    sd.add_argument("--scrub", action="store_true",
+                    help="with --store (a BENCHMARK gram index) and "
+                         "--in/--out: remove every benchmark-"
+                         "overlapping span from the input docs "
+                         "(scrub-don't-drop decontamination); with "
+                         "--watch: run the streaming scrub intake "
+                         "against the frozen index")
     sd.add_argument("--forget-rebuild", dest="forget_rebuild",
                     action="store_true",
                     help="with --store: right-to-be-forgotten — rebuild "

@@ -573,3 +573,74 @@ def test_benchmark_overlap_spans_and_scrub(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert any("PartitionFilters" in l and "BKT_PART" in l
                for l in plan.splitlines())
+
+
+def test_scrub_stream_equals_batch_and_cli(spark, tmp_path, capsys):
+    """The streaming scrub intake is stateless per batch (the index is
+    frozen model data), so the admitted corpus must equal the batch
+    scrub over the same docs regardless of wave boundaries; corrupt /
+    NULL-id rows quarantine, NULL text passes through. The CLI batch
+    mode produces the same rewrite."""
+    import json
+    import os
+
+    from chill_spark.cli import main
+    from chill_spark.llm_ops.incremental_substring import (
+        write_substring_store,
+    )
+    from chill_spark.llm_ops.substring import scrub_benchmark_spans
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.scrub_stream import run_scrub_stream
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f"), (101, "p q r s")], ["doc_id", "text"]
+    )
+    store = str(tmp_path / "bench_store")
+    write_substring_store(bench, "text", "doc_id", store, L=4,
+                          bucket_partitions=4)
+
+    ind = str(tmp_path / "in"); os.makedirs(ind)
+    out = str(tmp_path / "out")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", out_dir=out,
+        store_root=store, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"doc_id": 1, "text": "x a b c d y z w p q r s k"}) + "\n")
+        f.write("corrupt {line\n")
+    drain(run_scrub_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "a b c d e f g h"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "text": None}) + "\n")
+        f.write(json.dumps({"doc_id": None, "text": "a b c d e"}) + "\n")
+    drain(run_scrub_stream(spark, ind, **kw))
+
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "x y z w k", 2: "g h", 3: None}
+    rej = [r["rejected_line"] for r in
+           spark.read.parquet(f"{out}/_quarantine").collect()]
+    assert "corrupt {line" in rej and len(rej) == 2
+    # stream == batch: same rewrite from the one-shot operator
+    train = spark.createDataFrame(
+        [(1, "x a b c d y z w p q r s k"), (2, "a b c d e f g h")],
+        ["doc_id", "text"],
+    )
+    want = {r["doc_id"]: r["cleaned"] for r in
+            scrub_benchmark_spans(train, bench, "text", "doc_id", 4)
+            .collect()}
+    assert {k: v for k, v in got.items() if k in want} == want
+    # idle re-drain: nothing changes
+    drain(run_scrub_stream(spark, ind, **kw))
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} \
+        == {1, 2, 3}
+
+    # CLI batch scrub
+    src = str(tmp_path / "train_pq"); dst = str(tmp_path / "scrubbed")
+    train.write.parquet(src)
+    assert main(["substring-dedup", "--store", store, "--scrub",
+                 "--in", src, "--out", dst]) == 0
+    cleaned = {r["doc_id"]: r["text"]
+               for r in spark.read.parquet(dst).collect()}
+    assert cleaned == want
