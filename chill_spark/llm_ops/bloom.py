@@ -187,20 +187,24 @@ def doc_bloom_verdicts(
     n: int = 3,
 ) -> DataFrame:
     """Per-document decontamination verdict with ZERO shuffle — the
-    pure serving shape of the Bloom gate. Same output columns and
-    values, row for row, as ``streaming.decontam_stream
-    .doc_gram_flags`` ``(id, n_grams, bloom_hits, flagged)`` —
-    including its edge convention that a NULL/empty text normalizes
-    to the single ``''`` gram — but the gram set, the probe, and the
+    Exchange-free ALTERNATIVE to ``streaming.decontam_stream
+    .doc_gram_flags``, same output columns and values row for row
+    (including the edge convention that a NULL/empty text normalizes
+    to the single ``''`` gram): the gram set, the probe, and the
     per-doc reduction all happen inside ONE projection over the doc
-    row (array expressions: the probe is an ``F.filter`` lambda of
-    ``num_hashes`` element_at/AND lookups), so the plan is scan ->
-    broadcast 1-row carrier -> project: no explode, no groupBy
-    Exchange, nothing leaves the input partition. At 100 TB this
-    screens the whole corpus map-only; the flagged sliver then feeds
-    the exact-confirm join. Plan-gated (no Exchange) in
-    tests/test_bloom.py; value parity with doc_gram_flags is pinned
-    there too."""
+    row, so the plan is scan -> broadcast 1-row carrier -> project.
+
+    **Prefer doc_gram_flags for throughput.** Higher-order array
+    functions are interpreted (no whole-stage codegen, no CSE), so
+    this shape pays ~3x CPU per gram vs the codegen'd explode +
+    groupBy path (measured at sf0.1: ~6.0 s vs ~2.2 s for the same
+    verdicts), while the shuffle it avoids is only one row per
+    document. It exists for pipelines where ANY Exchange is the
+    constraint (e.g. screening inside a mapPartitions-pinned stage or
+    a foreachBatch that must stay single-stage), not as the default
+    serving path — q_bloom_doc_verdicts and the bench serve case use
+    doc_gram_flags. Plan-gated (no Exchange) and value-parity-pinned
+    in tests/test_bloom.py."""
     from .text import normalize_text
 
     spark: SparkSession = df.sparkSession
@@ -229,14 +233,23 @@ def doc_bloom_verdicts(
     grams = F.array_distinct(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
     )
-    hits = F.size(F.filter(grams, _hit))
+    # anchor the gram array and the probed hit count in their own
+    # projections: higher-order functions are interpreted with NO
+    # common-subexpression elimination, so referencing `grams` or the
+    # filter twice would re-tokenize and re-probe per reference
+    # (measured 4x on this exact shape)
     return (
         df.crossJoin(F.broadcast(carrier))
+        .select(id_col, grams.alias("__g"), "__bloom_words")
         .select(
             id_col,
-            F.size(grams).cast("long").alias("n_grams"),
-            hits.cast("long").alias("bloom_hits"),
-            (hits > 0).alias("flagged"),
+            F.size("__g").cast("long").alias("n_grams"),
+            F.size(F.filter(F.col("__g"), _hit)).cast("long")
+            .alias("bloom_hits"),
+        )
+        .select(
+            id_col, "n_grams", "bloom_hits",
+            (F.col("bloom_hits") > 0).alias("flagged"),
         )
     )
 

@@ -11040,17 +11040,21 @@ def q_substring_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_bloom_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decontamination gate in its pure serving shape
-    (llm_ops.bloom.doc_bloom_verdicts): per-document verdict over the
-    training corpus with ZERO shuffle — gram set, probe, and per-doc
-    reduction are ONE projection of array expressions against the
-    broadcast word array (no explode, no groupBy Exchange; plan-gated
-    in tests/test_bloom.py). Same filter geometry as q_decontam_bloom
-    (131072-bit / 5-hash over the doc_id%20==0 benchmark's distinct
-    3-grams); the oracle replays the probe bit-for-bit and reduces
-    per doc."""
-    from .llm_ops.bloom import bloom_build, bloom_words, doc_bloom_verdicts
+    """The decontamination gate's per-document serving shape: the
+    codegen'd explode + groupBy verdict
+    (streaming.decontam_stream.doc_gram_flags) — the probe stage is
+    map-only (broadcast word array, plan-gated) and the only shuffle
+    carries ONE row per document. Chosen over the Exchange-free
+    array-expression variant (llm_ops.bloom.doc_bloom_verdicts, kept
+    as the single-stage alternative) after measuring it 3x slower:
+    interpreted higher-order functions tax every gram, while the
+    per-doc agg shuffle is negligible. Same filter geometry as
+    q_decontam_bloom (131072-bit / 5-hash over the doc_id%20==0
+    benchmark's distinct 3-grams); the oracle replays the probe
+    bit-for-bit and reduces per doc."""
+    from .llm_ops.bloom import bloom_build, bloom_words
     from .llm_ops.text import normalize_text
+    from .streaming.decontam_stream import doc_gram_flags
 
     m, h, n = 131072, 5, 3
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -11066,7 +11070,7 @@ def q_bloom_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = bloom_words(bloom_build(bench, "g", m, h), m)
     return (
-        doc_bloom_verdicts(
+        doc_gram_flags(
             nn.filter(F.col("doc_id") % 20 != 0), "text", "doc_id",
             words, m, h, n=n,
         )

@@ -161,9 +161,14 @@ def test_new_store_serve_cases_run_and_keep_their_plans(spark, sf_dir):
     try:
         df = serve(spark, sf_dir, ctx)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan, plan
+        # probe stage is map-only: the only join is the broadcast
+        # 1-row carrier, and the only Exchange is the one-row-per-doc
+        # aggregate (never a join shuffle, never a sort)
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
         assert "Exchange rangepartitioning" not in plan, plan
         assert "BroadcastNestedLoopJoin" in plan  # the 1-row carrier
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
         assert df.count() > 0
     finally:
         shutil.rmtree(ctx["root"], ignore_errors=True)
