@@ -58,6 +58,7 @@ _PRIORITY: list[str] = [
     "q_substring_store_health", "q_bloom_doc_verdicts",
     "q_classifier_calibration", "q_dup_rate_by_source",
     "q_decontam_scrub_spans", "q_decontam_scrub_clean",
+    "q_pack_efficiency",
     # --- last driver check: round 5 (all 36 core rows; the other 8
     #     r5-era rows moved to the strict-sweep _EXTENDED tier) ---
     "q14_promo_revenue", "q17_small_quantity_revenue",
@@ -81,7 +82,7 @@ _PRIORITY: list[str] = [
     #     land at the head) ---
     "q1_pricing_summary", "q_reconcile_value_diff", "q_dsl_lookup",
     "q_dedup_minhash", "q_dedup_stream", "q_embedding_dedup_stream",
-    "q_setop_except", "q_scalar_funcs",
+    "q_setop_except",
 ]
 
 # Driver-rotation capacity policy (the r8 verdict's order #2). The
@@ -11302,4 +11303,65 @@ def q_decontam_scrub_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text", "doc_id", _SUBSTR_L,
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_pack_efficiency",
+    oracle="WITH packed AS (" + pack_oracle_sql(
+        "(SELECT doc_id, source, len(string_split_regex(text, '\\s+')) AS n_tok"
+        " FROM documents)",
+        order_col="doc_id",
+        count_col="n_tok",
+        budget=512,
+        shard_col="source",
+        select_cols="doc_id, source, n_tok",
+    ) + """)
+    , per_seq AS (
+      SELECT source, seq_id, sum(n_tok) AS seq_tokens, count(*) AS n_docs
+      FROM packed GROUP BY source, seq_id
+    )
+    SELECT source,
+           sum(n_docs)::BIGINT            AS n_docs,
+           count(*)::BIGINT               AS n_seqs,
+           sum(seq_tokens)::BIGINT        AS total_tokens,
+           round(sum(seq_tokens)::DOUBLE / (count(*) * 512), 6)
+                                          AS fill_ratio,
+           max(seq_tokens)::BIGINT        AS max_seq_tokens
+    FROM per_seq GROUP BY source ORDER BY source
+    """,
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-waste accounting for the 512-token sequence packer —
+    the number a training pipeline watches before burning GPU-hours
+    on padding: per source shard, how full the packed sequences
+    actually are (fill_ratio = tokens / (sequences x budget); docs
+    are not split, so a boundary-crossing doc overflows its sequence
+    and max_seq_tokens can exceed the budget — the report makes both
+    visible). One cumulative-sum window per shard + two shard-bounded
+    reductions on top of the q_pack_sequences plan."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = docs.select(
+        "doc_id", "source", F.size(tokenize_ws("text")).alias("n_tok")
+    )
+    packed = pack_sequences(
+        d, order_col="doc_id", count_col="n_tok", budget=512,
+        shard_col="source",
+    )
+    per_seq = packed.groupBy("source", "seq_id").agg(
+        F.sum("n_tok").alias("seq_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        per_seq.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("seq_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("seq_tokens") / (F.count(F.lit(1)) * 512), 6
+            ).alias("fill_ratio"),
+            F.max("seq_tokens").cast("long").alias("max_seq_tokens"),
+        )
+        .orderBy("source")
     )
