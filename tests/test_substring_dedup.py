@@ -644,3 +644,63 @@ def test_scrub_stream_equals_batch_and_cli(spark, tmp_path, capsys):
     cleaned = {r["doc_id"]: r["text"]
                for r in spark.read.parquet(dst).collect()}
     assert cleaned == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    train=hyp.lists(
+        hyp.lists(hyp.sampled_from("abcde"), min_size=0, max_size=12)
+        .map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    bench=hyp.lists(
+        hyp.lists(hyp.sampled_from("abcde"), min_size=0, max_size=10)
+        .map(" ".join),
+        min_size=1, max_size=3,
+    ),
+)
+def test_benchmark_overlap_spans_property(spark, train, bench):
+    """Property: benchmark_overlap_spans equals a direct Python
+    reference (every training offset whose L-gram occurs anywhere in
+    the benchmark, islands-merged) on random tiny-vocab corpora —
+    tiny vocab maximizes shared grams and overlapping spans."""
+    from chill_spark.llm_ops.substring import benchmark_overlap_spans
+
+    Lp = 3
+
+    def grams(text):
+        toks = text.split(" ") if text else []
+        return [
+            (i + 1, " ".join(toks[i:i + Lp]))
+            for i in range(max(len(toks) - Lp + 1, 0))
+        ]
+
+    bset = {g for b in bench for _, g in grams(b)}
+    expect = []
+    for did, text in enumerate(train):
+        hits = sorted(off for off, g in grams(text) if g in bset)
+        cur = None
+        for off in hits:
+            if cur and off <= cur[1]:
+                cur[1] = max(cur[1], off + Lp)
+            else:
+                if cur:
+                    expect.append((did, cur[0], cur[1]))
+                cur = [off, off + Lp]
+        if cur:
+            expect.append((did, cur[0], cur[1]))
+
+    tdf = spark.createDataFrame(
+        list(enumerate(train)), "doc_id bigint, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(1000 + i, b) for i, b in enumerate(bench)],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in benchmark_overlap_spans(
+            tdf, bdf, "text", "doc_id", Lp
+        ).collect()
+    )
+    assert got == sorted(expect)
