@@ -45,11 +45,11 @@ def query(name: str, oracle: str | None = None):
 # max-staleness bound — any CORE query whose last driver check is
 # >= 4 rounds old MUST be scheduled; the _EXTENDED tier below is
 # strict-sweep-gated instead). This round (r9):
-#   * the 6 r9 additions with no driver row yet, leading;
+#   * the 7 r9 additions with no driver row yet, leading;
 #   * all 36 CORE rows whose last check is ROUND 5 (the r8 verdict's
 #     rotation order #1; the other 8 r5-era rows moved to _EXTENDED
 #     — after this no core row is older than r6);
-#   * the first 8 r6-era core rows (registration order) pre-refresh
+#   * the first 7 r6-era core rows (registration order) pre-refresh
 #     part of r10's cohort in the remaining slots.
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
