@@ -39,50 +39,46 @@ def query(name: str, oracle: str | None = None):
 
 
 # The round driver records correctness for the FIRST 50 registered
-# queries only. All 194 r8-era queries are cumulatively driver-green,
+# queries only. All 201 r9-era queries are cumulatively driver-green,
 # so the window's job is FRESHNESS (the judge tracks per-query driver
 # staleness; tests/test_priority_window.py enforces a hard
 # max-staleness bound — any CORE query whose last driver check is
 # >= 4 rounds old MUST be scheduled; the _EXTENDED tier below is
-# strict-sweep-gated instead). This round (r9):
-#   * the 7 r9 additions with no driver row yet, leading;
-#   * all 36 CORE rows whose last check is ROUND 5 (the r8 verdict's
-#     rotation order #1; the other 8 r5-era rows moved to _EXTENDED
-#     — after this no core row is older than r6);
-#   * the first 7 r6-era core rows (registration order) pre-refresh
-#     part of r10's cohort in the remaining slots.
+# strict-sweep-gated instead). This round (r10):
+#   * the r10 additions with no driver row yet, leading;
+#   * all 36 CORE rows whose last check is ROUND 6 (the r9 verdict's
+#     rotation order #1 — after this no core row is older than r7);
+#   * r6-era core rows (registration order) pre-refreshing part of
+#     r11's cohort in the remaining slots (19 r7-era geometry
+#     variants with core siblings moved to _EXTENDED this round, so
+#     the r11 mandatory cohort is small; drop pre-refresh rows from
+#     the tail as r10 additions land at the head).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
-    # --- never driver-checked (r9 additions) ---
-    "q_substring_store_health", "q_bloom_doc_verdicts",
-    "q_classifier_calibration", "q_dup_rate_by_source",
-    "q_decontam_scrub_spans", "q_decontam_scrub_clean",
-    "q_pack_efficiency",
-    # --- last driver check: round 5 (all 36 core rows; the other 8
-    #     r5-era rows moved to the strict-sweep _EXTENDED tier) ---
-    "q14_promo_revenue", "q17_small_quantity_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_orders", "q9_product_profit",
-    "q_asof_join", "q_benchmark_contamination", "q_boilerplate_ngrams",
-    "q_budget_threshold", "q_ccnet_buckets", "q_dedup_components",
-    "q_distinct_overlap", "q_dsir_select",
-    "q_embedding_near_dups", "q_embedding_rp", "q_event_transitions",
-    "q_full_outer_hourly_diff", "q_funnel_conversion",
-    "q_fuzzy_name_match", "q_heavy_hitters", "q_max_concurrency",
-    "q_ngram_novelty",
-    "q_pii_redact", "q_profile_drift",
-    "q_quality_classifier", "q_range_join", "q_scd2_merge",
-    "q_semantic_dedup", "q_span_dedup",
-    "q_split_by_content", "q_split_leakage",
-    "q_stratified_exact_counts", "q_stream_rollup_events",
-    "q_token_fertility", "q_unimax_budget", "q_upsert_stream",
-    # --- pre-refresh: last driver check round 6 (first 14 core rows
-    #     in registration order; drop from the tail as r9 additions
-    #     land at the head) ---
-    "q1_pricing_summary", "q_reconcile_value_diff", "q_dsl_lookup",
-    "q_dedup_minhash", "q_dedup_stream", "q_embedding_dedup_stream",
-    "q_setop_except",
+    # --- last driver check: round 6 (all 36 core rows) ---
+    "q10_returned_revenue", "q11_important_parts", "q15_top_supplier",
+    "q16_supplier_part_counts", "q8_market_share", "q_anomaly_mad",
+    "q_approx_sketches", "q_asof_join_tolerance", "q_classify_stream",
+    "q_cms_freq", "q_cohort_retention", "q_cross_source_grams",
+    "q_cube_events", "q_decontaminate", "q_gapfill_hourly",
+    "q_heavy_stream", "q_histogram_prices", "q_hybrid_retrieval",
+    "q_minmax_grouped", "q_new_users_cumulative",
+    "q_ntile_revenue_deciles", "q_percentile_ladder", "q_percentiles",
+    "q_psi_drift", "q_scalar_funcs", "q_scd2_asof",
+    "q_session_window_native", "q_sessionize_stream", "q_skew_report",
+    "q_sliding_window_events", "q_trend_by_type", "q_unpivot_measures",
+    "q_variant_props", "q_window_range_frame", "q_zipf_stats",
+    "q_zscore_normalize",
+    # --- pre-refresh: last driver check round 7 (first 14 remaining
+    #     core rows in registration order; drop from the tail as r10
+    #     additions land at the head) ---
+    "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q_customers_without_orders",
+    "q_window_topn_orders", "q_pivot_daily_events", "q_json_props",
+    "q_media_dedup", "q_top_tokens_per_lang", "q_tfidf",
+    "q_stratified_sample", "q_chunk_documents", "q_pack_sequences",
+    "q_token_budget_by_split",
 ]
 
 # Driver-rotation capacity policy (the r8 verdict's order #2). The
@@ -118,6 +114,28 @@ _EXTENDED: frozenset[str] = frozenset({
     "q_dedup_exact_groups",    # core: q_dedup_exact
     "q_dedup_cluster_sizes",   # core: q_dedup_components, q_dedup_minhash_cc
     "q_sampled_stats",         # core: q_stratified_sample
+    # --- r10 demotions (the r9 verdict's durable-headroom order #4):
+    #     geometry/closure variants whose operator family keeps at
+    #     least one core sibling in rotation ---
+    "q_ann_pq_stream",         # core: q_ann_pq_stored, q_ann_pq_join
+    "q_ann_ivfpq_stored",      # core: q_ann_pq_stored (same store API)
+    "q_ann_pq_batch",          # core: q_ann_pq_join (same batch shape)
+    "q_bloom_stream",          # core: q_bloom_dedup_gate, q_decontam_stream
+    "q_bpe_encode",            # core: q_bpe_merges, q_token_fertility
+    "q_dedup_exact_priority",  # core: q_dedup_exact, q_span_dedup
+    "q_dedup_cc_keep_longest", # core: q_dedup_minhash_cc, q_dedup_components
+    "q_embedding_dedup_cc",    # core: q_embedding_near_dups_lsh
+    "q_split_counts",          # core: q_split_by_content, q_split_leakage
+    "q_split_by_neardup_group",# core: q_split_by_content
+    "q_weighted_sample",       # core: q_stratified_sample, q_unimax_budget
+    "q_exact_dedup_stream",    # core: q_dedup_stream, q_substring_stream
+    "q_jsonl_roundtrip",       # core: q_json_props
+    "q_distinct_agg",          # core: q_distinct_overlap, q_minmax_grouped
+    "q_rollup_grouping",       # core: q_cube_events, q_rollup_ladder_daily
+    "q_substring_dedup_stats", # core: q_substring_dedup_spans/clean
+    "q_lm_bigram_perplexity",  # core: q_lm_perplexity, q_bigram_pmi
+    "q_window_running_sum",    # core: q_window_lag_delta, q_new_users_cumulative
+    "q_rollup_hourly",         # core: q_rollup_15m, q_rollup_ladder_daily
 })
 
 
