@@ -349,24 +349,37 @@ def cmd_substring_dedup(args) -> int:
                 print("substring-dedup --scrub: --in and --out required",
                       file=sys.stderr)
                 return 2
+            from pyspark.sql import functions as F
+
             from .llm_ops.incremental_substring import store_overlap_spans
             from .llm_ops.substring import apply_span_removal
 
+            # mirror the streaming scrub's routing: NULL-id rows can't
+            # ride the rewrite join (inner equi-join never matches a
+            # NULL key — they'd silently vanish), and NULL-text rows
+            # pass through unchanged instead of being rendered as ''
+            n_null_id = df.filter(F.col(args.id_col).isNull()).count()
+            keyed = df.filter(F.col(args.id_col).isNotNull())
+            null_text = keyed.filter(F.col(args.text_col).isNull())
+            docs = keyed.filter(F.col(args.text_col).isNotNull())
             spans = store_overlap_spans(
-                spark, args.store, df, args.text_col, args.id_col
+                spark, args.store, docs, args.text_col, args.id_col
             )
             cleaned = apply_span_removal(
-                df, spans, args.text_col, args.id_col
+                docs, spans, args.text_col, args.id_col
             )
             out = (
-                df.drop(args.text_col)
+                docs.drop(args.text_col)
                 .join(cleaned, args.id_col)
                 .withColumnRenamed("cleaned", args.text_col)
+                .unionByName(null_text)
             )
             out.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
             print(f"scrubbed {n} doc(s) against benchmark index "
-                  f"{args.store} -> {args.out}")
+                  f"{args.store} -> {args.out}"
+                  + (f" (dropped {n_null_id} NULL-id doc(s))"
+                     if n_null_id else ""))
             return 0
         if df is None:
             print("substring-dedup: --in required", file=sys.stderr)

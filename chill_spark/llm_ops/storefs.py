@@ -308,6 +308,7 @@ def write_health_event(
     batch_id: int,
     payload: dict,
     spark: SparkSession | None = None,
+    keep_last: int = 64,
 ) -> None:
     """Append a per-epoch health verdict to the store's ``_health/``
     journal — the in-band "rebuild/compact now" signal a streaming
@@ -316,11 +317,51 @@ def write_health_event(
     epoch, keyed by batch id, so a replayed micro-batch overwrites
     its OWN event instead of duplicating it (the same exactly-once
     convention as every batch-keyed leaf). Latest state = the event
-    with the highest batch id."""
+    with the highest batch id.
+
+    Retention: only the ``keep_last`` newest events (by batch id) are
+    kept — a continuous 5s-trigger stream with ``health_every=1``
+    would otherwise grow the journal by ~17k files/day and make every
+    ``read_health_events`` call list-and-parse all of them. Verdicts
+    older than the horizon are superseded state, not an audit log
+    (``keep_last=None`` disables pruning). Pruning tolerates losing a
+    delete race with a concurrent writer — events are independent
+    files and a replayed batch rewrites its own."""
     write_store_json(
         root, {"batch_id": int(batch_id), **payload},
         name=f"_health/batch-{int(batch_id)}.json", spark=spark,
     )
+    if keep_last is None:
+        return
+    import os
+    import re
+
+    horizon = int(batch_id) - int(keep_last) + 1
+    pat = re.compile(r"batch-(-?\d+)\.json$")
+
+    def _stale(name: str) -> bool:
+        m = pat.search(name)
+        return bool(m) and int(m.group(1)) < horizon
+
+    if SparkSession.getActiveSession() is None and "://" not in root:
+        hdir = os.path.join(root, "_health")
+        if os.path.isdir(hdir):
+            for name in os.listdir(hdir):
+                if _stale(name):
+                    try:
+                        os.remove(os.path.join(hdir, name))
+                    except OSError:
+                        pass
+        return
+    fs = StoreFS(root, spark)
+    hdir = f"{root}/_health"
+    if fs.is_dir(hdir):
+        for path, _size in fs.list_files(hdir, suffix=".json"):
+            if _stale(path):
+                try:
+                    fs.delete(path)
+                except Exception:
+                    pass
 
 
 def read_health_events(

@@ -119,22 +119,23 @@ def run_decontam_stream(
             F.col(CORRUPT_COL).alias("rejected_line")
         )
         new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        null_text = new.filter(F.col(text_col).isNull())
-        docs = new.filter(F.col(text_col).isNotNull())
         # NULL-id rows can't ride the per-doc verdict join — reject
-        # them; ONE quarantine write per batch (a second
-        # append_batch_keyed would dynamic-overwrite the first)
+        # them regardless of text NULL-ness; ONE quarantine write per
+        # batch (a second append_batch_keyed would dynamic-overwrite
+        # the first)
         _append_batch_keyed(
             bad.unionByName(
-                docs.filter(F.col(id_col).isNull()).select(
+                new.filter(F.col(id_col).isNull()).select(
                     F.to_json(F.struct("*")).alias("rejected_line")
                 )
             ),
             quarantine_dir, batch_id,
         )
-        if not new.head(1):
+        keyed = new.filter(F.col(id_col).isNotNull())
+        null_text = keyed.filter(F.col(text_col).isNull())
+        docs = keyed.filter(F.col(text_col).isNotNull())
+        if not keyed.head(1):
             return
-        docs = docs.filter(F.col(id_col).isNotNull())
         verdicts = doc_gram_flags(
             docs, text_col, id_col, words, num_bits, num_hashes, n
         )

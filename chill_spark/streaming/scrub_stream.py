@@ -33,6 +33,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..llm_ops.incremental_substring import (
     check_substring_meta,
+    gram_offsets,
     store_overlap_spans,
 )
 from ..llm_ops.substring import apply_span_removal
@@ -59,36 +60,43 @@ def run_scrub_stream(
     frozen evidence, validated once at stream start."""
     if quarantine_dir is None:
         quarantine_dir = f"{out_dir}/_quarantine"
-    check_substring_meta(store_root, spark)
+    _store_L = int(check_substring_meta(store_root, spark)["L"])
 
     src = read_jsonl_stream(spark, input_dir, schema)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        null_text = new.filter(F.col(text_col).isNull())
-        docs = new.filter(F.col(text_col).isNotNull())
         rejects = batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("rejected_line")
         ).unionByName(
-            docs.filter(F.col(id_col).isNull()).select(
+            new.filter(F.col(id_col).isNull()).select(
                 F.to_json(F.struct("*")).alias("rejected_line")
             )
         )
         _append_batch_keyed(rejects, quarantine_dir, batch_id)
-        if not new.head(1):
+        keyed = new.filter(F.col(id_col).isNotNull())
+        null_text = keyed.filter(F.col(text_col).isNull())
+        docs = keyed.filter(F.col(text_col).isNotNull())
+        if not keyed.head(1):
             return
-        docs = docs.filter(F.col(id_col).isNotNull())
-        spans = store_overlap_spans(
-            spark, store_root, docs, text_col, id_col
-        )
-        cleaned = apply_span_removal(docs, spans, text_col, id_col)
-        admitted = (
-            docs.drop(text_col)
-            .join(cleaned, id_col)
-            .withColumnRenamed("cleaned", text_col)
-            .unionByName(null_text, allowMissingColumns=False)
-        )
-        _append_batch_keyed(admitted, out_dir, batch_id)
+        # fingerprint the batch ONCE; the touched-bucket collect and
+        # the probe join share the persisted frame instead of
+        # re-tokenizing (same pattern as the dedup intake)
+        grams = gram_offsets(docs, text_col, id_col, _store_L).persist()
+        try:
+            spans = store_overlap_spans(
+                spark, store_root, docs, text_col, id_col, grams=grams
+            )
+            cleaned = apply_span_removal(docs, spans, text_col, id_col)
+            admitted = (
+                docs.drop(text_col)
+                .join(cleaned, id_col)
+                .withColumnRenamed("cleaned", text_col)
+                .unionByName(null_text, allowMissingColumns=False)
+            )
+            _append_batch_keyed(admitted, out_dir, batch_id)
+        finally:
+            grams.unpersist()
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

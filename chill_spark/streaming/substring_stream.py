@@ -81,22 +81,24 @@ def run_substring_stream(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        null_text = new.filter(F.col(text_col).isNull())
-        docs = new.filter(F.col(text_col).isNotNull())
         # ONE quarantine write per batch: corrupt lines plus NULL-id
         # rows together — a second append_batch_keyed to the same dir
-        # would dynamic-overwrite (i.e. DELETE) the first one's leaf
+        # would dynamic-overwrite (i.e. DELETE) the first one's leaf.
+        # NULL-id rows reject regardless of text NULL-ness (scanning
+        # only text-non-null rows would admit NULL-id+NULL-text rows).
         rejects = batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("rejected_line")
         ).unionByName(
-            docs.filter(F.col(id_col).isNull()).select(
+            new.filter(F.col(id_col).isNull()).select(
                 F.to_json(F.struct("*")).alias("rejected_line")
             )
         )
         _append_batch_keyed(rejects, quarantine_dir, batch_id)
-        if not new.head(1):
+        keyed = new.filter(F.col(id_col).isNotNull())
+        null_text = keyed.filter(F.col(text_col).isNull())
+        docs = keyed.filter(F.col(text_col).isNotNull())
+        if not keyed.head(1):
             return
-        docs = docs.filter(F.col(id_col).isNotNull())
         # fingerprint the batch ONCE; the probe and the register
         # actions share the persisted frame instead of re-tokenizing
         grams = gram_offsets(

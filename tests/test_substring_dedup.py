@@ -510,6 +510,33 @@ def test_cli_substring_journal_prints_events(spark, tmp_path, capsys):
     assert lines[-1]["compact"] is True
 
 
+def test_health_journal_retention_caps_file_count(spark, tmp_path):
+    """The _health journal keeps only the keep_last newest events — a
+    continuous trigger must not grow it by one file per micro-batch
+    forever (and make every --journal call parse all of them). Replay
+    (rewriting an in-horizon batch id) never resurrects pruned
+    history; keep_last=None disables pruning."""
+    from chill_spark.llm_ops.storefs import (
+        read_health_events,
+        write_health_event,
+    )
+
+    store = str(tmp_path / "store")
+    for b in range(10):
+        write_health_event(store, b, {"n": b}, spark=spark, keep_last=4)
+    events = read_health_events(store, spark=spark)
+    assert [e["batch_id"] for e in events] == [6, 7, 8, 9]
+    # replayed in-horizon epoch overwrites itself, prunes nothing new
+    write_health_event(store, 8, {"n": 80}, spark=spark, keep_last=4)
+    events = read_health_events(store, spark=spark)
+    assert [e["batch_id"] for e in events] == [6, 7, 8, 9]
+    assert [e["n"] for e in events if e["batch_id"] == 8] == [80]
+    # unbounded mode leaves the journal alone
+    write_health_event(store, 20, {"n": 20}, spark=spark, keep_last=None)
+    assert [e["batch_id"] for e in read_health_events(store, spark=spark)] \
+        == [6, 7, 8, 9, 20]
+
+
 def test_benchmark_overlap_spans_and_scrub(spark, tmp_path):
     """Cross-corpus scrub semantics: EVERY training occurrence of a
     benchmark gram is contaminated (no keeper election — contrast
@@ -615,13 +642,16 @@ def test_scrub_stream_equals_batch_and_cli(spark, tmp_path, capsys):
         f.write(json.dumps({"doc_id": 2, "text": "a b c d e f g h"}) + "\n")
         f.write(json.dumps({"doc_id": 3, "text": None}) + "\n")
         f.write(json.dumps({"doc_id": None, "text": "a b c d e"}) + "\n")
+        # NULL id AND NULL text: still a reject (the id is the routing
+        # key; text NULL-ness must not smuggle it into the clean side)
+        f.write(json.dumps({"doc_id": None, "text": None}) + "\n")
     drain(run_scrub_stream(spark, ind, **kw))
 
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert got == {1: "x y z w k", 2: "g h", 3: None}
     rej = [r["rejected_line"] for r in
            spark.read.parquet(f"{out}/_quarantine").collect()]
-    assert "corrupt {line" in rej and len(rej) == 2
+    assert "corrupt {line" in rej and len(rej) == 3
     # stream == batch: same rewrite from the one-shot operator
     train = spark.createDataFrame(
         [(1, "x a b c d y z w p q r s k"), (2, "a b c d e f g h")],
@@ -636,14 +666,19 @@ def test_scrub_stream_equals_batch_and_cli(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} \
         == {1, 2, 3}
 
-    # CLI batch scrub
+    # CLI batch scrub — mirrors the stream's routing: NULL-id rows
+    # drop (reported), NULL-text rows pass through unchanged
     src = str(tmp_path / "train_pq"); dst = str(tmp_path / "scrubbed")
-    train.write.parquet(src)
+    train.unionByName(spark.createDataFrame(
+        [(3, None), (None, "a b c d e")],
+        "doc_id BIGINT, text STRING",
+    )).write.parquet(src)
     assert main(["substring-dedup", "--store", store, "--scrub",
                  "--in", src, "--out", dst]) == 0
+    assert "dropped 1 NULL-id doc(s)" in capsys.readouterr().out
     cleaned = {r["doc_id"]: r["text"]
                for r in spark.read.parquet(dst).collect()}
-    assert cleaned == want
+    assert cleaned == {**want, 3: None}
 
 
 @settings(max_examples=10, deadline=None)
