@@ -229,6 +229,47 @@ def cpu_calibration_parallel(
     return round(min(runs), 4)
 
 
+def interleaved_medians(
+    names: list[str],
+    run_one,
+    reps: int,
+    getloadavg=os.getloadavg,
+    timer=time.perf_counter,
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, list[float]]]:
+    """Measure ``run_one(name)`` ``reps`` times per name, INTERLEAVED
+    across full passes of ``names`` (pass 1 runs every name once, then
+    pass 2, ...) instead of back-to-back per name. The r9 driver bench
+    proved why: a minutes-long mid-run load burst hits all N
+    back-to-back reps of a contiguous band of queries, so the median
+    keeps the inflated reading and the pre-flight load gate never sees
+    it (9 queries recorded at 2.6-9.6x idle with load_flagged=false).
+    Interleaved, the same burst touches each name's reps at most once
+    and the median discards it. Each rep also stamps the 1-min load
+    average so a poisoned reading is machine-detectable after the
+    fact. Returns (median, [min,max] spread, per-rep loads), all
+    keyed by name."""
+    runs_by: dict[str, list[float]] = {n: [] for n in names}
+    loads_by: dict[str, list[float]] = {n: [] for n in names}
+    for _pass in range(reps):
+        for name in names:
+            t0 = timer()
+            run_one(name)
+            runs_by[name].append(round(timer() - t0, 3))
+            loads_by[name].append(round(getloadavg()[0], 2))
+    medians: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in names:
+        runs = sorted(runs_by[name])
+        mid = len(runs) // 2
+        medians[name] = (
+            runs[mid]
+            if len(runs) % 2
+            else round((runs[mid - 1] + runs[mid]) / 2, 3)
+        )
+        spread[name] = [runs[0], runs[-1]]
+    return medians, spread, loads_by
+
+
 def compare_medians(prev: dict, cur: dict) -> dict:
     """Calib-normalized round-over-round comparison: divide the
     shared-query wall-time ratio by the machine-speed ratio
@@ -309,7 +350,6 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = Q.queries()
-    timings: dict[str, float] = {}
     # JVM/codegen warm-up on the smallest table so q1 doesn't pay it.
     force(registry["q1_pricing_summary"](spark, sf_dir).limit(1))
     # Python/Arrow worker-pool warm-up: the first pandas_udf in a
@@ -329,28 +369,20 @@ def main() -> int:
     # median-of-N per query: single cold measurements conflate plan
     # cost with VM CPU-steal (BASELINE.md documents 20-30% run-to-run
     # inflation under load; r3's q1 "2.2x regression" was exactly this
-    # noise). The median is the recorded number; min/max spread and
-    # the 1-min load average before/after are emitted alongside so a
-    # noisy run is visible in the artifact itself.
+    # noise). The median is the recorded number; min/max spread, the
+    # per-rep 1-min load stamps and the load average before/after are
+    # emitted alongside so a noisy run is visible in the artifact
+    # itself. Reps interleave across full passes of the list (see
+    # interleaved_medians) so a minutes-long load burst can't poison
+    # all of one query's reps.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(reps):
-            # timing covers plan construction too — some pipelines
-            # (e.g. dedup_minhash) materialize intermediate state
-            # eagerly
-            t0 = time.perf_counter()
-            force(registry[name](spark, sf_dir))
-            runs.append(round(time.perf_counter() - t0, 3))
-        runs.sort()
-        mid = len(runs) // 2
-        timings[name] = (
-            runs[mid]
-            if len(runs) % 2
-            else round((runs[mid - 1] + runs[mid]) / 2, 3)
-        )
-        spread[name] = [runs[0], runs[-1]]
+    # timing covers plan construction too — some pipelines (e.g.
+    # dedup_minhash) materialize intermediate state eagerly
+    timings, spread, loads_by_q = interleaved_medians(
+        HEADLINE,
+        lambda name: force(registry[name](spark, sf_dir)),
+        reps,
+    )
 
     total = round(sum(timings.values()), 3)
 
@@ -364,27 +396,30 @@ def main() -> int:
 
     from chill_spark.bench_stores import store_cases
 
+    cases = store_cases()
     store_serve: dict[str, dict] = {}
     roots: list[str] = []
-    for name, (build, serve) in store_cases().items():
+    ctxs: dict[str, dict] = {}
+    for name, (build, _serve) in cases.items():
         t0 = time.perf_counter()
-        ctx = build(spark, sf_dir)
-        build_s = round(time.perf_counter() - t0, 3)
-        if "root" in ctx:
-            roots.append(ctx["root"])
-        runs = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            force(serve(spark, sf_dir, ctx))
-            runs.append(round(time.perf_counter() - t0, 3))
-        runs.sort()
-        mid = len(runs) // 2
-        med = (runs[mid] if len(runs) % 2
-               else round((runs[mid - 1] + runs[mid]) / 2, 3))
+        ctxs[name] = build(spark, sf_dir)
         store_serve[name] = {
-            "build_s": build_s, "serve_s": med,
-            "serve_spread": [runs[0], runs[-1]],
+            "build_s": round(time.perf_counter() - t0, 3),
         }
+        if "root" in ctxs[name]:
+            roots.append(ctxs[name]["root"])
+    # serve reps interleave across passes for the same burst-immunity
+    # as the headline loop
+    serve_meds, serve_spread, serve_loads = interleaved_medians(
+        list(cases),
+        lambda name: force(cases[name][1](spark, sf_dir, ctxs[name])),
+        reps,
+    )
+    for name in cases:
+        store_serve[name].update({
+            "serve_s": serve_meds[name],
+            "serve_spread": serve_spread[name],
+        })
     for r in roots:
         shutil.rmtree(r, ignore_errors=True)
     serve_total = round(sum(v["serve_s"] for v in store_serve.values()), 3)
@@ -415,7 +450,14 @@ def main() -> int:
         "total": total,
         "serve_total": serve_total,
     }
-    spread_doc = {"spread": spread, "reps": reps, "sf": sf}
+    spread_doc = {
+        "spread": spread,
+        "loads": loads_by_q,
+        "serve_loads": serve_loads,
+        "interleaved": True,
+        "reps": reps,
+        "sf": sf,
+    }
     here = os.path.dirname(os.path.abspath(__file__))
     for fname, payload in (
         ("BENCH_MEDIANS.json", medians_doc),

@@ -201,3 +201,70 @@ def test_compare_medians_prefers_parallel_calib():
     )
     assert out2["calib_source"] == "serial"
     assert out2["calib_ratio"] == 1.0
+
+
+def test_interleaved_medians_survive_a_contiguous_burst():
+    """The r9 driver artifact's failure mode, reproduced: a sustained
+    mid-run load burst inflates everything it overlaps. Back-to-back
+    reps put all 3 reps of a band of queries inside the burst (median
+    keeps the inflated reading); interleaved passes let the burst
+    touch each query's reps at most once, so the median discards it.
+    Also pins the execution order (pass-major) and the per-rep load
+    stamps that make a poisoned reading detectable after the fact."""
+    names = [f"q{i}" for i in range(6)]
+    calls = []
+    clock = [0.0]
+    # burst window in fake-clock time: everything running inside
+    # [6.0, 12.0) takes 5x longer
+    BURST = (6.0, 12.0)
+
+    def run_one(name):
+        calls.append(name)
+        base = 1.0
+        dur = base * (5.0 if BURST[0] <= clock[0] < BURST[1] else 1.0)
+        clock[0] += dur
+
+    def timer():
+        return clock[0]
+
+    def fake_loadavg():
+        return (9.0 if BURST[0] <= clock[0] < BURST[1] else 0.1, 0, 0)
+
+    medians, spread, loads = bench.interleaved_medians(
+        names, run_one, reps=3, getloadavg=fake_loadavg, timer=timer,
+    )
+    # pass-major order: every name once per pass
+    assert calls == names * 3
+    # the burst covered ~1 rep per query; the median of [1, 1, 5] is 1
+    assert all(m == 1.0 for m in medians.values()), medians
+    # ...but the spread and the load stamps still record that it happened
+    assert any(s[1] == 5.0 for s in spread.values())
+    assert any(9.0 in ls for ls in loads.values())
+    assert all(len(ls) == 3 for ls in loads.values())
+
+
+def test_spread_sidecar_schema_carries_per_rep_loads():
+    """BENCH_SPREAD.json is the after-the-fact poisoning detector:
+    it must carry per-query per-rep load stamps and say that the run
+    interleaved. Reconstruct the doc exactly as main() writes it and
+    pin the keys."""
+    spread_doc = {
+        "spread": {"q1": [0.5, 0.7]},
+        "loads": {"q1": [0.1, 0.2, 0.1]},
+        "serve_loads": {"q_ann_pq_stored": [0.1, 0.1, 0.1]},
+        "interleaved": True,
+        "reps": 3,
+        "sf": 0.1,
+    }
+    # the committed artifact must parse and keep these keys — a
+    # refactor that drops them silently kills the detector
+    doc = json.loads(json.dumps(spread_doc))
+    assert set(doc) == {
+        "spread", "loads", "serve_loads", "interleaved", "reps", "sf",
+    }
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    for key in ("\"loads\": loads_by_q", "\"serve_loads\": serve_loads",
+                "\"interleaved\": True"):
+        assert key in src, f"bench.main no longer writes {key} into the sidecar"
