@@ -268,3 +268,28 @@ def test_spread_sidecar_schema_carries_per_rep_loads():
     for key in ("\"loads\": loads_by_q", "\"serve_loads\": serve_loads",
                 "\"interleaved\": True"):
         assert key in src, f"bench.main no longer writes {key} into the sidecar"
+
+
+def test_classifier_serve_case_keeps_broadcast_model_plan(spark, sf_dir):
+    """The r9 verdict's order #6: scoring against a pre-trained
+    weights table must stay one BROADCAST model join over the exploded
+    tokens plus exactly one per-doc aggregate Exchange — a lost
+    broadcast (vocab-sized side shuffling the whole token stream) or
+    a second shuffle is the regression this serve split exists to
+    catch."""
+    import shutil
+
+    from chill_spark.bench_stores import store_cases
+
+    build, serve = store_cases()["q_classifier_calibration"]
+    ctx = build(spark, sf_dir)
+    try:
+        df = serve(spark, sf_dir, ctx)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert df.count() > 0
+    finally:
+        shutil.rmtree(ctx["root"], ignore_errors=True)
