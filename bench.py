@@ -115,6 +115,7 @@ HEADLINE = [
     "q_train_quality_classifier",
     "q_lm_bigram_perplexity",
     "q_corpus_prep_v2",
+    "q_corpus_prep_v3",
     "q_bloom_doc_verdicts",
     "q_classifier_calibration",
     "q_dup_rate_by_source",

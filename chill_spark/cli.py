@@ -496,6 +496,44 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_corpus_prep(args) -> int:
+    """One-shot production prep chain (llm_ops/prep.py): [benchmark
+    scrub ->] substring self-dedup -> repetition/length filter ->
+    exact dedup -> split -> pack. ``--bench-store`` wires a persisted
+    benchmark gram index (``substring-dedup --build`` over the eval
+    suites) into the scrub stage — the steady-state shape, probed
+    with BKT_PART pruning instead of re-fingerprinting the suite."""
+    from pyspark.sql import functions as F
+
+    from .llm_ops.prep import corpus_prep
+    from .session import get_spark
+
+    spark = get_spark("chill-corpus-prep")
+    df = spark.read.parquet(args.input)
+    # every stage keys on the id; NULL-id rows can't ride any of the
+    # joins — drop them loudly, like the batch scrub does
+    n_null_id = df.filter(F.col(args.id_col).isNull()).count()
+    df = df.filter(F.col(args.id_col).isNotNull())
+    out = corpus_prep(
+        df, args.text_col, args.id_col, args.source_col,
+        bench_store=args.bench_store, spark=spark,
+        L=args.length, min_tokens=args.min_tokens,
+        max_rep=args.max_rep, budget=args.budget,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    res = spark.read.parquet(args.out)
+    n = res.count()
+    n_train = res.filter(F.col("split") == "train").count()
+    print(
+        f"corpus-prep: {n} surviving doc(s) ({n_train} train) -> "
+        f"{args.out}"
+        + (f" [scrubbed against benchmark index {args.bench_store}]"
+           if args.bench_store else " [no benchmark scrub]")
+        + (f" (dropped {n_null_id} NULL-id doc(s))" if n_null_id else "")
+    )
+    return 0
+
+
 def cmd_quality(args) -> int:
     from pyspark.sql import functions as F
 
@@ -1968,6 +2006,32 @@ def main(argv: list[str] | None = None) -> int:
     qc.add_argument("--out", required=True)
     qc.add_argument("--text-col", default="text")
     qc.set_defaults(fn=cmd_quality)
+
+    cpp = sub.add_parser(
+        "corpus-prep",
+        help="full prep pipeline in one plan: [benchmark scrub ->] "
+             "substring self-dedup -> repetition/length filter -> "
+             "exact dedup -> deterministic split -> fixed-budget "
+             "packing; --bench-store wires a persisted benchmark gram "
+             "index into the scrub stage",
+    )
+    cpp.add_argument("--input", required=True)
+    cpp.add_argument("--out", required=True)
+    cpp.add_argument(
+        "--bench-store", default=None,
+        help="benchmark gram index root (substring-dedup --build over "
+             "the eval suites); omit to skip the scrub stage",
+    )
+    cpp.add_argument("--text-col", default="text")
+    cpp.add_argument("--id-col", default="doc_id")
+    cpp.add_argument("--source-col", default="source")
+    cpp.add_argument("--length", type=int, default=8,
+                     help="minimum duplicated/contaminated run (tokens)")
+    cpp.add_argument("--min-tokens", type=int, default=30)
+    cpp.add_argument("--max-rep", type=float, default=0.2)
+    cpp.add_argument("--budget", type=int, default=512,
+                     help="tokens per packed training sequence")
+    cpp.set_defaults(fn=cmd_corpus_prep)
 
     sg = sub.add_parser(
         "segdedup",

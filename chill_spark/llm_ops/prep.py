@@ -1,0 +1,126 @@
+"""Corpus-prep pipeline composition: the production pretraining-data
+chain in ONE declarative plan.
+
+    benchmark scrub -> substring self-dedup -> quality filter ->
+    exact dedup -> deterministic split -> fixed-budget packing
+
+Ordering matters and is the production order (reference behavior:
+the Chill harness stages transformations before loading,
+``Partrans.py``; the LLM-pipeline stages follow Lee et al. 2022 and
+the Gopher/C4 filtering literature):
+
+- the scrub runs FIRST so benchmark text can never influence keeper
+  election, quality stats, or the dedup fingerprint;
+- self-dedup runs on the SCRUBBED text, so a doc whose only unique
+  content was benchmark-contaminated collapses and its boilerplate
+  loses keeper elections it should never have won;
+- the length/repetition filter sees the twice-cleaned text (a doc
+  whose bulk was duplicated or contaminated now fails the length
+  gate);
+- exact dedup collapses docs that became identical after the
+  rewrites; split + packing run on the survivors.
+
+Every stage is an existing oracle-checked operator — this module only
+owns the composition, shared by the driver query
+(``q_corpus_prep_v3``) and the ``corpus-prep`` CLI so the two can
+never drift.
+
+Scale shape: two span passes (each one gram projection + probe/
+election shuffle + per-doc islands window + array-filter rewrite),
+one fingerprint shuffle for the exact dedup, a shuffle-free split
+assignment, and one cumulative-sum window per (source, split) shard
+for the packing. The benchmark side broadcasts (eval-suite-sized) or
+probes a persisted gram store with BKT_PART pruning — the corpus is
+never re-fingerprinted for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def corpus_prep(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str = "source",
+    *,
+    bench: DataFrame | None = None,
+    bench_store: str | None = None,
+    spark: SparkSession | None = None,
+    L: int = 8,
+    min_tokens: int = 30,
+    max_rep: float = 0.2,
+    budget: int = 512,
+) -> DataFrame:
+    """Run the full prep chain over ``docs``; returns one row per
+    SURVIVING doc: (id, source, split, n_tok, seq_id) where ``n_tok``
+    is the post-rewrite token count the packer consumed and ``seq_id``
+    is the ``budget``-token training sequence the doc packs into
+    (NULL outside the train split).
+
+    The benchmark for the scrub stage comes from exactly one of:
+    ``bench`` (a DataFrame, fingerprinted in-query — the
+    oracle-replayable shape) or ``bench_store`` (+ ``spark``; a
+    persisted gram index built once with ``write_substring_store`` —
+    the steady-state shape, probed with BKT_PART pruning). With
+    neither, the scrub stage is skipped and this is the v2 chain.
+    """
+    from .dedup import dedup_exact
+    from .sampling import assign_split
+    from .substring import (
+        apply_span_removal,
+        benchmark_overlap_spans,
+        remove_spans,
+    )
+    from .text import with_repetition_stats
+
+    if bench is not None and bench_store is not None:
+        raise ValueError("pass bench= or bench_store=, not both")
+
+    cur = docs.select(id_col, source_col, text_col)
+    if bench_store is not None:
+        from .incremental_substring import store_overlap_spans
+
+        if spark is None:
+            raise ValueError("bench_store= needs spark=")
+        spans0 = store_overlap_spans(spark, bench_store, cur, text_col, id_col)
+    elif bench is not None:
+        spans0 = benchmark_overlap_spans(cur, bench, text_col, id_col, L)
+    else:
+        spans0 = None
+    if spans0 is not None:
+        scrubbed = apply_span_removal(cur, spans0, text_col, id_col)
+        cur = (
+            cur.select(id_col, source_col)
+            .join(scrubbed, id_col)
+            .withColumnRenamed("cleaned", text_col)
+        )
+
+    cleaned = remove_spans(cur, text_col, id_col, L)
+    cur = (
+        cur.select(id_col, source_col)
+        .join(cleaned, id_col)
+        .withColumnRenamed("cleaned", text_col)
+    )
+
+    filtered = with_repetition_stats(cur, text_col).filter(
+        (F.col("n_tok") >= min_tokens) & (F.col("rep_ratio") < max_rep)
+    )
+    deduped = dedup_exact(filtered, text_col, id_col)
+    split = assign_split(deduped, id_col)
+
+    w = (
+        Window.partitionBy(source_col, "split")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    train_tok = F.when(F.col("split") == "train", F.col("n_tok")).otherwise(0)
+    seq = F.when(
+        F.col("split") == "train",
+        F.floor((F.sum(train_tok).over(w) - F.col("n_tok")) / float(budget)),
+    )
+    return split.select(
+        id_col, source_col, "split", "n_tok", seq.alias("seq_id")
+    )

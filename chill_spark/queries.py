@@ -56,6 +56,8 @@ def query(name: str, oracle: str | None = None):
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
+    # --- never driver-checked (r10 additions) ---
+    "q_corpus_prep_v3",
     # --- last driver check: round 6 (all 36 core rows) ---
     "q10_returned_revenue", "q11_important_parts", "q15_top_supplier",
     "q16_supplier_part_counts", "q8_market_share", "q_anomaly_mad",
@@ -78,7 +80,6 @@ _PRIORITY: list[str] = [
     "q_window_topn_orders", "q_pivot_daily_events", "q_json_props",
     "q_media_dedup", "q_top_tokens_per_lang", "q_tfidf",
     "q_stratified_sample", "q_chunk_documents", "q_pack_sequences",
-    "q_token_budget_by_split",
 ]
 
 # Driver-rotation capacity policy (the r8 verdict's order #2). The
@@ -11383,3 +11384,148 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_corpus_prep_v3",
+    oracle=("WITH" + _SCRUB_CTES + r"""
+    , pos AS (
+      SELECT doc_id, p, t[p] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p) u(p)
+      WHERE doc_id % 20 <> 0
+    ),
+    kept AS (
+      SELECT pos.doc_id, string_agg(pos.tok, ' ' ORDER BY pos.p) AS cleaned
+      FROM pos
+      LEFT JOIN spans s
+        ON s.doc_id = pos.doc_id
+       AND pos.p >= s.span_start AND pos.p < s.span_end
+      WHERE s.doc_id IS NULL
+      GROUP BY pos.doc_id
+    ),
+    sdocs AS (
+      SELECT t.doc_id, d.source, coalesce(k.cleaned, '') AS text
+      FROM toks t
+      JOIN documents d USING (doc_id)
+      LEFT JOIN kept k USING (doc_id)
+      WHERE t.doc_id % 20 <> 0
+    ),
+    toksb AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM sdocs
+    ),
+    offsb AS (
+      SELECT doc_id, i AS off,
+             ('0x' || substring(md5(array_to_string(t[i : i + 7], ' ')), 1, 15))::BIGINT AS fp
+      FROM toksb, LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) u(i)
+    ),
+    markedb AS (
+      SELECT doc_id, off,
+             count(*)     OVER (PARTITION BY fp) AS cnt,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, off) AS rn
+      FROM offsb
+    ),
+    dupb AS (SELECT doc_id, off, off + 8 AS e FROM markedb
+             WHERE cnt > 1 AND rn > 1),
+    islb AS (
+      SELECT doc_id, off, e,
+             CASE WHEN off > coalesce(max(e) OVER (
+                 PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM dupb
+    ),
+    grpb AS (
+      SELECT doc_id, off, e,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY off
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM islb
+    ),
+    spansb AS (
+      SELECT doc_id, min(off) AS span_start, max(e) AS span_end
+      FROM grpb GROUP BY doc_id, g
+    ),
+    posb AS (
+      SELECT doc_id, p, t[p] AS tok
+      FROM toksb, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p) u(p)
+    ),
+    keptb AS (
+      SELECT posb.doc_id, string_agg(posb.tok, ' ' ORDER BY posb.p) AS cleaned
+      FROM posb
+      LEFT JOIN spansb s
+        ON s.doc_id = posb.doc_id
+       AND posb.p >= s.span_start AND posb.p < s.span_end
+      WHERE s.doc_id IS NULL
+      GROUP BY posb.doc_id
+    ),
+    cdocs AS (
+      SELECT t.doc_id, t.source, coalesce(k.cleaned, '') AS text
+      FROM toksb t LEFT JOIN keptb k USING (doc_id)
+    ),
+    toks2 AS (
+        SELECT doc_id, source, text,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t2
+        FROM cdocs
+    ),
+    grams2 AS (
+        SELECT doc_id, source, text, len(t2) AS n_tok,
+               list_transform(range(1, greatest(len(t2) - 3, 0) + 2),
+                              i -> array_to_string(t2[i : i + 2], ' ')) AS g
+        FROM toks2
+    ),
+    filtered AS (
+        SELECT doc_id, source, text, n_tok
+        FROM grams2
+        WHERE n_tok >= 30
+          AND 1 - len(list_distinct(g))::DOUBLE / len(g) < 0.2
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id,
+               arg_min(source, doc_id) AS source,
+               arg_min(n_tok, doc_id)  AS n_tok
+        FROM (SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM filtered)
+        GROUP BY fp
+    ),
+    split AS (
+        SELECT doc_id, source, n_tok,
+               {SPLIT_CASE} AS split
+        FROM deduped
+    )
+    SELECT doc_id, source, split, n_tok,
+           CASE WHEN split = 'train' THEN
+               CAST(floor((sum(CASE WHEN split = 'train' THEN n_tok ELSE 0 END)
+                               OVER (PARTITION BY source, split ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0)
+                    AS BIGINT)
+           END AS seq_id
+    FROM split
+    ORDER BY doc_id
+    """).replace("{SPLIT_CASE}", split_oracle_sql("deduped", "doc_id")),
+)
+def q_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production prep pipeline with the r9 scrub as stage zero
+    (llm_ops.prep.corpus_prep — the same composition the
+    ``corpus-prep`` CLI runs): benchmark-scrub (spans overlapping the
+    doc_id%20==0 eval suite removed, scrub-don't-drop) -> substring
+    self-dedup over the SCRUBBED text -> repetition/length quality
+    filter -> exact dedup -> deterministic split -> 512-token train
+    packing. Ordering is the point: benchmark text can't win keeper
+    elections or inflate quality stats, and a doc whose unique content
+    was all contamination now fails the length gate. The oracle
+    replays the entire chain — both span passes (probe + keeper
+    election), both positional rewrites, the filter, the fingerprint
+    dedup with the survivor's (source, n_tok), the split hash and the
+    per-(source, split) packing window."""
+    from .llm_ops.prep import corpus_prep
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return corpus_prep(
+        d.filter(F.col("doc_id") % 20 != 0),
+        "text",
+        "doc_id",
+        "source",
+        bench=d.filter(F.col("doc_id") % 20 == 0),
+        L=_SUBSTR_L,
+    ).orderBy("doc_id")

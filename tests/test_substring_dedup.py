@@ -739,3 +739,53 @@ def test_benchmark_overlap_spans_property(spark, train, bench):
         ).collect()
     )
     assert got == sorted(expect)
+
+
+def test_corpus_prep_cli_store_equals_inquery_chain(spark, tmp_path, capsys):
+    """corpus-prep --bench-store (persisted gram index, the
+    steady-state shape) must produce exactly the rows of the
+    oracle-replayable in-query chain (bench= DataFrame) — the two
+    scrub span sources are different code paths over the same
+    evidence. Also pins the no-scrub fallback (omitting --bench-store
+    runs the v2 chain) and the NULL-id drop report."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chill_spark.cli import main
+    from chill_spark.llm_ops.incremental_substring import (
+        write_substring_store,
+    )
+    from chill_spark.llm_ops.prep import corpus_prep
+
+    docs = spark.read.parquet(
+        os.path.join("/root/testdata/sf0.001", "documents.parquet")
+    )
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+
+    store = str(tmp_path / "bench_store")
+    write_substring_store(bench, "text", "doc_id", store, L=8,
+                          bucket_partitions=8)
+    src = str(tmp_path / "train_pq")
+    dst = str(tmp_path / "prepped")
+    train.write.parquet(src)
+    assert main(["corpus-prep", "--input", src, "--out", dst,
+                 "--bench-store", store]) == 0
+    assert "scrubbed against benchmark index" in capsys.readouterr().out
+
+    want = {tuple(r) for r in corpus_prep(
+        train, "text", "doc_id", "source", bench=bench, L=8,
+    ).collect()}
+    got = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert got == want and got
+
+    # no --bench-store: the scrub stage is skipped (v2 chain)
+    dst2 = str(tmp_path / "prepped_noscrub")
+    assert main(["corpus-prep", "--input", src, "--out", dst2]) == 0
+    assert "no benchmark scrub" in capsys.readouterr().out
+    noscrub = {tuple(r) for r in corpus_prep(
+        train, "text", "doc_id", "source", L=8,
+    ).collect()}
+    got2 = {tuple(r) for r in spark.read.parquet(dst2).collect()}
+    assert got2 == noscrub and got2
