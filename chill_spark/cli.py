@@ -180,6 +180,27 @@ def cmd_reconcile(args) -> int:
         report.merge(
             expectations_report(table.name, check_expectations(actual, exps))
         )
+    if args.store_health:
+        from .report.store_health import (
+            journal_freshness,
+            store_health_report,
+        )
+
+        healths = {}
+        for spec in args.store_health:
+            name, _, rest = spec.partition("=")
+            if not rest:
+                print(f"--store-health wants NAME=ROOT[:SUBDIR], got "
+                      f"{spec!r}", file=sys.stderr)
+                return 2
+            root, _, subdir = rest.rpartition(":")
+            if not root:  # no :SUBDIR given
+                root, subdir = rest, "grams"
+            healths[name] = journal_freshness(
+                spark, root, data_subdir=subdir,
+                max_lag=args.store_health_max_lag,
+            )
+        report.merge(store_health_report(healths))
     xml = report.to_xml()
     if args.report:
         with open(args.report, "w") as f:
@@ -1751,6 +1772,16 @@ def main(argv: list[str] | None = None) -> int:
     rc.add_argument("--report")
     rc.add_argument("--expect-not-null", help="comma list of columns")
     rc.add_argument("--expect-unique", help="comma list of key columns")
+    rc.add_argument(
+        "--store-health", action="append", metavar="NAME=ROOT[:SUBDIR]",
+        help="add a 'Store Health' suite row per store: fails on a "
+             "missing _health journal, a verdict lagging the appended "
+             "frontier, or a newest verdict that says compact/rebuild "
+             "(SUBDIR defaults to 'grams'; use 'codes' for PQ stores)",
+    )
+    rc.add_argument("--store-health-max-lag", type=int, default=8,
+                    help="max batches the newest verdict may lag the "
+                         "appended frontier")
     rc.set_defaults(fn=cmd_reconcile)
 
     rt = sub.add_parser("retention", help="thinout expired partitions")

@@ -1,0 +1,115 @@
+"""Store-health journal freshness as a CI gate (report/store_health.py):
+a stale or rotting store must FAIL the reconciliation report, not just
+print from the --journal CLI."""
+
+from __future__ import annotations
+
+import os
+
+from chill_spark.llm_ops.storefs import write_health_event
+from chill_spark.report.store_health import (
+    journal_freshness,
+    store_health_report,
+)
+
+
+def _leaf(root: str, batch: int, subdir: str = "grams") -> None:
+    os.makedirs(os.path.join(root, subdir, f"BATCH_PART={batch}"),
+                exist_ok=True)
+
+
+def test_fresh_healthy_store_passes(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _leaf(root, 0)
+    _leaf(root, 3)
+    write_health_event(root, 3, {"compact": False, "reasons": []},
+                       spark=spark)
+    h = journal_freshness(spark, root, max_lag=8)
+    assert h["newest_batch"] == 3 and h["frontier_batch"] == 3
+    assert h["lag"] == 0 and not h["stale"] and not h["actions"]
+    rep = store_health_report({"grams": h})
+    assert rep.passed
+    assert "Store Health" in rep.to_xml()
+
+
+def test_drifted_store_fails_stale(spark, tmp_path):
+    """The drifted store: the maintainer journaled at batch 1, then 10
+    more batches appended with no verdict — the newest verdict's age
+    exceeds max_lag, so the suite row fails with the lag spelled
+    out."""
+    root = str(tmp_path / "store")
+    for b in (0, 1, 11):
+        _leaf(root, b)
+    write_health_event(root, 1, {"compact": False, "reasons": []},
+                       spark=spark)
+    h = journal_freshness(spark, root, max_lag=8)
+    assert h["lag"] == 10 and h["stale"]
+    rep = store_health_report({"grams": h})
+    assert not rep.passed
+    assert "10 batches behind" in rep.to_xml()
+
+
+def test_action_verdict_fails_even_when_fresh(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _leaf(root, 5)
+    write_health_event(
+        root, 5,
+        {"compact": True, "reasons": ["appended_fraction 0.7 > 0.5"]},
+        spark=spark,
+    )
+    h = journal_freshness(spark, root, max_lag=8)
+    assert h["actions"] == ["compact"] and not h["stale"]
+    rep = store_health_report({"grams": h})
+    assert not rep.passed
+    assert "appended_fraction 0.7" in rep.to_xml()
+
+
+def test_missing_journal_fails(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _leaf(root, 2)
+    h = journal_freshness(spark, root, max_lag=8)
+    assert h["n_events"] == 0 and h["newest_batch"] is None
+    rep = store_health_report({"grams": h})
+    assert not rep.passed
+    assert "not emitting" in rep.to_xml()
+
+
+def test_pq_subdir_and_rebuild_key(spark, tmp_path):
+    """PQ stores journal rebuild decisions under codes/ — the subdir
+    and the 'rebuild' action key both route."""
+    root = str(tmp_path / "pq")
+    _leaf(root, 4, subdir="codes")
+    write_health_event(root, 4, {"rebuild": True, "reasons": ["recall"]},
+                       spark=spark)
+    h = journal_freshness(spark, root, data_subdir="codes", max_lag=8)
+    assert h["frontier_batch"] == 4 and h["actions"] == ["rebuild"]
+    assert not store_health_report({"pq": h}).passed
+
+
+def test_real_substring_store_end_to_end(spark, tmp_path):
+    """Integration: a real gram store whose maintainer journaled at
+    the frontier passes; after appends with no new verdict and
+    max_lag=0 it goes stale."""
+    from chill_spark.llm_ops.incremental_substring import (
+        substring_store_append,
+        substring_store_compact_decision,
+        write_substring_store,
+    )
+
+    root = str(tmp_path / "store")
+    d1 = spark.createDataFrame([(0, "a b c d e f g h")], ["doc_id", "text"])
+    d2 = spark.createDataFrame([(1, "i j k l m n o p")], ["doc_id", "text"])
+    write_substring_store(d1, "text", "doc_id", root, L=4)
+    b = substring_store_append(d2, "text", "doc_id", root)
+    write_health_event(
+        root, b, substring_store_compact_decision(spark, root), spark=spark,
+    )
+    h = journal_freshness(spark, root, max_lag=0)
+    assert h["lag"] == 0 and not h["stale"]
+    b2 = substring_store_append(
+        spark.createDataFrame([(2, "q r s t u v w x")], ["doc_id", "text"]),
+        "text", "doc_id", root,
+    )
+    assert b2 < b  # manual appends descend — id distance would lie
+    h2 = journal_freshness(spark, root, max_lag=0)
+    assert h2["n_append_leaves"] == 2 and h2["lag"] == 1 and h2["stale"]
