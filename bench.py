@@ -116,6 +116,8 @@ HEADLINE = [
     "q_lm_bigram_perplexity",
     "q_corpus_prep_v2",
     "q_corpus_prep_v3",
+    "q_contamination_by_benchmark",
+    "q_pack_split_sequences",
     "q_bloom_doc_verdicts",
     "q_classifier_calibration",
     "q_dup_rate_by_source",

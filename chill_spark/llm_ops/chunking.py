@@ -127,6 +127,91 @@ def pack_sequences(
     )
 
 
+def pack_split_sequences(
+    df: DataFrame,
+    order_col: str,
+    count_col: str,
+    budget: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """The SPLITTING packer: documents stream into ``budget``-token
+    training sequences back to back, and a document crossing a
+    sequence boundary is SPLIT across it — every sequence is exactly
+    full (fill_ratio 1) except each shard's final tail. This is the
+    standard LM pretraining packer; ``pack_sequences`` is the
+    no-split variant whose boundary-crossing docs overflow instead
+    (q_pack_efficiency measures the waste that choice costs).
+
+    Output: one row per (doc, sequence) it occupies — ``seq_id``,
+    ``seq_tokens`` (this doc's tokens inside that sequence) and
+    ``doc_offset`` (the doc's global token start within its shard's
+    stream). Zero-token rows are dropped (nothing to pack).
+
+    Scale shape: one cumulative-sum window per shard (identical to
+    ``pack_sequences``) plus a per-row ``sequence`` explode bounded by
+    ceil(n_tok / budget) + 1 — no joins, no second shuffle; output
+    partitioning follows the window's.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    parts = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(count_col)
+    start = F.sum(count_col).over(w) - n
+    d = (
+        df.filter(n > 0)
+        .withColumn("doc_offset", start)
+        .withColumn("__end", F.col("doc_offset") + n)
+    )
+    first = F.floor(F.col("doc_offset") / budget)
+    last = F.floor((F.col("__end") - 1) / budget)
+    seq = F.col("seq_id")
+    return (
+        d.withColumn("seq_id", F.explode(F.sequence(first, last)))
+        .withColumn(
+            "seq_tokens",
+            F.least(F.col("__end"), (seq + 1) * budget)
+            - F.greatest(F.col("doc_offset"), seq * budget),
+        )
+        .drop("__end")
+    )
+
+
+def pack_split_oracle_sql(
+    table: str,
+    order_col: str,
+    count_col: str,
+    budget: int,
+    shard_col: str | None = None,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB SQL mirroring ``pack_split_sequences``."""
+    part = f"PARTITION BY {shard_col} " if shard_col else ""
+    return f"""
+    SELECT {select_cols}, doc_offset, seq_id,
+           least(doc_offset + {count_col}, (seq_id + 1) * {budget})
+             - greatest(doc_offset, seq_id * {budget}) AS seq_tokens
+    FROM (
+        SELECT *,
+               unnest(range(CAST(floor(doc_offset / {budget}) AS BIGINT),
+                            CAST(floor((doc_offset + {count_col} - 1)
+                                       / {budget}) AS BIGINT) + 1)) AS seq_id
+        FROM (
+            SELECT *,
+                   CAST(sum({count_col}) OVER ({part}ORDER BY {order_col}
+                       ROWS UNBOUNDED PRECEDING) - {count_col} AS BIGINT)
+                       AS doc_offset
+            FROM {table}
+            WHERE {count_col} > 0
+        )
+    )
+    """
+
+
 def pack_oracle_sql(
     table: str,
     order_col: str,

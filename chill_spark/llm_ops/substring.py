@@ -240,6 +240,61 @@ def benchmark_overlap_spans(
     return merge_spans(hits, id_col, L)
 
 
+def contamination_attribution(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    L: int,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-benchmark-document contamination attribution: for EACH eval
+    doc, how much of it leaked into the training corpus — the report
+    you read before deciding which eval suites are still trustworthy
+    (``benchmark_overlap_spans`` answers "what do I scrub"; this
+    answers "which benchmark is burned"). TOTAL over benchmark docs
+    that have at least one L-gram:
+
+    (bench_id, n_grams, hit_grams, n_occurrences, n_corpus_docs,
+     contaminated_frac)
+
+    where ``hit_grams`` counts the doc's distinct grams found anywhere
+    in the corpus, ``n_occurrences`` every corpus occurrence of them,
+    and ``n_corpus_docs`` the distinct corpus docs touched. A gram
+    shared by several benchmark docs attributes to each (the honest
+    report — both eval items are burned).
+
+    Scale shape: the benchmark side is its per-doc distinct gram set
+    (eval-suite-sized, broadcast by default); the corpus pays one
+    offset projection + the probe join; the reduction is keyed by
+    bench_id, so the output and the distinct-count state are
+    benchmark-sized."""
+    bid = "bench_id"
+    bg = (
+        gram_offsets(bench, text_col, id_col, L)
+        .select(F.col(id_col).alias(bid), "fp")
+        .distinct()
+    )
+    ng = bg.groupBy(bid).agg(F.count(F.lit(1)).alias("n_grams"))
+    probe = F.broadcast(bg) if broadcast_bench else bg
+    hits = gram_offsets(docs, text_col, id_col, L).join(probe, "fp")
+    rep = hits.groupBy(bid).agg(
+        F.countDistinct("fp").alias("hit_grams"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_corpus_docs"),
+    )
+    return ng.join(rep, bid, "left").select(
+        bid,
+        "n_grams",
+        F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"),
+        F.coalesce("n_occurrences", F.lit(0)).alias("n_occurrences"),
+        F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+        F.round(
+            F.coalesce("hit_grams", F.lit(0)) / F.col("n_grams"), 6
+        ).alias("contaminated_frac"),
+    )
+
+
 def scrub_benchmark_spans(
     docs: DataFrame,
     bench: DataFrame,

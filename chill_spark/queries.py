@@ -57,7 +57,8 @@ def query(name: str, oracle: str | None = None):
 # and tests/strict_sweep.py (driver-exact canonicalization).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r10 additions) ---
-    "q_corpus_prep_v3",
+    "q_corpus_prep_v3", "q_contamination_by_benchmark",
+    "q_pack_split_sequences",
     # --- last driver check: round 6 (all 36 core rows) ---
     "q10_returned_revenue", "q11_important_parts", "q15_top_supplier",
     "q16_supplier_part_counts", "q8_market_share", "q_anomaly_mad",
@@ -79,7 +80,7 @@ _PRIORITY: list[str] = [
     "q6_forecast_revenue", "q_customers_without_orders",
     "q_window_topn_orders", "q_pivot_daily_events", "q_json_props",
     "q_media_dedup", "q_top_tokens_per_lang", "q_tfidf",
-    "q_stratified_sample", "q_chunk_documents", "q_pack_sequences",
+    "q_stratified_sample",
 ]
 
 # Driver-rotation capacity policy (the r8 verdict's order #2). The
@@ -11529,3 +11530,109 @@ def q_corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench=d.filter(F.col("doc_id") % 20 == 0),
         L=_SUBSTR_L,
     ).orderBy("doc_id")
+
+
+from .llm_ops.chunking import pack_split_oracle_sql  # noqa: E402
+
+
+@query(
+    "q_contamination_by_benchmark",
+    oracle="WITH" + r"""
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, i AS off,
+             ('0x' || substring(md5(array_to_string(t[i : i + 7], ' ')), 1, 15))::BIGINT AS fp
+      FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) u(i)
+    ),
+    bg AS (SELECT DISTINCT doc_id AS bench_id, fp FROM offs
+           WHERE doc_id % 20 = 0),
+    ng AS (SELECT bench_id, count(*) AS n_grams FROM bg GROUP BY bench_id),
+    hits AS (
+      SELECT b.bench_id, o.fp, o.doc_id
+      FROM offs o JOIN bg b USING (fp)
+      WHERE o.doc_id % 20 <> 0
+    ),
+    rep AS (
+      SELECT bench_id,
+             count(DISTINCT fp)     AS hit_grams,
+             count(*)               AS n_occurrences,
+             count(DISTINCT doc_id) AS n_corpus_docs
+      FROM hits GROUP BY bench_id
+    )
+    SELECT ng.bench_id, ng.n_grams,
+           coalesce(r.hit_grams, 0)     AS hit_grams,
+           coalesce(r.n_occurrences, 0) AS n_occurrences,
+           coalesce(r.n_corpus_docs, 0) AS n_corpus_docs,
+           round(coalesce(r.hit_grams, 0)::DOUBLE / ng.n_grams, 6)
+               AS contaminated_frac
+    FROM ng LEFT JOIN rep r USING (bench_id)
+    ORDER BY bench_id
+    """,
+)
+def q_contamination_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which eval suite is burned: per benchmark document (the
+    doc_id%20==0 suite), how much of it leaked into the training
+    corpus (llm_ops.substring.contamination_attribution) — distinct
+    grams hit, total corpus occurrences, distinct corpus docs touched,
+    contaminated fraction. The scrub family answers "what do I remove
+    from the corpus"; this is the other direction a training pipeline
+    needs before trusting its evals. TOTAL over benchmark docs with
+    >= 1 gram; benchmark gram sets broadcast, one corpus offset
+    projection + probe join, reduction keyed by bench_id so state and
+    output stay benchmark-sized."""
+    from .llm_ops.substring import contamination_attribution
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        contamination_attribution(
+            d.filter(F.col("doc_id") % 20 != 0),
+            d.filter(F.col("doc_id") % 20 == 0),
+            "text", "doc_id", _SUBSTR_L,
+        )
+        .orderBy("bench_id")
+    )
+
+
+@query(
+    "q_pack_split_sequences",
+    oracle=pack_split_oracle_sql(
+        "(SELECT doc_id, source, len(string_split_regex(text, '\\s+')) "
+        " AS n_tok FROM documents)",
+        order_col="doc_id",
+        count_col="n_tok",
+        budget=512,
+        shard_col="source",
+        select_cols="doc_id, source, n_tok",
+    ) + " ORDER BY doc_id, seq_id",
+)
+def q_pack_split_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPLITTING packer (llm_ops.chunking.pack_split_sequences):
+    documents stream into 512-token training sequences per source
+    shard and a boundary-crossing doc is split across sequences —
+    fill_ratio exactly 1 except each shard's tail, the standard LM
+    pretraining packing (q_pack_sequences is the no-split variant;
+    q_pack_efficiency prices the waste it trades for doc
+    integrity). One row per (doc, sequence) occupied, with the doc's
+    global token offset and its token count inside that sequence.
+    One cumulative-sum window per shard + a bounded per-row explode —
+    no joins, no extra shuffle."""
+    from .llm_ops.chunking import pack_split_sequences
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = docs.select(
+        "doc_id", "source",
+        F.size(tokenize_ws("text")).cast("long").alias("n_tok"),
+    )
+    return (
+        pack_split_sequences(
+            d, order_col="doc_id", count_col="n_tok", budget=512,
+            shard_col="source",
+        )
+        .select("doc_id", "source", "n_tok", "doc_offset", "seq_id",
+                "seq_tokens")
+        .orderBy("doc_id", "seq_id")
+    )

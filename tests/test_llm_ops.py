@@ -2809,3 +2809,77 @@ def test_pairwise_distinct_overlap_disjoint_pair_graded(spark):
     assert out[("a", "b")]["exact_overlap"] == 10
     # the verdict column is populated (graded), not NULL
     assert all(r["est_ok"] is not None for r in out.values())
+
+
+def test_pack_split_sequences_fills_every_sequence_exactly(spark):
+    """The splitting packer's contract: per shard, every sequence
+    carries exactly `budget` tokens except the final tail; a
+    boundary-crossing doc appears once per sequence it occupies with
+    the right token counts; zero-token docs drop."""
+    from chill_spark.llm_ops.chunking import pack_split_sequences
+
+    rows = [
+        # shard s: 3 + 5 + 6 = 14 tokens at budget 4 -> seqs of
+        # 4/4/4/2; doc 2 (5 toks at offset 3) spans seqs 0 and 1
+        (1, "s", 3), (2, "s", 5), (3, "s", 6),
+        # shard t: a doc longer than several budgets spans seqs 0..2
+        (4, "t", 9),
+        (5, "t", 0),  # dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, n int")
+    out = pack_split_sequences(df, "doc_id", "n", 4, shard_col="src")
+    got = {
+        (r["src"], r["doc_id"], r["seq_id"]): (r["doc_offset"], r["seq_tokens"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("s", 1, 0): (0, 3),
+        ("s", 2, 0): (3, 1), ("s", 2, 1): (3, 4),
+        ("s", 3, 2): (8, 4), ("s", 3, 3): (8, 2),
+    } | {
+        ("t", 4, 0): (0, 4), ("t", 4, 1): (0, 4), ("t", 4, 2): (0, 1),
+    }
+    # every non-final sequence in each shard is exactly full
+    import collections
+
+    per_seq = collections.Counter()
+    for (src, _doc, seq), (_off, tok) in got.items():
+        per_seq[(src, seq)] += tok
+    for (src, seq), tok in per_seq.items():
+        last = max(s for (s2, s) in per_seq if s2 == src)
+        assert tok == 4 or seq == last, (src, seq, tok)
+
+
+def test_contamination_attribution_counts(spark):
+    """Planted attribution: bench doc 100 ('a b c d e', L=4 -> grams
+    {abcd, bcde}) leaks into two corpus docs; bench doc 101 is clean.
+    A gram shared by both bench docs attributes to each."""
+    from chill_spark.llm_ops.substring import contamination_attribution
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e"),          # grams: abcd, bcde
+         (101, "p q r s"),            # gram: pqrs — never leaked
+         (102, "a b c d")],           # gram: abcd — shared with 100
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(1, "x a b c d y"),          # hits abcd once
+         (2, "a b c d e z"),          # hits abcd AND bcde
+         (3, "no overlap here at all")],
+        ["doc_id", "text"],
+    )
+    out = {r["bench_id"]: r for r in contamination_attribution(
+        docs, bench, "text", "doc_id", 4,
+    ).collect()}
+    assert set(out) == {100, 101, 102}
+    r = out[100]
+    assert (r["n_grams"], r["hit_grams"], r["n_occurrences"],
+            r["n_corpus_docs"]) == (2, 2, 3, 2)
+    assert r["contaminated_frac"] == 1.0
+    r = out[101]
+    assert (r["hit_grams"], r["n_occurrences"], r["n_corpus_docs"]) \
+        == (0, 0, 0)
+    assert r["contaminated_frac"] == 0.0
+    r = out[102]  # the shared gram attributes here too
+    assert (r["n_grams"], r["hit_grams"], r["n_occurrences"],
+            r["n_corpus_docs"]) == (1, 1, 2, 2)
