@@ -283,7 +283,9 @@ def contamination_attribution(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct(id_col).alias("n_corpus_docs"),
     )
-    return ng.join(rep, bid, "left").select(
+    # both sides of the final join are benchmark-sized; broadcast the
+    # report so Spark never sort-merges two suite-sized frames
+    return ng.join(F.broadcast(rep), bid, "left").select(
         bid,
         "n_grams",
         F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"),
