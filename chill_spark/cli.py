@@ -193,8 +193,10 @@ def cmd_reconcile(args) -> int:
                 print(f"--store-health wants NAME=ROOT[:SUBDIR], got "
                       f"{spec!r}", file=sys.stderr)
                 return 2
-            root, _, subdir = rest.rpartition(":")
-            if not root:  # no :SUBDIR given
+            root, sep, subdir = rest.rpartition(":")
+            # a URI root ("s3://bucket/store") has no :SUBDIR — the
+            # suffix is only a subdir when it's a bare dir name
+            if not sep or not subdir or "/" in subdir:
                 root, subdir = rest, "grams"
             healths[name] = journal_freshness(
                 spark, root, data_subdir=subdir,
@@ -532,7 +534,8 @@ def cmd_corpus_prep(args) -> int:
     spark = get_spark("chill-corpus-prep")
     df = spark.read.parquet(args.input)
     # every stage keys on the id; NULL-id rows can't ride any of the
-    # joins — drop them loudly, like the batch scrub does
+    # joins — drop them loudly, like the batch scrub does (the count
+    # is a single column-pruned scan of the id column)
     n_null_id = df.filter(F.col(args.id_col).isNull()).count()
     df = df.filter(F.col(args.id_col).isNotNull())
     out = corpus_prep(
@@ -542,9 +545,14 @@ def cmd_corpus_prep(args) -> int:
         max_rep=args.max_rep, budget=args.budget,
     )
     out.write.mode("overwrite").parquet(args.out)
-    res = spark.read.parquet(args.out)
-    n = res.count()
-    n_train = res.filter(F.col("split") == "train").count()
+    # ONE scan of the written output for the whole report
+    by_split = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(args.out)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(by_split.values())
+    n_train = by_split.get("train", 0)
     print(
         f"corpus-prep: {n} surviving doc(s) ({n_train} train) -> "
         f"{args.out}"

@@ -191,8 +191,11 @@ def pack_split_oracle_sql(
 ) -> str:
     """DuckDB SQL mirroring ``pack_split_sequences``."""
     part = f"PARTITION BY {shard_col} " if shard_col else ""
+    # the inner subquery already carries doc_offset and seq_id, so a
+    # '*' caller must not re-select them (duplicate output columns)
+    cols = "*" if select_cols == "*" else f"{select_cols}, doc_offset, seq_id"
     return f"""
-    SELECT {select_cols}, doc_offset, seq_id,
+    SELECT {cols},
            least(doc_offset + {count_col}, (seq_id + 1) * {budget})
              - greatest(doc_offset, seq_id * {budget}) AS seq_tokens
     FROM (

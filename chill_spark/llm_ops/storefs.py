@@ -147,6 +147,23 @@ class StoreFS:
                 out.append((p, int(st.getLen())))
         return out
 
+    def list_files_mtime(
+        self, path: str, suffix: str = ""
+    ) -> list[tuple[str, float]]:
+        """Recursive (path, modification-time-seconds) listing — the
+        write-order signal for journals whose batch-id conventions
+        are mixed (stream ids ascend, manual-append ids descend)."""
+        out: list[tuple[str, float]] = []
+        if not self.exists(path):
+            return out
+        it = self._fs.listFiles(self._Path(path), True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(suffix):
+                out.append((p, st.getModificationTime() / 1000.0))
+        return out
+
 
 #: schemes whose directory rename is a single atomic metadata op.
 #: Object stores (s3a/s3/s3n/gs/oss/wasb/abfs/cos...) implement rename
@@ -319,49 +336,85 @@ def write_health_event(
     convention as every batch-keyed leaf). Latest state = the event
     with the highest batch id.
 
-    Retention: only the ``keep_last`` newest events (by batch id) are
+    Retention: only the ``keep_last`` most recently WRITTEN events are
     kept — a continuous 5s-trigger stream with ``health_every=1``
     would otherwise grow the journal by ~17k files/day and make every
-    ``read_health_events`` call list-and-parse all of them. Verdicts
-    older than the horizon are superseded state, not an audit log
-    (``keep_last=None`` disables pruning). Pruning tolerates losing a
-    delete race with a concurrent writer — events are independent
-    files and a replayed batch rewrites its own."""
+    ``read_health_events`` call list-and-parse all of them. Recency is
+    file modification time, not batch id: the stores' id conventions
+    are mixed (stream ids ascend from 0, manual appends DESCEND from
+    -2), so any id horizon either never prunes a manual journal or
+    prunes a mixed one by id instead of age. Verdicts beyond the
+    horizon are superseded state, not an audit log (``keep_last=None``
+    disables pruning). Pruning tolerates losing a delete race with a
+    concurrent writer — events are independent files and a replayed
+    batch rewrites (and re-dates) its own."""
     write_store_json(
         root, {"batch_id": int(batch_id), **payload},
         name=f"_health/batch-{int(batch_id)}.json", spark=spark,
     )
     if keep_last is None:
         return
+    for path, _mtime in _health_files_by_age(root, spark)[int(keep_last):]:
+        try:
+            if SparkSession.getActiveSession() is None and "://" not in root:
+                import os
+
+                os.remove(path)
+            else:
+                StoreFS(root, spark).delete(path)
+        except Exception:
+            pass
+
+
+def _health_files_by_age(
+    root: str, spark: SparkSession | None = None
+) -> list[tuple[str, float]]:
+    """The ``_health/`` event files, most recently written first
+    (mtime desc, filename desc as the same-timestamp tie-break — for
+    stream journals, whose ids ascend, that keeps the later batch)."""
     import os
-    import re
-
-    horizon = int(batch_id) - int(keep_last) + 1
-    pat = re.compile(r"batch-(-?\d+)\.json$")
-
-    def _stale(name: str) -> bool:
-        m = pat.search(name)
-        return bool(m) and int(m.group(1)) < horizon
 
     if SparkSession.getActiveSession() is None and "://" not in root:
         hdir = os.path.join(root, "_health")
+        files: list[tuple[str, float]] = []
         if os.path.isdir(hdir):
             for name in os.listdir(hdir):
-                if _stale(name):
+                if name.endswith(".json"):
+                    p = os.path.join(hdir, name)
                     try:
-                        os.remove(os.path.join(hdir, name))
+                        files.append((p, os.stat(p).st_mtime))
                     except OSError:
                         pass
-        return
-    fs = StoreFS(root, spark)
-    hdir = f"{root}/_health"
-    if fs.is_dir(hdir):
-        for path, _size in fs.list_files(hdir, suffix=".json"):
-            if _stale(path):
-                try:
-                    fs.delete(path)
-                except Exception:
-                    pass
+    else:
+        fs = StoreFS(root, spark)
+        hdir = f"{root}/_health"
+        files = (
+            fs.list_files_mtime(hdir, suffix=".json")
+            if fs.is_dir(hdir) else []
+        )
+    return sorted(files, key=lambda x: (x[1], x[0]), reverse=True)
+
+
+def latest_health_event(
+    root: str, spark: SparkSession | None = None
+) -> dict | None:
+    """The most recently WRITTEN ``_health/`` event (None when the
+    journal is empty). Recency is file mtime, NOT the highest batch
+    id: manual-append stores number batches DOWNWARD from -2, so the
+    max-id event there is the oldest verdict — picking it would read
+    a freshly-journaled store as stale and resurrect long-superseded
+    compact/rebuild flags."""
+    import json
+
+    for path, _mtime in _health_files_by_age(root, spark):
+        try:
+            if SparkSession.getActiveSession() is None and "://" not in root:
+                with open(path) as f:
+                    return json.load(f)
+            return json.loads(StoreFS(root, spark).read_text(path))
+        except Exception:
+            continue
+    return None
 
 
 def read_health_events(

@@ -26,7 +26,7 @@ import re
 
 from pyspark.sql import SparkSession
 
-from ..llm_ops.storefs import StoreFS, read_health_events
+from ..llm_ops.storefs import StoreFS, latest_health_event, read_health_events
 from ..operators.writers import BATCH_COL
 from .junit import TestCase, TestReport, TestSuite
 
@@ -55,7 +55,9 @@ def journal_freshness(
     ('codes') counts ids >= 0 as appends (builds are negative),
     gram stores count everything but the -1 bootstrap."""
     events = read_health_events(root, spark=spark)
-    newest = events[-1] if events else None
+    # newest by WRITE TIME, not by batch id — manual-append stores
+    # number batches downward, so the max-id event is their OLDEST
+    newest = latest_health_event(root, spark=spark)
     fs = StoreFS(root, spark)
     pat = re.compile(rf"^{BATCH_COL}=(-?\d+)$")
     leaves = [

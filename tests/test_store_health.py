@@ -113,3 +113,70 @@ def test_real_substring_store_end_to_end(spark, tmp_path):
     assert b2 < b  # manual appends descend — id distance would lie
     h2 = journal_freshness(spark, root, max_lag=0)
     assert h2["n_append_leaves"] == 2 and h2["lag"] == 1 and h2["stale"]
+
+
+def test_manual_append_store_newest_by_write_time(spark, tmp_path):
+    """Manual appends number batches DOWNWARD from -2, so the max-id
+    event is the OLDEST verdict — newest must be selected by write
+    time. A store journaled after every manual append stays fresh,
+    and a superseded action flag on the max-id event must not
+    resurrect."""
+    import time
+
+    from chill_spark.llm_ops.incremental_substring import (
+        substring_store_append,
+        substring_store_compact_decision,
+        write_substring_store,
+    )
+    from chill_spark.llm_ops.storefs import latest_health_event
+
+    root = str(tmp_path / "store")
+    write_substring_store(
+        spark.createDataFrame([(0, "a b c d e f g h")], ["doc_id", "text"]),
+        "text", "doc_id", root, L=4,
+    )
+    b1 = substring_store_append(
+        spark.createDataFrame([(1, "i j k l m n o p")], ["doc_id", "text"]),
+        "text", "doc_id", root,
+    )
+    # oldest verdict (highest id, -2) carries a stale action flag
+    write_health_event(root, b1, {"compact": True, "n_append_batches": 1,
+                                  "reasons": ["stale"]}, spark=spark)
+    time.sleep(0.05)
+    b2 = substring_store_append(
+        spark.createDataFrame([(2, "q r s t u v w x")], ["doc_id", "text"]),
+        "text", "doc_id", root,
+    )
+    assert b2 < b1 < 0
+    write_health_event(
+        root, b2,
+        substring_store_compact_decision(spark, root,
+                                         max_appended_fraction=0.9),
+        spark=spark,
+    )
+    assert latest_health_event(root, spark=spark)["batch_id"] == b2
+    h = journal_freshness(spark, root, max_lag=0)
+    assert h["newest_batch"] == b2
+    assert h["lag"] == 0 and not h["stale"]
+    assert not h["actions"], "superseded compact flag resurrected"
+    assert store_health_report({"grams": h}).passed
+
+
+def test_retention_prunes_manual_descending_journal(spark, tmp_path):
+    """Retention is by write recency, so a manual-append journal
+    (descending ids) still prunes — the id-horizon scheme never
+    deleted anything there."""
+    import time
+
+    root = str(tmp_path / "store")
+    _leaf(root, -1)
+    for i, b in enumerate([-2, -3, -4, -5, -6]):
+        if i:
+            time.sleep(0.02)
+        write_health_event(root, b, {"compact": False}, spark=spark,
+                           keep_last=2)
+    from chill_spark.llm_ops.storefs import read_health_events
+
+    events = read_health_events(root, spark=spark)
+    assert len(events) == 2
+    assert {e["batch_id"] for e in events} == {-5, -6}

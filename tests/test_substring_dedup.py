@@ -741,7 +741,8 @@ def test_benchmark_overlap_spans_property(spark, train, bench):
     assert got == sorted(expect)
 
 
-def test_corpus_prep_cli_store_equals_inquery_chain(spark, tmp_path, capsys):
+def test_corpus_prep_cli_store_equals_inquery_chain(spark, tmp_path, capsys,
+                                                    sf_dir):
     """corpus-prep --bench-store (persisted gram index, the
     steady-state shape) must produce exactly the rows of the
     oracle-replayable in-query chain (bench= DataFrame) — the two
@@ -759,7 +760,7 @@ def test_corpus_prep_cli_store_equals_inquery_chain(spark, tmp_path, capsys):
     from chill_spark.llm_ops.prep import corpus_prep
 
     docs = spark.read.parquet(
-        os.path.join("/root/testdata/sf0.001", "documents.parquet")
+        os.path.join(sf_dir, "documents.parquet")
     )
     train = docs.filter(F.col("doc_id") % 20 != 0)
     bench = docs.filter(F.col("doc_id") % 20 == 0)
