@@ -48,13 +48,23 @@ def query(name: str, oracle: str | None = None):
 #   * the r10 additions with no driver row yet, leading;
 #   * all 36 CORE rows whose last check is ROUND 6 (the r9 verdict's
 #     rotation order #1 — after this no core row is older than r7);
-#   * r6-era core rows (registration order) pre-refreshing part of
-#     r11's cohort in the remaining slots (19 r7-era geometry
+#   * r7-era core rows (registration order) pre-refreshing part of
+#     r11's cohort in the remaining slots (19 r7/r8-era geometry
 #     variants with core siblings moved to _EXTENDED this round, so
-#     the r11 mandatory cohort is small; drop pre-refresh rows from
+#     the r11 mandatory cohort is ~19; drop pre-refresh rows from
 #     the tail as r10 additions land at the head).
 # Queries outside the window are covered by tests/test_queries_oracle
 # and tests/strict_sweep.py (driver-exact canonicalization).
+#
+# r10 build-time verification record: all 50 window rows compared
+# hash-exact against the DuckDB oracle at sf0.01 (the three r10
+# additions first-check green); full-inventory strict sweeps
+# 0 problematic / 204 at sf0.01 and 0 / 202 at sf0.1 (the two
+# documented quadratic-oracle CC replays excluded); pytest 643
+# passed / 1 env-skip; idle bench 183.1 s / 93 headline queries +
+# 17.1 s / 8 serve splits under the new interleaved-reps
+# methodology (BENCH_COMPARE_r10.json holds the calib-normalized
+# r9->r10 analysis and the methodology reset note).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r10 additions) ---
     "q_corpus_prep_v3", "q_contamination_by_benchmark",

@@ -13,11 +13,14 @@ Run:  python tests/strict_sweep.py [sf_dir] [name_filter...]
 Prints one line per query (with spark/oracle wall seconds):
 OK / MISMATCH(kind) / NO_ORACLE / ERROR.
 
-Filters are substring INCLUDES; prefix with ``-`` to EXCLUDE instead
-(e.g. ``python tests/strict_sweep.py /root/testdata/sf0.1 -_cc_``
-sweeps everything but the chained-CC family, whose all-pairs
-verification oracle is deliberately quadratic and only sized for the
-sf0.01 driver gate).
+Filters are substring INCLUDES; prefix with ``-`` to EXCLUDE instead.
+The sf0.1 sweep excludes the two queries whose all-pairs verification
+oracle is deliberately quadratic and only sized for the sf0.01 driver
+gate (note ``-_cc_`` would NOT match q_embedding_dedup_cc — no
+trailing underscore):
+
+    python tests/strict_sweep.py /root/testdata/sf0.1 \\
+        -q_dedup_cc_keep_longest -q_embedding_dedup_cc
 """
 
 from __future__ import annotations
