@@ -893,6 +893,27 @@ def cmd_sketch(args) -> int:
     from .session import get_spark
 
     spark = get_spark("chill-sketch")
+    if getattr(args, "journal", False):
+        import json as _json
+
+        from .llm_ops.storefs import read_health_events
+
+        for ev in read_health_events(args.store, spark=spark):
+            print(_json.dumps(ev))
+        return 0
+    if getattr(args, "health", False):
+        import json as _json
+
+        from .llm_ops.incremental_dedup import (
+            sketch_store_compact_decision,
+        )
+
+        print(_json.dumps(sketch_store_compact_decision(spark, args.store)))
+        return 0
+    if not args.input:
+        print("sketch: --in required (unless --journal/--health)",
+              file=sys.stderr)
+        return 2
     df = spark.read.parquet(args.input)
     write_sketch_store(
         df, args.text_col, args.id_col, args.store,
@@ -912,6 +933,29 @@ def cmd_emb_sketch(args) -> int:
     from .session import get_spark
 
     spark = get_spark("chill-emb-sketch")
+    if getattr(args, "journal", False):
+        import json as _json
+
+        from .llm_ops.storefs import read_health_events
+
+        for ev in read_health_events(args.store, spark=spark):
+            print(_json.dumps(ev))
+        return 0
+    if getattr(args, "health", False):
+        import json as _json
+
+        from .llm_ops.incremental_embedding import (
+            embedding_store_compact_decision,
+        )
+
+        print(_json.dumps(
+            embedding_store_compact_decision(spark, args.store)
+        ))
+        return 0
+    if not args.input:
+        print("emb-sketch: --in required (unless --journal/--health)",
+              file=sys.stderr)
+        return 2
     df = spark.read.parquet(args.input)
     write_embedding_store(
         df, args.vec_col, args.id_col, args.store,
@@ -1957,8 +2001,14 @@ def main(argv: list[str] | None = None) -> int:
         help="materialize the MinHash sketch store for a corpus "
         "(feeds dedup-stream / offline incremental dedup)",
     )
-    sk.add_argument("--in", dest="input", required=True)
+    sk.add_argument("--in", dest="input")
     sk.add_argument("--store", required=True)
+    sk.add_argument("--journal", action="store_true",
+                    help="print the _health/ journal the dedup-stream "
+                         "maintainer emits, one JSON line per epoch")
+    sk.add_argument("--health", action="store_true",
+                    help="print the leaf-bloat compact decision for "
+                         "the store and exit")
     sk.add_argument("--text-col", dest="text_col", default="text")
     sk.add_argument("--id-col", dest="id_col", default="doc_id")
     sk.add_argument("--num-hashes", type=int, default=32)
@@ -1988,8 +2038,14 @@ def main(argv: list[str] | None = None) -> int:
         help="materialize the hyperplane-bucket embedding store for a "
         "corpus (feeds emb-dedup-stream / offline incremental dedup)",
     )
-    es.add_argument("--in", dest="input", required=True)
+    es.add_argument("--in", dest="input")
     es.add_argument("--store", required=True)
+    es.add_argument("--journal", action="store_true",
+                    help="print the _health/ journal the "
+                         "emb-dedup-stream maintainer emits")
+    es.add_argument("--health", action="store_true",
+                    help="print the leaf-bloat compact decision for "
+                         "the store and exit")
     es.add_argument("--vec-col", dest="vec_col", default="embedding")
     es.add_argument("--id-col", dest="id_col", default="vec_id")
     es.add_argument("--planes", type=int, default=6)

@@ -556,3 +556,65 @@ def _heal_side(fs, root: str, side: str) -> None:
         aside=f"{root}/{side}__old",
         marker=f"{root}/{side}__COMMIT",
     )
+
+
+def sketch_store_stats(spark: SparkSession, root: str) -> dict:
+    """Leaf-bloat accounting for the MinHash sketch store, the
+    sketch sibling of ``substring_store_stats`` — per-leaf row counts
+    of the ``sets/`` side from one zero-payload count scan (the
+    ``banded/`` side mirrors it leaf-for-leaf, so one side prices
+    both). Bootstrap is exactly leaf -1; every other leaf is a
+    stream/manual append and is compactable bloat (each appended
+    leaf adds file listings and duplicate-id resolution work to
+    every probe).
+
+    ``{"rows_total", "rows_bootstrap", "rows_appended",
+       "appended_fraction", "n_append_batches"}``"""
+    from ..operators.writers import BATCH_COL
+
+    if read_sketch_meta(root) is None:
+        raise ValueError(
+            f"no sketch store at {root} (missing _meta.json) — build "
+            "it with write_sketch_store / the sketch CLI first"
+        )
+    per = {
+        int(r[BATCH_COL]): int(r["n"])
+        for r in spark.read.parquet(f"{root}/sets")
+        .groupBy(BATCH_COL).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    boot = per.get(-1, 0)
+    total = sum(per.values())
+    appended = total - boot
+    return {
+        "rows_total": total,
+        "rows_bootstrap": boot,
+        "rows_appended": appended,
+        "appended_fraction": round(appended / total, 6) if total else 0.0,
+        "n_append_batches": sum(1 for b in per if b != -1),
+    }
+
+
+def sketch_store_compact_decision(
+    spark: SparkSession,
+    root: str,
+    max_appended_fraction: float = 0.5,
+    max_append_batches: int = 64,
+) -> dict:
+    """Actionable COMPACT verdict for the sketch store (sketch set
+    membership is exact, so like the gram index the action is
+    compact-for-probe-cost, never rebuild-for-quality). Leaf counts
+    only — per-epoch safe; reasons name the exact threshold
+    crossed."""
+    stats = sketch_store_stats(spark, root)
+    reasons: list[str] = []
+    if stats["appended_fraction"] > max_appended_fraction:
+        reasons.append(
+            f"appended_fraction {stats['appended_fraction']} > "
+            f"{max_appended_fraction}"
+        )
+    if stats["n_append_batches"] > max_append_batches:
+        reasons.append(
+            f"n_append_batches {stats['n_append_batches']} > "
+            f"{max_append_batches}"
+        )
+    return {**stats, "compact": bool(reasons), "reasons": reasons}

@@ -265,3 +265,60 @@ def compact_embedding_store(
         spark, root, target_file_bytes=target_file_bytes,
         sides=("vectors", "banded"), atomic_rename=atomic_rename,
     )
+
+
+def embedding_store_stats(spark: SparkSession, root: str) -> dict:
+    """Leaf-bloat accounting for the hyperplane-bucket embedding
+    store — per-leaf row counts of the ``vectors/`` side from one
+    zero-payload count scan (the ``banded/`` side mirrors it
+    leaf-for-leaf). Same shape and semantics as
+    ``incremental_dedup.sketch_store_stats``: bootstrap is leaf -1,
+    every other leaf is compactable append bloat."""
+    from ..operators.writers import BATCH_COL
+    from .storefs import read_store_json
+
+    if read_store_json(root) is None:
+        raise ValueError(
+            f"no embedding store at {root} (missing _meta.json) — "
+            "build it with write_embedding_store / the emb-sketch CLI"
+        )
+    per = {
+        int(r[BATCH_COL]): int(r["n"])
+        for r in spark.read.parquet(f"{root}/vectors")
+        .groupBy(BATCH_COL).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    boot = per.get(-1, 0)
+    total = sum(per.values())
+    appended = total - boot
+    return {
+        "rows_total": total,
+        "rows_bootstrap": boot,
+        "rows_appended": appended,
+        "appended_fraction": round(appended / total, 6) if total else 0.0,
+        "n_append_batches": sum(1 for b in per if b != -1),
+    }
+
+
+def embedding_store_compact_decision(
+    spark: SparkSession,
+    root: str,
+    max_appended_fraction: float = 0.5,
+    max_append_batches: int = 64,
+) -> dict:
+    """Actionable COMPACT verdict for the embedding store (bucket
+    membership is exact under the frozen hyperplanes, so the action
+    is compact-for-probe-cost). Leaf counts only — per-epoch safe;
+    reasons name the exact threshold crossed."""
+    stats = embedding_store_stats(spark, root)
+    reasons: list[str] = []
+    if stats["appended_fraction"] > max_appended_fraction:
+        reasons.append(
+            f"appended_fraction {stats['appended_fraction']} > "
+            f"{max_appended_fraction}"
+        )
+    if stats["n_append_batches"] > max_append_batches:
+        reasons.append(
+            f"n_append_batches {stats['n_append_batches']} > "
+            f"{max_append_batches}"
+        )
+    return {**stats, "compact": bool(reasons), "reasons": reasons}

@@ -139,6 +139,9 @@ def run_dedup_stream(
     trigger_seconds: int = 5,
     quarantine_dir: str | None = None,
     portable: bool = False,
+    health_every: int | None = 1,
+    max_appended_fraction: float = 0.5,
+    max_append_batches: int = 64,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for JSONL docs; append only near-dup
     survivors to ``out_dir``; maintain the sketch store under
@@ -150,7 +153,13 @@ def run_dedup_stream(
     LSH-bucket skip diagnostics run ``minhash_bucket_stats`` over an
     increment offline; an in-stream Observation is unsafe here (its
     ``get`` can block the micro-batch thread when AQE's empty-relation
-    propagation drops the metrics node)."""
+    propagation drops the metrics node).
+
+    Every ``health_every``-th appended batch also drops a
+    ``sketch_store_compact_decision`` verdict into the store's
+    ``_health/`` journal (batch-keyed, replay-overwrites-itself) —
+    the same in-band "compact now" signal the gram-index and PQ
+    maintainers emit; ``health_every=None`` disables it."""
     if quarantine_dir is None:
         quarantine_dir = f"{out_dir}/_quarantine"
 
@@ -232,6 +241,21 @@ def run_dedup_stream(
                 banded_out, f"{store_root}/banded", batch_id,
                 extra_partition_cols=[BUCKET_PART_COL] if bkt_n else None,
             )
+            if health_every and batch_id % health_every == 0:
+                from ..llm_ops.incremental_dedup import (
+                    sketch_store_compact_decision,
+                )
+                from ..llm_ops.storefs import write_health_event
+
+                write_health_event(
+                    store_root, batch_id,
+                    sketch_store_compact_decision(
+                        spark, store_root,
+                        max_appended_fraction=max_appended_fraction,
+                        max_append_batches=max_append_batches,
+                    ),
+                    spark=spark,
+                )
         finally:
             # unpersist in finally: a transient mid-batch failure is
             # retried by Structured Streaming, and leaked cached RDDs
@@ -285,6 +309,9 @@ def run_embedding_dedup_stream(
     available_now: bool = False,
     trigger_seconds: int = 5,
     quarantine_dir: str | None = None,
+    health_every: int | None = 1,
+    max_appended_fraction: float = 0.5,
+    max_append_batches: int = 64,
 ) -> StreamingQuery:
     """Continuously-deduplicating EMBEDDING intake — the vector twin of
     run_dedup_stream: JSONL rows carrying an embedding array land in a
@@ -292,7 +319,8 @@ def run_embedding_dedup_stream(
     matmul), joined against the persisted hyperplane store, cosine-
     verified, and only survivors append — to the corpus AND the store
     (vectors + banded), batch-keyed for exactly-once replay. Same
-    survivorship, all-duplicate-batch, and meta-provenance semantics
+    survivorship, all-duplicate-batch, meta-provenance and (via
+    ``health_every``) in-band ``_health/`` compact-verdict semantics
     as the text stream."""
     if quarantine_dir is None:
         quarantine_dir = f"{out_dir}/_quarantine"
@@ -387,6 +415,21 @@ def run_embedding_dedup_stream(
                 new_banded.join(surv_ids, "id", "left_semi"),
                 f"{store_root}/banded", batch_id,
             )
+            if health_every and batch_id % health_every == 0:
+                from ..llm_ops.incremental_embedding import (
+                    embedding_store_compact_decision,
+                )
+                from ..llm_ops.storefs import write_health_event
+
+                write_health_event(
+                    store_root, batch_id,
+                    embedding_store_compact_decision(
+                        spark, store_root,
+                        max_appended_fraction=max_appended_fraction,
+                        max_append_batches=max_append_batches,
+                    ),
+                    spark=spark,
+                )
         finally:
             for cached in (new_banded, new):
                 if cached is not None:

@@ -1050,3 +1050,45 @@ def test_cli_compact_dry_run(cli_dirs, spark, capsys):
     # dry run rewrote nothing
     leaf = os.path.join(path, "DT_PART=202401010000")
     assert len([f for f in os.listdir(leaf) if f.endswith(".parquet")]) > 1
+
+
+def test_sketch_and_emb_sketch_journal_and_health_cli(spark, tmp_path, capsys):
+    """`sketch --journal/--health` and `emb-sketch --journal/--health`
+    surface the dedup maintainers' in-band store health without
+    requiring --in."""
+    import json
+
+    from chill_spark.cli import main
+    from chill_spark.llm_ops.incremental_dedup import write_sketch_store
+    from chill_spark.llm_ops.incremental_embedding import (
+        write_embedding_store,
+    )
+    from chill_spark.llm_ops.storefs import write_health_event
+
+    store = str(tmp_path / "sk_store")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    write_sketch_store(docs, "text", "doc_id", store)
+    assert main(["sketch", "--store", store, "--health"]) == 0
+    h = json.loads(capsys.readouterr().out.strip())
+    assert h["compact"] is False and h["rows_bootstrap"] > 0
+    write_health_event(store, 3, {"compact": False}, spark=spark)
+    assert main(["sketch", "--store", store, "--journal"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1])["batch_id"] == 3
+
+    estore = str(tmp_path / "emb_store")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"],
+    )
+    write_embedding_store(vecs, "embedding", "vec_id", estore, planes=4)
+    assert main(["emb-sketch", "--store", estore, "--health"]) == 0
+    h = json.loads(capsys.readouterr().out.strip())
+    assert h["compact"] is False and h["rows_total"] == 1
+    write_health_event(estore, 0, {"rebuild": False}, spark=spark)
+    assert main(["emb-sketch", "--store", estore, "--journal"]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["batch_id"] == 0

@@ -2414,3 +2414,61 @@ def test_exact_dedup_stream_null_id_quarantined(spark, stream_dirs):
     )
     assert len(rej) == 2 and rej[0] == "corrupt {line"
     assert json.loads(rej[1])["text"] == "orphan doc"
+
+
+def test_dedup_streams_emit_health_journal(spark, stream_dirs):
+    """Both sketch-store maintainers (text MinHash + embedding) report
+    their leaf bloat in-band, same contract as the gram-index and PQ
+    maintainers: a batch-keyed _health/ verdict per epoch, replay
+    overwrites itself, counts from leaf scans only."""
+    import json
+
+    from chill_spark.llm_ops.storefs import read_health_events
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.dedup_stream import (
+        run_dedup_stream,
+        run_embedding_dedup_stream,
+    )
+
+    base = os.path.dirname(stream_dirs["out"])
+    ind = os.path.join(base, "hj_in"); os.makedirs(ind, exist_ok=True)
+    store = os.path.join(base, "hj_store")
+    kw = dict(
+        schema="doc_id BIGINT, text STRING",
+        out_dir=os.path.join(base, "hj_out"), store_root=store,
+        checkpoint_dir=os.path.join(base, "hj_ckpt"),
+        threshold=0.5, num_hashes=16, bands=8, available_now=True,
+        max_appended_fraction=0.0,
+    )
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota " * 4
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": long_a}) + "\n")
+    drain(run_dedup_stream(spark, ind, **kw))
+    events = read_health_events(store, spark=spark)
+    assert len(events) == 1
+    ev = events[-1]
+    # stream-bootstrapped store: every row is appended bloat
+    assert ev["rows_bootstrap"] == 0 and ev["rows_appended"] > 0
+    assert ev["compact"] is True
+    assert any("appended_fraction" in r for r in ev["reasons"])
+    # replay-idempotent: a re-drain rewrites, never appends
+    drain(run_dedup_stream(spark, ind, **kw))
+    assert len(read_health_events(store, spark=spark)) == 1
+
+    # the embedding twin
+    eind = os.path.join(base, "hje_in"); os.makedirs(eind, exist_ok=True)
+    estore = os.path.join(base, "hje_store")
+    ekw = dict(
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        out_dir=os.path.join(base, "hje_out"), store_root=estore,
+        checkpoint_dir=os.path.join(base, "hje_ckpt"),
+        threshold=0.9, planes=4, bands=4, available_now=True,
+        max_appended_fraction=0.0,
+    )
+    with open(os.path.join(eind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"vec_id": 1, "embedding": [1.0, 0.0, 0.0, 0.0]}) + "\n")
+    drain(run_embedding_dedup_stream(spark, eind, **ekw))
+    eev = read_health_events(estore, spark=spark)
+    assert len(eev) == 1 and eev[-1]["compact"] is True
+    assert eev[-1]["rows_appended"] == 1
