@@ -68,7 +68,7 @@ def query(name: str, oracle: str | None = None):
 _PRIORITY: list[str] = [
     # --- never driver-checked (r10 additions) ---
     "q_corpus_prep_v3", "q_contamination_by_benchmark",
-    "q_pack_split_sequences",
+    "q_pack_split_sequences", "q_sketch_store_health",
     # --- last driver check: round 6 (all 36 core rows) ---
     "q10_returned_revenue", "q11_important_parts", "q15_top_supplier",
     "q16_supplier_part_counts", "q8_market_share", "q_anomaly_mad",
@@ -90,7 +90,6 @@ _PRIORITY: list[str] = [
     "q6_forecast_revenue", "q_customers_without_orders",
     "q_window_topn_orders", "q_pivot_daily_events", "q_json_props",
     "q_media_dedup", "q_top_tokens_per_lang", "q_tfidf",
-    "q_stratified_sample",
 ]
 
 # Driver-rotation capacity policy (the r8 verdict's order #2). The
@@ -11646,3 +11645,77 @@ def q_pack_split_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "seq_tokens")
         .orderBy("doc_id", "seq_id")
     )
+
+
+@query(
+    "q_sketch_store_health",
+    oracle="""
+    WITH b  AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 = 1),
+         a1 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 = 2),
+         a2 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 = 0)
+    SELECT CAST(b.n + a1.n + a2.n AS BIGINT) AS rows_total,
+           CAST(b.n AS BIGINT)               AS rows_bootstrap,
+           CAST(a1.n + a2.n AS BIGINT)       AS rows_appended,
+           round((a1.n + a2.n)::DOUBLE / (b.n + a1.n + a2.n), 6)
+                                             AS appended_fraction,
+           CAST(2 AS BIGINT)                 AS n_append_batches,
+           (round((a1.n + a2.n)::DOUBLE / (b.n + a1.n + a2.n), 6) > 0.5)
+                                             AS compact
+    FROM b, a1, a2
+    """,
+)
+def q_sketch_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-sketch-store health accounting + the compact verdict —
+    the sketch sibling of q_substring_store_health, under the driver
+    gate: bootstrap the store on a third of the corpus
+    (write_sketch_store, one sets row per doc under BATCH_PART=-1),
+    land two batch-keyed appends exactly as the streaming maintainer
+    does, then report sketch_store_stats plus
+    sketch_store_compact_decision (llm_ops/incremental_dedup.py). The
+    oracle replays every leaf count from the documents table (each
+    doc contributes exactly one sets row to its wave's leaf) and the
+    compact flag's appended-fraction threshold on the same rounded
+    value."""
+    import shutil
+    import tempfile
+
+    from .llm_ops.dedup import banded_signatures, shingle_sets
+    from .llm_ops.incremental_dedup import (
+        sketch_store_compact_decision,
+        sketch_store_stats,
+        write_sketch_store,
+    )
+    from .operators.writers import append_batch_keyed
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tmp = tempfile.mkdtemp(prefix="chill_sketch_health_")
+    try:
+        root = f"{tmp}/store"
+        write_sketch_store(
+            d.filter(F.col("doc_id") % 3 == 1), "text", "doc_id", root,
+            num_hashes=16, bands=8,
+        )
+        for i, wave in enumerate((2, 0)):
+            w = d.filter(F.col("doc_id") % 3 == wave)
+            sets = shingle_sets(w, "text", "doc_id", 5)
+            append_batch_keyed(sets, f"{root}/sets", i)
+            append_batch_keyed(
+                banded_signatures(w, "text", "doc_id", 16, 8, 5,
+                                  sets_df=sets),
+                f"{root}/banded", i,
+            )
+        st = sketch_store_stats(spark, root)
+        dec = sketch_store_compact_decision(spark, root)
+        row = [(
+            int(st["rows_total"]), int(st["rows_bootstrap"]),
+            int(st["rows_appended"]), float(st["appended_fraction"]),
+            int(st["n_append_batches"]), bool(dec["compact"]),
+        )]
+        return spark.createDataFrame(
+            row,
+            "rows_total bigint, rows_bootstrap bigint, "
+            "rows_appended bigint, appended_fraction double, "
+            "n_append_batches bigint, compact boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
