@@ -778,3 +778,43 @@ def test_ann_rerank_broadcasts_candidates_exact_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pack_split_sequences_one_window_no_joins(spark, sf_dir):
+    """The splitting packer is pure window arithmetic: exactly one
+    hash Exchange (the per-shard cumulative-sum window), zero joins —
+    a join or a second shuffle sneaking in means the closed-form
+    boundary math regressed into something iterative."""
+    plan = plan_of(Q.queries()["q_pack_split_sequences"](spark, sf_dir))
+    # one hash Exchange (the per-shard window); the single range
+    # Exchange is the query's deterministic ORDER BY presentation
+    # sort for the oracle compare, not operator cost
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert plan.count("Arguments: rangepartitioning") <= 1, plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+
+
+def test_contamination_attribution_broadcasts_benchmark(spark, sf_dir):
+    """The corpus side pays one offset projection + a BROADCAST probe
+    join; the reduction keys on bench_id — the corpus must never
+    shuffle on the gram fp against a suite-sized side, and the final
+    suite-sized join must not sort-merge."""
+    plan = plan_of(Q.queries()["q_contamination_by_benchmark"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_prep_v3_no_fp_window_no_cartesian(spark, sf_dir):
+    """The full prep chain keeps the substring family's invariants:
+    keeper election stays a combiner-safe aggregate (never a window
+    keyed by the gram fingerprint — a boilerplate gram repeated
+    billions of times must not pin one window partition) and nothing
+    goes cartesian."""
+    plan = plan_of(Q.queries()["q_corpus_prep_v3"](spark, sf_dir))
+    assert "windowspecdefinition(fp" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # map-side keeper election
