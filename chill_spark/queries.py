@@ -57,13 +57,15 @@ def query(name: str, oracle: str | None = None):
 # and tests/strict_sweep.py (driver-exact canonicalization).
 #
 # r10 build-time verification record: all 50 window rows compared
-# hash-exact against the DuckDB oracle at sf0.01 (the three r10
+# hash-exact against the DuckDB oracle at sf0.01 (the four r10
 # additions first-check green); full-inventory strict sweeps
-# 0 problematic / 204 at sf0.01 and 0 / 202 at sf0.1 (the two
-# documented quadratic-oracle CC replays excluded); pytest 643
-# passed / 1 env-skip; idle bench 183.1 s / 93 headline queries +
-# 17.1 s / 8 serve splits under the new interleaved-reps
-# methodology (BENCH_COMPARE_r10.json holds the calib-normalized
+# 0 problematic / 205 at sf0.01 and 0 / 202 + 0/1 at sf0.1 (the two
+# documented quadratic-oracle CC replays excluded;
+# q_sketch_store_health swept separately after its later addition);
+# pytest 651 passed / 1 env-skip on the final tree; idle bench
+# 188.5 s / 95 headline queries + 12.8 s / 8 serve splits under the
+# new interleaved-reps methodology — two same-code runs agree at
+# 0.98 normalized (BENCH_COMPARE_r10.json holds the calib-normalized
 # r9->r10 analysis and the methodology reset note).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r10 additions) ---
