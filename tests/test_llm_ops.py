@@ -2883,3 +2883,65 @@ def test_contamination_attribution_counts(spark):
     r = out[102]  # the shared gram attributes here too
     assert (r["n_grams"], r["hit_grams"], r["n_occurrences"],
             r["n_corpus_docs"]) == (1, 1, 2, 2)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    counts=hyp_st.lists(
+        hyp_st.tuples(
+            hyp_st.sampled_from(["s", "t"]),
+            hyp_st.integers(min_value=0, max_value=23),
+        ),
+        min_size=1, max_size=12,
+    ),
+    budget=hyp_st.integers(min_value=1, max_value=9),
+)
+def test_pack_split_sequences_invariants(spark, counts, budget):
+    """Property: per shard, (1) every token is packed exactly once
+    (sum of seq_tokens == sum of positive counts), (2) every sequence
+    except the last is exactly full, (3) a doc's rows cover contiguous
+    sequences with its own token total, (4) zero-count docs vanish."""
+    import collections
+
+    from chill_spark.llm_ops.chunking import pack_split_sequences
+
+    rows = [(i, src, n) for i, (src, n) in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, n int")
+    out = pack_split_sequences(df, "doc_id", "n", budget, shard_col="src")
+    got = out.collect()
+    assert all(r["seq_tokens"] > 0 for r in got)
+
+    per_shard_tokens = collections.Counter()
+    per_seq = collections.Counter()
+    per_doc = collections.defaultdict(list)
+    for r in got:
+        per_shard_tokens[r["src"]] += r["seq_tokens"]
+        per_seq[(r["src"], r["seq_id"])] += r["seq_tokens"]
+        per_doc[(r["src"], r["doc_id"])].append((r["seq_id"], r["seq_tokens"]))
+
+    want_tokens = collections.Counter()
+    for _i, (src, n) in enumerate(counts):
+        if n > 0:
+            want_tokens[src] += n
+    assert per_shard_tokens == want_tokens  # (1) conservation
+
+    for src in {s for s, _ in counts}:
+        seqs = sorted(s for (s2, s) in per_seq if s2 == src)
+        if not seqs:
+            continue
+        assert seqs == list(range(len(seqs)))  # contiguous from 0
+        for s in seqs[:-1]:
+            assert per_seq[(src, s)] == budget  # (2) full except tail
+        assert per_seq[(src, seqs[-1])] <= budget
+
+    for (src, doc), pieces in per_doc.items():  # (3) per-doc coverage
+        sids = sorted(s for s, _ in pieces)
+        assert sids == list(range(sids[0], sids[-1] + 1))
+        n = dict((( _s, _src), _n) for _s, (_src, _n) in enumerate(counts))[
+            (doc, src)]
+        assert sum(t for _, t in pieces) == n
+
+    packed_docs = {(src, d) for (src, d) in per_doc}
+    zero_docs = {(src, i) for i, (src, n) in enumerate(counts) if n == 0}
+    assert not any((src, d) in packed_docs
+                   for (src, d) in {(s, i) for (s, i) in zero_docs})  # (4)
