@@ -790,3 +790,62 @@ def test_corpus_prep_cli_store_equals_inquery_chain(spark, tmp_path, capsys,
     ).collect()}
     got2 = {tuple(r) for r in spark.read.parquet(dst2).collect()}
     assert got2 == noscrub and got2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    train=hyp.lists(
+        hyp.lists(hyp.sampled_from("abcd"), min_size=0, max_size=10)
+        .map(" ".join),
+        min_size=1, max_size=5,
+    ),
+    bench=hyp.lists(
+        hyp.lists(hyp.sampled_from("abcd"), min_size=0, max_size=8)
+        .map(" ".join),
+        min_size=1, max_size=3,
+    ),
+)
+def test_contamination_attribution_matches_python_reference(
+    spark, train, bench
+):
+    """contamination_attribution equals a direct Python computation of
+    (n_grams, hit_grams, n_occurrences, n_corpus_docs) per benchmark
+    doc on random corpora over a tiny alphabet (maximum gram
+    collision pressure)."""
+    from chill_spark.llm_ops.substring import contamination_attribution
+
+    L = 3
+
+    def grams(text):
+        toks = [t for t in text.lower().split() if t]
+        return [" ".join(toks[i:i + L]) for i in range(len(toks) - L + 1)]
+
+    tdf = spark.createDataFrame(
+        list(enumerate(train)), ["doc_id", "text"]
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)], ["doc_id", "text"]
+    )
+    got = {r["bench_id"]: r for r in contamination_attribution(
+        tdf, bdf, "text", "doc_id", L,
+    ).collect()}
+
+    corpus = [(i, grams(t)) for i, t in enumerate(train)]
+    want = {}
+    for i, t in enumerate(bench):
+        gs = set(grams(t))
+        if not gs:
+            continue
+        hit = {g for g in gs
+               if any(g in cg for _d, cg in corpus)}
+        occ = sum(sum(1 for g2 in cg if g2 in gs) for _d, cg in corpus)
+        docs_hit = {d for d, cg in corpus if any(g2 in gs for g2 in cg)}
+        want[100 + i] = (len(gs), len(hit), occ, len(docs_hit))
+
+    assert set(got) == set(want)
+    for bid, (ng, hg, occ, nd) in want.items():
+        r = got[bid]
+        assert (r["n_grams"], r["hit_grams"], r["n_occurrences"],
+                r["n_corpus_docs"]) == (ng, hg, occ, nd), (bid, dict(
+                    n_grams=r["n_grams"], hit=r["hit_grams"],
+                    occ=r["n_occurrences"], docs=r["n_corpus_docs"]))
