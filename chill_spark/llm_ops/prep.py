@@ -28,15 +28,17 @@ never drift.
 Scale shape: two span passes (each one gram projection + probe/
 election shuffle + per-doc islands window + array-filter rewrite),
 one fingerprint shuffle for the exact dedup, a shuffle-free split
-assignment, and one cumulative-sum window per (source, split) shard
-for the packing. The benchmark side broadcasts (eval-suite-sized) or
+assignment, and a two-phase distributed prefix sum for the packing
+(``chunking.distributed_running_offset`` — one full-data exchange on
+(source, split, order-range bucket); no single task ever sorts a
+whole shard). The benchmark side broadcasts (eval-suite-sized) or
 probes a persisted gram store with BKT_PART pruning — the corpus is
 never re-fingerprinted for it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -111,16 +113,26 @@ def corpus_prep(
     deduped = dedup_exact(filtered, text_col, id_col)
     split = assign_split(deduped, id_col)
 
-    w = (
-        Window.partitionBy(source_col, "split")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from .chunking import distributed_running_offset
+
+    # non-train rows contribute 0 tokens to the running offset; for
+    # train rows __train_tok == n_tok so the exclusive prefix equals
+    # the old window's sum(train_tok) - n_tok exactly. Project down
+    # to the slim packing columns FIRST — the prefix sum persists its
+    # input, and this keeps the cached frame (and the packing
+    # shuffle) free of document text.
+    with_tok = split.select(id_col, source_col, "split", "n_tok").withColumn(
+        "__train_tok",
+        F.when(F.col("split") == "train", F.col("n_tok")).otherwise(
+            F.lit(0)
+        ),
     )
-    train_tok = F.when(F.col("split") == "train", F.col("n_tok")).otherwise(0)
+    off = distributed_running_offset(
+        with_tok, id_col, "__train_tok", [source_col, "split"], "__off"
+    )
     seq = F.when(
-        F.col("split") == "train",
-        F.floor((F.sum(train_tok).over(w) - F.col("n_tok")) / float(budget)),
+        F.col("split") == "train", F.floor(F.col("__off") / float(budget))
     )
-    return split.select(
+    return off.select(
         id_col, source_col, "split", "n_tok", seq.alias("seq_id")
     )

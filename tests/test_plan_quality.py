@@ -780,20 +780,67 @@ def test_ann_rerank_broadcasts_candidates_exact_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
-def test_pack_split_sequences_one_window_no_joins(spark, sf_dir):
-    """The splitting packer is pure window arithmetic: exactly one
-    hash Exchange (the per-shard cumulative-sum window), zero joins —
-    a join or a second shuffle sneaking in means the closed-form
-    boundary math regressed into something iterative."""
+def _cumsum_window_specs(plan: str) -> list[str]:
+    """The partition+order column lists of every windowspecdefinition
+    in a formatted plan (e.g. 'source#3, __pfx_bkt#21L, doc_id#0L')."""
+    import re
+
+    return re.findall(r"windowspecdefinition\(([^()]*?) ASC", plan)
+
+
+def _assert_distributed_prefix_sum(plan: str, shard: str, order: str) -> None:
+    """The r10 verdict's only weak-at-scale flag was the packer
+    family's cumulative-sum window partitioned ONLY by the shard
+    column — a single-task sort per shard at 100 TB. The two-phase
+    distributed prefix sum must show in the plan as (a) a full-data
+    window partitioned by (shard, __pfx_bkt) ordered by the order
+    column, and (b) NO window partitioned solely by the shard column
+    that sorts the full data by the order column (the tiny
+    per-bucket-subtotal window orders by __pfx_bkt and is fine)."""
+    specs = _cumsum_window_specs(plan)
+    assert any(
+        f"{shard}#" in s and "__pfx_bkt#" in s and f"{order}#" in s
+        for s in specs
+    ), f"no (shard, __pfx_bkt) cumsum window in plan specs: {specs}"
+    solo = [
+        s for s in specs
+        if f"{shard}#" in s and "__pfx_bkt#" not in s and f"{order}#" in s
+    ]
+    assert not solo, (
+        f"full-data window still partitions solely by the shard column "
+        f"(single-task sort per shard at scale): {solo}"
+    )
+
+
+def test_pack_split_sequences_distributed_prefix_sum(spark, sf_dir):
+    """The splitting packer's scale contract: the running offset is a
+    two-phase distributed prefix sum — per-shard min/max and bucket
+    subtotals are TINY broadcast sides, the only full-data exchange
+    is the (shard, bucket) window, and no window sorts a whole shard
+    on one task. Joins are broadcast-only (offset bases), never
+    sort-merge/cartesian."""
     plan = plan_of(Q.queries()["q_pack_split_sequences"](spark, sf_dir))
-    # one hash Exchange (the per-shard window); the single range
-    # Exchange is the query's deterministic ORDER BY presentation
-    # sort for the oracle compare, not operator cost
-    assert plan.count("Arguments: hashpartitioning") == 1, plan
-    assert plan.count("Arguments: rangepartitioning") <= 1, plan
-    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+    _assert_distributed_prefix_sum(plan, "source", "doc_id")
+    for node in ("SortMergeJoin", "ShuffledHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, node
+    # the only full-data exchange is the (shard, bucket) window; the
+    # stats/subtotal aggs are map-side-combined slim-projection scans
+    assert "Arguments: hashpartitioning(source#" in plan
+    assert plan.count("Arguments: rangepartitioning") <= 1, plan
+
+
+def test_pack_sequences_distributed_prefix_sum(spark, sf_dir):
+    plan = plan_of(Q.queries()["q_pack_sequences"](spark, sf_dir))
+    _assert_distributed_prefix_sum(plan, "source", "doc_id")
+
+
+def test_corpus_prep_packing_distributed_prefix_sum(spark, sf_dir):
+    """corpus_prep's packing stage shares the distributed prefix sum:
+    its cumsum window must carry the __pfx_bkt range bucket alongside
+    (source, split), never (source, split) alone."""
+    plan = plan_of(Q.queries()["q_corpus_prep_v3"](spark, sf_dir))
+    _assert_distributed_prefix_sum(plan, "split", "doc_id")
 
 
 def test_contamination_attribution_broadcasts_benchmark(spark, sf_dir):
