@@ -58,6 +58,8 @@ def query(name: str, oracle: str | None = None):
 # verdict's order #3) — see that artifact, not prose, for the
 # extended tier's standing evidence.
 _PRIORITY: list[str] = [
+    # --- never driver-checked (r11 additions) ---
+    "q_contamination_incremental",
     # --- last driver check: round 7 (all 20 core rows) ---
     "q_stratified_sample", "q_chunk_documents", "q_pack_sequences",
     "q_token_budget_by_split", "q_kmeans_clusters",
@@ -82,7 +84,7 @@ _PRIORITY: list[str] = [
     "q18_large_orders", "q19_disjunctive_filters",
     "q22_idle_rich_customers", "q_window_lag_delta", "q_sessionize",
     "q_winnowing_fingerprints", "q_cluster_balanced_sample",
-    "q_train_quality_classifier", "q_decontam_bloom",
+    "q_train_quality_classifier",
 ]
 
 # Driver-rotation capacity policy (the r8 verdict's order #2). The
@@ -11597,6 +11599,54 @@ def q_contamination_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bench_id")
     )
+
+
+@query(
+    "q_contamination_incremental",
+    oracle=ORACLE_SQL["q_contamination_by_benchmark"],
+)
+def q_contamination_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state contamination attribution
+    (llm_ops/attribution.py): the benchmark suite (doc_id%20==0)
+    freezes into a persisted (bench_id, fp) gram index ONCE; the
+    corpus then lands in three crawl batches, each folded into
+    running per-benchmark counters by one gram projection + a
+    BKT_PART-pruned probe + two suite-bounded writes — and the report
+    is a read of benchmark-sized state with NO corpus scan. The
+    oracle is the full-corpus attribution replay
+    (q_contamination_by_benchmark's SQL): any probe miss, counter
+    drift, double-counted replay, or hits-store leak hash-mismatches
+    against the from-scratch answer."""
+    import shutil
+    import tempfile
+
+    from .llm_ops.attribution import (
+        attribution_report,
+        attribution_update,
+        write_attribution_store,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    tmp = tempfile.mkdtemp(prefix="chill_attr_")
+    try:
+        root = f"{tmp}/store"
+        write_attribution_store(
+            bench, "text", "doc_id", root, L=_SUBSTR_L, bucket_partitions=8
+        )
+        for wave in range(3):
+            attribution_update(
+                spark, root, corpus.filter(F.col("doc_id") % 3 == wave),
+                "text", "doc_id",
+            )
+        return (
+            attribution_report(spark, root)
+            .orderBy("bench_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(

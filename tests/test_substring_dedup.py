@@ -849,3 +849,124 @@ def test_contamination_attribution_matches_python_reference(
                 r["n_corpus_docs"]) == (ng, hg, occ, nd), (bid, dict(
                     n_grams=r["n_grams"], hit=r["hit_grams"],
                     occ=r["n_occurrences"], docs=r["n_corpus_docs"]))
+
+
+def test_attribution_stream_equals_batch_and_replay(spark, tmp_path):
+    """Steady-state contamination attribution (llm_ops/attribution.py
+    + streaming/attribution_stream.py): the report read from running
+    store state after two crawl waves must equal the one-shot batch
+    contamination_attribution over the same docs; corrupt / NULL-id
+    rows quarantine; NULL text contributes nothing; an idle re-drain
+    (stream replay) changes nothing; and the hits store stays bounded
+    by the SUITE's gram count, not by corpus or batch count."""
+    import json
+    import os
+
+    from chill_spark.llm_ops.attribution import (
+        attribution_report,
+        write_attribution_store,
+    )
+    from chill_spark.llm_ops.substring import contamination_attribution
+    from chill_spark.streaming import drain
+    from chill_spark.streaming.attribution_stream import (
+        run_attribution_stream,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f"), (101, "p q r s"), (102, "zz yy xx ww")],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "attr_store")
+    write_attribution_store(bench, "text", "doc_id", store, L=4,
+                            bucket_partitions=4)
+
+    ind = str(tmp_path / "in"); os.makedirs(ind)
+    kw = dict(
+        schema="doc_id BIGINT, text STRING", store_root=store,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    w1 = [(1, "x a b c d y p q r s k")]
+    w2 = [(2, "a b c d e f g h"), (4, "b c d e")]
+    with open(os.path.join(ind, "w1.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": w1[0][1]}) + "\n")
+        f.write("corrupt {line\n")
+    drain(run_attribution_stream(spark, ind, **kw))
+    with open(os.path.join(ind, "w2.jsonl"), "w") as f:
+        for d, t in w2:
+            f.write(json.dumps({"doc_id": d, "text": t}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "text": None}) + "\n")
+        f.write(json.dumps({"doc_id": None, "text": "a b c d e"}) + "\n")
+    drain(run_attribution_stream(spark, ind, **kw))
+
+    def report():
+        return {
+            r["bench_id"]: (r["n_grams"], r["hit_grams"],
+                            r["n_occurrences"], r["n_corpus_docs"],
+                            r["contaminated_frac"])
+            for r in attribution_report(spark, store).collect()
+        }
+
+    got = report()
+    train = spark.createDataFrame(w1 + w2, ["doc_id", "text"])
+    want = {
+        r["bench_id"]: (r["n_grams"], r["hit_grams"],
+                        r["n_occurrences"], r["n_corpus_docs"],
+                        r["contaminated_frac"])
+        for r in contamination_attribution(
+            train, bench, "text", "doc_id", 4
+        ).collect()
+    }
+    assert got == want
+    assert got[102][1] == 0  # untouched suite reads zero, not absent
+    rej = [r["rejected_line"] for r in
+           spark.read.parquet(f"{store}/_quarantine").collect()]
+    assert "corrupt {line" in rej and len(rej) == 2
+    # idle re-drain: replayed checkpoints change nothing
+    drain(run_attribution_stream(spark, ind, **kw))
+    assert report() == got
+    # benchmark-sized state: hits/ holds at most the suite's grams
+    suite_grams = spark.read.parquet(f"{store}/bench_grams").count()
+    assert spark.read.parquet(f"{store}/hits").count() <= suite_grams
+
+
+def test_attribution_update_replay_idempotent_and_rebuild_resets(
+    spark, tmp_path
+):
+    """Manual (CLI-style) attribution_update calls: replaying the same
+    batch_id dynamic-overwrites its own leaves (report unchanged even
+    though the same docs are folded twice), overlapping hits across
+    batches never double-count hit_grams, and rebuilding the suite
+    index clears the running state."""
+    from chill_spark.llm_ops.attribution import (
+        attribution_report,
+        attribution_update,
+        write_attribution_store,
+    )
+
+    bench = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+    store = str(tmp_path / "attr_store")
+    write_attribution_store(bench, "text", "doc_id", store, L=4)
+
+    b1 = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(2, "a b c d e")], ["doc_id", "text"])
+    attribution_update(spark, store, b1, "text", "doc_id", batch_id=-2)
+    attribution_update(spark, store, b2, "text", "doc_id", batch_id=-3)
+
+    def snap():
+        return [tuple(r) for r in
+                attribution_report(spark, store).collect()]
+
+    first = snap()
+    [(bid, ng, hg, occ, nd, frac)] = first
+    # suite has 2 grams (a b c d / b c d e); batch1 hits 1, batch2 both
+    assert (ng, hg, occ, nd) == (2, 2, 3, 2) and frac == 1.0
+    # replay batch -3: same leaves rewritten, same report
+    attribution_update(spark, store, b2, "text", "doc_id", batch_id=-3)
+    assert snap() == first
+    # the shared gram 'a b c d' lives in exactly one hits leaf
+    hits = spark.read.parquet(f"{store}/hits")
+    assert hits.count() == 2
+    # suite rebuild invalidates and clears running state
+    write_attribution_store(bench, "text", "doc_id", store, L=4)
+    [(bid, ng, hg, occ, nd, frac)] = snap()
+    assert (hg, occ, nd, frac) == (0, 0, 0, 0.0)
