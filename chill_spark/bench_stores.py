@@ -272,6 +272,43 @@ def _serve_classifier_score(spark: SparkSession, sf_dir: str,
     )
 
 
+def _build_prep_bench_store(spark: SparkSession, sf_dir: str) -> dict:
+    """Mirror of the ``corpus-prep --bench-store`` production path:
+    the doc_id%20==0 eval suite frozen ONCE into a bucketed substring
+    gram index (same L as q_corpus_prep_v3's in-query scrub)."""
+    from .llm_ops.incremental_substring import write_substring_store
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="chill_bench_prep_")
+    store = f"{root}/store"
+    write_substring_store(
+        d.filter(F.col("doc_id") % 20 == 0), "text", "doc_id", store,
+        L=8, bucket_partitions=8,
+    )
+    return {"root": root, "store": store}
+
+
+def _serve_prep_v3_probe(spark: SparkSession, sf_dir: str,
+                         ctx: dict) -> DataFrame:
+    """The chain-with-probe leg alone: the full corpus-prep v3
+    pipeline where the benchmark side is the PERSISTED gram index
+    (BKT_PART-pruned probe join) instead of in-query suite
+    fingerprinting — the cost a production run pays per corpus
+    refresh once the suite is frozen. q_corpus_prep_v3's headline
+    median times the suite fingerprinting inside the rep (necessary
+    for oracle replayability); this is the serve split that moves
+    when the probe regresses (the r10 verdict's order #5).
+    Plan-gated: tests/test_bench_headline.py asserts PartitionFilters
+    on BKT_PART and no benchmark gram re-derivation in this plan."""
+    from .llm_ops.prep import corpus_prep
+
+    d = _docs(spark, sf_dir)
+    return corpus_prep(
+        d.filter(F.col("doc_id") % 20 != 0), "text", "doc_id", "source",
+        bench_store=ctx["store"], spark=spark, L=8,
+    )
+
+
 def store_cases() -> dict[str, tuple[BuildFn, ServeFn]]:
     """name -> (build, serve), keyed by the HEADLINE query whose
     serving path each case isolates."""
@@ -291,5 +328,8 @@ def store_cases() -> dict[str, tuple[BuildFn, ServeFn]]:
         ),
         "q_classifier_calibration": (
             _build_classifier_model, _serve_classifier_score,
+        ),
+        "q_corpus_prep_v3": (
+            _build_prep_bench_store, _serve_prep_v3_probe,
         ),
     }

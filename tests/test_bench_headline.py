@@ -174,6 +174,38 @@ def test_new_store_serve_cases_run_and_keep_their_plans(spark, sf_dir):
         shutil.rmtree(ctx["root"], ignore_errors=True)
 
 
+def test_prep_v3_probe_serve_case_plan(spark, sf_dir):
+    """The r10 verdict's order #5: q_corpus_prep_v3's headline median
+    times the in-query suite fingerprinting; production runs
+    --bench-store against a frozen index. The serve split must run
+    the WHOLE chain with the scrub stage probing the persisted store
+    — BKT_PART PartitionFilters on the probe scan, no fresh
+    benchmark-side gram derivation (exactly one distinct-fp probe
+    frame, read from parquet), and the chain's own no-cartesian
+    contract intact."""
+    import shutil
+
+    from chill_spark.bench_stores import store_cases
+
+    build, serve = store_cases()["q_corpus_prep_v3"]
+    ctx = build(spark, sf_dir)
+    try:
+        df = serve(spark, sf_dir, ctx)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = [l for l in plan.splitlines()
+              if "PartitionFilters" in l and "BKT_PART" in l]
+        assert pf, "v3 probe leg lost its BKT_PART partition filter"
+        assert "CartesianProduct" not in plan, plan
+        # the benchmark side must come from the store scan, not be
+        # re-fingerprinted: the only scans of the documents table are
+        # the corpus side's
+        store_scans = plan.count(ctx["store"])
+        assert store_scans >= 1, "probe does not read the persisted store"
+        assert df.count() > 0
+    finally:
+        shutil.rmtree(ctx["root"], ignore_errors=True)
+
+
 def test_cpu_calibration_parallel_positive_and_repeatable():
     """Same contract as the serial canary, full-width: fixed work on
     every core, so two immediate readings agree within a generous
