@@ -1939,7 +1939,8 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--journal", action="store_true",
                     help="with --store: print the _health/ journal the "
                          "streaming maintainer emits per epoch (one "
-                         "JSON line per event, newest last)")
+                         "JSON line per event, newest last; a rolling "
+                         "keep_last=64 window, not full history)")
     sd.add_argument("--scrub", action="store_true",
                     help="with --store (a BENCHMARK gram index) and "
                          "--in/--out: remove every benchmark-"
@@ -2005,7 +2006,8 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--store", required=True)
     sk.add_argument("--journal", action="store_true",
                     help="print the _health/ journal the dedup-stream "
-                         "maintainer emits, one JSON line per epoch")
+                         "maintainer emits, one JSON line per epoch "
+                         "(rolling keep_last=64 window)")
     sk.add_argument("--health", action="store_true",
                     help="print the leaf-bloat compact decision for "
                          "the store and exit")
@@ -2042,7 +2044,8 @@ def main(argv: list[str] | None = None) -> int:
     es.add_argument("--store", required=True)
     es.add_argument("--journal", action="store_true",
                     help="print the _health/ journal the "
-                         "emb-dedup-stream maintainer emits")
+                         "emb-dedup-stream maintainer emits (rolling "
+                         "keep_last=64 window)")
     es.add_argument("--health", action="store_true",
                     help="print the leaf-bloat compact decision for "
                          "the store and exit")
@@ -2418,7 +2421,8 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--journal", action="store_true",
                     help="with --store: print the _health/ journal the "
                          "streaming maintainer emits per epoch (one "
-                         "JSON line per event, newest last)")
+                         "JSON line per event, newest last; a rolling "
+                         "keep_last=64 window, not full history)")
     pq.add_argument("--canary", type=int, default=4,
                     help="with --health: number of md5-sampled canary "
                          "queries")

@@ -369,10 +369,21 @@ def write_health_event(
 def _health_files_by_age(
     root: str, spark: SparkSession | None = None
 ) -> list[tuple[str, float]]:
-    """The ``_health/`` event files, most recently written first
-    (mtime desc, filename desc as the same-timestamp tie-break — for
-    stream journals, whose ids ascend, that keeps the later batch)."""
+    """The ``_health/`` event files, most recently written first.
+
+    Primary order is mtime desc; the same-timestamp tie-break (coarse
+    filesystem clocks, fast availableNow batches) is the PARSED batch
+    id's ABSOLUTE value, descending — later batches have larger |id|
+    in BOTH namespaces (stream ids ascend 0,1,2,...; manual ids
+    descend -2,-3,...), whereas the old raw-filename comparison ranked
+    'batch-9' above 'batch-10' and could resurrect a superseded
+    verdict or prune the newest event (r10 ADVICE)."""
     import os
+    import re
+
+    def _ord(path: str) -> int:
+        m = re.search(r"batch-(-?\d+)\.json$", path)
+        return abs(int(m.group(1))) if m else -1
 
     if SparkSession.getActiveSession() is None and "://" not in root:
         hdir = os.path.join(root, "_health")
@@ -392,7 +403,8 @@ def _health_files_by_age(
             fs.list_files_mtime(hdir, suffix=".json")
             if fs.is_dir(hdir) else []
         )
-    return sorted(files, key=lambda x: (x[1], x[0]), reverse=True)
+    return sorted(files, key=lambda x: (x[1], _ord(x[0]), x[0]),
+                  reverse=True)
 
 
 def latest_health_event(
@@ -420,7 +432,14 @@ def latest_health_event(
 def read_health_events(
     root: str, spark: SparkSession | None = None
 ) -> list[dict]:
-    """The health journal, sorted by batch id (empty when none)."""
+    """The health journal, sorted by batch id (empty when none).
+
+    NOT full history: ``write_health_event`` keeps a rolling window of
+    the ``keep_last`` (default 64) most recently written events — the
+    journal is superseded-state retention, not an audit log (r10
+    ADVICE: the default retroactively bounds every maintainer's
+    journal, including pre-existing ones; the CLI ``--journal`` views
+    surface the same window)."""
     import json
     import os
 

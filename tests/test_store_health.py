@@ -180,3 +180,38 @@ def test_retention_prunes_manual_descending_journal(spark, tmp_path):
     events = read_health_events(root, spark=spark)
     assert len(events) == 2
     assert {e["batch_id"] for e in events} == {-5, -6}
+
+
+def test_same_mtime_tiebreak_uses_numeric_batch_id(spark, tmp_path):
+    """r10 ADVICE: with equal mtimes (coarse filesystem clocks, fast
+    availableNow batches) the recency tie-break must parse the batch
+    id — raw-string comparison ranked 'batch-9' above 'batch-10' (and
+    'batch--9' above 'batch--10'), so latest_health_event could return
+    a superseded verdict and keep_last pruning could delete the newest
+    event. Later = larger |id| in BOTH namespaces (stream ids ascend,
+    manual ids descend)."""
+    import json
+
+    from chill_spark.llm_ops.storefs import (
+        latest_health_event,
+        read_health_events,
+    )
+
+    for ids, newest in [([9, 10], 10), ([-9, -10], -10)]:
+        root = str(tmp_path / f"store_{ids[0]}")
+        _leaf(root, -1)
+        hdir = os.path.join(root, "_health")
+        os.makedirs(hdir, exist_ok=True)
+        for b in ids:
+            with open(os.path.join(hdir, f"batch-{b}.json"), "w") as f:
+                json.dump({"batch_id": b, "compact": b == newest}, f)
+        # force IDENTICAL mtimes so only the tie-break decides
+        stamp = 1_700_000_000
+        for name in os.listdir(hdir):
+            os.utime(os.path.join(hdir, name), (stamp, stamp))
+        assert latest_health_event(root, spark=spark)["batch_id"] == newest
+        # pruning to 1 must keep the later batch, not the string-max
+        write_health_event(root, newest, {"compact": True}, spark=spark,
+                           keep_last=1)
+        kept = read_health_events(root, spark=spark)
+        assert [e["batch_id"] for e in kept] == [newest]

@@ -468,6 +468,8 @@ def test_substring_stream_emits_health_journal(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"), L=4,
         bucket_partitions=4, available_now=True,
         max_appended_fraction=0.0,
+        health_every=1,  # journal-semantics test; production default
+                         # strides to every 16th batch (r10 ADVICE)
     )
     with open(os.path.join(ind, "w1.jsonl"), "w") as f:
         f.write(json.dumps({"doc_id": 1, "text": "a b c d e f"}) + "\n")
