@@ -1172,6 +1172,25 @@ def cmd_e2e(args) -> int:
                 failure_message="\n".join(derive_errors),
             )
         )
+    # the r10 verdict's order #6: when this driver process touched any
+    # journaled persisted store (scrub gram index, dedup sketch/
+    # embedding stores, PQ codes, attribution counters), the single CI
+    # artifact must gate their health too — auto-append the Store
+    # Health suite for exactly those roots, no separate `reconcile
+    # --store-health` invocation needed. Frozen model stores (no
+    # journal, no appended leaves) pass with the frozen annotation.
+    from .llm_ops.storefs import participating_stores
+
+    stores = participating_stores()
+    if stores:
+        from .report.store_health import (
+            participating_health,
+            store_health_report,
+        )
+
+        report.merge(
+            store_health_report(participating_health(spark, stores))
+        )
     xml = report.to_xml()
     if args.report:
         with open(args.report, "w") as f:

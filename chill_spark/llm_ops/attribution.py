@@ -44,7 +44,12 @@ from pyspark.sql import functions as F
 
 from ..operators.writers import BATCH_COL
 from .incremental_substring import BKT_PART_COL, _bkt_expr
-from .storefs import StoreFS, read_store_json, write_store_json
+from .storefs import (
+    StoreFS,
+    note_store_participation,
+    read_store_json,
+    write_store_json,
+)
 from .substring import gram_offsets
 
 
@@ -106,6 +111,7 @@ def check_attribution_meta(root: str, spark: SparkSession) -> dict:
             f"{root} is not an attribution store (missing/foreign "
             "_meta.json) — build it with write_attribution_store"
         )
+    note_store_participation(root, "counters")
     return meta
 
 

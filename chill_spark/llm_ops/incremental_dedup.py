@@ -167,6 +167,9 @@ def check_sketch_meta(
     meta = read_sketch_meta(root)
     if meta is None:
         return
+    from .storefs import note_store_participation
+
+    note_store_participation(root, "sets")
     mine = {"num_hashes": num_hashes, "bands": bands,
             "shingle_k": shingle_k, "portable": portable}
     core = {k: meta.get(k) for k in _CORE_META}

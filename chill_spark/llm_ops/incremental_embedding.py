@@ -134,6 +134,9 @@ def check_embedding_meta(
     meta = read_store_json(root)
     if meta is None:
         return
+    from .storefs import note_store_participation
+
+    note_store_participation(root, "vectors")
     mine = {"planes": planes, "bands": bands, "seed": seed}
     if dim is not None:
         mine["dim"] = dim

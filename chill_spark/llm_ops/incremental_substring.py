@@ -47,7 +47,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ..operators.writers import BATCH_COL
-from .storefs import StoreFS, read_store_json, write_store_json
+from .storefs import (
+    StoreFS,
+    note_store_participation,
+    read_store_json,
+    write_store_json,
+)
 from .substring import gram_offsets
 
 #: hash-partition column for planning-time probe pruning
@@ -145,6 +150,7 @@ def check_substring_meta(root: str, spark: SparkSession) -> dict:
             f"substring store at {root} has no _meta.json — not a "
             "substring store (or a partial write); rebuild it"
         )
+    note_store_participation(root, "grams")
     return meta
 
 

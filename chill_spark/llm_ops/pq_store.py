@@ -219,6 +219,9 @@ def check_pq_meta(root: str, spark: SparkSession | None = None,
     meta = read_store_json(root, spark=spark)
     if meta is None:
         raise FileNotFoundError(f"no PQ store at {root} (missing _meta.json)")
+    from .storefs import note_store_participation
+
+    note_store_participation(root, "codes")
     bad = {kk: (meta.get(kk), vv) for kk, vv in expect.items()
            if meta.get(kk) != vv}
     if bad:

@@ -320,6 +320,30 @@ def write_store_json(root: str, payload: dict, name: str = "_meta.json",
     StoreFS(root, spark).write_text(f"{root}/{name}", json.dumps(payload))
 
 
+#: journaled stores this DRIVER PROCESS has touched (root -> the
+#: store family's appended-leaf subdir). The meta check every probe/
+#: append path goes through registers here, so a CI run's final
+#: report can auto-cover the stores it actually used (the r10
+#: verdict's order #6) without the operator enumerating them. Process
+#: lifetime on purpose: a CI job chains several CLI commands through
+#: one driver, and the e2e report at the end covers all of them.
+_PARTICIPATING_STORES: dict[str, str] = {}
+
+
+def note_store_participation(root: str, data_subdir: str) -> None:
+    _PARTICIPATING_STORES[str(root)] = data_subdir
+
+
+def participating_stores() -> dict[str, str]:
+    """root -> appended-leaf subdir of every journaled store this
+    process has touched (copy; mutation-safe)."""
+    return dict(_PARTICIPATING_STORES)
+
+
+def reset_store_participation() -> None:
+    _PARTICIPATING_STORES.clear()
+
+
 def write_health_event(
     root: str,
     batch_id: int,

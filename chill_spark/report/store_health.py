@@ -94,6 +94,36 @@ def journal_freshness(
     }
 
 
+def participating_health(
+    spark: SparkSession, stores: dict[str, str], max_lag: int = 8
+) -> dict[str, dict]:
+    """``journal_freshness`` for every store this process touched
+    (``storefs.participating_stores()``), keyed by the root's
+    basename (full root on collision) — the auto-appended sixth-suite
+    input for e2e (the r10 verdict's order #6: a CI run that used a
+    persisted store must not need a separate ``reconcile
+    --store-health`` invocation to gate it).
+
+    Frozen-store exemption: a store with NO journal and NO appended
+    leaves is healthy frozen model data (a benchmark gram index a
+    scrub probed), not a maintainer that stopped emitting — flagged
+    ``frozen`` so the report passes it with that annotation instead
+    of failing the no-journal rule."""
+    healths: dict[str, dict] = {}
+    for root, subdir in sorted(stores.items()):
+        # a store this process touched may be transient (a query's
+        # tempdir store, already cleaned up) — gone is not rotting
+        if not StoreFS(root, spark).is_dir(root):
+            continue
+        h = journal_freshness(spark, root, data_subdir=subdir,
+                              max_lag=max_lag)
+        if h["n_events"] == 0 and h["n_append_leaves"] == 0:
+            h["frozen"] = True
+        name = root.rstrip("/").rsplit("/", 1)[-1] or root
+        healths[root if name in healths else name] = h
+    return healths
+
+
 def store_health_report(healths: dict[str, dict]) -> TestReport:
     """``{store name -> journal_freshness(...)}`` as a JUnit 'Store
     Health' suite — merge into the reconciliation report for one CI
@@ -102,7 +132,7 @@ def store_health_report(healths: dict[str, dict]) -> TestReport:
     for name, h in sorted(healths.items()):
         case = TestCase(name=name, classname="store_health")
         parts: list[str] = []
-        if h["n_events"] == 0:
+        if h["n_events"] == 0 and not h.get("frozen"):
             parts.append(
                 f"no _health events at {h['root']} — the maintainer "
                 "is not emitting (or never ran)"

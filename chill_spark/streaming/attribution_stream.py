@@ -44,6 +44,7 @@ def run_attribution_stream(
     available_now: bool = False,
     trigger_seconds: int = 5,
     quarantine_dir: str | None = None,
+    health_every: int | None = 16,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for JSONL crawl docs; fold each micro-batch
     into the attribution store at ``store_root`` (which must already
@@ -79,6 +80,25 @@ def run_attribution_stream(
                 spark, store_root, docs, text_col, id_col,
                 batch_id=batch_id, grams=grams,
             )
+            # heartbeat for the Store Health gate: every
+            # health_every-th batch (stride, not per-batch — r10
+            # ADVICE on the sibling maintainers) journals the
+            # counters-leaf frontier so journal_freshness can measure
+            # lag without a data scan; there is no compact decision —
+            # the hits anti-join keeps state suite-bounded by design
+            if health_every and batch_id % health_every == 0:
+                from ..llm_ops.storefs import StoreFS, write_health_event
+                from ..operators.writers import BATCH_COL
+
+                fs = StoreFS(store_root, spark)
+                n_appends = sum(
+                    1 for name in fs.list_dirs(f"{store_root}/counters")
+                    if name.startswith(f"{BATCH_COL}=")
+                )
+                write_health_event(
+                    store_root, batch_id,
+                    {"n_append_batches": n_appends}, spark=spark,
+                )
         finally:
             grams.unpersist()
 

@@ -390,6 +390,9 @@ def test_cli_reconcile_jdbc_actual(cli_dirs, spark, capsys):
 def test_cli_e2e_batch(cli_dirs, spark, capsys):
     """Single-command end-to-end (VERDICT r1 item 7): ingest ->
     facts -> ladder -> reconcile -> five-suite JUnit."""
+    from chill_spark.llm_ops.storefs import reset_store_participation
+
+    reset_store_participation()  # isolate from other tests' stores
     report = os.path.join(cli_dirs["base"], "e2e.xml")
     rc = main([
         "e2e", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
@@ -410,6 +413,9 @@ def test_cli_e2e_stream(cli_dirs, spark, capsys):
     """--stream ingests through Structured Streaming (drained); the
     reconcile side is the batch plan over the same files, so a green
     report certifies stream=batch agreement end-to-end."""
+    from chill_spark.llm_ops.storefs import reset_store_participation
+
+    reset_store_participation()  # isolate from other tests' stores
     report = os.path.join(cli_dirs["base"], "e2e_s.xml")
     rc = main([
         "e2e", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
@@ -1092,3 +1098,81 @@ def test_sketch_and_emb_sketch_journal_and_health_cli(spark, tmp_path, capsys):
     assert json.loads(
         capsys.readouterr().out.strip().splitlines()[-1]
     )["batch_id"] == 0
+
+
+def test_cli_e2e_auto_appends_store_health_for_participating_stores(
+    cli_dirs, spark, capsys
+):
+    """The r10 verdict's order #6: a CI job chains CLI commands
+    through one driver process; when any of them touched a journaled
+    persisted store, the final e2e JUnit artifact must carry the
+    Store Health suite for exactly those roots — no separate
+    `reconcile --store-health` invocation. A frozen benchmark index
+    (no journal, no appended leaves) passes with the frozen
+    annotation; a store that gained appended leaves with no journal
+    fails the artifact."""
+    import json as _json
+
+    from chill_spark.llm_ops.incremental_substring import (
+        substring_store_append,
+        write_substring_store,
+    )
+    from chill_spark.llm_ops.storefs import (
+        participating_stores,
+        reset_store_participation,
+    )
+
+    reset_store_participation()
+    base = cli_dirs["base"]
+    # no store touched yet: the e2e report has NO Store Health suite
+    report0 = os.path.join(base, "e2e_sh0.xml")
+    assert main([
+        "e2e", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", os.path.join(base, "out_sh0"), "--report", report0,
+    ]) == 0
+    assert "Store Health" not in open(report0).read()
+
+    # a chained corpus-prep --bench-store run uses the frozen index
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    store = os.path.join(base, "bench_store")
+    write_substring_store(bench, "text", "doc_id", store, L=4,
+                          bucket_partitions=4)
+    corpus = spark.createDataFrame(
+        [(i, "s0", " ".join(f"w{i}_{j}" for j in range(40)))
+         for i in range(1, 4)],
+        ["doc_id", "source", "text"],
+    )
+    src = os.path.join(base, "prep_in")
+    corpus.write.parquet(src)
+    assert main([
+        "corpus-prep", "--input", src,
+        "--out", os.path.join(base, "prep_out"),
+        "--bench-store", store, "--length", "4", "--min-tokens", "1",
+    ]) == 0
+    assert store in participating_stores()
+
+    report1 = os.path.join(base, "e2e_sh1.xml")
+    assert main([
+        "e2e", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", os.path.join(base, "out_sh1"), "--report", report1,
+    ]) == 0
+    xml = open(report1).read()
+    assert "Store Health" in xml and "bench_store" in xml
+    assert 'failures="0"' in xml
+
+    # the store gains an appended leaf with no journal: rotting, and
+    # the next e2e artifact must FAIL on it
+    substring_store_append(
+        spark.createDataFrame([(9, "p q r s t u v w")],
+                              ["doc_id", "text"]),
+        "text", "doc_id", store,
+    )
+    report2 = os.path.join(base, "e2e_sh2.xml")
+    assert main([
+        "e2e", "--job", cli_dirs["job"], "--catalog", cli_dirs["catalog"],
+        "--out", os.path.join(base, "out_sh2"), "--report", report2,
+    ]) == 1
+    assert "no _health events" in open(report2).read()
+    reset_store_participation()

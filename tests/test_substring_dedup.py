@@ -929,6 +929,15 @@ def test_attribution_stream_equals_batch_and_replay(spark, tmp_path):
     # benchmark-sized state: hits/ holds at most the suite's grams
     suite_grams = spark.read.parquet(f"{store}/bench_grams").count()
     assert spark.read.parquet(f"{store}/hits").count() <= suite_grams
+    # the maintainer heartbeats the Store Health journal (batch 0 at
+    # the default 16-stride): freshness is measurable without a scan
+    from chill_spark.llm_ops.storefs import latest_health_event
+    from chill_spark.report.store_health import journal_freshness
+
+    ev = latest_health_event(store, spark=spark)
+    assert ev is not None and ev["n_append_batches"] >= 1
+    h = journal_freshness(spark, store, data_subdir="counters")
+    assert not h["stale"] and not h["actions"]
 
 
 def test_attribution_update_replay_idempotent_and_rebuild_resets(
