@@ -117,6 +117,7 @@ HEADLINE = [
     "q_corpus_prep_v2",
     "q_corpus_prep_v3",
     "q_contamination_by_benchmark",
+    "q_contamination_incremental",
     "q_pack_split_sequences",
     "q_bloom_doc_verdicts",
     "q_classifier_calibration",

@@ -309,6 +309,44 @@ def _serve_prep_v3_probe(spark: SparkSession, sf_dir: str,
     )
 
 
+def _build_attribution_store(spark: SparkSession, sf_dir: str) -> dict:
+    """Mirror of q_contamination_incremental's state: the doc_id%20==0
+    suite frozen into the attribution index, the rest of the corpus
+    folded in as three crawl batches."""
+    from .llm_ops.attribution import (
+        attribution_update,
+        write_attribution_store,
+    )
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="chill_bench_attr_")
+    store = f"{root}/store"
+    write_attribution_store(
+        d.filter(F.col("doc_id") % 20 == 0), "text", "doc_id", store,
+        L=8, bucket_partitions=8,
+    )
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    for wave in range(3):
+        attribution_update(
+            spark, store, corpus.filter(F.col("doc_id") % 3 == wave),
+            "text", "doc_id",
+        )
+    return {"root": root, "store": store}
+
+
+def _serve_attribution_report(spark: SparkSession, sf_dir: str,
+                              ctx: dict) -> DataFrame:
+    """The standing report alone: a read of benchmark-sized store
+    state (suite-bounded joins, broadcast-only) — the dashboard
+    refresh cost once the counters are maintained in-stream.
+    q_contamination_incremental's headline median times bootstrap +
+    three folds; a regression that re-introduces a corpus scan into
+    the report moves THIS number by orders of magnitude."""
+    from .llm_ops.attribution import attribution_report
+
+    return attribution_report(spark, ctx["store"])
+
+
 def store_cases() -> dict[str, tuple[BuildFn, ServeFn]]:
     """name -> (build, serve), keyed by the HEADLINE query whose
     serving path each case isolates."""
@@ -331,5 +369,8 @@ def store_cases() -> dict[str, tuple[BuildFn, ServeFn]]:
         ),
         "q_corpus_prep_v3": (
             _build_prep_bench_store, _serve_prep_v3_probe,
+        ),
+        "q_contamination_incremental": (
+            _build_attribution_store, _serve_attribution_report,
         ),
     }

@@ -325,3 +325,25 @@ def test_classifier_serve_case_keeps_broadcast_model_plan(spark, sf_dir):
         assert df.count() > 0
     finally:
         shutil.rmtree(ctx["root"], ignore_errors=True)
+
+
+def test_attribution_report_serve_case_reads_state_only(spark, sf_dir):
+    """The attribution serve split must answer from store state: no
+    scan of the documents table in the report plan (a corpus
+    re-fingerprint regression), broadcast-only joins, and rows for
+    every suite doc with >= 1 gram."""
+    import shutil
+
+    from chill_spark.bench_stores import store_cases
+
+    build, serve = store_cases()["q_contamination_incremental"]
+    ctx = build(spark, sf_dir)
+    try:
+        df = serve(spark, sf_dir, ctx)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "documents" not in plan, "report re-reads the corpus"
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan
+        assert df.count() > 0
+    finally:
+        shutil.rmtree(ctx["root"], ignore_errors=True)
