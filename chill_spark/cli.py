@@ -563,6 +563,77 @@ def cmd_corpus_prep(args) -> int:
     return 0
 
 
+def cmd_attribution(args) -> int:
+    """Steady-state contamination attribution (llm_ops/attribution.py):
+    ``--build`` freezes the eval suite into the (bench_id, fp) gram
+    index; ``--update`` folds a crawl batch into the running
+    per-benchmark counters; ``--watch`` drains a JSONL dir through the
+    streaming maintainer; ``--report`` reads 'which eval is burned'
+    from benchmark-sized state — never a corpus re-fingerprint."""
+    import json
+
+    from .llm_ops.attribution import (
+        attribution_report,
+        attribution_update,
+        write_attribution_store,
+    )
+    from .session import get_spark
+
+    spark = get_spark("chill-attribution")
+    if args.build:
+        if not args.input:
+            print("attribution --build: --in required", file=sys.stderr)
+            return 2
+        write_attribution_store(
+            spark.read.parquet(args.input), args.text_col, args.id_col,
+            args.store, L=args.length, bucket_partitions=args.buckets,
+        )
+        print(f"built attribution index at {args.store} (running "
+              "counters reset)")
+        return 0
+    if args.update:
+        if not args.input:
+            print("attribution --update: --in required", file=sys.stderr)
+            return 2
+        b = attribution_update(
+            spark, args.store, spark.read.parquet(args.input),
+            args.text_col, args.id_col,
+        )
+        print(f"folded batch {b} into {args.store}")
+        return 0
+    if args.watch:
+        from .streaming import drain
+        from .streaming.attribution_stream import run_attribution_stream
+
+        q = run_attribution_stream(
+            spark, args.watch,
+            f"{args.id_col} BIGINT, {args.text_col} STRING",
+            store_root=args.store,
+            checkpoint_dir=f"{args.store}/_ckpt",
+            text_col=args.text_col, id_col=args.id_col,
+            available_now=True,
+        )
+        drain(q)
+        print(f"drained watched docs into attribution counters at "
+              f"{args.store}")
+        return 0
+    if args.journal:
+        from .llm_ops.storefs import read_health_events
+
+        for ev in read_health_events(args.store, spark=spark):
+            print(json.dumps(ev, sort_keys=True))
+        return 0
+    # default: the report
+    rep = attribution_report(spark, args.store).orderBy("bench_id")
+    if args.out:
+        rep.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+        return 0
+    for r in rep.collect():
+        print(json.dumps(r.asDict(), sort_keys=True))
+    return 0
+
+
 def cmd_quality(args) -> int:
     from pyspark.sql import functions as F
 
@@ -2149,6 +2220,43 @@ def main(argv: list[str] | None = None) -> int:
     cpp.add_argument("--budget", type=int, default=512,
                      help="tokens per packed training sequence")
     cpp.set_defaults(fn=cmd_corpus_prep)
+
+    at = sub.add_parser(
+        "attribution",
+        help="steady-state contamination attribution: --build freezes "
+             "the eval suite's gram index, --update/--watch fold crawl "
+             "batches into running per-benchmark counters, default "
+             "prints the which-eval-is-burned report from "
+             "benchmark-sized state",
+    )
+    at.add_argument("--store", required=True,
+                    help="attribution store root")
+    at.add_argument("--in", dest="input",
+                    help="parquet docs (suite for --build, crawl batch "
+                         "for --update)")
+    at.add_argument("--out", help="write the report parquet instead of "
+                                  "printing JSON lines")
+    at.add_argument("--build", action="store_true",
+                    help="freeze the eval suite at --in into the index "
+                         "(resets running counters)")
+    at.add_argument("--update", action="store_true",
+                    help="fold the crawl batch at --in into the "
+                         "counters (manual batch id)")
+    at.add_argument("--watch",
+                    help="drain JSONL docs from this dir through the "
+                         "streaming maintainer (availableNow)")
+    at.add_argument("--journal", action="store_true",
+                    help="print the _health/ journal the streaming "
+                         "maintainer emits (rolling keep_last=64 "
+                         "window)")
+    at.add_argument("--text-col", dest="text_col", default="text")
+    at.add_argument("--id-col", dest="id_col", default="doc_id")
+    at.add_argument("--length", type=int, default=8,
+                    help="with --build: gram length L (tokens)")
+    at.add_argument("--buckets", type=int, default=None,
+                    help="with --build: BKT_PART hash partitions for "
+                         "planning-time probe pruning")
+    at.set_defaults(fn=cmd_attribution)
 
     sg = sub.add_parser(
         "segdedup",

@@ -1176,3 +1176,56 @@ def test_cli_e2e_auto_appends_store_health_for_participating_stores(
     ]) == 1
     assert "no _health events" in open(report2).read()
     reset_store_participation()
+
+
+def test_cli_attribution_lifecycle(cli_dirs, spark, capsys):
+    """attribution --build / --update / --report / --journal: the CLI
+    closure of the steady-state contamination attribution — the
+    report equals the one-shot batch operator over the same docs, and
+    --build resets running counters."""
+    import json as _json
+
+    from chill_spark.llm_ops.substring import contamination_attribution
+
+    base = cli_dirs["base"]
+    store = os.path.join(base, "attr_cli_store")
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f"), (101, "p q r s")], ["doc_id", "text"]
+    )
+    suite_pq = os.path.join(base, "attr_suite")
+    bench.write.parquet(suite_pq)
+    assert main(["attribution", "--store", store, "--build",
+                 "--in", suite_pq, "--length", "4", "--buckets", "4"]) == 0
+    w1 = spark.createDataFrame(
+        [(1, "x a b c d y p q r s k")], ["doc_id", "text"]
+    )
+    w2 = spark.createDataFrame([(2, "a b c d e f g h")], ["doc_id", "text"])
+    for i, w in enumerate([w1, w2]):
+        pq = os.path.join(base, f"attr_w{i}")
+        w.write.parquet(pq)
+        assert main(["attribution", "--store", store, "--update",
+                     "--in", pq]) == 0
+    capsys.readouterr()
+    assert main(["attribution", "--store", store]) == 0
+    got = {
+        r["bench_id"]: (r["n_grams"], r["hit_grams"], r["n_occurrences"],
+                        r["n_corpus_docs"])
+        for r in map(_json.loads,
+                     capsys.readouterr().out.strip().splitlines())
+    }
+    want = {
+        r["bench_id"]: (r["n_grams"], r["hit_grams"], r["n_occurrences"],
+                        r["n_corpus_docs"])
+        for r in contamination_attribution(
+            w1.unionByName(w2), bench, "text", "doc_id", 4
+        ).collect()
+    }
+    assert got == want
+    # --build resets the running state
+    assert main(["attribution", "--store", store, "--build",
+                 "--in", suite_pq, "--length", "4", "--buckets", "4"]) == 0
+    capsys.readouterr()
+    assert main(["attribution", "--store", store]) == 0
+    rows = [_json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()]
+    assert all(r["hit_grams"] == 0 for r in rows)
