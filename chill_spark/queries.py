@@ -3305,9 +3305,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: contiguous docs (per source shard,
-    doc_id order) share a 512-token sequence. One shuffle on the shard
-    key; the running sum parallelizes across shards — matching
-    per-file packing in real pipelines."""
+    doc_id order) share a 512-token sequence. The running offset is a
+    two-phase distributed prefix sum (per-shard min/max -> order-range
+    bucket -> broadcast bucket base offsets -> per-bucket local
+    cumsum): one full-data exchange on (shard, bucket), so the sort
+    parallelizes WITHIN a shard too — a single multi-TB source never
+    serializes onto one task (the r10 verdict's weak-at-scale fix)."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     d = docs.select(
         "doc_id", "source", F.size(tokenize_ws("text")).alias("n_tok")
@@ -11670,8 +11673,9 @@ def q_pack_split_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_pack_efficiency prices the waste it trades for doc
     integrity). One row per (doc, sequence) occupied, with the doc's
     global token offset and its token count inside that sequence.
-    One cumulative-sum window per shard + a bounded per-row explode —
-    no joins, no extra shuffle."""
+    The two-phase distributed prefix sum (one full-data exchange on
+    (shard, order-range bucket), broadcast-only offset-base joins) +
+    a bounded per-row explode."""
     from .llm_ops.chunking import pack_split_sequences
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
