@@ -23,7 +23,17 @@ from .incremental_embedding import (
     read_embedding_store,
     write_embedding_store,
 )
-from .chunking import chunk_documents, pack_sequences
+from .attribution import (
+    attribution_report,
+    attribution_update,
+    write_attribution_store,
+)
+from .chunking import (
+    chunk_documents,
+    distributed_running_offset,
+    pack_sequences,
+    pack_split_sequences,
+)
 from .components import component_survivors, connected_components
 from .sampling import assign_split, hash_bucket, stratified_sample
 from .selection import dsir_logweights, dsir_select
@@ -54,6 +64,8 @@ __all__ = [
     "lang_id", "quality_score", "whitespace_token_count",
     "dsir_logweights", "dsir_select", "semantic_dedup",
     "assign_split", "hash_bucket", "stratified_sample",
-    "chunk_documents", "pack_sequences",
+    "chunk_documents", "pack_sequences", "pack_split_sequences",
+    "distributed_running_offset", "write_attribution_store",
+    "attribution_update", "attribution_report",
     "component_survivors", "connected_components",
 ]
