@@ -116,9 +116,14 @@ def check_attribution_meta(root: str, spark: SparkSession) -> dict:
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a counter/hit area with its schema PINNED: a crawl batch
+    with zero suite overlap dynamic-overwrites an EMPTY frame, which
+    creates the directory with no data files — an inferred-schema
+    read of that raises UNABLE_TO_INFER_SCHEMA and would brick every
+    later update/report (r11 review finding)."""
     fs = StoreFS(path, spark)
     if fs.is_dir(path):
-        return spark.read.option("basePath", path).parquet(path)
+        return spark.read.schema(schema).option("basePath", path).parquet(path)
     return spark.createDataFrame([], schema)
 
 
@@ -145,10 +150,17 @@ def attribution_update(
     L = int(meta["L"])
     nbkt = meta.get("bucket_partitions")
     if batch_id is None:
+        # scan BOTH leaf areas: a batch whose hits were all
+        # already-seen writes a counters leaf but no hits leaf (the
+        # empty dynamic overwrite creates no partition dir), so a
+        # hits-only scan would reuse its id and silently destroy its
+        # counters (r11 review finding). A batch with zero overlap
+        # writes neither leaf — reusing ITS id overwrites nothing.
         fs = StoreFS(root, spark)
         manual = [
             b
-            for name in fs.list_dirs(f"{root}/hits")
+            for area in ("hits", "counters")
+            for name in fs.list_dirs(f"{root}/{area}")
             if name.startswith(f"{BATCH_COL}=")
             and (b := int(name.split("=", 1)[1])) < -1
         ]

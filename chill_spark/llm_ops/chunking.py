@@ -97,6 +97,26 @@ def chunk_oracle_sql(
     """
 
 
+#: the helper's live persisted inputs, newest last. DataFrame cache
+#: entries are NOT GC-reclaimed (the CacheManager holds strong refs),
+#: so repeated packer calls in one long driver (a 95-query bench, the
+#: CLI chained many times) would accumulate cached frames forever —
+#: keep the newest few (re-reps of the same logical plan re-find
+#: their cache entry anyway) and non-blockingly drop the rest (r11
+#: review finding).
+_LIVE_PERSISTS: list = []
+_KEEP_PERSISTS = 4
+
+
+def _retire_old_persists(df) -> None:
+    _LIVE_PERSISTS.append(df)
+    while len(_LIVE_PERSISTS) > _KEEP_PERSISTS:
+        try:
+            _LIVE_PERSISTS.pop(0).unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def distributed_running_offset(
     df: DataFrame,
     order_col: str,
@@ -157,6 +177,7 @@ def distributed_running_offset(
     P = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if persist_input and not df.isStreaming:
         df = df.persist()
+        _retire_old_persists(df)
     ov = F.col(order_col).cast("double")
     stats = df.groupBy(*shard_cols).agg(
         F.min(ov).alias("__pfx_mn"), F.max(ov).alias("__pfx_mx")

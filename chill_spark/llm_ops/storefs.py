@@ -401,7 +401,10 @@ def _health_files_by_age(
     in BOTH namespaces (stream ids ascend 0,1,2,...; manual ids
     descend -2,-3,...), whereas the old raw-filename comparison ranked
     'batch-9' above 'batch-10' and could resurrect a superseded
-    verdict or prune the newest event (r10 ADVICE)."""
+    verdict or prune the newest event (r10 ADVICE). Known limit: when
+    a MIXED journal's manual and stream events land in the same mtime
+    second, |id| cannot order ACROSS the namespaces (no id scheme
+    can); the next heartbeat's fresher mtime self-heals the order."""
     import os
     import re
 

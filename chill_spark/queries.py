@@ -69,7 +69,7 @@ _PRIORITY: list[str] = [
     "q_embedding_centroids", "q_bigram_pmi",
     "q_corpus_embedding_assembly", "q_bpe_merges", "q_forget_user",
     "q_ann_recall", "q_ann_pq_stored",
-    # --- pre-refresh: last driver check round 8 (first 30 r8-era
+    # --- pre-refresh: last driver check round 8 (first 29 r8-era
     #     core rows in registration order; drop from the tail as r11
     #     additions land at the head, keeping >= 5 for the r12
     #     headroom gate) ---

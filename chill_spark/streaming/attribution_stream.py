@@ -44,7 +44,7 @@ def run_attribution_stream(
     available_now: bool = False,
     trigger_seconds: int = 5,
     quarantine_dir: str | None = None,
-    health_every: int | None = 16,
+    health_every: int | None = 8,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for JSONL crawl docs; fold each micro-batch
     into the attribution store at ``store_root`` (which must already
@@ -81,8 +81,8 @@ def run_attribution_stream(
                 batch_id=batch_id, grams=grams,
             )
             # heartbeat for the Store Health gate: every
-            # health_every-th batch (stride, not per-batch — r10
-            # ADVICE on the sibling maintainers) journals the
+            # health_every-th batch (strided per r10 ADVICE, coupled to
+            # the freshness gate's max_lag default) journals the
             # counters-leaf frontier so journal_freshness can measure
             # lag without a data scan; there is no compact decision —
             # the hits anti-join keeps state suite-bounded by design

@@ -139,7 +139,7 @@ def run_dedup_stream(
     trigger_seconds: int = 5,
     quarantine_dir: str | None = None,
     portable: bool = False,
-    health_every: int | None = 16,
+    health_every: int | None = 8,
     max_appended_fraction: float = 0.5,
     max_append_batches: int = 64,
 ) -> StreamingQuery:
@@ -155,9 +155,11 @@ def run_dedup_stream(
     ``get`` can block the micro-batch thread when AQE's empty-relation
     propagation drops the metrics node).
 
-    Every ``health_every``-th appended batch (default 16 — the
-    decision scan lists leaves and reads footers, so a per-batch
-    default adds latency that grows with store size; r10 ADVICE) also
+    Every ``health_every``-th appended batch (default 8 — strided so the
+    decision scan's leaf listing is amortized, r10 ADVICE, yet small
+    enough that worst-case verdict lag 7 stays within the freshness
+    gate's max_lag=8 default — the two MUST stay coupled, pinned by
+    tests/test_store_health.py) also
     drops a
     ``sketch_store_compact_decision`` verdict into the store's
     ``_health/`` journal (batch-keyed, replay-overwrites-itself) —
@@ -312,7 +314,7 @@ def run_embedding_dedup_stream(
     available_now: bool = False,
     trigger_seconds: int = 5,
     quarantine_dir: str | None = None,
-    health_every: int | None = 16,
+    health_every: int | None = 8,
     max_appended_fraction: float = 0.5,
     max_append_batches: int = 64,
 ) -> StreamingQuery:

@@ -52,7 +52,7 @@ def run_pq_stream(
     available_now: bool = False,
     trigger_seconds: int = 5,
     quarantine_dir: str | None = None,
-    health_every: int | None = 16,
+    health_every: int | None = 8,
     max_appended_fraction: float = 0.25,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for JSONL vector rows and keep the PQ store
@@ -65,8 +65,10 @@ def run_pq_stream(
     The stream is the component that CAUSES staleness (every admitted
     batch encodes under the frozen build-time books), so it also
     reports it in-band: every ``health_every``-th appended batch
-    (default 16 — the decision scan lists leaves, so a per-batch
-    default adds latency that grows with store size; r10 ADVICE), the
+    (default 8 — strided so the leaf listing is amortized, r10
+    ADVICE, yet worst-case verdict lag 7 stays within the freshness
+    gate's max_lag=8 default; coupling pinned by
+    tests/test_store_health.py), the
     footprint side of ``pq_store_rebuild_decision`` (leaf counts
     only — no recall canary, the corpus isn't on the stream) lands in
     the store's ``_health/`` journal, batch-keyed so replays

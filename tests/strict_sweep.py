@@ -9,9 +9,17 @@ fetchall()-based local harness hides become visible:
 - DECIMAL outputs -> DuckDB float64 vs Spark object(Decimal);
 - DATE vs TIMESTAMP rendering.
 
-Run:  python tests/strict_sweep.py [sf_dir] [name_filter...]
+Run:  python tests/strict_sweep.py [sf_dir] [name_filter...] \\
+          [--artifact SWEEP_rN.json]
 Prints one line per query (with spark/oracle wall seconds):
 OK / MISMATCH(kind) / NO_ORACLE / ERROR.
+
+``--artifact PATH`` additionally writes (merging per-sf sections into
+an existing file, so the sf0.01 and sf0.1 runs share one artifact)
+the machine-readable sweep record the r10 verdict asked to be
+committed per round: the extended tier has no driver rows, so its
+standing gate must be auditable from the repo without re-running
+Spark. Schema pinned by tests/test_sweep_artifact.py.
 
 Filters are substring INCLUDES; prefix with ``-`` to EXCLUDE instead.
 The sf0.1 sweep excludes the two queries whose all-pairs verification
@@ -98,8 +106,17 @@ def diff_kind(s_lines, d_lines) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    args = sys.argv[1:]
+    artifact = None
+    if "--artifact" in args:
+        i = args.index("--artifact")
+        if i + 1 >= len(args):
+            print("strict_sweep: --artifact needs a path", file=sys.stderr)
+            return 2
+        artifact = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
 
     from pyspark.sql import SparkSession
 
@@ -130,12 +147,14 @@ def main() -> int:
         and not any(f in n for f in excludes)
     ]
     n_bad = 0
+    record: dict[str, dict] = {}
     import time as _time
 
     for name in names:
         sql = Q.ORACLE_SQL.get(name)
         if sql is None:
             print(f"{name}: NO_ORACLE", flush=True)
+            record[name] = {"status": "NO_ORACLE"}
             continue
         try:
             t0 = _time.perf_counter()
@@ -149,13 +168,25 @@ def main() -> int:
                     f"{name}: MISMATCH(schema {sorted(sdf.columns)} vs"
                     f" {sorted(ddf.columns)})"
                 )
+                record[name] = {
+                    "status": "MISMATCH",
+                    "kind": f"schema {sorted(sdf.columns)} vs "
+                            f"{sorted(ddf.columns)}",
+                }
                 n_bad += 1
                 continue
             # driver-parity step: must not raise (unhashable cells)
             sdf, ddf = driver_canon(sdf), driver_canon(ddf)
             kind = diff_kind(frame_lines(sdf), frame_lines(ddf))
             timing = f"[spark {t_spark:.1f}s, oracle {t_duck:.1f}s]"
+            record[name] = {
+                "status": "MISMATCH" if kind else "OK",
+                "spark_s": round(t_spark, 2),
+                "oracle_s": round(t_duck, 2),
+                "rows": int(len(sdf)),
+            }
             if kind:
+                record[name]["kind"] = kind
                 print(f"{name}: MISMATCH({kind}) {timing}", flush=True)
                 n_bad += 1
             else:
@@ -163,9 +194,52 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR({type(e).__name__}: {str(e)[:160]})",
                   flush=True)
+            record[name] = {
+                "status": "ERROR",
+                "kind": f"{type(e).__name__}: {str(e)[:160]}",
+            }
             n_bad += 1
     print(f"\n{n_bad} problematic / {len(names)} swept")
+    if artifact:
+        write_artifact(artifact, sf_dir, name_filter, record, n_bad)
+        print(f"artifact: {artifact}")
     return 0
+
+
+def write_artifact(path: str, sf_dir: str, name_filter: list[str],
+                   record: dict[str, dict], n_bad: int) -> None:
+    """Merge this run's results into the per-round sweep artifact.
+
+    One file per round holds one section per sf directory (keyed by
+    its basename, e.g. ``sf0.01``), so the sf0.01 full sweep and the
+    sf0.1 sweep (minus the documented quadratic-oracle excludes,
+    recorded in ``filters``) land in the same committed JSON. Schema
+    (pinned by tests/test_sweep_artifact.py):
+
+        {"schema": 1, "sweeps": {"<sf>": {"sf_dir", "filters",
+         "swept", "problematic", "queries": {name: {"status":
+         OK|MISMATCH|ERROR|NO_ORACLE, "spark_s", "oracle_s", "rows",
+         "kind"?}}}}}
+    """
+    import json
+    import os
+
+    doc = {"schema": 1, "sweeps": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+    doc.setdefault("schema", 1)
+    doc.setdefault("sweeps", {})
+    doc["sweeps"][os.path.basename(sf_dir.rstrip("/"))] = {
+        "sf_dir": sf_dir,
+        "filters": name_filter,
+        "swept": len(record),
+        "problematic": n_bad,
+        "queries": record,
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 if __name__ == "__main__":

@@ -215,3 +215,40 @@ def test_same_mtime_tiebreak_uses_numeric_batch_id(spark, tmp_path):
                            keep_last=1)
         kept = read_health_events(root, spark=spark)
         assert [e["batch_id"] for e in kept] == [newest]
+
+
+def test_health_stride_stays_within_freshness_max_lag():
+    """r11 review finding: the maintainers' heartbeat stride and the
+    freshness gate's max_lag defaults must stay coupled — a stride of
+    N means the store can be N-1 appended leaves past the newest
+    verdict on a perfectly healthy stream, so max_lag defaults below
+    N-1 would fail CI for roughly (N-1-max_lag)/N of steady state."""
+    import inspect
+
+    from chill_spark.report.store_health import (
+        journal_freshness,
+        participating_health,
+    )
+    from chill_spark.streaming.attribution_stream import (
+        run_attribution_stream,
+    )
+    from chill_spark.streaming.dedup_stream import (
+        run_dedup_stream,
+        run_embedding_dedup_stream,
+    )
+    from chill_spark.streaming.pq_stream import run_pq_stream
+    from chill_spark.streaming.substring_stream import run_substring_stream
+
+    max_lags = {
+        fn.__name__: inspect.signature(fn).parameters["max_lag"].default
+        for fn in (journal_freshness, participating_health)
+    }
+    for fn in (run_dedup_stream, run_embedding_dedup_stream,
+               run_pq_stream, run_substring_stream,
+               run_attribution_stream):
+        stride = inspect.signature(fn).parameters["health_every"].default
+        for gate, max_lag in max_lags.items():
+            assert stride - 1 <= max_lag, (
+                f"{fn.__name__} health_every={stride} vs {gate} "
+                f"max_lag={max_lag}: healthy streams would read stale"
+            )

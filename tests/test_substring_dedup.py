@@ -981,3 +981,46 @@ def test_attribution_update_replay_idempotent_and_rebuild_resets(
     write_attribution_store(bench, "text", "doc_id", store, L=4)
     [(bid, ng, hg, occ, nd, frac)] = snap()
     assert (hg, occ, nd, frac) == (0, 0, 0, 0.0)
+
+
+def test_attribution_zero_overlap_and_stale_hit_batches(spark, tmp_path):
+    """r11 review findings: (1) a crawl batch with ZERO suite overlap
+    writes empty hits/counters frames — the file-less directories
+    must not brick later updates or the report (schema-pinned reads);
+    (2) a batch whose hits were all already-seen writes a counters
+    leaf but no hits leaf — manual id auto-numbering must not reuse
+    its id and destroy its counters."""
+    from chill_spark.llm_ops.attribution import (
+        attribution_report,
+        attribution_update,
+        write_attribution_store,
+    )
+
+    bench = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+    store = str(tmp_path / "attr_store")
+    write_attribution_store(bench, "text", "doc_id", store, L=4)
+
+    def snap():
+        return [tuple(r) for r in
+                attribution_report(spark, store).collect()]
+
+    # batch 1: zero overlap — empty dirs land; nothing may crash
+    z = spark.createDataFrame([(1, "q r s t u v")], ["doc_id", "text"])
+    attribution_update(spark, store, z, "text", "doc_id")
+    [(bid, ng, hg, occ, nd, frac)] = snap()
+    assert (hg, occ, nd, frac) == (0, 0, 0, 0.0)
+    # batch 2: hits gram 'a b c d' (fresh) -> hits leaf -3
+    b2 = spark.createDataFrame([(2, "a b c d")], ["doc_id", "text"])
+    attribution_update(spark, store, b2, "text", "doc_id")
+    # batch 3: SAME gram again — counters leaf, but no fresh hits
+    b3 = spark.createDataFrame([(3, "a b c d")], ["doc_id", "text"])
+    attribution_update(spark, store, b3, "text", "doc_id")
+    # batch 4 must NOT reuse batch 3's id (its counters would vanish)
+    b4 = spark.createDataFrame([(4, "b c d e")], ["doc_id", "text"])
+    attribution_update(spark, store, b4, "text", "doc_id")
+    [(bid, ng, hg, occ, nd, frac)] = snap()
+    assert (ng, hg) == (2, 2)
+    assert occ == 3 and nd == 3, (
+        "a later batch reused an auto-numbered id and overwrote "
+        "another batch's counters"
+    )
