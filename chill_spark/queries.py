@@ -56,7 +56,11 @@ def query(name: str, oracle: str | None = None):
 # and tests/strict_sweep.py (driver-exact canonicalization); the
 # per-round sweep results are committed as SWEEP_r{N}.json (the r10
 # verdict's order #3) — see that artifact, not prose, for the
-# extended tier's standing evidence.
+# extended tier's standing evidence. r11's record: SWEEP_r11.json,
+# swept on the final r11 tree — sf0.01 0 problematic / 206, sf0.1
+# 0 / 204 (the two documented quadratic-oracle CC replays excluded,
+# recorded in the artifact's filters); schema + coverage + freshness
+# gated by tests/test_sweep_artifact.py.
 _PRIORITY: list[str] = [
     # --- never driver-checked (r11 additions) ---
     "q_contamination_incremental",
