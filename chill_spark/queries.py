@@ -61,6 +61,15 @@ def query(name: str, oracle: str | None = None):
 # 0 / 204 (the two documented quadratic-oracle CC replays excluded,
 # recorded in the artifact's filters); schema + coverage + freshness
 # gated by tests/test_sweep_artifact.py.
+#
+# r11 build-time verification record: full driver-contract verify at
+# sf0.01 (entry + all 206 queries vs their DuckDB oracles) —
+# hash-green, 0 failures; both strict sweeps green on the final tree
+# (see SWEEP_r11.json above); pytest 670 passed / 1 env-skip /
+# 0 failed on the final tree; idle bench 163.1 s / 96 headline
+# queries + 17.9 s / 10 serve splits, normalized 0.793 vs r10 on 95
+# shared queries (BENCH_COMPARE_r11.json; packer-family fixed
+# overhead analyzed in BASELINE.md).
 _PRIORITY: list[str] = [
     # --- never driver-checked (r11 additions) ---
     "q_contamination_incremental",
