@@ -84,7 +84,7 @@ def write_attribution_store(
     else:
         writer.write.mode("overwrite").parquet(f"{root}/bench_grams")
     (
-        spark.read.parquet(f"{root}/bench_grams")
+        _read_bench_grams(spark, root, bucket_partitions)
         .groupBy("bench_id")
         .agg(F.count(F.lit(1)).alias("n_grams"))
         .write.mode("overwrite")
@@ -113,6 +113,24 @@ def check_attribution_meta(root: str, spark: SparkSession) -> dict:
         )
     note_store_participation(root, "counters")
     return meta
+
+
+def _read_bench_grams(
+    spark: SparkSession, root: str, nbkt
+) -> DataFrame:
+    """Schema-pinned read of the suite index: an eval suite whose
+    docs are ALL shorter than L grams writes an EMPTY bench_grams/
+    (directory, zero data files) — inferred-schema reads of it raise
+    UNABLE_TO_INFER_SCHEMA and would brick the build's sizes pass and
+    every probe (found by the r11 stream==batch property test)."""
+    schema = "bench_id bigint, fp bigint"
+    if nbkt:
+        schema += f", {BKT_PART_COL} int"
+    return (
+        spark.read.schema(schema)
+        .option("basePath", f"{root}/bench_grams")
+        .parquet(f"{root}/bench_grams")
+    )
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -168,7 +186,7 @@ def attribution_update(
     batch_id = int(batch_id)
 
     g = grams if grams is not None else gram_offsets(docs, text_col, id_col, L)
-    bench = spark.read.parquet(f"{root}/bench_grams")
+    bench = _read_bench_grams(spark, root, nbkt)
     if nbkt:
         touched = sorted(
             r["b"]
@@ -222,7 +240,10 @@ def attribution_report(spark: SparkSession, root: str) -> DataFrame:
     (bench_id, n_grams, hit_grams, n_occurrences, n_corpus_docs,
     contaminated_frac), TOTAL over benchmark docs with >= 1 gram."""
     check_attribution_meta(root, spark)
-    sizes = spark.read.parquet(f"{root}/bench_sizes")
+    # schema-pinned for the same empty-suite reason as bench_grams
+    sizes = spark.read.schema("bench_id bigint, n_grams bigint").parquet(
+        f"{root}/bench_sizes"
+    )
     hit_counts = (
         _read_or_empty(
             spark, f"{root}/hits", f"bench_id bigint, fp bigint, {BATCH_COL} int"

@@ -2985,3 +2985,45 @@ def test_pack_split_sequences_invariants(spark, counts, budget):
     zero_docs = {(src, i) for i, (src, n) in enumerate(counts) if n == 0}
     assert not any((src, d) in packed_docs
                    for (src, d) in {(s, i) for (s, i) in zero_docs})  # (4)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=hyp_st.lists(
+        hyp_st.tuples(
+            hyp_st.sampled_from(["s", "t", "u"]),       # shard
+            hyp_st.integers(min_value=-50, max_value=50),  # order id
+            hyp_st.integers(min_value=0, max_value=40),    # count
+        ),
+        min_size=1, max_size=30, unique_by=lambda r: (r[0], r[1]),
+    ),
+    buckets=hyp_st.integers(min_value=1, max_value=6),
+)
+def test_distributed_prefix_sum_property(spark, rows, buckets):
+    """Property: distributed_running_offset equals a direct Python
+    exclusive prefix sum per shard over order-sorted rows — for
+    random shard mixes, NEGATIVE and gappy order ids, zero counts,
+    and every bucket count (including 1, the degenerate single-bucket
+    case). This is the exactness contract the packer family's
+    bit-identical oracle claim rests on."""
+    from chill_spark.llm_ops.chunking import distributed_running_offset
+
+    df = spark.createDataFrame(
+        rows, "shard string, oid bigint, n bigint"
+    )
+    got = {
+        (r["shard"], r["oid"]): r["off"]
+        for r in distributed_running_offset(
+            df, "oid", "n", ["shard"], "off", num_buckets=buckets
+        ).collect()
+    }
+    want = {}
+    by_shard: dict = {}
+    for s, o, n in rows:
+        by_shard.setdefault(s, []).append((o, n))
+    for s, lst in by_shard.items():
+        run = 0
+        for o, n in sorted(lst):
+            want[(s, o)] = run
+            run += n
+    assert got == want

@@ -1024,3 +1024,58 @@ def test_attribution_zero_overlap_and_stale_hit_batches(spark, tmp_path):
         "a later batch reused an auto-numbered id and overwrote "
         "another batch's counters"
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    train=hyp.lists(
+        hyp.lists(hyp.sampled_from("abcd"), min_size=0, max_size=10)
+        .map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    bench=hyp.lists(
+        hyp.lists(hyp.sampled_from("abcd"), min_size=0, max_size=8)
+        .map(" ".join),
+        min_size=1, max_size=3,
+    ),
+    waves=hyp.integers(min_value=1, max_value=3),
+)
+def test_attribution_incremental_equals_batch_property(
+    spark, tmp_path_factory, train, bench, waves
+):
+    """Property: folding a random corpus into the attribution store in
+    ANY number of random wave splits yields a report identical to the
+    one-shot batch contamination_attribution — hit_grams (distinct
+    across waves via the suite-bounded hits store), n_occurrences
+    (additive), n_corpus_docs (per-wave distinct sums, docs unique),
+    and zero-overlap waves (empty leaf areas) included."""
+    from chill_spark.llm_ops.attribution import (
+        attribution_report,
+        attribution_update,
+        write_attribution_store,
+    )
+    from chill_spark.llm_ops.substring import contamination_attribution
+
+    L = 3
+    tdf = spark.createDataFrame(
+        list(enumerate(train)), "doc_id bigint, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)],
+        "doc_id bigint, text string",
+    )
+    store = str(tmp_path_factory.mktemp("attr_prop") / "store")
+    write_attribution_store(bdf, "text", "doc_id", store, L=L,
+                            bucket_partitions=4)
+    for w in range(waves):
+        wave = tdf.filter((tdf.doc_id % waves) == w)
+        attribution_update(spark, store, wave, "text", "doc_id")
+
+    key = lambda r: (r["bench_id"], r["n_grams"], r["hit_grams"],
+                     r["n_occurrences"], r["n_corpus_docs"],
+                     r["contaminated_frac"])
+    got = sorted(map(key, attribution_report(spark, store).collect()))
+    want = sorted(map(key, contamination_attribution(
+        tdf, bdf, "text", "doc_id", L
+    ).collect()))
+    assert got == want
