@@ -599,6 +599,21 @@ def cmd_attribution(args) -> int:
             spark, args.store, spark.read.parquet(args.input),
             args.text_col, args.id_col,
         )
+        # heartbeat the health journal like the streaming maintainer
+        # (counters-leaf frontier) so a manual-update workflow passes
+        # the e2e Store Health gate instead of reading as an
+        # un-journaled mutation
+        from .llm_ops.storefs import StoreFS, write_health_event
+        from .operators.writers import BATCH_COL
+
+        fs = StoreFS(args.store, spark)
+        n_appends = sum(
+            1 for name in fs.list_dirs(f"{args.store}/counters")
+            if name.startswith(f"{BATCH_COL}=")
+        )
+        write_health_event(
+            args.store, b, {"n_append_batches": n_appends}, spark=spark
+        )
         print(f"folded batch {b} into {args.store}")
         return 0
     if args.watch:

@@ -1229,3 +1229,33 @@ def test_cli_attribution_lifecycle(cli_dirs, spark, capsys):
     rows = [_json.loads(l)
             for l in capsys.readouterr().out.strip().splitlines()]
     assert all(r["hit_grams"] == 0 for r in rows)
+
+
+def test_cli_attribution_update_heartbeats_health_journal(
+    cli_dirs, spark, capsys
+):
+    """A manual `attribution --update` workflow must pass the e2e
+    Store Health gate: each CLI fold heartbeats the journal with the
+    counters-leaf frontier (like the streaming maintainer), so the
+    store reads fresh, not as an un-journaled mutation."""
+    from chill_spark.llm_ops.storefs import latest_health_event
+    from chill_spark.report.store_health import journal_freshness
+
+    base = cli_dirs["base"]
+    store = os.path.join(base, "attr_hb_store")
+    suite = os.path.join(base, "attr_hb_suite")
+    spark.createDataFrame(
+        [(100, "a b c d e")], ["doc_id", "text"]
+    ).write.parquet(suite)
+    assert main(["attribution", "--store", store, "--build",
+                 "--in", suite, "--length", "4"]) == 0
+    batch = os.path.join(base, "attr_hb_b1")
+    spark.createDataFrame(
+        [(1, "a b c d")], ["doc_id", "text"]
+    ).write.parquet(batch)
+    assert main(["attribution", "--store", store, "--update",
+                 "--in", batch]) == 0
+    ev = latest_health_event(store, spark=spark)
+    assert ev is not None and ev["n_append_batches"] == 1
+    h = journal_freshness(spark, store, data_subdir="counters")
+    assert h["lag"] == 0 and not h["stale"] and not h["actions"]
