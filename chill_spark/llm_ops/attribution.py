@@ -187,6 +187,13 @@ def attribution_update(
 
     g = grams if grams is not None else gram_offsets(docs, text_col, id_col, L)
     bench = _read_bench_grams(spark, root, nbkt)
+    own_g = nbkt and grams is None
+    if own_g:
+        # the touched-bucket collect AND the probe join both consume
+        # the batch's grams — persist the projection we own so the
+        # batch text is fingerprinted ONCE per update, not twice
+        # (callers that pass ``grams`` manage their own lifecycle)
+        g = g.persist()
     if nbkt:
         touched = sorted(
             r["b"]
@@ -228,6 +235,8 @@ def attribution_update(
         )
     finally:
         hits.unpersist()
+        if own_g:
+            g.unpersist()
     return batch_id
 
 

@@ -261,29 +261,50 @@ def _gd_train(
         .persist()
     )
     n_docs = per_doc.count()
-    w: dict = {
-        r[feat_col]: 0 for r in feats.select(feat_col).distinct().collect()
-    }
+    # Weight keys are discovered from iteration 1's gradient rows
+    # (every feature reaches them: each belongs to a doc in per_doc,
+    # and zero-gradient features still emit a SUM row), which makes
+    # the old vocab-sized distinct().collect() warm-up job redundant.
+    # Only an iters=0 call still needs the explicit key scan.
+    w: dict = (
+        {r[feat_col]: 0 for r in feats.select(feat_col).distinct().collect()}
+        if iters <= 0
+        else {}
+    )
     try:
-        for _ in range(iters):
-            wdf = spark.createDataFrame(
-                sorted(w.items()), [feat_col, "__w"]
-            )
-            su = (
-                feats.join(F.broadcast(wdf), feat_col)
-                .groupBy(id_col)
-                .agg(F.sum(F.col("__w") * F.col("cnt")).alias("__su"))
-            )
-            logit = F.round(
-                F.col("__su") / (F.lit(float(S)) * F.col("__n")), 9
-            )
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
-            resid = per_doc.join(su, id_col).select(
-                id_col,
-                F.round(((p - F.col("__y")) / F.col("__n")) * S, 0)
-                .cast("long")
-                .alias("__r"),
-            )
+        for it in range(iters):
+            if it == 0:
+                # All weights start at 0, so the scoring pass is a
+                # constant: su = 0 for every doc, logit = round(0, 9)
+                # = 0.0, p = sigmoid(0) = 0.5 exactly — skip the
+                # broadcast-weights join job entirely (bit-identical;
+                # the oracle's unrolled s1 CTE still replays it).
+                p = F.lit(0.5)
+                resid = per_doc.select(
+                    id_col,
+                    F.round(((p - F.col("__y")) / F.col("__n")) * S, 0)
+                    .cast("long")
+                    .alias("__r"),
+                )
+            else:
+                wdf = spark.createDataFrame(
+                    sorted(w.items()), [feat_col, "__w"]
+                )
+                su = (
+                    feats.join(F.broadcast(wdf), feat_col)
+                    .groupBy(id_col)
+                    .agg(F.sum(F.col("__w") * F.col("cnt")).alias("__su"))
+                )
+                logit = F.round(
+                    F.col("__su") / (F.lit(float(S)) * F.col("__n")), 9
+                )
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+                resid = per_doc.join(su, id_col).select(
+                    id_col,
+                    F.round(((p - F.col("__y")) / F.col("__n")) * S, 0)
+                    .cast("long")
+                    .alias("__r"),
+                )
             grads = (
                 feats.join(resid, id_col)
                 .groupBy(feat_col)
@@ -295,7 +316,7 @@ def _gd_train(
                 .collect()
             )
             for r in grads:
-                w[r[feat_col]] -= _round_half_away(
+                w[r[feat_col]] = w.get(r[feat_col], 0) - _round_half_away(
                     lr * (int(r["__g"]) / n_docs)
                 )
     finally:

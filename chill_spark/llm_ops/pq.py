@@ -144,35 +144,27 @@ def _pq_lloyd_joint(
     slice lengths), which lets an IVF-PQ index train its full-vector
     coarse quantizer in the same per-iteration job as the subspace
     codebooks: each book's argmin and mean updates never mix with
-    another's, so the joint run equals the independent runs."""
-    spark = emb.sparkSession
+    another's, so the joint run equals the independent runs.
+
+    The per-iteration job is one Arrow map stage
+    (vecassign.lloyd_partial_sums): every book's bit-exact
+    sequential-fold argmin plus the per-(book, cid) vector sums reduce
+    INSIDE the stage, so only tasks * sum(k_j * len_j) partial rows
+    reach the driver — no explode of the corpus into subspaces, no
+    shuffle, no interpreted per-element fold (guide §4.2)."""
+    from .vecassign import lloyd_partial_sums
+
     m, sub = len(books), books[0].shape[1]
     if slices is None:
         slices = [(j * sub + 1, sub) for j in range(m)]
-    v = F.col(vec_col).cast("array<double>")
 
     for _ in range(iters):
-        per_sub = []
-        for j in range(m):
-            lo, ln = slices[j]
-            sv = F.slice(v, lo, ln)
-            near = _near(F.col(f"__cmat{j}"), sv)
-            per_sub.append(
-                F.struct(F.lit(j).alias("j"), near.alias("cid"), sv.alias("sv"))
-            )
-        stats = (
-            emb.crossJoin(F.broadcast(_books_df(spark, books)))
-            .select(F.explode(F.array(*per_sub)).alias("e"))
-            .select("e.j", "e.cid", F.posexplode("e.sv").alias("pos", "val"))
-            .groupBy("j", "cid", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        stats = lloyd_partial_sums(emb, vec_col, books, slices)
         sums = [np.zeros_like(bk) for bk in books]
         ns = [np.zeros(len(bk)) for bk in books]
-        for r in stats:
-            sums[r["j"]][r["cid"], r["pos"]] = r["s"]
-            ns[r["j"]][r["cid"]] = r["n"]
+        for j, cid, vec, n in stats:
+            sums[j][cid] = vec
+            ns[j][cid] = n
         for j in range(m):
             nz = ns[j] > 0
             books[j][nz] = sums[j][nz] / ns[j][nz, None]
@@ -235,21 +227,25 @@ def pq_encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, c0..c{m-1}) codes: nearest codebook entry per subspace —
-    one executor-side pass, no shuffle. The codebooks ride as a
-    broadcast 1-row DATA join (not inlined literals): at m=4, k=16,
-    sub=16 the literal form put ~1k doubles in the expression tree
-    and Catalyst analysis alone cost seconds; value-free plans also
-    reuse their compiled codegen across calls."""
+    one executor-side Arrow pass, no shuffle
+    (vecassign.pq_codes_col): every subspace argmin is the bit-exact
+    sequential fold of the struct-array_min expression it replaces,
+    with the codebooks shipping once per task inside the serialized
+    kernel instead of re-evaluating k*sub interpreted lambda steps
+    per (row, book)."""
+    from .vecassign import pq_codes_col
+
     sub = books[0].shape[1]
-    return (
-        emb.crossJoin(F.broadcast(_books_df(emb.sparkSession, books)))
-        .select(
-            id_col,
-            *[
-                _near(F.col(f"__cmat{j}"), _subvec(vec_col, j, sub)).alias(f"c{j}")
-                for j in range(len(books))
-            ],
-        )
+    m = len(books)
+    codes = pq_codes_col(
+        vec_col,
+        books,
+        [(j * sub + 1, sub) for j in range(m)],
+        [f"c{j}" for j in range(m)],
+    )
+    tmp = "__pq_codes"
+    return emb.withColumn(tmp, codes).select(
+        id_col, *[F.col(f"{tmp}.c{j}").alias(f"c{j}") for j in range(m)]
     )
 
 

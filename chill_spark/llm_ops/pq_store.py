@@ -60,7 +60,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.writers import BATCH_COL
-from .pq import _books_df, _near, _subvec, ivfpq_train, pq_train
+from .pq import _books_df, ivfpq_train, pq_train
 from .storefs import (
     StoreFS,
     heal_swap,
@@ -183,27 +183,25 @@ def _encode_with_books(
     vec_col: str,
     id_col: str,
 ) -> DataFrame:
-    """(id, c0..c{m-1}[, cell]) — one executor-side pass against the
-    broadcast codebook row (pq.pq_encode's plan, plus the coarse-cell
-    argmin when the index is IVF-PQ). No shuffle."""
+    """(id, c0..c{m-1}[, cell]) — one executor-side Arrow pass
+    (pq.pq_encode's vectorized kernel, plus the coarse-cell argmin as
+    one more full-vector book when the index is IVF-PQ). No shuffle;
+    every argmin is the bit-exact sequential fold."""
+    from .vecassign import pq_codes_col
+
     sub = books[0].shape[1]
-    cols: list[Column] = [
-        _near(F.col(f"__cmat{j}"), _subvec(vec_col, j, sub)).alias(f"c{j}")
-        for j in range(len(books))
-    ]
+    m = len(books)
     all_books = list(books)
+    slices = [(j * sub + 1, sub) for j in range(m)]
+    names = [f"c{j}" for j in range(m)]
     if coarse is not None:
-        # the coarse book rides in the same broadcast row as one more
-        # struct-array column (__cmat{m}); its argmin is the cell
-        cols.append(
-            _near(F.col(f"__cmat{len(books)}"),
-                  F.col(vec_col).cast("array<double>")).alias(CELL_COL)
-        )
-        all_books = all_books + [coarse]
-    return (
-        emb.crossJoin(F.broadcast(_books_df(emb.sparkSession, all_books)))
-        .select(id_col, *cols)
-    )
+        all_books.append(coarse)
+        slices.append((1, int(coarse.shape[1])))
+        names.append(CELL_COL)
+    tmp = "__pq_codes"
+    return emb.withColumn(
+        tmp, pq_codes_col(vec_col, all_books, slices, names)
+    ).select(id_col, *[F.col(f"{tmp}.{nm}").alias(nm) for nm in names])
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from .components import connected_components
 from .dedup import cosine_sim
 from .similarity import hash_seed_centroids, kmeans_fit, nearest_centroid
+from .vecassign import cosine_to_assigned_col
 
 
 #: above this k, the inline literal-array form of centroid_cosine is
@@ -74,35 +75,22 @@ def with_centroid_sim(
 ) -> DataFrame:
     """Add ``centroid_sim`` (cosine to the assigned centroid, rounded
     to 9 for engine-exact survivor ranking) to ``(id, v, cluster)``
-    rows, picking the plan by model size:
-
-    - k <= ``inline_max_k``: pure-Column inline array (no join, whole-
-      stage codegen keeps it in the scan stage);
-    - larger k: broadcast (cluster, centroid) join + one per-row
-      cosine fold — the model ships once per executor as a hash
-      relation instead of being re-inlined into every task's
-      expression tree."""
-    k = len(centroids)
-    if k <= inline_max_k:
-        return assigned.withColumn(
-            "centroid_sim",
-            F.round(
-                centroid_cosine(F.col("v"), centroids, F.col("cluster")), 9
-            ),
-        )
-    spark = assigned.sparkSession
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cluster int, __centroid array<double>",
-    )
-    return (
-        assigned.withColumn("cluster", F.col("cluster").cast("int"))
-        .join(F.broadcast(cent), "cluster")
-        .withColumn(
-            "centroid_sim",
-            F.round(cosine_sim(F.col("v"), F.col("__centroid")), 9),
-        )
-        .drop("__centroid")
+    rows — one vectorized Arrow pass
+    (vecassign.cosine_to_assigned_col) for EVERY model size: the
+    centroid matrix ships once per task inside the serialized kernel,
+    and each row computes exactly one cosine with the bit-identical
+    dimension-order fold of ``dedup.cosine_sim``. This replaces two
+    interpreted plans (an inline k-cosine array below
+    ``inline_max_k`` — k*dim interpreted lambda steps per row for ONE
+    useful cosine — and a broadcast (cluster, centroid) join above
+    it); ``inline_max_k`` is kept for signature compatibility but no
+    longer selects a plan."""
+    return assigned.withColumn(
+        "centroid_sim",
+        F.round(
+            cosine_to_assigned_col(F.col("v"), F.col("cluster"), centroids),
+            9,
+        ),
     )
 
 
@@ -213,27 +201,18 @@ def semantic_dedup(
     v = F.col(vec_col).cast("array<double>")
     # rounded to 9 so the survivor rank is an engine-exact comparison
     # (same policy as the Lloyd means): double drift is ~1e-15, real
-    # centroid-similarity gaps are >> 1e-9. Plans chosen by k: inline
-    # literal Columns for small models; above CENTROID_INLINE_MAX_K
-    # the model rides as broadcast DATA for both the assignment
-    # (with_nearest_centroid — numerically identical fold) and the
-    # centroid similarity (broadcast (cluster, centroid) join), so
-    # tens-of-thousands-k never builds megabyte expression trees.
-    if len(centroids) <= CENTROID_INLINE_MAX_K:
-        near = nearest_centroid(v, centroids)
-        base = valid.select(
-            F.col(id_col).alias("id"),
-            v.alias("v"),
-            near["cid"].alias("cluster"),
-        )
-    else:
-        from .similarity import with_nearest_centroid
-
-        base = with_nearest_centroid(valid, vec_col, centroids).select(
-            F.col(id_col).alias("id"),
-            v.alias("v"),
-            F.col("__near")["cid"].alias("cluster"),
-        )
+    # centroid-similarity gaps are >> 1e-9. Assignment and centroid
+    # similarity are both single vectorized Arrow passes with the
+    # model riding inside the serialized kernel — one plan for every
+    # k, value-free, no expression-tree growth at tens-of-thousands-k
+    # (the old inline-literal / broadcast-DATA split this replaces
+    # existed to manage exactly that growth).
+    near = nearest_centroid(v, centroids)
+    base = valid.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        near["cid"].alias("cluster"),
+    )
     assigned = with_centroid_sim(base, centroids)
     assigned = assigned.localCheckpoint(eager=True)  # reused 3x below
     edges = cluster_pair_edges(assigned, tau)

@@ -85,19 +85,17 @@ def train_centroids(
 
 
 def nearest_centroid(vec_col: Column, centroids: np.ndarray) -> Column:
-    """Nearest centroid as a (d, cid) struct Column: array of
-    (sq-distance, cid) structs -> array_min (ties -> smaller cid).
-    No UDF; the centroid matrix is inlined as literals."""
-    entries = []
-    for cid, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(v)) for v in c])
-        d = F.aggregate(
-            F.zip_with(vec_col.cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        entries.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*entries))
+    """Nearest centroid as a (d, cid) struct Column — one vectorized
+    Arrow pass (vecassign.nearest_struct_col): distances are the
+    bit-exact sequential fold of the original zip_with/aggregate
+    expression, ties break to the smaller cid, NULL/wrong-dim vectors
+    yield (NULL, 0) exactly as the struct-array_min form did. The
+    interpreted higher-order-function form this replaces paid ~k*dim
+    interpreted lambda steps per row (CodegenFallback — optimization
+    guide §4.2); the kernel runs the same arithmetic in NumPy."""
+    from .vecassign import nearest_struct_col
+
+    return nearest_struct_col(vec_col, centroids)
 
 
 def assign_centroid(vec_col: Column, centroids: np.ndarray) -> Column:
@@ -111,40 +109,14 @@ def with_nearest_centroid(
     centroids: np.ndarray,
     out_col: str = "__near",
 ) -> DataFrame:
-    """``nearest_centroid`` with the centroid matrix as broadcast DATA
-    (a 1-row cross join) instead of inlined literals.
-
-    Numerically identical to the literal form — the same zip_with /
-    sequential-fold / array_min(struct(d, cid)) expression per
-    centroid, in the same cid order — but the generated code no longer
-    embeds centroid VALUES, so the physical plan (and its whole-stage
-    codegen source) is identical across Lloyd iterations and the
-    compiled class is a codegen-cache HIT from iteration 2 on. With
-    inlined literals every iteration recompiled a k*dim-literal method
-    (~1.2 s/iteration of pure janino time at k=8, dim=64 — measured on
-    a 20-row frame, i.e. all fixed cost)."""
-    spark = df.sparkSession
-    crow = [([(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],)]
-    cdf = spark.createDataFrame(
-        crow, "__cmat array<struct<cid:int,c:array<double>>>"
-    )
-    v = F.col(vec_col).cast("array<double>")
-    entries = F.transform(
-        F.col("__cmat"),
-        lambda e: F.struct(
-            F.aggregate(
-                F.zip_with(v, e["c"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            e["cid"].alias("cid"),
-        ),
-    )
-    return (
-        df.crossJoin(F.broadcast(cdf))
-        .withColumn(out_col, F.array_min(entries))
-        .drop("__cmat")
-    )
+    """``nearest_centroid`` as a frame transform. Historically this
+    was the broadcast-DATA (1-row cross join) variant that kept the
+    codegen cache warm across Lloyd iterations; both forms are now the
+    same vectorized Arrow kernel (the model ships once per task inside
+    the serialized function — equally value-free, and the per-row
+    interpreted fold is gone entirely). Kept as the frame-level entry
+    point every trainer/consumer shares."""
+    return df.withColumn(out_col, nearest_centroid(F.col(vec_col), centroids))
 
 
 def hash_seed_centroids(
@@ -312,28 +284,26 @@ def _lloyd_iterate(
     iters: int,
     round_means: int | None = None,
 ) -> np.ndarray:
-    """The distributed Lloyd loop shared by both init modes: executor-
-    side assignment, k*dim partial sums to the driver, empty clusters
-    keep their previous centroid."""
-    counts_sql = F.count(F.lit(1)).alias("n")
+    """The distributed Lloyd loop shared by both init modes: one
+    Arrow map stage per iteration assigns every row (bit-exact
+    sequential-fold argmin) AND reduces per-(cluster, dim) partial
+    sums inside the stage (vecassign.lloyd_partial_sums), so only
+    tasks * k * dim partial rows reach the driver — no posexplode of
+    the corpus, no shuffle, no interpreted per-element fold. Empty
+    clusters keep their previous centroid."""
+    from .vecassign import lloyd_partial_sums
+
+    if cents.size == 0:
+        return cents
     for _ in range(iters):
-        # data-driven assignment: the plan is centroid-VALUE-free, so
-        # iterations 2..n reuse iteration 1's compiled codegen class
-        assigned = with_nearest_centroid(df, vec_col, cents).select(
-            F.col("__near")["cid"].alias("__c"),
-            F.col(vec_col).alias("__v"),
-        )
-        stats = (
-            assigned.select("__c", F.posexplode("__v").alias("pos", "val"))
-            .groupBy("__c", "pos")
-            .agg(F.sum("val").alias("s"), counts_sql)
-            .collect()
+        stats = lloyd_partial_sums(
+            df, vec_col, [cents], [(1, cents.shape[1])]
         )
         sums = np.zeros_like(cents)
         ns = np.zeros(len(cents))
-        for r in stats:
-            sums[r["__c"], r["pos"]] = r["s"]
-            ns[r["__c"]] = r["n"]
+        for _j, cid, vec, n in stats:
+            sums[cid] = vec
+            ns[cid] = n
         nonzero = ns > 0
         cents[nonzero] = sums[nonzero] / ns[nonzero, None]
         if round_means is not None:

@@ -480,6 +480,77 @@ def test_pq_adc_matches_numpy_reference(spark):
     assert top == top13
 
 
+def test_vectorized_assignment_matches_catalyst_fold(spark):
+    """The Arrow assignment/encode kernels (vecassign) must reproduce
+    the interpreted Catalyst expressions they replaced bit-for-bit:
+    same sequential-fold distances, same first-minimum tie rule, and
+    the measured (d=NULL, cid=0) behavior for NULL / wrong-dimension
+    vectors."""
+    import numpy as np
+
+    from chill_spark.llm_ops.pq import _books_df, _near, _subvec
+    from chill_spark.llm_ops.similarity import nearest_centroid
+
+    rng = np.random.RandomState(23)
+    dim, k = 6, 5
+    C = rng.uniform(-1, 1, size=(k, dim))
+    C[1] = C[0]  # duplicate centroid: exercises the tie -> smaller cid
+    rows = [(i, [float(x) for x in rng.uniform(-1, 1, dim)])
+            for i in range(50)]
+    rows += [(100, None), (101, [1.0, 2.0]), (102, [0.0] * (dim + 3)),
+             (103, [float(x) for x in C[0]])]  # exact-hit row: d == 0.0
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    near = nearest_centroid(F.col("v"), C)
+    got = sorted(
+        (r["id"], r["d"], r["cid"])
+        for r in df.select("id", near["d"].alias("d"),
+                           near["cid"].alias("cid")).collect()
+    )
+    # reference: the original interpreted struct-array_min expression
+    ref_near = _near(F.col("__cmat0"), F.col("v").cast("array<double>"))
+    ref_d = F.array_min(
+        F.transform(
+            F.col("__cmat0"),
+            lambda e: F.aggregate(
+                F.zip_with(
+                    F.col("v").cast("array<double>"), e["c"],
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    ref = sorted(
+        (r["id"], r["d"], r["cid"])
+        for r in df.crossJoin(F.broadcast(_books_df(spark, [C])))
+        .select("id", ref_d.alias("d"), ref_near.alias("cid"))
+        .collect()
+    )
+    assert got == ref
+    # and the PQ per-subspace encode against its original expression
+    from chill_spark.llm_ops.pq import pq_encode
+
+    sub = dim // 2
+    books = [C[:, :sub].copy(), C[:, sub:].copy()]
+    valid = df.filter(F.col("id") < 100)
+    got_codes = sorted(
+        tuple(r) for r in pq_encode(valid, books, vec_col="v",
+                                    id_col="id").collect()
+    )
+    ref_codes = sorted(
+        tuple(r)
+        for r in valid.crossJoin(F.broadcast(_books_df(spark, books)))
+        .select(
+            "id",
+            *[_near(F.col(f"__cmat{j}"), _subvec("v", j, sub)).alias(f"c{j}")
+              for j in range(2)],
+        )
+        .collect()
+    )
+    assert got_codes == ref_codes
+
+
 def test_pq_train_rejects_indivisible_dim(spark):
     import pytest as _pytest
 
@@ -1722,15 +1793,19 @@ def test_semantic_dedup_collapses_planted_groups(spark):
         assert grp[0]["kept"] and not grp[1]["kept"]
 
 
-def test_centroid_sim_broadcast_path_matches_inline(spark):
-    """with_centroid_sim's two plans (inline literals vs broadcast
-    centroid join) must be value-identical; the broadcast plan must
-    not inline centroid VALUES into the expression tree."""
+def test_centroid_sim_vectorized_matches_catalyst_fold(spark):
+    """with_centroid_sim is one vectorized Arrow pass for every k; it
+    must be bit-identical to the Catalyst reference (cosine_sim fold
+    against the assigned centroid via a broadcast join — the plan it
+    replaced), and its plan must stay value-free: the model ships
+    inside the serialized kernel, never as literals or a join."""
     import contextlib
     import io
 
     import numpy as np
+    from pyspark.sql import functions as F
 
+    from chill_spark.llm_ops.dedup import cosine_sim
     from chill_spark.llm_ops.semantic import with_centroid_sim
 
     k, dim = 70, 4
@@ -1741,22 +1816,33 @@ def test_centroid_sim_broadcast_path_matches_inline(spark):
     assigned = spark.createDataFrame(
         rows, "id bigint, v array<double>, cluster int"
     )
-    inline = with_centroid_sim(assigned, cents, inline_max_k=1000)
-    bcast = with_centroid_sim(assigned, cents, inline_max_k=1)
-    a = sorted((r["id"], r["centroid_sim"]) for r in inline.collect())
-    b = sorted((r["id"], r["centroid_sim"]) for r in bcast.collect())
+    # the same call must be plan-identical at every inline_max_k (the
+    # knob is signature-compat only now)
+    got = with_centroid_sim(assigned, cents, inline_max_k=1)
+    a = sorted((r["id"], r["centroid_sim"]) for r in got.collect())
+    # Catalyst reference: broadcast (cluster, centroid) join + the
+    # interpreted cosine fold — the exact arithmetic the kernel claims
+    # to reproduce bit-for-bit
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster int, __centroid array<double>",
+    )
+    ref = (
+        assigned.join(F.broadcast(cent), "cluster")
+        .withColumn(
+            "centroid_sim",
+            F.round(cosine_sim(F.col("v"), F.col("__centroid")), 9),
+        )
+    )
+    b = sorted((r["id"], r["centroid_sim"]) for r in ref.collect())
     assert a == b
-    # the broadcast plan must carry the model as DATA: no centroid
-    # value in the expression tree, and a broadcast join present.
-    # (The inline plan's formatted string is truncated by Spark at
-    # this k — itself evidence of the megabyte-tree problem — so only
-    # the broadcast side is gated.)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        bcast.explain("formatted")
+        got.explain("formatted")
     plan = buf.getvalue()
-    assert "987654.5" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "987654.5" not in plan       # model is not in the plan
+    assert "Join" not in plan           # and not attached by a join
+    assert "ArrowEvalPython" in plan    # one vectorized Arrow pass
 
 
 def test_semantic_dedup_green_at_large_k(spark):
