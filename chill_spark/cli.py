@@ -1470,7 +1470,7 @@ def cmd_cms(args) -> int:
 
     from .llm_ops.classifier import tokens
     from .llm_ops.cms import build_count_min, cms_estimate
-    from .session import get_spark
+    from .session import get_spark, local_frame
 
     spark = get_spark("chill-cms")
     if args.watch:
@@ -1485,8 +1485,8 @@ def cmd_cms(args) -> int:
             depth=args.depth, width=args.width, text_col=args.text_col,
             available_now=True,
         ))
-        q = spark.createDataFrame(
-            [(t,) for t in args.query], "tok string"
+        q = local_frame(
+            spark, [(t,) for t in args.query], "tok string"
         )
         rows = cms_stream_estimate(
             spark, args.store, q, "tok", args.depth, args.width
@@ -1497,7 +1497,7 @@ def cmd_cms(args) -> int:
         df = spark.read.parquet(args.input)
         toks = tokens(df, args.id_col, args.text_col).select("tok")
         sketch = build_count_min(toks, "tok", args.depth, args.width)
-        q = spark.createDataFrame([(t,) for t in args.query], "tok string")
+        q = local_frame(spark, [(t,) for t in args.query], "tok string")
         rows = cms_estimate(
             sketch, q, "tok", args.depth, args.width
         ).orderBy("tok").collect()

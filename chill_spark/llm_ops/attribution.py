@@ -142,7 +142,9 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     fs = StoreFS(path, spark)
     if fs.is_dir(path):
         return spark.read.schema(schema).option("basePath", path).parquet(path)
-    return spark.createDataFrame([], schema)
+    from ..session import local_frame
+
+    return local_frame(spark, [], schema)
 
 
 def attribution_update(

@@ -154,9 +154,11 @@ def with_bloom_contains(
     reuses the compiled plan), and the verdict is ``num_hashes``
     element_at/AND lookups per row. The probe stage has no Exchange —
     plan-gated in tests/test_bloom.py."""
+    from ..session import local_frame
+
     spark: SparkSession = df.sparkSession
-    carrier = spark.createDataFrame(
-        [(list(map(int, words)),)], "__bloom_words array<bigint>"
+    carrier = local_frame(
+        spark, [(list(map(int, words)),)], "__bloom_words array<bigint>"
     )
     checks = []
     for i in range(num_hashes):
@@ -207,9 +209,11 @@ def doc_bloom_verdicts(
     in tests/test_bloom.py."""
     from .text import normalize_text
 
+    from ..session import local_frame
+
     spark: SparkSession = df.sparkSession
-    carrier = spark.createDataFrame(
-        [(list(map(int, words)),)], "__bloom_words array<bigint>"
+    carrier = local_frame(
+        spark, [(list(map(int, words)),)], "__bloom_words array<bigint>"
     )
 
     def _hit(g: Column) -> Column:

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_frame
 from .portable import phash
 from .text import normalize_text
 
@@ -287,8 +288,8 @@ def _gd_train(
                     .alias("__r"),
                 )
             else:
-                wdf = spark.createDataFrame(
-                    sorted(w.items()), [feat_col, "__w"]
+                wdf = local_frame(
+                    spark, sorted(w.items()), [feat_col, "__w"]
                 )
                 su = (
                     feats.join(F.broadcast(wdf), feat_col)
@@ -322,8 +323,8 @@ def _gd_train(
     finally:
         feats.unpersist()
         per_doc.unpersist()
-    return spark.createDataFrame(
-        sorted(w.items()), f"{feat_schema}, w_units bigint"
+    return local_frame(
+        spark, sorted(w.items()), f"{feat_schema}, w_units bigint"
     )
 
 

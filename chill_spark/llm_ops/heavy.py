@@ -167,7 +167,9 @@ def heavy_hitters(
         return items.select(col).limit(0).withColumn(
             "n_tok", F.lit(0).cast("bigint")
         )
-    candidates = spark.createDataFrame([(t,) for t in cands], f"{col} string")
+    from ..session import local_frame
+
+    candidates = local_frame(spark, [(t,) for t in cands], f"{col} string")
     return (
         items.join(F.broadcast(candidates), on=col, how="leftsemi")
         .groupBy(col)

@@ -168,8 +168,10 @@ def _read_grams(
         df = spark.read.parquet(f"{root}/grams")
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
-            return spark.createDataFrame(
-                [], f"fp bigint, {BATCH_COL} int, {BKT_PART_COL} int"
+            from ..session import local_frame
+
+            return local_frame(
+                spark, [], f"fp bigint, {BATCH_COL} int, {BKT_PART_COL} int"
             )
         raise
     if before_batch is not None:

@@ -168,8 +168,10 @@ def _write_books(
     if coarse is not None:
         rows += [(-1, int(cid), [float(x) for x in c])
                  for cid, c in enumerate(coarse)]
+    from ..session import local_frame
+
     (
-        spark.createDataFrame(rows, "j int, cid int, c array<double>")
+        local_frame(spark, rows, "j int, cid int, c array<double>")
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{root}/books")
@@ -401,7 +403,9 @@ def pq_store_topk_batch(
     lut_schema = (f"q_id {q_id_type}, "
                   + ", ".join(f"lut{j} array<double>" for j in range(m))
                   + ", probe_cells array<int>")
-    lut_df = spark.createDataFrame(lut_rows, lut_schema)
+    from ..session import local_frame
+
+    lut_df = local_frame(spark, lut_rows, lut_schema)
 
     codes = read_pq_codes(
         spark, root, meta, resolve_replays,

@@ -89,8 +89,11 @@ def random_project(
         dim = _mode_dim(df, vec_col)
     signs = achlioptas_signs(k, dim, seed)
     spark = df.sparkSession
-    planes = spark.createDataFrame(
-        [(j, row) for j, row in enumerate(signs)],
+    from ..session import local_frame
+
+    planes = local_frame(
+        spark,
+        [(j, [int(x) for x in row]) for j, row in enumerate(signs)],
         "rp_dim int, s array<int>",
     )
     v = F.col(vec_col).cast("array<double>")

@@ -435,8 +435,10 @@ def unimax_budget(
     )
     # epochs rounds via F.round (half-up, like SQL round) — Python's
     # round() is banker's and would diverge from an oracle on ties
-    return spark.createDataFrame(
-        out, f"{group_col} string, n_tokens bigint, alloc bigint"
+    from ..session import local_frame
+
+    return local_frame(
+        spark, out, f"{group_col} string, n_tokens bigint, alloc bigint"
     ).withColumn(
         "epochs",
         F.when(

@@ -747,7 +747,10 @@ def small_file_report(
             part.split("=", 1)[1], n, total,
             total // n if n else 0, n > want,
         ))
-    return spark.createDataFrame(
+    from ..session import local_frame
+
+    return local_frame(
+        spark,
         rows,
         "partition string, n_files int, total_bytes bigint, "
         "avg_file_bytes bigint, needs_compaction boolean",

@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .session import load_tables, normalize_event_ts, spread
+from .session import load_tables, local_frame, normalize_event_ts, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -7117,7 +7117,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     merges = bpe_train(d, "text", n_merges=10)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, pair_freq bigint",
     ).orderBy("rank")
@@ -9144,10 +9145,10 @@ def q_heavy_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = heavy_candidates(spark, store, theta)
         rows = cand.select("tok", "n_total").collect()  # <= 1/theta + slack
         if not rows:
-            return spark.createDataFrame([], "tok string, n_tok bigint")
+            return local_frame(spark, [], "tok string, n_tok bigint")
         threshold = max(1, math.ceil(theta * rows[0]["n_total"]))
-        cand_toks = spark.createDataFrame(
-            [(r["tok"],) for r in rows], "tok string"
+        cand_toks = local_frame(
+            spark, [(r["tok"],) for r in rows], "tok string"
         )
         toks = doc_tokens(d, "doc_id", "text").select("tok")
         return (
@@ -10395,7 +10396,7 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.filter(F.col("adc_rank") <= topk)
             .select("q_id", "nprobe", "vec_id", F.lit(1).alias("ahit"))
         )
-        pdf = spark.createDataFrame([(p,) for p in probes], "nprobe int")
+        pdf = local_frame(spark, [(p,) for p in probes], "nprobe int")
         hits = (
             exact10.crossJoin(F.broadcast(pdf))
             .join(adc10, ["q_id", "vec_id", "nprobe"], "left")
@@ -11060,7 +11061,8 @@ def q_substring_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(st["appended_fraction"]), int(st["n_append_batches"]),
             bool(dec["compact"]),
         )]
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             row,
             "fps_distinct bigint, fps_rows bigint, rows_bootstrap bigint, "
             "rows_appended bigint, appended_fraction double, "
@@ -11771,7 +11773,8 @@ def q_sketch_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(st["rows_appended"]), float(st["appended_fraction"]),
             int(st["n_append_batches"]), bool(dec["compact"]),
         )]
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             row,
             "rows_total bigint, rows_bootstrap bigint, "
             "rows_appended bigint, appended_fraction double, "

@@ -63,6 +63,39 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_frame(spark: SparkSession, rows, schema):
+    """Driver-local rows -> DataFrame through the Arrow path.
+
+    ``createDataFrame(list)`` builds a PICKLED Python RDD sliced to
+    defaultParallelism: every downstream action pays one Python-runner
+    handshake per slice, and a ``coalesce(1)`` (the model-table write
+    shape) serializes all of them through one task — measured ~6-8 s
+    for a 64-row codebook frame on local[32], per ACTION. Routing the
+    same rows through pandas + Arrow yields a JVM local relation:
+    ~0.1 s, no Python workers at execution, identical values for the
+    flat types model tables carry (ints, floats, strings, bools,
+    float arrays). Falls back to the plain path for anything pandas/
+    Arrow can't carry (e.g. nested struct rows)."""
+    import pandas as pd
+
+    try:
+        if isinstance(schema, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            names = _parse_datatype_string(schema).fieldNames()
+        elif isinstance(schema, (list, tuple)):
+            names = list(schema)
+        else:  # StructType
+            names = schema.fieldNames()
+        rows = list(rows)
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows], columns=names
+        ) if rows else pd.DataFrame({n: [] for n in names})
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def spread(df, parts: int | None = None):
     """Rebalance a narrow scan across executors BEFORE a CPU-heavy
     per-row expansion (gram explode, shingle hashing, Lloyd

@@ -40,7 +40,9 @@ def _read_prev_words(
     its own half-written snapshot."""
     from pyspark.errors import AnalysisException
 
-    empty = spark.createDataFrame([], "word bigint, bits bigint")
+    from ..session import local_frame
+
+    empty = local_frame(spark, [], "word bigint, bits bigint")
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:

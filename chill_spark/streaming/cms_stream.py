@@ -44,7 +44,9 @@ def _read_prev_sketch(
     original predecessor, not its own half-written snapshot."""
     from pyspark.errors import AnalysisException
 
-    empty = spark.createDataFrame([], "row int, bucket bigint, cnt bigint")
+    from ..session import local_frame
+
+    empty = local_frame(spark, [], "row int, bucket bigint, cnt bigint")
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:

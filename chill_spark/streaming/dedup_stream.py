@@ -49,7 +49,9 @@ def _read_store_side(
         return spark.read.parquet(path).drop(BATCH_COL)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
-            return spark.createDataFrame([], ddl)
+            from ..session import local_frame
+
+            return local_frame(spark, [], ddl)
         raise
 
 

@@ -67,7 +67,9 @@ def _read_prev_fps(
         df = spark.read.parquet(path)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
-            return spark.createDataFrame([], f"{_FP_COL} string")
+            from ..session import local_frame
+
+            return local_frame(spark, [], f"{_FP_COL} string")
         raise
     return df.filter(F.col(BATCH_COL) < before_batch).select(_FP_COL)
 

@@ -123,7 +123,9 @@ def run_heavy_stream(
         import pandas as pd
 
         _mg_merge(counters, pd.Series(batch_counts, dtype="int64"), m)
-        out = spark.createDataFrame(
+        from ..session import local_frame
+
+        out = local_frame(spark,
             [(t, int(c)) for t, c in counters.items()]
             + [(None, n_prev + n_batch)],
             "tok string, lb bigint",
@@ -187,6 +189,8 @@ def heavy_candidates(
         for t, c in counters.items()
         if c + slack >= threshold
     ]
-    return spark.createDataFrame(
+    from ..session import local_frame
+
+    return local_frame(spark,
         rows, "tok string, lb bigint, n_total bigint, guaranteed boolean"
     )
