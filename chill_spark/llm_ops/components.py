@@ -62,19 +62,32 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        prop = sym.join(labels, sym["a"] == labels["node"]).select(
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        prop = sym.join(lbl, sym["a"] == lbl["node"]).select(
             F.col("b").alias("node"), "component"
         )
-        # the changed flag rides the SAME job as the round's
-        # checkpoint (one join against the previous labels inside the
-        # materialized plan), so convergence detection costs a
-        # limit-1 probe of the checkpointed frame instead of a second
-        # full join+count job per round
-        new = (
-            labels.union(prop)
+        return (
+            lbl.union(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+
+    for _ in range(max_iter):
+        # TWO propagation rounds per materialization: labels only ever
+        # decrease, so the fixpoint (min reachable id) is identical —
+        # but each eager checkpoint + convergence probe is a fixed
+        # per-round cost (and at scale a full labels write), and near-
+        # dup components have diameter 2-4, so halving the number of
+        # materialized rounds halves most of the loop's job count.
+        # Convergence: unchanged after two rounds implies unchanged
+        # after one (monotonicity), so comparing against the labels
+        # from before BOTH rounds detects the same fixpoint.
+        # The changed flag rides the SAME job as the checkpoint (one
+        # join against the previous labels inside the materialized
+        # plan), so detection costs a limit-1 probe, not a second
+        # full join+count job.
+        new = (
+            _propagate(_propagate(labels))
             .join(labels.withColumnRenamed("component", "__old"), "node")
             .select(
                 "node",

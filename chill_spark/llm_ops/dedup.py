@@ -561,9 +561,29 @@ def simhash_near_dups(
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+_COSINE_KERNEL = None
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float arrays — zip_with dot product +
-    aggregate norms, all JVM-side."""
+    """Cosine similarity of two float arrays — one vectorized Arrow
+    pass (vecassign.cosine_cols_udf), bit-identical to the
+    zip_with/aggregate fold it replaces (same dimension-order
+    accumulation, NULL for null/length-mismatched pairs, raises on a
+    zero-norm side exactly like ANSI division). The interpreted
+    higher-order-function form paid ~3*dim interpreted lambda steps
+    per row/pair (CodegenFallback — optimization guide §4.2)."""
+    global _COSINE_KERNEL
+    if _COSINE_KERNEL is None:
+        from .vecassign import cosine_cols_udf
+
+        _COSINE_KERNEL = cosine_cols_udf()
+    return _COSINE_KERNEL(a, b)
+
+
+def cosine_sim_expr(a: Column, b: Column) -> Column:
+    """The original pure-Column cosine (zip_with dot + aggregate
+    norms, JVM-side) — kept as the differential-test reference and
+    for callers that must stay expression-only."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),

@@ -275,6 +275,14 @@ def incremental_duplicate_spans(
         if grams is not None
         else gram_offsets(new_docs, text_col, id_col, L)
     )
+    # NOTE (r11 optimization round): persisting ``g`` across the
+    # touched-bucket collect and the probe's two union branches was
+    # measured SLOWER here — the projection is corpus/batch-wide and
+    # wide (id, off, fp per token offset), so materializing it costs
+    # more than the extra fused map passes it saves (the touched
+    # collect is a map-side partial aggregate down to <= n_buckets
+    # values). The suite-sized attribution update keeps its persist;
+    # this path deliberately recomputes.
     hist = _read_grams(spark, root, before_batch)
     if nbkt:
         touched = sorted(
@@ -322,6 +330,7 @@ def store_overlap_spans(
         if grams is not None
         else gram_offsets(docs, text_col, id_col, L)
     )
+    # no persist of ``g`` — see incremental_duplicate_spans' note
     hist = _read_grams(spark, root)
     if nbkt:
         touched = sorted(

@@ -38,34 +38,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .components import connected_components
-from .dedup import cosine_sim
 from .similarity import hash_seed_centroids, kmeans_fit, nearest_centroid
 from .vecassign import cosine_to_assigned_col
 
 
-#: above this k, the inline literal-array form of centroid_cosine is
-#: swapped for a broadcast (cluster, centroid) join — plan_semdedup_k's
-#: own 100 TB guidance (k ~ n/5000) produces k in the tens of
-#: thousands, where k*dim inlined float literals would build
-#: megabyte Column trees (slow to analyze, resistant to codegen).
+#: historical threshold: above this k, the old inline literal-array
+#: centroid-cosine was swapped for a broadcast (cluster, centroid)
+#: join. Both plans are now the same vectorized Arrow kernel (the
+#: model rides inside the serialized function at every k); the
+#: constant is kept because q_semantic_dedup_largek pins that its
+#: k=72 run exercises the above-threshold regime.
 CENTROID_INLINE_MAX_K = 64
-
-
-def centroid_cosine(vec_col: Column, centroids: np.ndarray, cluster_col: Column) -> Column:
-    """Cosine of a vector to ITS assigned centroid, as a pure Column:
-    an inline array of per-centroid cosines indexed by the cluster id.
-    k literal arrays of dim floats — fine for the k the driver holds
-    anyway (the trained model); for k above CENTROID_INLINE_MAX_K,
-    ``with_centroid_sim`` joins a broadcast (cluster, centroid) table
-    instead of inlining."""
-    sims = [
-        cosine_sim(
-            vec_col.cast("array<double>"),
-            F.array(*[F.lit(float(x)) for x in c]),
-        )
-        for c in centroids
-    ]
-    return F.element_at(F.array(*sims), cluster_col.cast("int") + 1)
 
 
 def with_centroid_sim(

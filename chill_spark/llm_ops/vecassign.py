@@ -187,6 +187,54 @@ def cosine_to_assigned_col(
     return _cos(v.cast("array<double>"), c.cast("long"))
 
 
+def cosine_cols_udf():
+    """pandas_udf computing cosine(a, b) over two array columns with
+    the bit-identical dimension-order fold of the Catalyst
+    ``dedup.cosine_sim`` expression (dot and both squared norms
+    accumulate left-to-right; sqrt/divide are single IEEE ops).
+
+    Semantics preserved from the expression it replaces:
+    - NULL or length-mismatched pairs -> NULL (zip_with pads the
+      shorter side with NULLs, which nulls the dot product);
+    - a zero-norm side raises, mirroring ANSI mode's DIVIDE_BY_ZERO
+      (Spark 4 default) instead of silently emitting NaN/NULL.
+    Mixed row lengths are handled per length group."""
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        n = len(va)
+        out = [None] * n
+        groups: dict[int, list[int]] = {}
+        for i, (a, b) in enumerate(zip(va, vb)):
+            if a is None or b is None or len(a) != len(b):
+                continue
+            groups.setdefault(len(a), []).append(i)
+        for dim, idxs in groups.items():
+            X = np.array([va.iloc[i] for i in idxs], dtype=np.float64)
+            Y = np.array([vb.iloc[i] for i in idxs], dtype=np.float64)
+            dot = np.zeros(len(idxs))
+            na = np.zeros(len(idxs))
+            nb = np.zeros(len(idxs))
+            for t in range(dim):
+                x = X[:, t]
+                y = Y[:, t]
+                dot += x * y
+                na += x * x
+                nb += y * y
+            den = np.sqrt(na) * np.sqrt(nb)
+            if (den == 0).any():
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] cosine over a zero-norm vector "
+                    "(matches ANSI division semantics)"
+                )
+            res = dot / den
+            for k, i in enumerate(idxs):
+                out[i] = float(res[k])
+        return pd.Series(out, dtype="float64")
+
+    return _cos
+
+
 def lloyd_partial_sums(
     emb: DataFrame,
     vec_col: str,

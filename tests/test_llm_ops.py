@@ -551,6 +551,35 @@ def test_vectorized_assignment_matches_catalyst_fold(spark):
     assert got_codes == ref_codes
 
 
+def test_vectorized_cosine_matches_catalyst_fold(spark):
+    """cosine_sim (now an Arrow kernel) must reproduce the original
+    zip_with/aggregate expression bit-for-bit: same fold order, NULL
+    for null/length-mismatched pairs, mixed row dims handled."""
+    import numpy as np
+
+    from chill_spark.llm_ops.dedup import cosine_sim, cosine_sim_expr
+
+    rng = np.random.RandomState(31)
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1, 1, 6)],
+         [float(x) for x in rng.uniform(-1, 1, 6)])
+        for i in range(40)
+    ]
+    rows += [
+        (100, None, [1.0, 2.0]),
+        (101, [1.0, 2.0], None),
+        (102, [1.0, 2.0], [1.0, 2.0, 3.0]),      # length mismatch -> NULL
+        (103, [0.5, 0.5, 0.5], [0.5, 0.5, 0.5]),  # 3-dim among 6-dim rows
+    ]
+    df = spark.createDataFrame(rows, "id bigint, a array<double>, b array<double>")
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", cosine_sim(F.col("a"), F.col("b")).alias("c")).collect()}
+    ref = {r["id"]: r["c"] for r in df.select(
+        "id", cosine_sim_expr(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got == ref
+    assert got[100] is None and got[102] is None
+
+
 def test_pq_train_rejects_indivisible_dim(spark):
     import pytest as _pytest
 
@@ -1805,7 +1834,7 @@ def test_centroid_sim_vectorized_matches_catalyst_fold(spark):
     import numpy as np
     from pyspark.sql import functions as F
 
-    from chill_spark.llm_ops.dedup import cosine_sim
+    from chill_spark.llm_ops.dedup import cosine_sim_expr
     from chill_spark.llm_ops.semantic import with_centroid_sim
 
     k, dim = 70, 4
@@ -1831,7 +1860,7 @@ def test_centroid_sim_vectorized_matches_catalyst_fold(spark):
         assigned.join(F.broadcast(cent), "cluster")
         .withColumn(
             "centroid_sim",
-            F.round(cosine_sim(F.col("v"), F.col("__centroid")), 9),
+            F.round(cosine_sim_expr(F.col("v"), F.col("__centroid")), 9),
         )
     )
     b = sorted((r["id"], r["centroid_sim"]) for r in ref.collect())
