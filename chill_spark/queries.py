@@ -70,6 +70,18 @@ def query(name: str, oracle: str | None = None):
 # queries + 17.9 s / 10 serve splits, normalized 0.793 vs r10 on 95
 # shared queries (BENCH_COMPARE_r11.json; packer-family fixed
 # overhead analyzed in BASELINE.md).
+#
+# r11 OPTIMIZATION-round record (vector kernels, Arrow local frames,
+# CC round-doubling — see OPTIMIZATION_r11.md): SWEEP_r11.json was
+# re-swept on the optimized tree (sf0.01 0/206, sf0.1 0/204 with the
+# same two quadratic-oracle exclusions); pytest 674 passed /
+# 1 env-skip (one calibration-canary flake under live CPU steal,
+# 16/16 green at idle); final idle bench 167.4 s raw / normalized
+# 0.9993 vs the round-start 163.1 s baseline, with the touched
+# families 0.24-0.82x and the untouched tail inflated by
+# canary-invisible machine drift — tree-A/B evidence in
+# OPTIMIZATION_r11.md, per-query medians in BENCH_MEDIANS.json,
+# comparison in BENCH_COMPARE_r11_opt.json.
 _PRIORITY: list[str] = [
     # --- never driver-checked (r11 additions) ---
     "q_contamination_incremental",
