@@ -56,7 +56,18 @@ def gram_offsets(
     tokenizer runs once per document, not once per gram (interpreted
     higher-order functions do no CSE — same hazard as
     ``shingle_fingerprints``).
+
+    The input is fanned out first when its planned scan is narrower
+    than the session's parallelism (``session.spread_if_narrow``): the
+    per-offset fingerprint transform is an interpreted HOF — the most
+    expensive map work in the whole substring family — and an
+    unsplittable input (single-row-group parquet) would otherwise run
+    it on ONE task per consumer subtree. At scale the scan is already
+    wide and no exchange is added.
     """
+    from ..session import spread_if_narrow
+
+    df = spread_if_narrow(df)
     toks = F.split(normalize_text(text_col), " ")
     with_t = df.select(F.col(id_col), toks.alias("__t"))
     t = F.col("__t")
@@ -342,10 +353,15 @@ def apply_span_removal(
     tokens. Docs with no spans keep their normalized text; a NULL
     text renders as '' (concat_ws never returns NULL) — callers that
     must preserve NULLs route them around the rewrite."""
+    from ..session import spread_if_narrow
+
     spans = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    toks = df.select(
+    # fan a narrow input out before the rewrite: tokenize + the
+    # per-token span filter is the second expansion-heavy map of the
+    # span pipeline and must not serialize onto an unsplittable scan
+    toks = spread_if_narrow(df).select(
         id_col, F.split(normalize_text(text_col), " ").alias("__t")
     ).join(spans, id_col, "left")
     t, sp = F.col("__t"), F.col("__spans")

@@ -115,6 +115,36 @@ def spread(df, parts: int | None = None):
     return df.repartition(parts)
 
 
+def spread_if_narrow(df, parts: int | None = None):
+    """``spread`` gated on the frame's PLANNED partition count:
+    repartition only when the scan would run on fewer tasks than the
+    session's parallelism — the unsplittable-input hazard ``spread``
+    documents (single-row-group parquet serializes every downstream
+    map stage onto one task while the other cores idle).
+
+    At 100 TB a corpus scan already yields thousands of file splits,
+    the gate sees partitions >= parallelism, and NO exchange is added
+    — unlike an unconditional ``spread`` this never pays a full-data
+    round-robin shuffle on inputs that are already wide. Locally (or
+    on a badly-compacted upstream table) the single-split scan fans
+    out once, before the expansion-heavy work (gram fingerprinting,
+    shingling, Arrow kernels) multiplies it. Results are unaffected:
+    every consumer is partitioning-agnostic (keyed aggregations,
+    windows ordered within keys, deterministic hashes).
+
+    The partition count comes from the pre-AQE physical plan (a
+    planning-only ``df.rdd`` conversion, no job) — call this on scans
+    or near-scan frames, not on deep mid-plan lineages, to keep that
+    conversion cheap."""
+    sc = df.sparkSession.sparkContext
+    parts = parts or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(parts) if n < parts else df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views; return dict of DFs.
 
