@@ -50,6 +50,9 @@ def doc_gram_flags(
     filter probe, per-doc aggregate. Documents shorter than n tokens
     contribute their whole text as one gram (the shingle
     convention)."""
+    from ..session import spread_if_narrow
+
+    df = spread_if_narrow(df)  # gram transform+explode: fan out first
     with_t = df.select(
         id_col, F.split(normalize_text(text_col), " ").alias("__t")
     )
