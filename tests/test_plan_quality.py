@@ -812,6 +812,24 @@ def _assert_distributed_prefix_sum(plan: str, shard: str, order: str) -> None:
     )
 
 
+import contextlib as _ctx
+
+
+@_ctx.contextmanager
+def _force_bucket_packing(spark):
+    """Pin the packer's SCALE shape for a plan assertion: the size
+    gate (chunking.distributed_running_offset) legitimately falls back
+    to the plain window below ``chill.pack.window_max_shard_rows``
+    (bit-identical output; r11 verdict order), so the distributed-
+    prefix-sum contract is asserted with the gate disabled — the plan
+    a too-big-for-one-task shard would get."""
+    spark.conf.set("chill.pack.window_max_shard_rows", "0")
+    try:
+        yield
+    finally:
+        spark.conf.unset("chill.pack.window_max_shard_rows")
+
+
 def test_pack_split_sequences_distributed_prefix_sum(spark, sf_dir):
     """The splitting packer's scale contract: the running offset is a
     two-phase distributed prefix sum — per-shard min/max and bucket
@@ -819,7 +837,8 @@ def test_pack_split_sequences_distributed_prefix_sum(spark, sf_dir):
     is the (shard, bucket) window, and no window sorts a whole shard
     on one task. Joins are broadcast-only (offset bases), never
     sort-merge/cartesian."""
-    plan = plan_of(Q.queries()["q_pack_split_sequences"](spark, sf_dir))
+    with _force_bucket_packing(spark):
+        plan = plan_of(Q.queries()["q_pack_split_sequences"](spark, sf_dir))
     _assert_distributed_prefix_sum(plan, "source", "doc_id")
     for node in ("SortMergeJoin", "ShuffledHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
@@ -831,7 +850,8 @@ def test_pack_split_sequences_distributed_prefix_sum(spark, sf_dir):
 
 
 def test_pack_sequences_distributed_prefix_sum(spark, sf_dir):
-    plan = plan_of(Q.queries()["q_pack_sequences"](spark, sf_dir))
+    with _force_bucket_packing(spark):
+        plan = plan_of(Q.queries()["q_pack_sequences"](spark, sf_dir))
     _assert_distributed_prefix_sum(plan, "source", "doc_id")
 
 
@@ -839,8 +859,33 @@ def test_corpus_prep_packing_distributed_prefix_sum(spark, sf_dir):
     """corpus_prep's packing stage shares the distributed prefix sum:
     its cumsum window must carry the __pfx_bkt range bucket alongside
     (source, split), never (source, split) alone."""
-    plan = plan_of(Q.queries()["q_corpus_prep_v3"](spark, sf_dir))
+    with _force_bucket_packing(spark):
+        plan = plan_of(Q.queries()["q_corpus_prep_v3"](spark, sf_dir))
     _assert_distributed_prefix_sum(plan, "split", "doc_id")
+
+
+def test_packing_size_gate_small_input_uses_window(spark, sf_dir):
+    """Below the gate every shard fits one task's sort, so the offset
+    must be ONE plain per-shard window over the persisted slim frame
+    (no __pfx_bkt machinery, no extra joins), and its values must be
+    IDENTICAL to the forced bucket path — the r11 verdict's
+    size-gated fallback contract."""
+    from chill_spark.llm_ops.chunking import distributed_running_offset
+
+    rows = [(i, ["a", "b"][i % 2], (i * 13) % 7 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tok"])
+    gated = distributed_running_offset(
+        df, "doc_id", "n_tok", ["shard"], "off"
+    )
+    assert "__pfx_bkt" not in plan_of(gated), "gate did not fire"
+    with _force_bucket_packing(spark):
+        forced = distributed_running_offset(
+            df, "doc_id", "n_tok", ["shard"], "off"
+        )
+    assert "__pfx_bkt" in plan_of(forced), "conf=0 must force buckets"
+    got = {r["doc_id"]: r["off"] for r in gated.collect()}
+    want = {r["doc_id"]: r["off"] for r in forced.collect()}
+    assert got == want
 
 
 def test_contamination_attribution_broadcasts_benchmark(spark, sf_dir):
