@@ -37,7 +37,13 @@ def connected_components(
     """Return ``(node, component)`` where ``component`` is the minimum
     node id reachable from ``node`` (undirected). Isolated nodes never
     appear in ``edges`` and so are absent — union them in as
-    singletons if needed."""
+    singletons if needed.
+
+    ``max_iter`` bounds MATERIALIZED iterations, each of which runs
+    TWO min-label propagation rounds (so up to ``2 * max_iter``
+    rounds of graph diameter are covered; the fixpoint itself is
+    unchanged — labels only decrease). A caller using ``max_iter`` as
+    a strict per-round work bound should halve it."""
     # Materialize the symmetric edge list ONCE: `sym` feeds every
     # propagation round, and without the checkpoint each round would
     # re-execute the whole upstream candidate pipeline (LSH expansion,

@@ -121,24 +121,40 @@ def pq_codes_col(
     scores the (1-based ``lo``, ``length``) slice of the vector given
     by ``slices[j]`` — the vectorized ``pq._near``-per-subspace encode
     (optionally including a full-vector coarse book). One Arrow pass
-    computes every code; invalid vectors get cid 0 per book (the
-    measured array_min-over-NULL-distances behavior)."""
+    computes every code.
+
+    Validity is PER (row, book), matching the F.slice expression this
+    replaces: a book scores every vector long enough to fill its
+    slice (``len(v) >= lo-1+ln`` — over-length vectors encode their
+    prefix, exactly as F.slice did), and a NULL / too-short vector
+    gets cid 0 for that book (the measured
+    array_min-over-NULL-distances behavior of the zip_with padding).
+    Mixed row lengths are handled per length group; the fixed-dim
+    common case stays one matrix."""
     Bs = [np.asarray(b, dtype=np.float64) for b in books]
-    dim = max(lo - 1 + ln for lo, ln in slices)
+    needs = [lo - 1 + ln for lo, ln in slices]
+    min_need = min(needs)
     schema = ", ".join(f"{nm} int" for nm in names)
 
     @pandas_udf(schema)
     def _codes(vs: pd.Series) -> pd.DataFrame:
-        X, valid = _rows_matrix(vs, dim)
-        out = {}
-        for j, (B, (lo, ln)) in enumerate(zip(Bs, slices)):
-            cid = np.zeros(len(vs), dtype=np.int32)
-            if len(X):
-                cid[valid] = seq_sq_dists(
-                    X[:, lo - 1:lo - 1 + ln], B
-                ).argmin(axis=1)
-            out[names[j]] = cid
-        return pd.DataFrame(out)
+        n = len(vs)
+        cids = [np.zeros(n, dtype=np.int32) for _ in Bs]
+        groups: dict[int, list[int]] = {}
+        for i, v in enumerate(vs):
+            if v is not None and len(v) >= min_need:
+                groups.setdefault(len(v), []).append(i)
+        for L, idx_list in groups.items():
+            idxs = np.asarray(idx_list, dtype=np.int64)
+            X = np.array(
+                [vs.iloc[i][:L] for i in idx_list], dtype=np.float64
+            )
+            for j, (B, (lo, ln)) in enumerate(zip(Bs, slices)):
+                if L >= needs[j]:
+                    cids[j][idxs] = seq_sq_dists(
+                        X[:, lo - 1:lo - 1 + ln], B
+                    ).argmin(axis=1)
+        return pd.DataFrame({names[j]: cids[j] for j in range(len(Bs))})
 
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return _codes(v.cast("array<double>"))
@@ -161,7 +177,13 @@ def cosine_to_assigned_col(
     def _cos(vs: pd.Series, cl: pd.Series) -> pd.Series:
         X, valid = _rows_matrix(vs, dim)
         cids = cl.to_numpy(dtype="float64", na_value=np.nan)
-        ok = valid & ~np.isnan(cids)
+        # out-of-range cluster ids yield NULL (the replaced plans'
+        # tolerance: the broadcast join dropped such rows, the inline
+        # element_at returned NULL) instead of an executor IndexError
+        ok = (
+            valid & ~np.isnan(cids)
+            & (cids >= 0) & (cids < C.shape[0])
+        )
         res = np.full(len(vs), np.nan)
         if ok.any():
             # X holds only the `valid` rows; map each ok row to its
@@ -253,7 +275,19 @@ def lloyd_partial_sums(
     sums accumulate in batch row order (np.add.at is ordered), and
     cross-task merge order is partition order — the same accepted
     reassociation class as the hash-aggregate it replaces (absorbed
-    by the trainers' round_means contract)."""
+    by the trainers' round_means contract). Non-null WRONG-DIMENSION
+    vectors are dropped from the update entirely (deliberate: the old
+    posexplode aggregate inconsistently folded their positions into
+    cluster 0; dropping is the recorded divergence).
+
+    DRIVER GUARD (r11 verdict): with T map tasks the collect is
+    T x sum(k_j * len_j) partial rows — trivial locally, multi-GB at
+    ~10^5-10^6 tasks. Above ``chill.lloyd.tree_reduce_tasks`` planned
+    input partitions (default 256) one tiny groupBy(j, cid)
+    elementwise merge runs on executors first, so at most
+    sum(k_j) rows reach the driver; the merge order moves from
+    partition order to shuffle order — the same reassociation class,
+    inside the round_means contract."""
     Bs = [np.asarray(b, dtype=np.float64) for b in books]
     dim = max(lo - 1 + ln for lo, ln in slices)
 
@@ -281,11 +315,33 @@ def lloyd_partial_sums(
         if rows["j"]:
             yield pd.DataFrame(rows)
 
-    part_rows = (
-        emb.select(F.col(vec_col).cast("array<double>").alias("__v"))
-        .mapInPandas(_partials, "j int, cid int, s array<double>, n long")
-        .collect()
+    sel = emb.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    out_schema = "j int, cid int, s array<double>, n long"
+    partials = sel.mapInPandas(_partials, out_schema)
+    try:
+        n_tasks = sel.rdd.getNumPartitions()
+    except Exception:
+        n_tasks = 0
+    gate = int(
+        emb.sparkSession.conf.get("chill.lloyd.tree_reduce_tasks", "256")
     )
+    if gate > 0 and n_tasks > gate:
+
+        def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.array(pdf["s"].tolist(), dtype=np.float64)
+            return pd.DataFrame(
+                {
+                    "j": [int(pdf["j"].iloc[0])],
+                    "cid": [int(pdf["cid"].iloc[0])],
+                    "s": [[float(x) for x in vecs.sum(axis=0)]],
+                    "n": [int(pdf["n"].sum())],
+                }
+            )
+
+        partials = partials.groupBy("j", "cid").applyInPandas(
+            _merge, out_schema
+        )
+    part_rows = partials.collect()
     merged: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
     for r in part_rows:
         key = (r["j"], r["cid"])

@@ -75,22 +75,55 @@ def local_frame(spark: SparkSession, rows, schema):
     ~0.1 s, no Python workers at execution, identical values for the
     flat types model tables carry (ints, floats, strings, bools,
     float arrays). Falls back to the plain path for anything pandas/
-    Arrow can't carry (e.g. nested struct rows)."""
+    Arrow can't carry exactly: nested struct rows, and any column an
+    integral field declares that contains a NULL (pandas would coerce
+    int64+None to float64 — precision loss above 2^53 and NaN->null
+    drift). ``Row`` inputs are consumed POSITIONALLY (``tuple(r)``):
+    field order must already match the schema."""
     import pandas as pd
+    from pyspark.sql.types import IntegralType, StructType
 
+    st = None
+    if isinstance(schema, str):
+        try:
+            st = StructType.fromDDL(schema)
+        except Exception:
+            # not a DDL struct string (e.g. a bare type) — let the
+            # plain path interpret it
+            return spark.createDataFrame(rows, schema)
+    elif isinstance(schema, StructType):
+        st = schema
+
+    rows = list(rows)
+    names = st.fieldNames() if st is not None else list(schema)
+    int_cols = (
+        {
+            i for i, f in enumerate(st.fields)
+            if isinstance(f.dataType, IntegralType)
+        }
+        if st is not None
+        else set()
+    )
     try:
-        if isinstance(schema, str):
-            from pyspark.sql.types import _parse_datatype_string
-
-            names = _parse_datatype_string(schema).fieldNames()
-        elif isinstance(schema, (list, tuple)):
-            names = list(schema)
-        else:  # StructType
-            names = schema.fieldNames()
-        rows = list(rows)
-        pdf = pd.DataFrame(
-            [tuple(r) for r in rows], columns=names
-        ) if rows else pd.DataFrame({n: [] for n in names})
+        tuples = [tuple(r) for r in rows]
+        if any(t[i] is None for t in tuples for i in int_cols):
+            return spark.createDataFrame(rows, schema)
+        if st is None and tuples:
+            # name-only schema: types come from inference — a column
+            # mixing ints and NULLs must not ride through pandas
+            # (int64+None -> float64 -> DoubleType drift)
+            for i in range(len(names)):
+                vals = [t[i] for t in tuples]
+                if any(v is None for v in vals) and any(
+                    isinstance(v, int) and not isinstance(v, bool)
+                    for v in vals
+                ):
+                    return spark.createDataFrame(rows, schema)
+        pdf = (
+            pd.DataFrame(tuples, columns=names)
+            if rows
+            else pd.DataFrame({n: [] for n in names})
+        )
         return spark.createDataFrame(pdf, schema)
     except Exception:
         return spark.createDataFrame(rows, schema)

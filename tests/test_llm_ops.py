@@ -533,14 +533,17 @@ def test_vectorized_assignment_matches_catalyst_fold(spark):
 
     sub = dim // 2
     books = [C[:, :sub].copy(), C[:, sub:].copy()]
-    valid = df.filter(F.col("id") < 100)
+    # ALL rows, including NULL (100), short (101) and OVER-LENGTH
+    # (102): the kernel must reproduce the F.slice expression's
+    # semantics — an over-length vector encodes its prefix as a real
+    # code, a short/NULL one gets cid 0 per book (r11 ADVICE).
     got_codes = sorted(
-        tuple(r) for r in pq_encode(valid, books, vec_col="v",
+        tuple(r) for r in pq_encode(df, books, vec_col="v",
                                     id_col="id").collect()
     )
     ref_codes = sorted(
         tuple(r)
-        for r in valid.crossJoin(F.broadcast(_books_df(spark, books)))
+        for r in df.crossJoin(F.broadcast(_books_df(spark, books)))
         .select(
             "id",
             *[_near(F.col(f"__cmat{j}"), _subvec("v", j, sub)).alias(f"c{j}")
@@ -549,6 +552,52 @@ def test_vectorized_assignment_matches_catalyst_fold(spark):
         .collect()
     )
     assert got_codes == ref_codes
+    # a short-but-not-empty slice: id 104 fills book 0's slice but
+    # only part of book 1's — book 0 must encode, book 1 must yield 0
+    extra = spark.createDataFrame(
+        [(104, [float(x) for x in C[2][: sub + 1]])],
+        "id bigint, v array<double>",
+    )
+    got1 = pq_encode(extra, books, vec_col="v", id_col="id").collect()[0]
+    ref1 = (
+        extra.crossJoin(F.broadcast(_books_df(spark, books)))
+        .select(
+            *[_near(F.col(f"__cmat{j}"), _subvec("v", j, sub)).alias(f"c{j}")
+              for j in range(2)]
+        )
+        .collect()[0]
+    )
+    assert (got1["c0"], got1["c1"]) == (ref1["c0"], ref1["c1"])
+    assert got1["c0"] == 2 and got1["c1"] == 0
+
+
+def test_lloyd_tree_reduce_matches_direct_collect(spark):
+    """The driver-guard merge stage (chill.lloyd.tree_reduce_tasks)
+    must leave the trained books identical: elementwise sums merge on
+    executors instead of the driver, same reassociation class."""
+    import numpy as np
+
+    from chill_spark.llm_ops.pq import _pq_lloyd_joint
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.uniform(-1, 1, 6)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "id bigint, v array<double>") \
+        .repartition(8)
+    seed = rng.uniform(-1, 1, size=(4, 3))
+    books0 = [seed.copy(), seed.copy()[:, ::-1].copy()]
+    direct = _pq_lloyd_joint(
+        emb, "v", [b.copy() for b in books0], iters=2, round_means=9
+    )
+    spark.conf.set("chill.lloyd.tree_reduce_tasks", "1")
+    try:
+        treed = _pq_lloyd_joint(
+            emb, "v", [b.copy() for b in books0], iters=2, round_means=9
+        )
+    finally:
+        spark.conf.unset("chill.lloyd.tree_reduce_tasks")
+    for a, b in zip(direct, treed):
+        assert np.array_equal(a, b)
 
 
 def test_vectorized_cosine_matches_catalyst_fold(spark):
