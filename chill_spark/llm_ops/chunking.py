@@ -105,14 +105,31 @@ def chunk_oracle_sql(
 #: their cache entry anyway) and non-blockingly drop the rest (r11
 #: review finding).
 _LIVE_PERSISTS: list = []
-_KEEP_PERSISTS = 4
+# 8: corpus_prep v3 alone holds 3 live entries (scrubbed, cleaned,
+# packer input); 4 let a 96-query bench pass retire v3's entries
+# between its own reps
+_KEEP_PERSISTS = 8
 
 
 def _retire_old_persists(df) -> None:
-    _LIVE_PERSISTS.append(df)
+    # Entries are keyed by SEMANTIC hash, not object identity: Spark's
+    # CacheManager shares one cache entry across structurally
+    # identical plans (every bench rep re-builds the same DataFrame),
+    # so appending the new object and retiring the old one would
+    # unpersist the very entry just registered. Re-persisting a known
+    # plan REFRESHES its LRU slot instead.
+    try:
+        h = df.semanticHash()
+    except Exception:
+        h = id(df)
+    for i, (h0, _d0) in enumerate(_LIVE_PERSISTS):
+        if h0 == h:
+            _LIVE_PERSISTS.pop(i)
+            break
+    _LIVE_PERSISTS.append((h, df))
     while len(_LIVE_PERSISTS) > _KEEP_PERSISTS:
         try:
-            _LIVE_PERSISTS.pop(0).unpersist(blocking=False)
+            _LIVE_PERSISTS.pop(0)[1].unpersist(blocking=False)
         except Exception:
             pass
 

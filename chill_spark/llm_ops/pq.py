@@ -114,6 +114,12 @@ def pq_train(
         .limit(k)
         .collect()
     )
+    if not seed_rows:
+        raise ValueError(
+            "pq_train: corpus has no usable vectors (empty, all-null, "
+            "or wrong-dimension embedding column) — an empty codebook "
+            "store would brick every later consumer"
+        )
     books = [
         np.array(
             [r["__v"][j * sub:(j + 1) * sub] for r in seed_rows],
@@ -207,6 +213,12 @@ def ivfpq_train(
         .limit(max(k, cells))
         .collect()
     )
+    if not seed_rows:
+        raise ValueError(
+            "ivfpq_train: corpus has no usable vectors (empty, "
+            "all-null, or wrong-dimension embedding column) — an "
+            "empty codebook store would brick every later consumer"
+        )
     books = [
         np.array([r["__v"][j * sub:(j + 1) * sub] for r in seed_rows[:k]],
                  dtype=np.float64)

@@ -118,12 +118,10 @@ def write_pq_store(
     (queries.q_ann_pq_stored)."""
     spark = emb.sparkSession
     emb = _usable_vectors(emb, vec_col, dim)
-    if emb.head(1) == []:
-        raise ValueError(
-            "write_pq_store: corpus has no usable vectors (empty, "
-            "all-null, or wrong-dimension embedding column) — an "
-            "empty codebook store would brick every later consumer"
-        )
+    # no head(1) pre-flight: the trainers' seed collect is the same
+    # corpus scan and raises the empty-corpus error itself — one
+    # fewer job per store build (r12: ~0.3 s of fixed cost on every
+    # in-query build)
     fs = StoreFS(root, spark)
     for side in ("books", "codes"):
         _heal_pq_side(fs, root, side)

@@ -4927,8 +4927,14 @@ def q_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops.substring import remove_spans
     from .llm_ops.text import with_repetition_stats
 
+    from .llm_ops.chunking import _retire_old_persists
+
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cleaned = remove_spans(d, "text", "doc_id", _SUBSTR_L)
+    # persist the rewrite output: the quality filter and the exact
+    # dedup both consume it (same ~30% cold win as corpus_prep's
+    # staged persists; LRU-retired like the packer inputs)
+    cleaned = remove_spans(d, "text", "doc_id", _SUBSTR_L).persist()
+    _retire_old_persists(cleaned)
     docs2 = (
         d.select("doc_id", "source")
         .join(cleaned, "doc_id")
