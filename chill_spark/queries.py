@@ -83,33 +83,31 @@ def query(name: str, oracle: str | None = None):
 # OPTIMIZATION_r11.md, per-query medians in BENCH_MEDIANS.json,
 # comparison in BENCH_COMPARE_r11_opt.json.
 _PRIORITY: list[str] = [
-    # --- never driver-checked (r11 additions) ---
-    "q_contamination_incremental",
-    # --- last driver check: round 7 (all 20 core rows) ---
-    "q_stratified_sample", "q_chunk_documents", "q_pack_sequences",
-    "q_token_budget_by_split", "q_kmeans_clusters",
-    "q_semantic_dedup_largek", "q_repetition_filter",
-    "q_dedup_minhash_cc", "q_bm25_rank", "q_bloom_dedup_gate",
-    "q_vocab_coverage", "q_corpus_prep_pipeline", "q_quality_rules",
-    "q_embedding_centroids", "q_bigram_pmi",
-    "q_corpus_embedding_assembly", "q_bpe_merges", "q_forget_user",
-    "q_ann_recall", "q_ann_pq_stored",
-    # --- pre-refresh: last driver check round 8 (first 29 r8-era
-    #     core rows in registration order; drop from the tail as r11
-    #     additions land at the head, keeping >= 5 for the r12
-    #     headroom gate) ---
-    "q_rollup_ladder_daily", "q_rollup_15m", "q_cfg_table_users",
-    "q_retention_expired", "q_reconcile_missing_rows",
-    "q_reconcile_referential", "q_dsl_derive", "q3_top_orders",
-    "q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_incremental",
-    "q_dedup_simhash", "q_text_stats", "q_lang_id", "q_ann_topk",
-    "q_embedding_near_dups_lsh", "q_embedding_incremental",
-    "q2_top_supplier_per_nation", "q7_nation_pair_volume",
-    "q12_priority_class", "q13_order_count_distribution",
-    "q18_large_orders", "q19_disjunctive_filters",
-    "q22_idle_rich_customers", "q_window_lag_delta", "q_sessionize",
-    "q_winnowing_fingerprints", "q_cluster_balanced_sample",
-    "q_train_quality_classifier",
+    # --- r12 rotation. Head: every core query that would be >= 4
+    #     rounds driver-stale at r12 (the staleness gate's must-
+    #     schedule set — last checked r8) ---
+    "q_decontam_bloom", "q_decontam_stream", "q_substring_dedup_spans",
+    "q_substring_dedup_clean", "q_substring_dedup_incremental",
+    "q_corpus_prep_v2", "q_substring_stream", "q_lm_perplexity",
+    "q_source_caps", "q_segment_dedup", "q_mixture_weights",
+    "q_quality_budget", "q_scd1_merge", "q_profile_lineitem",
+    "q_pq_store_health", "q_ann_pq_join",
+    # --- 34 of the 50 next-stalest core rows (last checked r9; the
+    #     16 left over become r13's must-schedule set, well inside
+    #     the 40-slot headroom gate) ---
+    "q1_pricing_summary", "q_reconcile_value_diff", "q_dsl_lookup",
+    "q_dedup_minhash", "q_dedup_stream", "q_embedding_near_dups",
+    "q_embedding_dedup_stream", "q_stream_rollup_events",
+    "q14_promo_revenue", "q_setop_except", "q_asof_join",
+    "q_range_join", "q17_small_quantity_revenue", "q21_waiting_orders",
+    "q20_dominant_suppliers", "q9_product_profit", "q_dedup_components",
+    "q_semantic_dedup", "q_pii_redact", "q_fuzzy_name_match",
+    "q_stratified_exact_counts", "q_full_outer_hourly_diff",
+    "q_ccnet_buckets", "q_span_dedup", "q_funnel_conversion",
+    "q_split_by_content", "q_max_concurrency", "q_budget_threshold",
+    "q_dsir_select", "q_boilerplate_ngrams", "q_ngram_novelty",
+    "q_token_fertility", "q_distinct_overlap",
+    "q_benchmark_contamination",
 ]
 
 # Driver-rotation capacity policy (the r8 verdict's order #2). The

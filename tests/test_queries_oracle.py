@@ -21,8 +21,16 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_all_queries_run(spark, sf_dir):
-    """Queries without an oracle still must run and return a schema."""
+    """Queries WITHOUT an oracle still must run and return a schema.
+
+    Every oracle-backed query already executes fully in
+    test_query_matches_oracle above; re-running all 206 here was pure
+    duplication (215 s of the r12 suite's 25 min — the r11 driver's
+    pytest window truncation). This guard now covers exactly the gap
+    it was written for: a future query registered without an oracle."""
     for name, fn in q.queries().items():
+        if name in q.ORACLE_SQL:
+            continue
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(5).collect()
